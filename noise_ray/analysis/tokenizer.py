@@ -1,0 +1,106 @@
+"""Text analysis replicating the reference engine's tokenizer semantics.
+
+The reference (/root/reference/src/stems.rs:23-64) tokenizes a field as:
+
+1. Split the RAW text on Unicode word boundaries (UAX#29,
+   ``unicode_segmentation::split_word_bound_indices``).
+2. NFKC-normalize each segment.
+3. Keep segments whose first (normalized) character is alphabetic; lowercase
+   then English-Snowball stem them.  ``word_pos`` counts kept tokens only.
+4. If no segment was kept, the field yields ONE token: the concatenation of
+   the NFKC-normalized segments seen before any alphabetic one (i.e. the
+   whole normalized text), at position 0.  An empty string yields one ""
+   token.
+
+Word-boundary segmentation here is a close UAX#29 approximation built on the
+``regex`` module: letter/digit runs glued by MidLetter / MidNumLet /
+Single_Quote characters when (and only when) followed by another letter or
+digit.  This matches the reference on every tokenizer test in
+/root/reference/src/stems.rs:66-233 (see tests/test_tokenizer.py).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from functools import lru_cache
+
+import regex as _re
+
+from .porter2 import stem as _porter2_stem
+
+# A "word" segment: starts with an Alphabetic / Mark / digit / connector char,
+# continues through same-class chars, and allows MidLetter ( : · ‧ ՚ ״ ),
+# MidNumLet ( . ’ ' ＇ ．), and MidNum ( , ; ) glue characters when followed by
+# another word character (UAX#29 WB6/WB7/WB11/WB12 approximation).
+_WORD_CHAR = r"[\p{Alphabetic}\p{M}\p{Nd}\p{Pc}]"
+_MID = "[:··״‧’'＇.．｡,;٬]"
+# A word run, or any single other character as its own segment (the reference
+# checks every UAX#29 segment, and NFKC can turn a symbol like \u2122 into "TM").
+_SEG_RE = _re.compile(
+    f"{_WORD_CHAR}(?:{_WORD_CHAR}|{_MID}(?={_WORD_CHAR}))*|.", _re.DOTALL
+)
+
+
+def word_segments(text: str):
+    """Yield (start, segment) for UAX#29-style word segments of raw ``text``.
+
+    Word runs are yielded whole; every other character is its own segment
+    (coarser grouping of non-word runs would only matter for the
+    all-non-alpha fallback, which concatenates them anyway).
+    """
+    for m in _SEG_RE.finditer(text):
+        yield m.start(), m.group()
+
+
+@lru_cache(maxsize=262144)
+def _norm_lower_stem(seg: str) -> str | None:
+    """NFKC → first-char-alphabetic gate → lowercase → stem; None if dropped."""
+    normalized = unicodedata.normalize("NFKC", seg)
+    if not normalized or not normalized[0].isalpha():
+        return None
+    return _porter2_stem(normalized.lower())
+
+
+def tokenize(text: str) -> list[tuple[int, str]]:
+    """Return [(word_pos, stemmed_token)] for ``text``.
+
+    Positions count kept (alphabetic) tokens only, mirroring
+    /root/reference/src/stems.rs:40-52.  A text with no alphabetic token
+    yields one fallback token: the NFKC-normalized full text at position 0
+    (the reference concatenates per-segment normalizations of everything
+    before the first alphabetic segment; with no alphabetic segment that is
+    the whole text).
+    """
+    out: list[tuple[int, str]] = []
+    pos = 0
+    for _start, seg in word_segments(text):
+        stemmed = _norm_lower_stem(seg)
+        if stemmed is not None:
+            out.append((pos, stemmed))
+            pos += 1
+    if not out:
+        return [(0, unicodedata.normalize("NFKC", text))]
+    return out
+
+
+def tokenize_grouped(text: str) -> tuple[list[str], list[list[int]], int]:
+    """Tokenize and group by stem, as the index build needs.
+
+    Returns (terms, positions_per_term, field_len) where ``field_len`` is the
+    total number of tokens (the reference's L entry,
+    /root/reference/src/json_shred.rs:156-173) and positions are ascending
+    per term.  Term order is first-occurrence order.
+    """
+    toks = tokenize(text)
+    terms: list[str] = []
+    positions: list[list[int]] = []
+    index: dict[str, int] = {}
+    for pos, term in toks:
+        i = index.get(term)
+        if i is None:
+            index[term] = len(terms)
+            terms.append(term)
+            positions.append([pos])
+        else:
+            positions[i].append(pos)
+    return terms, positions, len(toks)
