@@ -1,0 +1,114 @@
+"""Query AST for the reduced noise query surface.
+
+Mirrors the filter tree the reference parser instantiates directly
+(/root/reference/src/parser.rs:665-995): term / phrase / proximity / exact /
+range comparisons composed with and/or/not and per-clause boosts.  The AST is
+the public programmatic query API (the reference has none beyond the textual
+language).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Optional, Sequence, Union
+
+
+@dataclass
+class Term:
+    """``field: ~= "word"`` with a single analyzed token
+    (StemmedWordFilter, src/filters.rs:82-130).  ``word`` is the raw token;
+    it is analyzed (stemmed) at compile time."""
+    field: str
+    word: str
+    boost: float = 1.0
+
+
+@dataclass
+class Phrase:
+    """``field: ~= "multi word"`` (StemmedPhraseFilter, src/filters.rs:175-272)."""
+    field: str
+    text: str
+    boost: float = 1.0
+
+
+@dataclass
+class Proximity:
+    """``field: ~N= "words near"`` (DistanceFilter, src/filters.rs:588-726)."""
+    field: str
+    text: str
+    distance: int
+    boost: float = 1.0
+
+
+@dataclass
+class Exact:
+    """``field: == "literal"`` — phrase match then case-sensitive whole-value
+    equality, binary score (ExactMatchFilter, src/filters.rs:274-377)."""
+    field: str
+    literal: str
+    boost: float = 1.0  # parsed but ignored for scoring, like the reference
+
+
+@dataclass
+class RangeQ:
+    """``field: > x`` etc. on numbers, or ``== true/false/null``
+    (RangeFilter, src/filters.rs:379-501).  Binary score."""
+    field: str
+    min: Optional[float] = None
+    max: Optional[float] = None
+    min_inclusive: bool = True
+    max_inclusive: bool = True
+    # special: "true" | "false" | "null" for boolean/null equality
+    special: Optional[str] = None
+
+
+@dataclass
+class AllDocs:
+    """``{}`` — every doc, binary score.  The reference's AllDocsFilter
+    hardcodes its score into ordinal 1 (src/filters.rs:58-63), a quirk we
+    replicate."""
+
+
+@dataclass
+class And:
+    clauses: Sequence["Node"]
+
+
+@dataclass
+class Or:
+    left: "Node"
+    right: "Node"
+
+
+@dataclass
+class Not:
+    inner: "Node"
+
+
+@dataclass
+class Boost:
+    """``(...)^n`` — multiplies accumulated scores (BoostFilter,
+    src/filters.rs:1154-1195)."""
+    inner: "Node"
+    factor: float
+
+
+Node = Union[Term, Phrase, Proximity, Exact, RangeQ, AllDocs, And, Or, Not, Boost]
+
+
+@dataclass
+class OrderKey:
+    """One order-by key: score() or a field path, asc/desc."""
+    score: bool = False
+    field: Optional[str] = None
+    desc: bool = False
+    default: object = None
+
+
+@dataclass
+class Query:
+    filter: Node
+    order: list[OrderKey] = dc_field(default_factory=list)
+    limit: Optional[int] = None
+    # columns to return; None = default (_id columns + score)
+    returns: Optional[list[str]] = None

@@ -1,0 +1,536 @@
+"""Query evaluation with exact (float32) reference score parity.
+
+Replicates the reference's filter algebra and TF-IDF scoring operation for
+operation:
+
+- scorer init/idf:        /root/reference/src/snapshot.rs:132-151
+  ``idf = 1 + ln(K / (C + 1))`` in f32, where C is the merge-summed total
+  occurrence count of the term under the keypath and K the field's total
+  (instance × distinct-stem) count.
+- per-match score:        /root/reference/src/snapshot.rs:169-183
+  ``idf² · sqrt(tf) · (1/sqrt(field_len)) · boost`` in f32.
+- query norm + final:     /root/reference/src/query.rs:348-361, 463-477
+  ``query_norm = 1/Σ idf²``;
+  ``score = query_norm · Σ_slot (sum/count) · matched / num_slots``.
+
+Slot bookkeeping mirrors ``DocResult.scores`` (src/query.rs:60-66): each
+scoring leaf gets an ordinal in prepare (DFS) order; phrase/proximity give
+one slot per word but only the "base" filter's slot receives contributions
+(StemmedPhraseFilter keeps only filters[0]'s DocResult,
+src/filters.rs:175-272; DistanceFilter keeps whichever filter last became
+base, src/filters.rs:588-726 — replicated sequentially below).
+
+Evaluation is vectorized: posting lists are numpy arrays; and/or/not are
+sorted-array set operations; only the proximity filter runs the reference's
+stateful leapfrog literally (its result stream depends on iterator state).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from ..analysis.tokenizer import tokenize
+from . import ast
+from .reader import IndexReader, PostingList
+
+F32 = np.float32
+
+
+@dataclass
+class _Slot:
+    ordinal: int
+    idf: F32  # may be -inf; NaN disables scoring (uninitialized scorer)
+    boost: float
+
+
+@dataclass
+class EvalResult:
+    docs: np.ndarray  # int64 ascending
+    # slot ordinal -> (sum f32 aligned to docs, count int32 aligned to docs)
+    slots: dict[int, tuple[np.ndarray, np.ndarray]] = dc_field(default_factory=dict)
+
+
+class CompiledQuery:
+    def __init__(self, reader: IndexReader, node: ast.Node):
+        self.reader = reader
+        self.node = node
+        self.num_slots = 0
+        self.sum_idf_sq = F32(0.0)
+        self._prepare(node)
+        if self.num_slots > 0:
+            with np.errstate(divide="ignore"):
+                self.query_norm = F32(1.0) / self.sum_idf_sq
+        else:
+            self.query_norm = F32(0.0)
+
+    # -------------------------------------------------- prepare (slots)
+
+    def _new_slot(self, idf: F32, boost: float) -> _Slot:
+        s = _Slot(self.num_slots, idf, boost)
+        self.num_slots += 1
+        self.sum_idf_sq = F32(self.sum_idf_sq + F32(idf * idf))
+        return s
+
+    def _idf(self, field: str, term: str) -> F32:
+        c, k = self.reader.term_stats(field, term)
+        with np.errstate(divide="ignore"):
+            return F32(F32(1.0) + np.log(F32(k) / (F32(c) + F32(1.0))))
+
+    def _prepare(self, node: ast.Node):
+        """DFS ordinal assignment, mirroring prepare_relevancy_scoring."""
+        if isinstance(node, ast.Term):
+            node._slot = self._new_slot(self._idf(node.field, _stem_one(node.word)), node.boost)
+        elif isinstance(node, (ast.Phrase, ast.Proximity)):
+            node._terms = [t for _, t in tokenize(node.text)]
+            node._slots = [
+                self._new_slot(self._idf(node.field, t), node.boost)
+                for t in node._terms
+            ]
+        elif isinstance(node, ast.Exact):
+            # binary-scored: ordinal with idf contribution 1.0
+            # (src/filters.rs:363-368); inner word scorers stay uninitialized.
+            node._slot = self._new_slot(F32(1.0), 1.0)
+        elif isinstance(node, ast.RangeQ):
+            node._slot = self._new_slot(F32(1.0), 1.0)  # src/filters.rs:487-492
+        elif isinstance(node, ast.AllDocs):
+            self._new_slot(F32(1.0), 1.0)  # src/filters.rs:66-70
+        elif isinstance(node, ast.And):
+            for c in node.clauses:
+                self._prepare(c)
+        elif isinstance(node, ast.Or):
+            self._prepare(node.left)
+            self._prepare(node.right)
+        elif isinstance(node, ast.Not):
+            pass  # NotFilter.prepare_relevancy_scoring is a no-op
+        elif isinstance(node, ast.Boost):
+            self._prepare(node.inner)
+        else:
+            raise TypeError(f"unknown node {node!r}")
+
+    # ------------------------------------------------------- evaluation
+
+    def evaluate(self) -> EvalResult:
+        self._check_not_validity(self.node)
+        return self._eval(self.node)
+
+    def _check_not_validity(self, node: ast.Node):
+        if _is_all_not(node):
+            raise ValueError(
+                "query must contain at least one full match expression"
+            )  # src/query.rs:222-228
+        _check_double_not(node, False)  # src/filters.rs:1051-1061
+
+    def _term_scores(self, pl: PostingList, slot: _Slot) -> np.ndarray:
+        """Vectorized add_match_score over a posting list (f32)."""
+        tf = np.sqrt(pl.tfs.astype(F32))
+        norm = F32(1.0) / np.sqrt(pl.lens.astype(F32))
+        return ((slot.idf * slot.idf) * tf * norm * F32(slot.boost)).astype(F32)
+
+    def _eval(self, node: ast.Node) -> EvalResult:
+        reader = self.reader
+        if isinstance(node, ast.Term):
+            pl = reader.postings(node.field, _stem_one(node.word))
+            r = EvalResult(pl.docs)
+            slot = getattr(node, "_slot", None)  # None inside Not: unscored
+            if slot is not None and not np.isnan(slot.idf):
+                r.slots[slot.ordinal] = (
+                    self._term_scores(pl, slot),
+                    np.ones(pl.size, dtype=np.int32),
+                )
+            return r
+
+        if isinstance(node, ast.Phrase):
+            return self._eval_phrase(node)
+
+        if isinstance(node, ast.Proximity):
+            return self._eval_proximity(node)
+
+        if isinstance(node, ast.Exact):
+            return self._eval_exact(node)
+
+        if isinstance(node, ast.RangeQ):
+            return self._eval_range(node)
+
+        if isinstance(node, ast.AllDocs):
+            docs = np.arange(reader.num_docs, dtype=np.int64)
+            r = EvalResult(docs)
+            # the reference hardcodes ordinal 1 here (src/filters.rs:58-63)
+            r.slots[1] = (np.ones(docs.size, dtype=F32),
+                          np.ones(docs.size, dtype=np.int32))
+            return r
+
+        if isinstance(node, ast.Boost):
+            r = self._eval(node.inner)
+            for o, (s, c) in r.slots.items():
+                r.slots[o] = ((s * F32(node.factor)).astype(F32), c)
+            return r
+
+        if isinstance(node, ast.Or):
+            lr = self._eval(node.left)
+            rr = self._eval(node.right)
+            docs = np.union1d(lr.docs, rr.docs)
+            out = EvalResult(docs)
+            for src in (lr, rr):
+                if not src.slots:
+                    continue
+                idx = np.searchsorted(docs, src.docs)
+                for o, (s, c) in src.slots.items():
+                    sums = np.zeros(docs.size, dtype=F32)
+                    cnts = np.zeros(docs.size, dtype=np.int32)
+                    sums[idx] = s
+                    cnts[idx] = c
+                    out.slots[o] = (sums, cnts)
+            return out
+
+        if isinstance(node, ast.And):
+            positives = [c for c in node.clauses if not _is_all_not(c)]
+            negatives = [c for c in node.clauses if _is_all_not(c)]
+            if positives:
+                results = [self._eval(c) for c in positives]
+                docs = results[0].docs
+                for r in results[1:]:
+                    docs = np.intersect1d(docs, r.docs, assume_unique=True)
+            else:
+                docs = np.arange(reader.num_docs, dtype=np.int64)
+                results = []
+            for c in negatives:
+                ndocs = self._not_docs(c)  # complement of the negated match
+                docs = docs[np.isin(docs, ndocs)]
+            out = EvalResult(docs)
+            for r in results:
+                if not r.slots:
+                    continue
+                idx = np.searchsorted(r.docs, docs)
+                # docs ⊆ r.docs, so idx addresses exact matches
+                for o, (s, c) in r.slots.items():
+                    out.slots[o] = (s[idx], c[idx])
+            return out
+
+        if isinstance(node, ast.Not):
+            return EvalResult(self._not_docs(node))
+
+        raise TypeError(f"unknown node {node!r}")
+
+    def _not_docs(self, node: ast.Node) -> np.ndarray:
+        """Complement over the doc universe (NotFilter, src/filters.rs:944-1066)."""
+        if isinstance(node, ast.Not):
+            inner = self._eval(node.inner).docs
+        else:
+            inner = self._eval(node).docs
+        universe = np.arange(self.reader.num_docs, dtype=np.int64)
+        return np.setdiff1d(universe, inner, assume_unique=True)
+
+    # ---------------------------------------------------------- phrase
+
+    def _phrase_meta(self, node):
+        """(terms, slots) for a phrase/proximity node; inside a Not the
+        node was never prepared (NotFilter's prepare is a no-op), so slots
+        are unscored placeholders."""
+        terms = getattr(node, "_terms", None)
+        if terms is None:
+            terms = [t for _, t in tokenize(node.text)]
+            node._terms = terms
+        slots = getattr(node, "_slots", None)
+        if slots is None:
+            slots = [_Slot(-1, F32(np.nan), 1.0) for _ in terms]
+            node._slots = slots
+        return terms, slots
+
+    def _phrase_candidates(self, field: str, terms: list[str]):
+        """Docs where all terms occur with adjacent positions (chained),
+        plus the per-term posting lists.  Replicates the surviving-positions
+        chain of src/filters.rs:206-215 (including the saturating_sub(1)
+        quirk at position 0)."""
+        pls = [self.reader.postings(field, t) for t in terms]
+        docs = pls[0].docs
+        for pl in pls[1:]:
+            docs = np.intersect1d(docs, pl.docs, assume_unique=True)
+        if docs.size == 0 or len(pls) == 1:
+            return docs, pls
+        keep = np.zeros(docs.size, dtype=bool)
+        idxs = [np.searchsorted(pl.docs, docs) for pl in pls]
+        for j in range(docs.size):
+            surviving = pls[0].positions_of(idxs[0][j])
+            ok = True
+            for t in range(1, len(pls)):
+                p = pls[t].positions_of(idxs[t][j])
+                mask = np.isin(np.maximum(p - 1, 0), surviving)
+                surviving = p[mask]
+                if surviving.size == 0:
+                    ok = False
+                    break
+            keep[j] = ok
+        return docs[keep], pls
+
+    def _eval_phrase(self, node: ast.Phrase) -> EvalResult:
+        terms, slots = self._phrase_meta(node)
+        if len(terms) == 1:
+            # parser emits a plain StemmedWordFilter for one token
+            pl = self.reader.postings(node.field, terms[0])
+            r = EvalResult(pl.docs)
+            if not np.isnan(slots[0].idf):
+                r.slots[slots[0].ordinal] = (
+                    self._term_scores(pl, slots[0]),
+                    np.ones(pl.size, dtype=np.int32),
+                )
+            return r
+        docs, pls = self._phrase_candidates(node.field, terms)
+        r = EvalResult(docs)
+        if docs.size and not np.isnan(slots[0].idf):
+            # only filters[0]'s DocResult survives the leapfrog
+            idx0 = np.searchsorted(pls[0].docs, docs)
+            scores0 = self._term_scores(pls[0], slots[0])[idx0]
+            r.slots[slots[0].ordinal] = (scores0, np.ones(docs.size, np.int32))
+        return r
+
+    # ----------------------------------------------------------- exact
+
+    def _eval_exact(self, node: ast.Exact) -> EvalResult:
+        terms = [t for _, t in tokenize(node.literal)]
+        docs, _pls = self._phrase_candidates(node.field, terms)
+        if docs.size:
+            vals = self.reader.doc_values(docs, node.field)
+            keep = np.array([v == node.literal for v in vals], dtype=bool)
+            docs = docs[keep]
+        r = EvalResult(docs)
+        slot = getattr(node, "_slot", None)
+        if slot is not None:
+            r.slots[slot.ordinal] = (
+                np.ones(docs.size, dtype=F32),
+                np.ones(docs.size, dtype=np.int32),
+            )
+        return r
+
+    # ----------------------------------------------------------- range
+
+    def _eval_range(self, node: ast.RangeQ) -> EvalResult:
+        import pyarrow.parquet as pq
+
+        reader = self.reader
+        fieldname = node.field
+        docs_parts = []
+        for dm in reader._docmap:
+            try:
+                t = pq.read_table(dm["path"], columns=["doc_id", fieldname])
+            except Exception:
+                return EvalResult(np.zeros(0, dtype=np.int64))
+            col = t.column(fieldname)
+            import pyarrow.compute as pc
+
+            if node.special == "null":
+                mask = pc.is_null(col)
+            elif node.special in ("true", "false"):
+                try:
+                    mask = pc.equal(col, node.special == "true")
+                except Exception:
+                    continue
+            else:
+                vals = col.cast("float64", safe=False)
+                mask = None
+                if node.min is not None:
+                    m = (pc.greater_equal(vals, node.min)
+                         if node.min_inclusive else pc.greater(vals, node.min))
+                    mask = m
+                if node.max is not None:
+                    m = (pc.less_equal(vals, node.max)
+                         if node.max_inclusive else pc.less(vals, node.max))
+                    mask = m if mask is None else pc.and_(mask, m)
+                if mask is None:
+                    mask = pc.is_valid(vals)
+                else:
+                    mask = pc.and_(mask, pc.is_valid(vals))
+            sel = t.filter(mask).column("doc_id").to_numpy()
+            if sel.size:
+                docs_parts.append(sel.astype(np.int64))
+        docs = (np.sort(np.concatenate(docs_parts))
+                if docs_parts else np.zeros(0, dtype=np.int64))
+        r = EvalResult(docs)
+        slot = getattr(node, "_slot", None)
+        if slot is not None:
+            r.slots[slot.ordinal] = (
+                np.ones(docs.size, dtype=F32),
+                np.ones(docs.size, dtype=np.int32),
+            )
+        return r
+
+    # ------------------------------------------------------- proximity
+
+    def _eval_proximity(self, node: ast.Proximity) -> EvalResult:
+        """Literal port of DistanceFilter (src/filters.rs:588-726): the
+        result stream and which filter's DocResult (and hence score slot)
+        survives depend on persistent iterator state, so this runs the
+        reference algorithm sequentially over the decoded posting arrays."""
+        terms, slots = self._phrase_meta(node)
+        pls = [self.reader.postings(node.field, t) for t in terms]
+        score_arrays = [
+            None if np.isnan(s.idf) else self._term_scores(pl, s)
+            for pl, s in zip(pls, slots)
+        ]
+
+        class WordIter:
+            """StemmedWordPosFilter: advance_gte + next over one posting list."""
+
+            __slots__ = ("pl", "i")
+
+            def __init__(self, pl):
+                self.pl = pl
+                self.i = 0
+
+            def first_result(self, start_doc):
+                self.i = int(np.searchsorted(self.pl.docs, start_doc, side="left"))
+                return self.next_result()
+
+            def next_result(self):
+                if self.i >= self.pl.size:
+                    return None
+                j = self.i
+                self.i += 1
+                return j  # index into pl arrays
+
+        iters = [WordIter(pl) for pl in pls]
+        n = len(iters)
+        dis = node.distance + 1
+        current = [0]  # persistent current_filter state
+
+        def result(base):
+            # base = (filter_idx, posting_idx) or None
+            matches_left = n - 1
+            if base is None:
+                return None
+            bf, bi = base
+            base_doc = int(pls[bf].docs[bi])
+            base_positions = [(int(p), bf) for p in pls[bf].positions_of(bi)]
+            if matches_left == 0:
+                return (bf, bi)
+            while True:
+                current[0] += 1
+                if current[0] == n:
+                    current[0] = 0
+                cf = current[0]
+                nj = iters[cf].first_result(base_doc)
+                if nj is None:
+                    return None
+                next_doc = int(pls[cf].docs[nj])
+                if base_doc != next_doc:
+                    bf, bi, base_doc = cf, nj, next_doc
+                    base_positions = [(int(p), cf) for p in pls[cf].positions_of(nj)]
+                    matches_left = n - 1
+                    continue
+                pos_only = [p for p, _ in base_positions]
+                new_map = {}
+                for p in pls[cf].positions_of(nj):
+                    p = int(p)
+                    lo = max(p - dis, 0)
+                    import bisect
+
+                    start = bisect.bisect_left(pos_only, lo)
+                    end = bisect.bisect_left(pos_only, p + dis)
+                    encountered = {f for _, f in base_positions[start:end]}
+                    if len(encountered) == n - matches_left:
+                        for pp, ff in base_positions[start:end]:
+                            new_map[pp] = ff
+                        new_map[p] = cf
+                if new_map:
+                    base_positions = sorted(new_map.items())
+                    pos_only = [p for p, _ in base_positions]
+                    matches_left -= 1
+                    if matches_left == 0:
+                        return (bf, bi)
+                    continue
+                nj = iters[cf].next_result()
+                if nj is None:
+                    return None
+                bf, bi = cf, nj
+                base_doc = int(pls[cf].docs[bi])
+                base_positions = [(int(p), cf) for p in pls[cf].positions_of(bi)]
+                matches_left = n - 1
+
+        out_docs: list[int] = []
+        out_slot: list[int] = []
+        out_score: list[float] = []
+        start = 0
+        while True:
+            base = iters[current[0]].first_result(start)
+            dr = result((current[0], base) if base is not None else None)
+            if dr is None:
+                break
+            bf, bi = dr
+            doc = int(pls[bf].docs[bi])
+            out_docs.append(doc)
+            out_slot.append(bf)
+            sa = score_arrays[bf]
+            out_score.append(float(sa[bi]) if sa is not None else 0.0)
+            start = doc + 1
+
+        docs = np.array(out_docs, dtype=np.int64)
+        r = EvalResult(docs)
+        for t in range(n):
+            mask = np.array([s == t for s in out_slot], dtype=bool)
+            if mask.any() and score_arrays[t] is not None:
+                sums = np.zeros(docs.size, dtype=F32)
+                cnts = np.zeros(docs.size, dtype=np.int32)
+                sums[mask] = np.array(out_score, dtype=F32)[mask]
+                cnts[mask] = 1
+                r.slots[slots[t].ordinal] = (sums, cnts)
+        return r
+
+    # ---------------------------------------------------- final scores
+
+    def final_scores(self, result: EvalResult) -> np.ndarray:
+        """compute_relevancy_score vectorized (src/query.rs:463-477)."""
+        ndocs = result.docs.size
+        if self.num_slots == 0:
+            return np.zeros(ndocs, dtype=F32)
+        acc = np.zeros(ndocs, dtype=F32)
+        matched = np.zeros(ndocs, dtype=np.int32)
+        for o in sorted(result.slots):
+            s, c = result.slots[o]
+            has = c > 0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                contrib = np.where(has, s / c.astype(F32), F32(0.0)).astype(F32)
+            acc = (acc + contrib).astype(F32)
+            matched += has.astype(np.int32)
+        return (
+            (self.query_norm * acc).astype(F32)
+            * matched.astype(F32)
+            / F32(self.num_slots)
+        ).astype(F32)
+
+
+# ------------------------------------------------------------- helpers
+
+def _stem_one(word: str) -> str:
+    toks = tokenize(word)
+    return toks[0][1] if toks else ""
+
+
+def _is_all_not(node: ast.Node) -> bool:
+    if isinstance(node, ast.Not):
+        return True
+    if isinstance(node, ast.And):
+        return all(_is_all_not(c) for c in node.clauses)
+    if isinstance(node, ast.Or):
+        return _is_all_not(node.left) and _is_all_not(node.right)
+    if isinstance(node, ast.Boost):
+        return _is_all_not(node.inner)
+    return False
+
+
+def _check_double_not(node: ast.Node, parent_is_neg: bool):
+    if isinstance(node, ast.Not):
+        if parent_is_neg:
+            raise ValueError(
+                'Logical not ("!") is nested inside of another logical not. '
+                "This is not allowed."
+            )
+        _check_double_not(node.inner, True)
+    elif isinstance(node, ast.And):
+        for c in node.clauses:
+            _check_double_not(c, parent_is_neg)
+    elif isinstance(node, ast.Or):
+        _check_double_not(node.left, parent_is_neg)
+        _check_double_not(node.right, parent_is_neg)
+    elif isinstance(node, ast.Boost):
+        _check_double_not(node.inner, parent_is_neg)

@@ -1,0 +1,192 @@
+"""IndexReader: manifest-bound point lookups into the segment/stats files.
+
+The query-side analogue of the reference's ``Snapshot``
+(/root/reference/src/snapshot.rs:17-67): a reader binds to one immutable
+manifest version; all lookups are Parquet reads pruned by row-group
+statistics (segment files are sorted by (field, term), so a (field, term)
+filter touches only matching row groups — the columnar stand-in for RocksDB
+prefix seeks).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..build.codec import decode_deltas, decode_position_lists, decode_varint
+from ..build.pipeline import MANIFEST_NAME, term_bucket
+
+
+@dataclass
+class PostingList:
+    """Decoded postings of one (field, term), doc-ascending."""
+    docs: np.ndarray        # int64
+    tfs: np.ndarray         # int64
+    lens: np.ndarray        # int64 (field length per doc instance)
+    pos_concat: np.ndarray  # int64, concatenated per-doc position lists
+    pos_starts: np.ndarray  # int64, start offset of each doc's positions
+
+    @property
+    def size(self) -> int:
+        return int(self.docs.size)
+
+    def positions_of(self, i: int) -> np.ndarray:
+        s = self.pos_starts[i]
+        e = s + self.tfs[i]
+        return self.pos_concat[s:e]
+
+
+_EMPTY = None
+
+
+def _empty_postings() -> PostingList:
+    global _EMPTY
+    if _EMPTY is None:
+        z = np.zeros(0, dtype=np.int64)
+        _EMPTY = PostingList(z, z, z, z, z)
+    return _EMPTY
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+            self.manifest = json.load(f)
+        self.fields: list[str] = self.manifest["fields"]
+        self.field_id = {f: i for i, f in enumerate(self.fields)}
+        self.num_docs: int = self.manifest["num_docs"]
+        self.num_buckets: int = self.manifest["num_buckets"]
+        self.num_ranges: int = self.manifest["num_ranges"]
+        self.field_k = {int(k): v for k, v in self.manifest["field_k"].items()}
+        self._seg_by_gkey = {s["gkey"]: s["path"] for s in self.manifest["segments"]}
+        self._stats_by_bucket = {s["bucket"]: s["path"] for s in self.manifest["stats"]}
+        self._postings_cache: dict[tuple[int, str], PostingList] = {}
+        self._stats_cache: dict[tuple[int, str], tuple[int, int]] = {}
+        self._docmap = self.manifest["docmap"]
+
+    # ---------------------------------------------------------- postings
+
+    def postings(self, field: str | int, term: str) -> PostingList:
+        fid = field if isinstance(field, int) else self.field_id.get(field, -1)
+        if fid < 0:
+            return _empty_postings()
+        key = (fid, term)
+        hit = self._postings_cache.get(key)
+        if hit is not None:
+            return hit
+        bucket = term_bucket(term, self.num_buckets)
+        docs_parts, tf_parts, len_parts, pos_parts = [], [], [], []
+        for rng in range(self.num_ranges):
+            gkey = bucket * self.num_ranges + rng
+            path = self._seg_by_gkey.get(gkey)
+            if path is None:
+                continue
+            t = pq.read_table(
+                path,
+                columns=["min_doc", "cnt", "docs", "tfs", "lens", "positions"],
+                filters=[("field", "==", fid), ("term", "==", term)],
+            )
+            for row in range(t.num_rows):
+                cnt = t.column("cnt")[row].as_py()
+                docs = decode_deltas(t.column("docs")[row].as_py(), cnt)
+                tfs = decode_varint(t.column("tfs")[row].as_py(), cnt).astype(np.int64)
+                lens = decode_varint(t.column("lens")[row].as_py(), cnt).astype(np.int64)
+                pos = decode_position_lists(t.column("positions")[row].as_py(), tfs)
+                docs_parts.append(docs)
+                tf_parts.append(tfs)
+                len_parts.append(lens)
+                pos_parts.append(pos)
+        if not docs_parts:
+            pl = _empty_postings()
+        else:
+            docs = np.concatenate(docs_parts)
+            tfs = np.concatenate(tf_parts)
+            order_ok = (np.diff(docs) > 0).all() if docs.size > 1 else True
+            if not order_ok:
+                raise AssertionError(f"postings for {key} not doc-sorted")
+            starts = np.zeros(tfs.size, dtype=np.int64)
+            np.cumsum(tfs[:-1], out=starts[1:])
+            pl = PostingList(
+                docs=docs,
+                tfs=tfs,
+                lens=np.concatenate(len_parts),
+                pos_concat=np.concatenate(pos_parts),
+                pos_starts=starts,
+            )
+        if len(self._postings_cache) < 4096:
+            self._postings_cache[key] = pl
+        return pl
+
+    # ------------------------------------------------------------- stats
+
+    def term_stats(self, field: str | int, term: str) -> tuple[int, int]:
+        """(C, K) for the scorer: C = index-wide total occurrences of the
+        term under the field (the reference's merge-summed ``C`` key), K =
+        the field's total (instance × distinct-stem) count (``K`` key)."""
+        fid = field if isinstance(field, int) else self.field_id.get(field, -1)
+        if fid < 0:
+            return (0, 0)
+        key = (fid, term)
+        hit = self._stats_cache.get(key)
+        if hit is not None:
+            return hit
+        bucket = term_bucket(term, self.num_buckets)
+        path = self._stats_by_bucket.get(bucket)
+        c = 0
+        if path is not None:
+            t = pq.read_table(
+                path, columns=["c"],
+                filters=[("field", "==", fid), ("term", "==", term)],
+            )
+            if t.num_rows:
+                c = int(t.column("c")[0].as_py())
+        k = int(self.field_k.get(fid, 0))
+        out = (c, k)
+        self._stats_cache[key] = out
+        return out
+
+    # ------------------------------------------------------------ docmap
+
+    def fetch_docs(self, doc_ids: np.ndarray, columns: list[str] | None = None):
+        """Materialize doc rows for result rendering (the analogue of the
+        reference's V-key fetches, src/snapshot.rs:233-433).  Reads only the
+        docmap partitions whose doc ranges intersect ``doc_ids``."""
+        import pyarrow as pa
+
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        want_cols = columns
+        parts = []
+        for dm in self._docmap:
+            lo, hi = dm["min_doc"], dm["max_doc"]
+            sel = doc_ids[(doc_ids >= lo) & (doc_ids <= hi)]
+            if sel.size == 0:
+                continue
+            t = pq.read_table(
+                dm["path"], columns=(["doc_id"] + want_cols) if want_cols else None,
+                filters=[("doc_id", "in", sel.tolist())],
+            )
+            parts.append(t)
+        if not parts:
+            schema_t = pq.read_schema(self._docmap[0]["path"]) if self._docmap else None
+            if want_cols and schema_t is not None:
+                schema_t = pa.schema(
+                    [schema_t.field("doc_id")]
+                    + [schema_t.field(c) for c in want_cols])
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in schema_t}) if schema_t else pa.table({})
+        full = pa.concat_tables(parts)
+        # return rows in the order of doc_ids
+        order = {d: i for i, d in enumerate(doc_ids.tolist())}
+        idx = sorted(range(full.num_rows),
+                     key=lambda r: order[full.column("doc_id")[r].as_py()])
+        return full.take(idx)
+
+    def doc_values(self, doc_ids: np.ndarray, column: str) -> list:
+        t = self.fetch_docs(doc_ids, [column])
+        return t.column(column).to_pylist()
