@@ -235,6 +235,8 @@ def _write_segment_group(group: pa.Table, seg_dir: str, block_size: int) -> pa.T
         "lens": pa.array(rows["lens"], pa.binary()),
         "positions": pa.array(rows["positions"], pa.binary()),
     })
+    seg = seg.replace_schema_metadata(
+        {"noise_gkey": str(gkey), "noise_postings": str(group.num_rows)})
     _atomic_write_table(seg, out_path)
     return ack
 
@@ -326,7 +328,7 @@ def build_index(
 
         postings = postings.map_batches(_drop_done, batch_format="pyarrow")
 
-    seg_acks = (
+    (
         postings.groupby("gkey")
         .map_groups(_write_segment_group, batch_format="pyarrow",
                     fn_kwargs={"seg_dir": seg_dir, "block_size": block_size})
@@ -336,6 +338,16 @@ def build_index(
         os.path.join(seg_dir, f) for f in os.listdir(seg_dir)
         if f.startswith("seg-") and f.endswith(".parquet")
     )
+    # the authoritative segment list comes from the committed files (resumed
+    # builds skip groups, so in-flight acks are incomplete)
+    seg_entries = []
+    for p in seg_files:
+        md = pq.read_metadata(p).metadata or {}
+        seg_entries.append({
+            "gkey": int(md.get(b"noise_gkey", b"-1")),
+            "path": p,
+            "postings": int(md.get(b"noise_postings", b"0")),
+        })
 
     # ---- stage 4: term statistics (C = Σ tf, K = Σ field-instance×stem)
     # from segment block metadata only — cheap columns, no posting payloads.
@@ -376,11 +388,7 @@ def build_index(
              "max_doc": a["max_doc"]}
             for a in sorted(acks, key=lambda a: a["min_doc"])
         ],
-        "segments": [
-            {"gkey": int(a["gkey"]), "path": a["path"],
-             "postings": int(a["postings"])}
-            for a in sorted(seg_acks, key=lambda a: a["gkey"])
-        ],
+        "segments": sorted(seg_entries, key=lambda a: a["gkey"]),
         "stats": [
             {"bucket": int(a["bucket"]), "path": a["path"]}
             for a in sorted(stats_acks, key=lambda a: a["bucket"])

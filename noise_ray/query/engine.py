@@ -327,6 +327,11 @@ class CompiledQuery:
                 except Exception:
                     continue
             else:
+                import pyarrow as pa_
+
+                ctype = col.type
+                if pa_.types.is_timestamp(ctype) or pa_.types.is_date(ctype):
+                    col = col.cast("int64")
                 vals = col.cast("float64", safe=False)
                 mask = None
                 if node.min is not None:
