@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship full-text pipeline (synthesize transcripts →
+build the inverted index → BM25-style top-k query) at sf0.001.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data-pipeline suite; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL wherever the operator is SQL-expressible (search
+relevance scoring, LSH/minhash/simhash and language-ID are checked
+rows-only — the scored engine is conformance-tested against the reference's
+golden f32 scores in tests/ instead).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing in
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +20,207 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the transcript index at sf0.001 scale and run the
+    reference scoring query (top-k by relevance)."""
+    from noise_ray.pipelines import search, transcripts_index
+
+    reader = transcripts_index("/root/testdata/sf0.001")
+    return search(
+        reader,
+        'find {text: ~="quick" || text: ~="brown" || text: ~="fox"} '
+        "order score() desc return score() limit 100 ;",
+    )
+
+
+# --------------------------------------------------------------- queries
+
+def _doc_ids_only(t):
+    return t.select(["doc_id"])
+
+
+def _search_documents(query: str, columns=("doc_id",)):
+    def run(sf_dir: str):
+        from noise_ray.pipelines import documents_index, search
+
+        return search(documents_index(sf_dir), query).select(list(columns))
+
+    return run
+
+
+def _search_transcripts(query: str):
+    def run(sf_dir: str):
+        from noise_ray.pipelines import search, transcripts_index
+
+        return search(transcripts_index(sf_dir), query)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from noise_ray.ops import dedup, multimodal, relational, similarity, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- full-text engine over the documents table (oracle-checked)
+        "search_exact_lang": _search_documents('find {lang: =="en"} ;'),
+        "search_exact_and": _search_documents(
+            'find {lang: =="en", source: =="src0"} ;'),
+        "search_bool_not": _search_documents(
+            'find {lang: =="en"} && !{source: =="src0"} ;'),
+        "search_or": _search_documents(
+            'find {lang: =="de"} || {lang: =="fr"} ;'),
+        "search_range_nchars": _search_documents("find {n_chars: > 300} ;"),
+        "search_range_band": _search_documents(
+            "find {n_chars: >= 100, n_chars: < 200} ;"),
+        # --- scored relevance queries (rows-only; scores conformance-tested
+        #     against the reference goldens in tests/)
+        "search_term_topk": _search_documents(
+            'find {text: ~="merge"} order score() desc return score() limit 20 ;',
+            columns=("doc_id", "score")),
+        "search_phrase_topk": _search_documents(
+            'find {text: ~="row scan"} order score() desc return score() limit 20 ;',
+            columns=("doc_id", "score")),
+        "flagship_or_topk": _search_transcripts(
+            'find {text: ~="quick" || text: ~="brown" || text: ~="fox"} '
+            "order score() desc return score() limit 50 ;"),
+        "flagship_proximity": _search_transcripts(
+            'find {text: ~3="time work"} order score() desc limit 50 ;'),
+        # --- relational / aggregation (noise return-clause surface)
+        "pricing_summary": relational.pricing_summary,
+        "orders_topk": relational.orders_topk,
+        "region_nations_concat": relational.region_nations_concat,
+        "events_hourly": relational.events_hourly,
+        "orders_by_segment": relational.orders_by_segment,
+        "shipdate_range_counts": relational.shipdate_range_counts,
+        "sessionize": relational.sessionize,
+        # --- dedup suite
+        "dedup_exact": dedup.dedup_exact,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_pairs": dedup.simhash_pairs,
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        # --- similarity search
+        "ann_topk": similarity.ann_topk_bruteforce,
+        "ann_bucketed": similarity.ann_bucketed,
+        # --- text analysis
+        "token_stats": text.token_stats,
+        "fingerprint": text.fingerprint,
+        "quality_bucket": text.quality_bucket,
+        "langid": text.langid,
+        # --- multimodal plumbing
+        "payload_metadata": multimodal.payload_metadata,
+    }
 
+
+# ------------------------------------------------------------ oracle SQL
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "search_exact_lang":
+            "SELECT doc_id FROM documents WHERE lang = 'en'",
+        "search_exact_and":
+            "SELECT doc_id FROM documents WHERE lang = 'en' AND source = 'src0'",
+        "search_bool_not":
+            "SELECT doc_id FROM documents WHERE lang = 'en' AND source <> 'src0'",
+        "search_or":
+            "SELECT doc_id FROM documents WHERE lang IN ('de','fr')",
+        "search_range_nchars":
+            "SELECT doc_id FROM documents WHERE n_chars > 300",
+        "search_range_band":
+            "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars < 200",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "orders_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "region_nations_concat": """
+            SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2""",
+        "orders_by_segment": """
+            SELECT c_mktsegment, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "shipdate_range_counts": """
+            SELECT l_returnflag, count(*) AS n_rows FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag""",
+        "sessionize": """
+            SELECT user_id,
+                   CAST(1 + sum(CASE WHEN gap THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (
+                SELECT user_id,
+                       ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL 30 MINUTE AS gap
+                FROM events
+            ) GROUP BY user_id""",
+        "dedup_exact": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM documents GROUP BY md5(text)""",
+        "ngram_jaccard_pairs": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id < 300
+            ),
+            g AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                FROM tok, UNNEST(range(1, array_length(t) - 1)) AS u(i)
+                WHERE array_length(t) >= 3
+                UNION
+                SELECT doc_id, array_to_string(t, ' ') AS gram
+                FROM tok WHERE array_length(t) BETWEEN 1 AND 2
+            ),
+            sizes AS (SELECT doc_id, count(DISTINCT gram) AS n FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       count(DISTINCT a.gram) AS i
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a_id, b_id FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""",
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+            s AS (SELECT qid, vec_id,
+                         list_cosine_similarity(qe, embedding) AS sim FROM q, c),
+            r AS (SELECT qid AS query_id, vec_id,
+                         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                  FROM s)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+            FROM r WHERE rank <= 10""",
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(coalesce(array_length({_TOK}), 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(array_length(list_distinct({_TOK})), 0) AS BIGINT) AS n_distinct
+            FROM documents""",
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\x0c\\r]+', ' ', 'g')) AS fp
+            FROM documents""",
+        "quality_bucket": f"""
+            SELECT doc_id,
+                   CAST((n_chars >= 200)::INT
+                        + (coalesce(array_length({_TOK}), 0) >= 40)::INT AS BIGINT) AS bucket
+            FROM documents""",
+        "payload_metadata": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS digest
+            FROM documents""",
+    }

@@ -89,6 +89,9 @@ def _ingest_file(row: dict, key_columns, docmap_dir: str) -> dict:
     idx_np = np.asarray(idx)
     if not (idx_np == np.arange(len(idx_np))).all():
         t = t.take(idx)
+    if "doc_id" in t.column_names:  # source already has a doc_id column
+        t = t.rename_columns(
+            ["src_doc_id" if c == "doc_id" else c for c in t.column_names])
     doc_ids = pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64))
     t = t.add_column(0, "doc_id", doc_ids)
     if t.num_rows != rows:

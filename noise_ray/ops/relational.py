@@ -1,0 +1,177 @@
+"""Relational operators over the testdata tables (Ray Data).
+
+These mirror noise's return-clause grouping/aggregation surface
+(/root/reference/src/aggregates.rs: sum/avg/min/max/count/concat/group —
+SURVEY §2.7) re-expressed as ``Dataset.groupby().aggregate`` /
+``map_groups``, plus the join/window patterns a data-processing engine
+needs.  Every function takes ``sf_dir`` and returns a Dataset or Arrow
+table whose column names match the oracle SQL in ``__ray_entry__``.
+
+Scale notes: aggregates use Ray Data's partial+final combine (the analogue
+of the reference's RocksDB sum_merge operator, src/index.rs:301-322); money
+sums are computed in integer cents so distributed summation order cannot
+perturb values; small dimension tables are broadcast via ``ray.put`` and
+looked up inside ``map_batches`` instead of shuffling the fact table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-flavoured groupby; integer-cents sums for exact parity."""
+    def cents(batch: pa.Table) -> pa.Table:
+        # floor(x*100 + 0.5): identical double math to the DuckDB oracle
+        # (avoids round-half-to-even vs half-away-from-zero mismatches)
+        qty = pc.cast(pc.floor(pc.add(batch.column("l_quantity"), 0.5)), pa.int64())
+        price_c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("l_extendedprice"), 100.0), 0.5)),
+            pa.int64())
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": qty,
+            "price_cents": price_c,
+        })
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    return (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def orders_topk(sf_dir: str, k: int = 10):
+    """Top-k by total price; deterministic tie-break on the key column."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(k)
+
+
+def region_nations_concat(sf_dir: str):
+    """noise's concat() aggregate: nation names per region, ordered."""
+    nation = _read(sf_dir, "nation", ["n_name", "n_regionkey"])
+    region_t = pa.concat_tables(
+        ray.get(_read(sf_dir, "region", ["r_regionkey", "r_name"]).to_arrow_refs())
+    )
+    rmap = dict(zip(region_t.column("r_regionkey").to_pylist(),
+                    region_t.column("r_name").to_pylist()))
+    rmap_ref = ray.put(rmap)
+
+    def add_region(batch: pa.Table) -> pa.Table:
+        m = ray.get(rmap_ref)
+        names = [m[k] for k in batch.column("n_regionkey").to_pylist()]
+        return batch.append_column("r_name", pa.array(names, pa.string()))
+
+    def concat_group(group: pa.Table) -> pa.Table:
+        names = sorted(group.column("n_name").to_pylist())
+        return pa.table({
+            "r_name": pa.array([group.column("r_name")[0].as_py()]),
+            "nations": pa.array([",".join(names)]),
+        })
+
+    return (
+        nation.map_batches(add_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .map_groups(concat_group, batch_format="pyarrow")
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Windowed (hourly-bucket) aggregate over the event stream."""
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
+            pa.int64())
+        return pa.table({
+            "hour": hour,
+            "event_type": batch.column("event_type"),
+            "value_cents": cents,
+        })
+
+    return (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+def orders_by_segment(sf_dir: str):
+    """Broadcast join: customer (small) is ray.put once and looked up inside
+    map_batches over orders — no shuffle of the fact table."""
+    cust = pa.concat_tables(
+        ray.get(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_arrow_refs())
+    )
+    cmap = dict(zip(cust.column("c_custkey").to_pylist(),
+                    cust.column("c_mktsegment").to_pylist()))
+    cmap_ref = ray.put(cmap)
+
+    def add_segment(batch: pa.Table) -> pa.Table:
+        m = ray.get(cmap_ref)
+        seg = [m.get(k) for k in batch.column("o_custkey").to_pylist()]
+        return pa.table({"c_mktsegment": pa.array(seg, pa.string())})
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(add_segment, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+def shipdate_range_counts(sf_dir: str):
+    """Predicate-pushdown range filter + small aggregate."""
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    )
+    return ds.groupby("l_returnflag").aggregate(Count(alias_name="n_rows"))
+
+
+def sessionize(sf_dir: str, gap_seconds: int = 1800):
+    """Stateful gap-based sessionization per user (the kind of streaming
+    window op the reference lacks entirely — SURVEY §1.3): shuffle by
+    user, per-group sort by ts, count gap breaks."""
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64))
+        if ts.size == 0:
+            n = 0
+        else:
+            gaps = np.diff(ts) > gap_seconds * 1_000_000
+            n = int(gaps.sum()) + 1
+        return pa.table({
+            "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
+            "n_sessions": pa.array([n], pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pyarrow")
+    )

@@ -167,8 +167,10 @@ class IndexReader:
             sel = doc_ids[(doc_ids >= lo) & (doc_ids <= hi)]
             if sel.size == 0:
                 continue
+            cols = (list(dict.fromkeys(["doc_id", *want_cols]))
+                    if want_cols else None)
             t = pq.read_table(
-                dm["path"], columns=(["doc_id"] + want_cols) if want_cols else None,
+                dm["path"], columns=cols,
                 filters=[("doc_id", "in", sel.tolist())],
             )
             parts.append(t)
