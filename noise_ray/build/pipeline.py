@@ -2,36 +2,50 @@
 
 Logical stages, mirroring the reference ingest path
 (/root/reference/src/index.rs:131-161 ``add`` → shred → postings → counts)
-re-expressed as a streaming Ray Data pipeline:
+re-expressed as ONE streaming Ray Data execution:
 
   stage 1  ingest+docmap   per input file task: assign dense doc_ids from the
                            metadata plan, verify/establish (conv_id, turn_idx)
                            order, write `docmap-*.parquet` (the doc store —
-                           the analogue of noise's V keyspace).  Idempotent
-                           (tmp+rename), resumable per file.
+                           the analogue of noise's V keyspace) as a side
+                           effect, and EMIT the sorted (doc_id, fields…)
+                           table downstream — no write+read-back round trip.
+                           Idempotent (tmp+rename), resumable per file.
   stage 2  tokenize        actor-pool ``map_batches`` over zero-copy Arrow
-                           batches → exploded posting rows
-                           (field, term, doc_id, tf, positions, field_len)
-                           with a shuffle key `gkey` = (term bucket, doc
-                           range).  Replicates src/json_shred.rs:148-203.
+                           batches → per-(field, term) PRE-COMBINED posting
+                           runs (docs/tfs/lens/positions arrays, ascending
+                           doc order) with a shuffle key `gkey` = (term
+                           bucket, doc range).  Replicates
+                           src/json_shred.rs:148-203 with a map-side
+                           combiner: the wide shuffle moves one row per
+                           (task, field, term), not one per posting.
   stage 3  shuffle+write   ``groupby(gkey).map_groups`` → segment writer:
-                           sort by (field, term, doc_id), chunk into posting
+                           order runs by (field, term, min_doc), concatenate
+                           (runs are doc-disjoint — each ingest task owns a
+                           contiguous doc range), chunk into posting
                            blocks, delta+varint encode, block-max metadata,
-                           write `seg-*.parquet`.  Idempotent, resumable per
-                           group (done groups are filtered before the
-                           shuffle).
-  stage 4  stats           read back segment block metadata columns only →
-                           small ``groupby(field, term)`` aggregate → the
-                           C/K term statistics (src/key_builder.rs:84-102),
-                           partitioned by term bucket for point lookups.
-  stage 5  manifest        atomic manifest.json publish (the analogue of the
+                           write `seg-*.parquet` AND the group's term-stats
+                           partition `stats-*.parquet` (C = Σ tf and
+                           K-contribution = Σ postings per (field, term) —
+                           the reference's merge-summed C/K counters,
+                           src/key_builder.rs:84-102, computed locally since
+                           a (field, term) run lives wholly inside its
+                           shuffle group).  Idempotent, resumable per group
+                           (committed groups are filtered before the
+                           shuffle); commit order stats→segment so a segment
+                           file's presence implies its stats exist.
+  stage 4  manifest        atomic manifest.json publish (the analogue of the
                            reference's atomic WriteBatch flush,
-                           src/index.rs:218-227).
+                           src/index.rs:218-227), assembled from the plan
+                           metadata + writer acks — no re-read of payloads.
 
 Hot-term skew is handled structurally: the shuffle key includes the doc
 range, so a hot term's postings split across `num_ranges` groups, each
 bounded; the per-term posting list is the doc-ordered concatenation of its
-blocks across range files (a streaming merge at query time).
+blocks across range files (a streaming merge at query time).  At 10^12-turn
+scale, tune ``docs_per_range`` (group memory bound) and ``num_buckets``
+(shuffle fan-out) together; both are recorded in the manifest so readers
+need no configuration.
 """
 
 from __future__ import annotations
@@ -44,11 +58,9 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..analysis.tokenizer import tokenize_grouped
 from .codec import encode_deltas, encode_position_lists, encode_varint
@@ -70,44 +82,79 @@ def _atomic_write_table(table: pa.Table, path: str, row_group_size: int = 2048):
 
 # ----------------------------------------------------------------- stage 1
 
-def _ingest_file(row: dict, key_columns, docmap_dir: str) -> dict:
-    """Read one input file, assign doc_ids, write its docmap partition."""
-    plan_path, offset, rows, seq = (
-        row["path"],
-        int(row["offset"]),
-        int(row["rows"]),
-        int(row["seq"]),
-    )
-    out_path = os.path.join(docmap_dir, f"docmap-{seq:05d}.parquet")
-    if os.path.exists(out_path):
-        md = pq.read_metadata(out_path)
-        if md.num_rows == rows:  # lineage hit: already ingested
-            return {"path": out_path, "rows": rows, "min_doc": offset,
-                    "max_doc": offset + rows - 1, "skipped": True}
-    t = pq.read_table(plan_path)
-    idx = sorted_key_indices(t, list(key_columns))
-    idx_np = np.asarray(idx)
-    if not (idx_np == np.arange(len(idx_np))).all():
-        t = t.take(idx)
-    if "doc_id" in t.column_names:  # source already has a doc_id column
-        t = t.rename_columns(
-            ["src_doc_id" if c == "doc_id" else c for c in t.column_names])
-    doc_ids = pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64))
-    t = t.add_column(0, "doc_id", doc_ids)
-    if t.num_rows != rows:
-        raise ValueError(f"{plan_path}: footer said {rows} rows, read {t.num_rows}")
-    _atomic_write_table(t, out_path, row_group_size=65536)
-    return {"path": out_path, "rows": rows, "min_doc": offset,
-            "max_doc": offset + rows - 1, "skipped": False}
+def _ingest_emit(batch: pa.Table, key_columns, docmap_dir: str,
+                 fields: tuple) -> pa.Table:
+    """Ingest the plan rows in ``batch``: write each file's docmap partition
+    (idempotent) and emit the sorted (doc_id, *fields) rows downstream."""
+    outs = []
+    emit_cols = ["doc_id", *fields]
+    for row in batch.to_pylist():
+        plan_path, offset, rows, seq = (
+            row["path"], int(row["offset"]), int(row["rows"]), int(row["seq"]))
+        out_path = os.path.join(docmap_dir, f"docmap-{seq:05d}.parquet")
+        if os.path.exists(out_path):
+            md = pq.read_metadata(out_path)
+            if md.num_rows == rows:  # lineage hit: already ingested
+                outs.append(pq.read_table(out_path, columns=emit_cols))
+                continue
+        t = pq.read_table(plan_path)
+        idx = sorted_key_indices(t, list(key_columns))
+        idx_np = np.asarray(idx)
+        if not (idx_np == np.arange(len(idx_np))).all():
+            t = t.take(idx)
+        if "doc_id" in t.column_names:  # source already has a doc_id column
+            t = t.rename_columns(
+                ["src_doc_id" if c == "doc_id" else c for c in t.column_names])
+        doc_ids = pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64))
+        t = t.add_column(0, "doc_id", doc_ids)
+        if t.num_rows != rows:
+            raise ValueError(
+                f"{plan_path}: footer said {rows} rows, read {t.num_rows}")
+        _atomic_write_table(t, out_path, row_group_size=65536)
+        outs.append(t.select(emit_cols))
+    if not outs:
+        return pa.table({c: [] for c in emit_cols})
+    return pa.concat_tables(outs)
 
 
 # ----------------------------------------------------------------- stage 2
 
-class TokenizeBatch:
-    """Actor-pool batch tokenizer: one instance per actor, caches stems.
+_BUCKET_CACHE: dict[tuple[int, str], int] = {}
 
-    Emits one posting row per (doc, field, distinct stem) — the exploded
-    form of the reference's W/L entries (src/json_shred.rs:148-203).
+
+def tokenize_batch(batch: pa.Table, *, fields: tuple, num_buckets: int,
+                   num_ranges: int, range_span: int) -> pa.Table:
+    """Task-based batch tokenizer with a map-side combiner (see
+    TokenizeBatch).  Worker processes persist module state across tasks, so
+    the stemmer lru_cache and bucket cache warm up exactly like an actor's
+    would — without actor-pool scale-up lag."""
+    tk = TokenizeBatch(fields, num_buckets, num_ranges, range_span)
+    tk._bucket_cache = _BUCKET_CACHE_FOR(num_buckets)
+    return tk(batch)
+
+
+_BUCKET_CACHES: dict[int, dict] = {}
+
+
+def _BUCKET_CACHE_FOR(num_buckets: int) -> dict:
+    c = _BUCKET_CACHES.get(num_buckets)
+    if c is None:
+        c = _BUCKET_CACHES[num_buckets] = {}
+    return c
+
+
+class TokenizeBatch:
+    """Batch tokenizer with a map-side combiner.
+
+    Tokenizes every field of every doc in the batch
+    (src/json_shred.rs:148-203) and PRE-COMBINES postings per (field, term)
+    into one "posting run" row per distinct term: ``docs`` ascending, plus
+    aligned ``tfs`` / ``lens`` and the flattened position lists.  Batches
+    arrive in ascending doc order (each ingest task covers a contiguous
+    doc_id range), so runs from different tasks are doc-disjoint and the
+    segment writer can merge them by simple min_doc-ordered concatenation.
+    This shrinks the wide shuffle from one row per posting to one row per
+    (task, field, term) — the partial-aggregation-before-groupby pattern.
     """
 
     def __init__(self, fields: tuple, num_buckets: int, num_ranges: int,
@@ -128,14 +175,10 @@ class TokenizeBatch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy()
-        out_field: list[int] = []
-        out_term: list[str] = []
-        out_doc: list[int] = []
-        out_tf: list[int] = []
-        out_len: list[int] = []
-        out_pos: list[list[int]] = []
-        out_gkey: list[int] = []
         nr, span = self.num_ranges, self.range_span
+        bucket = self._bucket
+        # (field, term) -> [docs, tfs, lens, flat positions]
+        acc: dict[tuple[int, str], list] = {}
         for fi, fname in enumerate(self.fields):
             col = batch.column(fname)
             for i, v in enumerate(col.to_pylist()):
@@ -143,87 +186,177 @@ class TokenizeBatch:
                     continue  # absent field: no postings, no K/L entries
                 terms, positions, field_len = tokenize_grouped(v)
                 doc = int(doc_ids[i])
-                rng = min(doc // span, nr - 1)
                 for t, p in zip(terms, positions):
-                    out_field.append(fi)
-                    out_term.append(t)
-                    out_doc.append(doc)
-                    out_tf.append(len(p))
-                    out_len.append(field_len)
-                    out_pos.append(p)
-                    out_gkey.append(self._bucket(t) * nr + rng)
+                    e = acc.get((fi, t))
+                    if e is None:
+                        acc[(fi, t)] = e = ([], [], [], [])
+                    e[0].append(doc)
+                    e[1].append(len(p))
+                    e[2].append(field_len)
+                    e[3].extend(p)
+        out = {k: [] for k in ("gkey", "field", "term", "min_doc", "docs",
+                               "tfs", "lens", "pos")}
+        for (fi, t), (docs, tfs, lens, pos) in acc.items():
+            b = bucket(t) * nr
+            # split the run at doc-range boundaries so each row belongs to
+            # exactly one shuffle group (gkey = bucket × range)
+            lo = 0
+            while lo < len(docs):
+                rng = min(docs[lo] // span, nr - 1)
+                if rng == nr - 1:
+                    hi = len(docs)
+                else:
+                    end_doc = (rng + 1) * span
+                    hi = lo
+                    while hi < len(docs) and docs[hi] < end_doc:
+                        hi += 1
+                p_lo = sum(tfs[:lo])
+                p_hi = p_lo + sum(tfs[lo:hi])
+                out["gkey"].append(b + rng)
+                out["field"].append(fi)
+                out["term"].append(t)
+                out["min_doc"].append(docs[lo])
+                out["docs"].append(docs[lo:hi])
+                out["tfs"].append(tfs[lo:hi])
+                out["lens"].append(lens[lo:hi])
+                out["pos"].append(pos[p_lo:p_hi])
+                lo = hi
         return pa.table(
             {
-                "gkey": pa.array(out_gkey, pa.int32()),
-                "field": pa.array(out_field, pa.int32()),
-                "term": pa.array(out_term, pa.string()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "tf": pa.array(out_tf, pa.int32()),
-                "field_len": pa.array(out_len, pa.int32()),
-                "positions": pa.array(out_pos, pa.list_(pa.int32())),
+                "gkey": pa.array(out["gkey"], pa.int32()),
+                "field": pa.array(out["field"], pa.int32()),
+                "term": pa.array(out["term"], pa.string()),
+                "min_doc": pa.array(out["min_doc"], pa.int64()),
+                "docs": pa.array(out["docs"], pa.list_(pa.int64())),
+                "tfs": pa.array(out["tfs"], pa.list_(pa.int32())),
+                "lens": pa.array(out["lens"], pa.list_(pa.int32())),
+                "pos": pa.array(out["pos"], pa.list_(pa.int32())),
             }
         )
 
 
 # ----------------------------------------------------------------- stage 3
 
-def _write_segment_group(group: pa.Table, seg_dir: str, block_size: int) -> pa.Table:
-    """Segment writer: one shuffle group (term bucket × doc range) → one file."""
+def _seg_path(seg_dir: str, gkey: int) -> str:
+    return os.path.join(seg_dir, f"seg-{gkey:08d}.parquet")
+
+
+def _stats_path(stats_dir: str, gkey: int) -> str:
+    return os.path.join(stats_dir, f"stats-{gkey:08d}.parquet")
+
+
+def _ack(gkey: int, path: str, stats_path: str, postings: int,
+         field_k: dict) -> pa.Table:
+    return pa.table({
+        "gkey": pa.array([gkey], pa.int32()),
+        "path": pa.array([path]),
+        "stats_path": pa.array([stats_path]),
+        "postings": pa.array([postings], pa.int64()),
+        "field_k": pa.array([json.dumps(field_k, sort_keys=True)]),
+    })
+
+
+def read_group_meta(stats_path: str) -> dict:
+    """Committed-group metadata (postings count, per-field K contribution)
+    from the stats file's schema metadata — no payload read."""
+    md = pq.read_metadata(stats_path).metadata or {}
+    return {
+        "postings": int(md.get(b"noise_postings", b"0")),
+        "field_k": json.loads(md.get(b"noise_field_k", b"{}")),
+    }
+
+
+def _write_segment_group(group: pa.Table, seg_dir: str, stats_dir: str,
+                         block_size: int) -> pa.Table:
+    """Segment writer: one shuffle group (term bucket × doc range) → one
+    segment file + its term-stats partition."""
     gkey = int(group.column("gkey")[0].as_py())
-    out_path = os.path.join(seg_dir, f"seg-{gkey:08d}.parquet")
-    ack = pa.table({"gkey": pa.array([gkey], pa.int32()),
-                    "path": pa.array([out_path]),
-                    "postings": pa.array([group.num_rows], pa.int64())})
-    if os.path.exists(out_path):
-        return ack  # resume: group already committed
+    out_path = _seg_path(seg_dir, gkey)
+    stats_path = _stats_path(stats_dir, gkey)
+    if os.path.exists(out_path) and os.path.exists(stats_path):
+        meta = read_group_meta(stats_path)  # resume: group already committed
+        return _ack(gkey, out_path, stats_path, meta["postings"],
+                    meta["field_k"])
 
-    idx = pc.sort_indices(
-        group,
-        sort_keys=[("field", "ascending"), ("term", "ascending"),
-                   ("doc_id", "ascending")],
-    )
-    group = group.take(idx)
-    fields = group.column("field").to_numpy()
-    terms = group.column("term").to_pandas().to_numpy()  # object array
-    docs = group.column("doc_id").to_numpy()
-    tfs = group.column("tf").to_numpy()
-    lens = group.column("field_len").to_numpy()
-    pos = group.column("positions")
-    pos_flat = np.asarray(pos.combine_chunks().flatten())
-    pos_splits = np.cumsum(tfs)
+    # ---- merge posting runs: rows are doc-disjoint per (field, term), so
+    # ordering runs by (field, term, min_doc) and concatenating yields the
+    # full doc-ascending posting list — no row-level sort ever happens.
+    r_field = group.column("field").to_numpy()
+    r_term = group.column("term").to_pandas().to_numpy()  # object array
+    r_min = group.column("min_doc").to_numpy()
+    order = np.lexsort((r_min, r_term, r_field))
 
-    # run boundaries per (field, term)
-    n = len(fields)
-    new_run = np.empty(n, dtype=bool)
-    new_run[0] = True
-    new_run[1:] = (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
-    run_starts = np.flatnonzero(new_run)
-    run_ends = np.append(run_starts[1:], n)
+    def _flat(name, dtype):
+        la = group.column(name).combine_chunks()
+        return la.offsets.to_numpy(), la.values.to_numpy().astype(dtype)
 
+    d_off, d_val = _flat("docs", np.int64)
+    t_off, t_val = _flat("tfs", np.int64)
+    l_off, l_val = _flat("lens", np.int64)
+    p_off, p_val = _flat("pos", np.int64)
+
+    n = len(order)
     rows: dict[str, list] = {k: [] for k in (
         "field", "term", "min_doc", "max_doc", "cnt", "c_block",
         "max_tf_norm", "docs", "tfs", "lens", "positions")}
-    tf_norm_all = np.sqrt(tfs.astype(np.float32)) / np.sqrt(lens.astype(np.float32))
-    for rs, re_ in zip(run_starts, run_ends):
-        for bs in range(rs, re_, block_size):
-            be = min(bs + block_size, re_)
-            d = docs[bs:be]
-            t = tfs[bs:be]
-            l = lens[bs:be]
+    stat_field: list[int] = []
+    stat_term: list[str] = []
+    stat_c: list[int] = []
+    stat_k: list[int] = []
+    field_k: dict[str, int] = {}
+
+    i = 0
+    while i < n:
+        j = i
+        fi, tm = int(r_field[order[i]]), r_term[order[i]]
+        while j < n and r_field[order[j]] == fi and r_term[order[j]] == tm:
+            j += 1
+        runs = order[i:j]
+        docs = np.concatenate([d_val[d_off[r]:d_off[r + 1]] for r in runs])
+        tfs = np.concatenate([t_val[t_off[r]:t_off[r + 1]] for r in runs])
+        lens = np.concatenate([l_val[l_off[r]:l_off[r + 1]] for r in runs])
+        pos_flat = np.concatenate([p_val[p_off[r]:p_off[r + 1]] for r in runs])
+        pos_splits = np.cumsum(tfs)
+        tf_norm = np.sqrt(tfs.astype(np.float32)) / np.sqrt(
+            lens.astype(np.float32))
+        m = len(docs)
+        for bs in range(0, m, block_size):
+            be = min(bs + block_size, m)
             p0 = int(pos_splits[bs - 1]) if bs > 0 else 0
             p1 = int(pos_splits[be - 1])
-            rows["field"].append(int(fields[rs]))
-            rows["term"].append(terms[rs])
-            rows["min_doc"].append(int(d[0]))
-            rows["max_doc"].append(int(d[-1]))
+            t = tfs[bs:be]
+            rows["field"].append(fi)
+            rows["term"].append(tm)
+            rows["min_doc"].append(int(docs[bs]))
+            rows["max_doc"].append(int(docs[be - 1]))
             rows["cnt"].append(be - bs)
             rows["c_block"].append(int(t.sum()))
-            rows["max_tf_norm"].append(float(tf_norm_all[bs:be].max()))
-            rows["docs"].append(encode_deltas(d))
+            rows["max_tf_norm"].append(float(tf_norm[bs:be].max()))
+            rows["docs"].append(encode_deltas(docs[bs:be]))
             rows["tfs"].append(encode_varint(t.astype(np.uint64)))
-            rows["lens"].append(encode_varint(l.astype(np.uint64)))
-            rows["positions"].append(
-                encode_position_lists(pos_flat[p0:p1], t))
+            rows["lens"].append(encode_varint(lens[bs:be].astype(np.uint64)))
+            rows["positions"].append(encode_position_lists(pos_flat[p0:p1], t))
+        # term stats: C = Σ tf, K-contribution = Σ postings — the reference's
+        # merge-summed counters (/root/reference/src/json_shred.rs:191-199)
+        stat_field.append(fi)
+        stat_term.append(tm)
+        stat_c.append(int(pos_splits[-1]))
+        stat_k.append(m)
+        field_k[str(fi)] = field_k.get(str(fi), 0) + m
+        i = j
+
+    postings_total = sum(stat_k)
+    stats = pa.table({
+        "field": pa.array(stat_field, pa.int32()),
+        "term": pa.array(stat_term, pa.string()),
+        "c": pa.array(stat_c, pa.int64()),
+        "k": pa.array(stat_k, pa.int64()),
+    })
+    stats = stats.replace_schema_metadata({
+        "noise_gkey": str(gkey),
+        "noise_postings": str(postings_total),
+        "noise_field_k": json.dumps(field_k, sort_keys=True),
+    })
 
     seg = pa.table({
         "field": pa.array(rows["field"], pa.int32()),
@@ -239,28 +372,11 @@ def _write_segment_group(group: pa.Table, seg_dir: str, block_size: int) -> pa.T
         "positions": pa.array(rows["positions"], pa.binary()),
     })
     seg = seg.replace_schema_metadata(
-        {"noise_gkey": str(gkey), "noise_postings": str(group.num_rows)})
+        {"noise_gkey": str(gkey), "noise_postings": str(postings_total)})
+    # commit order: stats first, segment last — segment presence ⇒ committed
+    _atomic_write_table(stats, stats_path, row_group_size=8192)
     _atomic_write_table(seg, out_path)
-    return ack
-
-
-# ----------------------------------------------------------------- stage 4
-
-def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    buckets = [term_bucket(t, num_buckets)
-               for t in batch.column("term").to_pylist()]
-    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
-
-
-def _write_stats_group(group, stats_dir: str) -> pa.Table:
-    bucket = int(group.column("bucket")[0].as_py())
-    out_path = os.path.join(stats_dir, f"stats-{bucket:05d}.parquet")
-    idx = pc.sort_indices(group, sort_keys=[("field", "ascending"),
-                                            ("term", "ascending")])
-    group = group.take(idx).select(["field", "term", "c", "k"])
-    _atomic_write_table(group, out_path)
-    return pa.table({"bucket": pa.array([bucket], pa.int32()),
-                     "path": pa.array([out_path])})
+    return _ack(gkey, out_path, stats_path, postings_total, field_k)
 
 
 # ------------------------------------------------------------------ driver
@@ -271,11 +387,11 @@ def build_index(
     *,
     fields: tuple = DEFAULT_FIELDS,
     key_columns: tuple = ("conv_id", "turn_idx"),
-    num_buckets: int = 32,
-    docs_per_range: int = 4_000_000,
+    num_buckets: int | None = None,
+    docs_per_range: int | None = None,
     block_size: int = 4096,
-    tokenize_batch_size: int = 2048,
-    tokenize_concurrency: tuple | int = (1, 8),
+    tokenize_batch_size: int | None = None,
+    tokenize_concurrency: tuple | int | None = None,
 ) -> dict[str, Any]:
     """Build (or resume) an index at ``index_dir``; returns the manifest."""
     docmap_dir = os.path.join(index_dir, "docmap")
@@ -284,97 +400,103 @@ def build_index(
     for d in (docmap_dir, seg_dir, stats_dir):
         os.makedirs(d, exist_ok=True)
 
-    # ---- stage 1: plan + ingest (metadata-only doc_id assignment)
+    # ---- plan: metadata-only doc_id assignment
     plans: list[FilePlan] = plan_doc_ids(list(input_paths), list(key_columns))
     num_docs = sum(p.rows for p in plans)
-    num_ranges = max(1, -(-num_docs // docs_per_range))
+    if docs_per_range is None:
+        # doc ranges bound per-group work AND split hot-term buckets (Zipf
+        # skew): the hottest stem's postings never concentrate in a single
+        # straggler group.  Cap range count so the manifest stays small.
+        docs_per_range = 250_000
+    num_ranges = max(1, min(64, -(-num_docs // docs_per_range)))
     range_span = max(1, -(-num_docs // num_ranges))
+    if num_buckets is None:
+        # shuffle fan-out sized to the corpus; floor keeps small builds cheap
+        num_buckets = max(32, min(4096, -(-num_docs // 200_000)))
+
+    # ---- resume state: a group is committed iff BOTH files exist
+    done_gkeys = frozenset(
+        g for g in (
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(seg_dir)
+            if f.startswith("seg-") and f.endswith(".parquet")
+        )
+        if os.path.exists(_stats_path(stats_dir, g))
+    )
+
+    # ---- single streaming execution: ingest → tokenize → shuffle → write
+    # The plan rows are ~100-byte blocks; without this, Ray Data bundles them
+    # all into ONE ingest task (target_min_block_size coalescing) and the
+    # whole pipeline serializes.  One plan row = one ingest task.
+    ctx = ray.data.DataContext.get_current()
+    prev_min_block = ctx.target_min_block_size
+    ctx.target_min_block_size = 1
 
     plan_rows = [{"path": p.path, "offset": p.offset, "rows": p.rows, "seq": i}
                  for i, p in enumerate(plans)]
-    acks = (
-        ray.data.from_items(plan_rows)
-        .map(_ingest_file, fn_kwargs={"key_columns": key_columns,
-                                      "docmap_dir": docmap_dir})
-        .take_all()
-    )
-    docmap_files = sorted(a["path"] for a in acks)
-
-    # ---- stages 2+3: tokenize → shuffle by (term bucket, doc range) → write
-    done_gkeys = {
-        int(f.split("-")[1].split(".")[0])
-        for f in os.listdir(seg_dir)
-        if f.startswith("seg-") and f.endswith(".parquet")
-    }
     postings = (
-        ray.data.read_parquet(docmap_files, columns=["doc_id", *fields])
+        ray.data.from_items(plan_rows, override_num_blocks=len(plan_rows))
         .map_batches(
-            TokenizeBatch,
-            fn_constructor_kwargs={
+            _ingest_emit,
+            fn_kwargs={"key_columns": key_columns, "docmap_dir": docmap_dir,
+                       "fields": tuple(fields)},
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            tokenize_batch,
+            fn_kwargs={
                 "fields": tuple(fields),
                 "num_buckets": num_buckets,
                 "num_ranges": num_ranges,
                 "range_span": range_span,
             },
+            # batch_size=None → per-block batches: the fused
+            # ingest→tokenize op runs one task per input file.  An explicit
+            # batch_size would make Ray bundle the 1-row plan blocks into a
+            # single task to satisfy it, serializing the whole pipeline.
             batch_size=tokenize_batch_size,
             batch_format="pyarrow",
             concurrency=tokenize_concurrency,
         )
     )
     if done_gkeys:  # resume: drop postings for already-committed groups
-        done_ref = ray.put(frozenset(done_gkeys))
 
         def _drop_done(batch: pa.Table) -> pa.Table:
-            done = ray.get(done_ref)
-            keep = [g not in done for g in batch.column("gkey").to_pylist()]
-            return batch.filter(pa.array(keep))
+            mask = np.isin(batch.column("gkey").to_numpy(),
+                           np.fromiter(done_gkeys, dtype=np.int64),
+                           invert=True)
+            return batch.filter(pa.array(mask))
 
         postings = postings.map_batches(_drop_done, batch_format="pyarrow")
 
-    (
-        postings.groupby("gkey")
-        .map_groups(_write_segment_group, batch_format="pyarrow",
-                    fn_kwargs={"seg_dir": seg_dir, "block_size": block_size})
-        .take_all()
-    )
-    seg_files = sorted(
-        os.path.join(seg_dir, f) for f in os.listdir(seg_dir)
-        if f.startswith("seg-") and f.endswith(".parquet")
-    )
-    # the authoritative segment list comes from the committed files (resumed
-    # builds skip groups, so in-flight acks are incomplete)
-    seg_entries = []
-    for p in seg_files:
-        md = pq.read_metadata(p).metadata or {}
-        seg_entries.append({
-            "gkey": int(md.get(b"noise_gkey", b"-1")),
-            "path": p,
-            "postings": int(md.get(b"noise_postings", b"0")),
-        })
-
-    # ---- stage 4: term statistics (C = Σ tf, K = Σ field-instance×stem)
-    # from segment block metadata only — cheap columns, no posting payloads.
-    stats_ds = (
-        ray.data.read_parquet(seg_files, columns=["field", "term", "c_block", "cnt"])
-        .groupby(["field", "term"])
-        .aggregate(
-            Sum("c_block", alias_name="c"),
-            Sum("cnt", alias_name="k"),
+    try:
+        acks = (
+            postings.groupby("gkey")
+            .map_groups(_write_segment_group, batch_format="pyarrow",
+                        fn_kwargs={"seg_dir": seg_dir, "stats_dir": stats_dir,
+                                   "block_size": block_size})
+            .take_all()
         )
-        .map_batches(_add_bucket, fn_kwargs={"num_buckets": num_buckets},
-                     batch_format="pyarrow")
-    )
-    k_rows = stats_ds.groupby("field").aggregate(
-        Sum("k", alias_name="k_total")).take_all()
-    stats_acks = (
-        stats_ds.groupby("bucket")
-        .map_groups(_write_stats_group, batch_format="pyarrow",
-                    fn_kwargs={"stats_dir": stats_dir})
-        .take_all()
-    )
+    finally:
+        ctx.target_min_block_size = prev_min_block
 
-    # ---- stage 5: manifest
-    field_k = {int(r["field"]): int(r["k_total"]) for r in k_rows}
+    # ---- assemble: writer acks + committed-but-skipped groups
+    by_gkey = {int(a["gkey"]): a for a in acks}
+    for g in done_gkeys:
+        if g not in by_gkey:
+            meta = read_group_meta(_stats_path(stats_dir, g))
+            by_gkey[g] = {"gkey": g, "path": _seg_path(seg_dir, g),
+                          "stats_path": _stats_path(stats_dir, g),
+                          "postings": meta["postings"],
+                          "field_k": json.dumps(meta["field_k"])}
+
+    field_k: dict[int, int] = {}
+    for a in by_gkey.values():
+        for f, k in json.loads(a["field_k"]).items():
+            field_k[int(f)] = field_k.get(int(f), 0) + int(k)
+
+    # ---- manifest (atomic publish — the analogue of the reference's
+    # WriteBatch flush, /root/reference/src/index.rs:218-227)
     manifest = {
         "version": 1,
         "analyzer": "noise-porter2-v1",
@@ -387,14 +509,18 @@ def build_index(
         "block_size": block_size,
         "field_k": {str(k): v for k, v in sorted(field_k.items())},
         "docmap": [
-            {"path": a["path"], "rows": a["rows"], "min_doc": a["min_doc"],
-             "max_doc": a["max_doc"]}
-            for a in sorted(acks, key=lambda a: a["min_doc"])
+            {"path": os.path.join(docmap_dir, f"docmap-{i:05d}.parquet"),
+             "rows": p.rows, "min_doc": p.offset,
+             "max_doc": p.offset + p.rows - 1}
+            for i, p in enumerate(plans)
         ],
-        "segments": sorted(seg_entries, key=lambda a: a["gkey"]),
+        "segments": [
+            {"gkey": g, "path": a["path"], "postings": int(a["postings"])}
+            for g, a in sorted(by_gkey.items())
+        ],
         "stats": [
-            {"bucket": int(a["bucket"]), "path": a["path"]}
-            for a in sorted(stats_acks, key=lambda a: a["bucket"])
+            {"gkey": g, "bucket": g // num_ranges, "path": a["stats_path"]}
+            for g, a in sorted(by_gkey.items())
         ],
     }
     tmp = os.path.join(index_dir, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex[:8]}")

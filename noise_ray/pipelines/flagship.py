@@ -27,21 +27,27 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
-def transcripts_corpus(sf_dir: str) -> list[str]:
-    """Deterministic synthetic transcripts sized to the scale factor."""
-    sf = _sf_of(sf_dir)
-    num_convs = max(48, int(sf * 200_000))
-    out = os.path.join(_CACHE_ROOT, f"transcripts-{num_convs}")
+def corpus_at(num_convs: int) -> list[str]:
+    """Deterministic synthetic transcript corpus with ``num_convs``
+    conversations (cached under /tmp, shared across processes)."""
+    # enough files that ingest/tokenize tasks can use every core (one task
+    # per file); v2 = per-conversation-seeded generator
+    num_files = max(16, min(512, num_convs // 500))
+    out = os.path.join(_CACHE_ROOT, f"transcripts-v2-{num_convs}-{num_files}")
     marker = os.path.join(out, ".done")
     with _LOCK:
         if not os.path.exists(marker):
             paths = generate_transcripts(
-                out, num_convs=num_convs, seed=42,
-                num_files=max(8, num_convs // 2000))
+                out, num_convs=num_convs, seed=42, num_files=num_files)
             with open(marker, "w") as f:
                 f.write("\n".join(paths))
     with open(marker) as f:
         return f.read().splitlines()
+
+
+def transcripts_corpus(sf_dir: str) -> list[str]:
+    """Deterministic synthetic transcripts sized to the scale factor."""
+    return corpus_at(max(48, int(_sf_of(sf_dir) * 200_000)))
 
 
 def transcripts_index(sf_dir: str) -> IndexReader:

@@ -65,7 +65,11 @@ class IndexReader:
         self.num_ranges: int = self.manifest["num_ranges"]
         self.field_k = {int(k): v for k, v in self.manifest["field_k"].items()}
         self._seg_by_gkey = {s["gkey"]: s["path"] for s in self.manifest["segments"]}
-        self._stats_by_bucket = {s["bucket"]: s["path"] for s in self.manifest["stats"]}
+        # one stats partition per shuffle group; a bucket spans num_ranges
+        # groups, so stats lookups sum across the bucket's partitions
+        self._stats_by_bucket: dict[int, list[str]] = {}
+        for s in self.manifest["stats"]:
+            self._stats_by_bucket.setdefault(s["bucket"], []).append(s["path"])
         self._postings_cache: dict[tuple[int, str], PostingList] = {}
         self._stats_cache: dict[tuple[int, str], tuple[int, int]] = {}
         self._docmap = self.manifest["docmap"]
@@ -137,15 +141,14 @@ class IndexReader:
         if hit is not None:
             return hit
         bucket = term_bucket(term, self.num_buckets)
-        path = self._stats_by_bucket.get(bucket)
         c = 0
-        if path is not None:
+        for path in self._stats_by_bucket.get(bucket, ()):
             t = pq.read_table(
                 path, columns=["c"],
                 filters=[("field", "==", fid), ("term", "==", term)],
             )
             if t.num_rows:
-                c = int(t.column("c")[0].as_py())
+                c += int(pc.sum(t.column("c")).as_py())
         k = int(self.field_k.get(fid, 0))
         out = (c, k)
         self._stats_cache[key] = out

@@ -7,6 +7,12 @@ vocabulary is Zipfian so a handful of stems dominate (hot-term skew,
 FIXTURES.md §1.7), and the fixture strata from FIXTURES.md §1 are injected
 into the small scales so conformance tests can rely on them.
 
+Every conversation is generated from its own ``np.random.default_rng([seed,
+conv_index])`` stream, so the table content is a pure function of
+(num_convs, seed, max_turns) — independent of ``num_files`` and of whether
+generation runs inline or as parallel Ray tasks (one task per output file
+for large corpora).
+
 Files are written sorted by (conv_id, turn_idx) and partitioned into
 non-overlapping conv_id ranges, which is what the index build's
 metadata-only doc_id assignment fast path expects (see
@@ -25,7 +31,7 @@ ROLES = np.array(["user", "assistant", "system", "tool"])
 TOOLS = np.array(["", "bash", "search", "browser", "python", "editor"])
 
 # Base vocabulary: common English-ish words; Zipf ranks applied on top.
-_VOCAB = (
+_VOCAB = np.array((
     "the of and a to in is you that it he was for on are as with his they I "
     "at be this have from or one had by word but not what all were we when "
     "your can said there use an each which she do how their if will up other "
@@ -44,7 +50,7 @@ _VOCAB = (
     "model agent pipeline index search query shard partition cluster stream "
     "batch vector embedding transcript deploy commit merge branch compile "
     "runtime memory buffer socket thread process schedule latency throughput"
-).split()
+).split())
 
 # FIXTURES.md §1 strata — injected verbatim as the first turns of the first
 # conversations at every scale (hand-checkable, locks golden scores).
@@ -63,12 +69,63 @@ FIXTURE_TEXTS = [
     "repeat repeat repeat stress test repeat",
 ]
 
+_BASE_TS = 1_700_000_000_000_000  # us
 
-def _zipf_text(rng: np.random.Generator, n_words: int) -> str:
-    # Zipf-ish: P(rank k) ∝ 1/(k+3); heavy head over ~400-word vocab.
-    ranks = rng.zipf(1.3, size=n_words)
-    ranks = np.minimum(ranks - 1, len(_VOCAB) - 1)
-    return " ".join(_VOCAB[r] for r in ranks)
+
+def _gen_conv_range(seed: int, c_lo: int, c_hi: int, max_turns: int,
+                    include_fixtures: bool) -> pa.Table:
+    """Generate conversations [c_lo, c_hi) — content depends only on
+    (seed, conv index, max_turns), never on the range split."""
+    conv_ids: list[str] = []
+    turn_idxs: list[int] = []
+    roles: list[str] = []
+    texts: list[str] = []
+    tools: list[str] = []
+    tss: list[int] = []
+    vocab, nv = _VOCAB, len(_VOCAB)
+    for c in range(c_lo, c_hi):
+        rng = np.random.default_rng([seed, c])
+        conv = f"conv-{c:08d}"
+        n_turns = int(rng.integers(2, max_turns + 1))
+        role_ix = rng.integers(0, len(ROLES), size=n_turns)
+        tool_ix = rng.integers(0, len(TOOLS), size=n_turns)
+        n_words = rng.integers(3, 60, size=n_turns)
+        ranks = np.minimum(rng.zipf(1.3, size=int(n_words.sum())) - 1, nv - 1)
+        fixture_here = include_fixtures and c < len(FIXTURE_TEXTS)
+        t0 = _BASE_TS + c * 3_600_000_000
+        w = 0
+        for t in range(n_turns):
+            conv_ids.append(conv)
+            turn_idxs.append(t)
+            roles.append(str(ROLES[int(role_ix[t])]))
+            k = int(n_words[t])
+            if fixture_here and t == 0:
+                texts.append(FIXTURE_TEXTS[c])
+            else:
+                texts.append(" ".join(vocab[ranks[w:w + k]]))
+            w += k
+            tools.append(str(TOOLS[int(tool_ix[t])]))
+            tss.append(t0 + t * 30_000_000)
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "turn_idx": pa.array(turn_idxs, pa.int32()),
+            "role": pa.array(roles, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array(tools, pa.string()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+        }
+    )
+
+
+def _write_file(out_dir: str, f: int, seed: int, c_lo: int, c_hi: int,
+                max_turns: int, include_fixtures: bool) -> str:
+    path = os.path.join(out_dir, f"part-{f:05d}.parquet")
+    t = _gen_conv_range(seed, c_lo, c_hi, max_turns, include_fixtures)
+    tmp = f"{path}.tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def generate_transcripts(
@@ -81,68 +138,31 @@ def generate_transcripts(
 ) -> list[str]:
     """Write transcript parquet files to ``out_dir``; return file paths.
 
-    Deterministic for a given (num_convs, seed, max_turns, num_files).
+    Deterministic for a given (num_convs, seed, max_turns) — ``num_files``
+    only changes the partitioning, never the content.  Large corpora are
+    generated by parallel Ray tasks (one per file) when Ray is up.
     """
     os.makedirs(out_dir, exist_ok=True)
-    rng = np.random.default_rng(seed)
+    bounds = np.linspace(0, num_convs, num_files + 1).astype(int)
+    jobs = [(f, int(bounds[f]), int(bounds[f + 1]))
+            for f in range(num_files) if bounds[f + 1] > bounds[f]]
 
-    conv_ids: list[str] = []
-    turn_idxs: list[int] = []
-    roles: list[str] = []
-    texts: list[str] = []
-    tools: list[str] = []
-    tss: list[int] = []
+    use_ray = num_convs >= 4096
+    if use_ray:
+        import ray
 
-    base_ts = 1_700_000_000_000_000  # us
-    for c in range(num_convs):
-        conv = f"conv-{c:08d}"
-        n_turns = int(rng.integers(2, max_turns + 1))
-        fixture_here = include_fixtures and c < len(FIXTURE_TEXTS)
-        t0 = base_ts + c * 3_600_000_000
-        for t in range(n_turns):
-            conv_ids.append(conv)
-            turn_idxs.append(t)
-            roles.append(str(ROLES[int(rng.integers(0, len(ROLES)))]))
-            if fixture_here and t == 0:
-                texts.append(FIXTURE_TEXTS[c])
-            else:
-                texts.append(_zipf_text(rng, int(rng.integers(3, 60))))
-            tool = str(TOOLS[int(rng.integers(0, len(TOOLS)))])
-            tools.append(tool)
-            tss.append(t0 + t * 30_000_000)
+        if not ray.is_initialized():
+            use_ray = False
+    if use_ray:
+        import ray
 
-    table = pa.table(
-        {
-            "conv_id": pa.array(conv_ids, pa.string()),
-            "turn_idx": pa.array(turn_idxs, pa.int32()),
-            "role": pa.array(roles, pa.string()),
-            "text": pa.array(texts, pa.string()),
-            "tool": pa.array(tools, pa.string()),
-            "ts": pa.array(tss, pa.timestamp("us")),
-        }
-    )
-
-    # Partition into non-overlapping conv_id ranges, sorted within each file.
-    n = table.num_rows
-    paths = []
-    # split on conversation boundaries so files don't share a conv
-    conv_arr = np.asarray(table["conv_id"])
-    boundaries = np.linspace(0, num_convs, num_files + 1).astype(int)
-    conv_first_row = {}
-    for i, cv in enumerate(conv_arr):
-        if cv not in conv_first_row:
-            conv_first_row[cv] = i
-    conv_names = sorted(conv_first_row)
-    row_bounds = [0]
-    for b in boundaries[1:-1]:
-        if b < len(conv_names):
-            row_bounds.append(conv_first_row[conv_names[b]])
-    row_bounds.append(n)
-    for f in range(len(row_bounds) - 1):
-        lo, hi = row_bounds[f], row_bounds[f + 1]
-        if hi <= lo:
-            continue
-        path = os.path.join(out_dir, f"part-{f:05d}.parquet")
-        pq.write_table(table.slice(lo, hi - lo), path)
-        paths.append(path)
-    return paths
+        gen = ray.remote(_write_file)
+        paths = ray.get([
+            gen.remote(out_dir, f, seed, lo, hi, max_turns, include_fixtures)
+            for f, lo, hi in jobs
+        ])
+    else:
+        paths = [_write_file(out_dir, f, seed, lo, hi, max_turns,
+                             include_fixtures)
+                 for f, lo, hi in jobs]
+    return sorted(paths)
