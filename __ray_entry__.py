@@ -84,6 +84,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "order score() desc return score() limit 50 ;"),
         "flagship_proximity": _search_transcripts(
             'find {text: ~3="time work"} order score() desc limit 50 ;'),
+        # --- query-language group/aggregate return clauses (SURVEY §2.7,
+        #     reference repl-tests/group.noise semantics; oracle-checked)
+        "agg_group_stats": _search_documents(
+            'find {lang: =="en"} '
+            "return {src: group(.source), n: count(), chars: sum(.n_chars)} ;",
+            columns=("src", "n", "chars")),
+        "agg_minmax_lang": _search_documents(
+            'find {source: =="src0"} '
+            "return {lang: group(.lang), lo: min(.n_chars), hi: max(.n_chars), "
+            "mean: avg(.n_chars)} ;",
+            columns=("lang", "lo", "hi", "mean")),
         # --- relational / aggregation (noise return-clause surface)
         "pricing_summary": relational.pricing_summary,
         "orders_topk": relational.orders_topk,
@@ -129,6 +140,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents WHERE n_chars > 300",
         "search_range_band":
             "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars < 200",
+        "agg_group_stats": """
+            SELECT source AS src, CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(n_chars) AS DOUBLE) AS chars
+            FROM documents WHERE lang = 'en' GROUP BY source""",
+        "agg_minmax_lang": """
+            SELECT lang, CAST(min(n_chars) AS DOUBLE) AS lo,
+                   CAST(max(n_chars) AS DOUBLE) AS hi,
+                   avg(n_chars) AS mean
+            FROM documents WHERE source = 'src0' GROUP BY lang""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,

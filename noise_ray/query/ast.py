@@ -105,10 +105,63 @@ class OrderKey:
     default: object = None
 
 
+# ------------------------------------------------------- return clause tree
+# Mirrors the reference's Returnable family (/root/reference/src/returnable.rs)
+# reduced to the flat transcript schema: paths are single fields.
+
+@dataclass
+class RetPath:
+    """`.field [default=json]` — fetch a doc field
+    (src/returnable.rs:295-343)."""
+    field: str
+    default: object = None
+
+
+@dataclass
+class RetScore:
+    """`score()` (src/returnable.rs:405-440)."""
+
+
+@dataclass
+class RetLiteral:
+    """JSON literal constant (src/returnable.rs:261-291)."""
+    value: object
+
+
+@dataclass
+class RetAgg:
+    """`fun(.field ...) [default=json]` — group/aggregate slot
+    (src/aggregates.rs, src/parser.rs:250-340).  ``fun`` is one of
+    group/sum/max/max_array/min/min_array/array/array_flat/concat/avg/count;
+    ``desc`` applies to group ordering, ``sep`` to concat."""
+    fun: str
+    field: Optional[str] = None
+    sep: Optional[str] = None
+    default: object = None
+    desc: bool = False
+
+
+@dataclass
+class RetObject:
+    """`{name: expr, ...}` (src/returnable.rs:119-162)."""
+    items: list  # list[tuple[str, RetExpr]]
+
+
+@dataclass
+class RetArray:
+    """`[expr, ...]` (src/returnable.rs:165-208)."""
+    items: list  # list[RetExpr]
+
+
+RetExpr = Union[RetPath, RetScore, RetLiteral, RetAgg, RetObject, RetArray]
+
+
 @dataclass
 class Query:
     filter: Node
     order: list[OrderKey] = dc_field(default_factory=list)
     limit: Optional[int] = None
-    # columns to return; None = default (_id columns + score)
-    returns: Optional[list[str]] = None
+    # columns to return; None = default (_id columns + score); a list of
+    # plain column specs for the legacy comma form, or a RetExpr tree for
+    # object/array/aggregate returns
+    returns: object = None

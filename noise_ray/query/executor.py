@@ -12,21 +12,39 @@ import numpy as np
 import pyarrow as pa
 
 from . import ast
+from .aggregates import AGG_FINALS, AGG_IMPLS, aggregate_order_limit
 from .engine import CompiledQuery, F32
-from .parser import parse_query
+from .parser import parse_query, ret_leaves
 from .reader import IndexReader
 from .results import order_and_limit
 
+_TREE_TYPES = (ast.RetObject, ast.RetArray, ast.RetAgg, ast.RetPath,
+               ast.RetScore, ast.RetLiteral)
 
-def run_query(reader: IndexReader, q: ast.Query | str) -> pa.Table:
+
+def run_query(reader: IndexReader, q: ast.Query | str,
+              params: dict | None = None) -> pa.Table:
     if isinstance(q, str):
-        q = parse_query(q)
+        q = parse_query(q, params)
 
     compiled = CompiledQuery(reader, q.filter)
     result = compiled.evaluate()
     docs = result.docs
     scores = compiled.final_scores(result)
 
+    if isinstance(q.returns, _TREE_TYPES):
+        leaves = ret_leaves(q.returns)
+        if any(isinstance(l, ast.RetAgg) for l in leaves):
+            return _run_aggregates(reader, q, docs, scores, leaves)
+        # non-aggregate tree: order/limit per doc, then render the tree
+        docs, scores = _apply_order_limit(reader, q, docs, scores)
+        return _render_tree_table(reader, q.returns, leaves, docs, scores)
+
+    docs, scores = _apply_order_limit(reader, q, docs, scores)
+    return _materialize(reader, docs, scores, q.returns)
+
+
+def _apply_order_limit(reader, q, docs, scores):
     if q.order:
         # fetch field values for all matched docs (only fields used as keys)
         key_fields = [k.field for k in q.order if not k.score]
@@ -54,8 +72,116 @@ def run_query(reader: IndexReader, q: ast.Query | str) -> pa.Table:
     elif q.limit is not None:
         docs = docs[: q.limit]
         scores = scores[: q.limit]
+    return docs, scores
 
-    return _materialize(reader, docs, scores, q.returns)
+
+def _leaf_values(reader, leaves, docs, scores):
+    """Per-doc slot values for every leaf, in doc order.  Missing fields
+    take the leaf's default (else null), numbers collapse to f64 — the
+    reference's JSON value domain."""
+    fields = sorted({l.field for l in leaves
+                     if isinstance(l, (ast.RetPath, ast.RetAgg)) and l.field})
+    field_vals: dict[str, list] = {}
+    if fields and docs.size:
+        t = reader.fetch_docs(docs, fields)
+        for f in fields:
+            field_vals[f] = t.column(f).to_pylist()
+
+    def value(leaf, i):
+        if isinstance(leaf, ast.RetScore):
+            return float(scores[i])
+        if isinstance(leaf, ast.RetLiteral):
+            return leaf.value
+        if leaf.field is None:  # count()
+            return None
+        v = field_vals.get(leaf.field, [None] * docs.size)[i] if docs.size else None
+        if v is None:
+            v = leaf.default
+        return _normalize_key(v)
+
+    return [[value(l, i) for l in leaves] for i in range(docs.size)]
+
+
+def _run_aggregates(reader, q, docs, scores, leaves) -> pa.Table:
+    """Grouped/aggregated return clause (src/query.rs:320-346, 682-764)."""
+    rows = _leaf_values(reader, leaves, docs, scores)
+    orders: list[tuple[bool, int]] = []
+    inits, actions, finals = [], [], []
+    for n, leaf in enumerate(leaves):
+        if not isinstance(leaf, ast.RetAgg):
+            continue  # literal slot: constant, no action
+        if leaf.fun == "group":
+            orders.append((leaf.desc, n))
+            continue
+        init, action, _ = AGG_IMPLS[leaf.fun]
+        if init is not None:
+            inits.append((init, n))
+        actions.append((action, leaf.sep, n))
+        fin = AGG_FINALS.get(leaf.fun)
+        if fin is not None:
+            finals.append((fin, n))
+    out_rows = aggregate_order_limit(rows, orders, q.limit, inits, actions,
+                                     finals)
+    return _rows_to_table(q.returns, leaves, out_rows)
+
+
+def _render_tree_table(reader, tree, leaves, docs, scores) -> pa.Table:
+    rows = _leaf_values(reader, leaves, docs, scores)
+    return _rows_to_table(tree, leaves, rows)
+
+
+def _rows_to_table(tree, leaves, rows) -> pa.Table:
+    """Column convention: top-level object → one column per key; top-level
+    array → c0..cN; single expr → one column named after it.  Nested
+    structures render as Python values inside the column."""
+    def render(expr, row, pos):
+        # returns (value, next_pos)
+        if isinstance(expr, ast.RetObject):
+            d = {}
+            for name, e in expr.items:
+                d[name], pos = render(e, row, pos)
+            return d, pos
+        if isinstance(expr, ast.RetArray):
+            vs = []
+            for e in expr.items:
+                v, pos = render(e, row, pos)
+                vs.append(v)
+            return vs, pos
+        return row[pos], pos + 1
+
+    if isinstance(tree, ast.RetObject):
+        names = [name for name, _ in tree.items]
+        exprs = [e for _, e in tree.items]
+    elif isinstance(tree, ast.RetArray):
+        names = [f"c{i}" for i in range(len(tree.items))]
+        exprs = tree.items
+    else:
+        if isinstance(tree, ast.RetScore):
+            names = ["score"]
+        elif isinstance(tree, ast.RetAgg):
+            names = [tree.fun]
+        elif isinstance(tree, ast.RetPath):
+            names = [tree.field]
+        else:
+            names = ["value"]
+        exprs = [tree]
+
+    cols: dict[str, list] = {n: [] for n in names}
+    for row in rows:
+        pos = 0
+        for n, e in zip(names, exprs):
+            v, pos = render(e, row, pos)
+            cols[n].append(v)
+    arrays = {}
+    for n in names:
+        try:
+            arrays[n] = pa.array(cols[n])
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            import json as _j
+            arrays[n] = pa.array([_j.dumps(v) for v in cols[n]])
+    if not arrays:
+        return pa.table({"value": pa.array([])})
+    return pa.table(arrays)
 
 
 def _normalize_key(v):
@@ -65,7 +191,8 @@ def _normalize_key(v):
 
     if isinstance(v, datetime.datetime):
         return v.timestamp()
-    if isinstance(v, (np.integer, np.floating)):
+    if isinstance(v, (np.integer, np.floating)) or (
+            type(v) is int):  # bools stay bools (JSON True/False)
         return float(v)
     return v
 

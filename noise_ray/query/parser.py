@@ -28,8 +28,16 @@ class ParseError(ValueError):
     pass
 
 
+_AGG_FUNS = ("group", "sum", "max_array", "max", "min_array", "min",
+             "array_flat", "array", "concat", "avg", "count")
+
+
 class QueryParser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, params: dict | None = None):
+        self.params = params or {}
+        self._init(text)
+
+    def _init(self, text: str):
         self.text = text
         self.pos = 0
 
@@ -74,7 +82,31 @@ class QueryParser:
             return self.consume_string_literal()
         return None
 
+    def maybe_param(self):
+        """`@name` → ('ok', value) from the params map
+        (src/query.rs:384-461: primitives only)."""
+        self._ws()
+        if self.pos < len(self.text) and self.text[self.pos] == "@":
+            self.pos += 1
+            name = self.consume_key()
+            if name is None:
+                raise ParseError(f"Expected parameter name at offset {self.pos}")
+            if name not in self.params:
+                raise ParseError(f"Unknown parameter @{name}")
+            v = self.params[name]
+            if isinstance(v, (dict, list)):
+                raise ParseError(
+                    "Parameterized query values must be String, Number, "
+                    "True, False or Null")
+            return ("ok", v)
+        return None
+
     def consume_string_literal(self) -> str:
+        p = self.maybe_param()
+        if p is not None:
+            if not isinstance(p[1], str):
+                raise ParseError("Expected string parameter")
+            return p[1]
         self._ws()
         if self.pos >= len(self.text) or self.text[self.pos] != '"':
             raise ParseError(f"Expected string literal at offset {self.pos}")
@@ -129,6 +161,9 @@ class QueryParser:
         return 1.0
 
     def consume_json_primitive(self):
+        p = self.maybe_param()
+        if p is not None:
+            return p[1]
         self._ws()
         if self.pos < len(self.text) and self.text[self.pos] == '"':
             return self.consume_string_literal()
@@ -148,22 +183,29 @@ class QueryParser:
     def parse(self) -> ast.Query:
         self.must_consume("find")
         node = self.not_object()
-        order = []
+        order: list = []
         returns = None
         limit = None
-        if self.consume("order"):
-            order = self.order_keys()
-        if self.consume("return"):
-            returns = self.return_spec()
-        if self.consume("limit"):
-            limit = self.consume_integer()
-            if limit is None:
-                raise ParseError("Expected integer after 'limit'")
+        while True:  # order/return in either order, then limit
+            if not order and self.consume("order"):
+                order = self.order_keys()
+                continue
+            if returns is None and self.consume("return"):
+                returns = self.return_spec()
+                continue
+            if limit is None and self.consume("limit"):
+                limit = self.consume_integer()
+                if limit is None:
+                    raise ParseError("Expected integer after 'limit'")
+                continue
+            break
         self.consume(";")
         self._ws()
         if self.pos != len(self.text):
             raise ParseError(f"Trailing input at offset {self.pos}")
-        return ast.Query(filter=node, order=order, limit=limit, returns=returns)
+        q = ast.Query(filter=node, order=order, limit=limit, returns=returns)
+        _validate_returns(q)
+        return q
 
     def not_object(self) -> ast.Node:
         if self.consume("!"):
@@ -303,6 +345,11 @@ class QueryParser:
         raise ParseError(f"Expected comparison operator at offset {self.pos}")
 
     def _must_number(self) -> float:
+        p = self.maybe_param()
+        if p is not None:
+            if not isinstance(p[1], (int, float)) or isinstance(p[1], bool):
+                raise ParseError("Expected number parameter")
+            return float(p[1])
         v = self.consume_number()
         if v is None:
             raise ParseError("Expected number")
@@ -340,7 +387,18 @@ class QueryParser:
         self.consume("asc")
         return False
 
-    def return_spec(self) -> list[str]:
+    def return_spec(self):
+        """Returnable: `{...}` / `[...]` / aggregate expr → RetExpr tree
+        (src/parser.rs:1157-1288); otherwise the legacy comma list of
+        paths / score()."""
+        self._ws()
+        if self.pos < len(self.text) and self.text[self.pos] == "{":
+            return self.ret_object()
+        if self.pos < len(self.text) and self.text[self.pos] == "[":
+            return self.ret_array()
+        agg = self.try_agg()
+        if agg is not None:
+            return agg
         cols = []
         while True:
             if self.consume("score"):
@@ -358,6 +416,110 @@ class QueryParser:
                 break
         return cols
 
+    # --------------------------------------- returnable tree (aggregates)
+
+    def ret_object(self) -> ast.RetObject:
+        self.must_consume("{")
+        items = []
+        if not self.consume("}"):
+            while True:
+                name = self.consume_key()
+                if name is None:
+                    raise ParseError(f"Expected field name at {self.pos}")
+                self.must_consume(":")
+                items.append((name, self.ret_value()))
+                if not self.consume(","):
+                    break
+            self.must_consume("}")
+        return ast.RetObject(items)
+
+    def ret_array(self) -> ast.RetArray:
+        self.must_consume("[")
+        items = []
+        if not self.consume("]"):
+            while True:
+                items.append(self.ret_value())
+                if not self.consume(","):
+                    break
+            self.must_consume("]")
+        return ast.RetArray(items)
+
+    def ret_value(self):
+        self._ws()
+        if self.pos < len(self.text) and self.text[self.pos] == "{":
+            return self.ret_object()
+        if self.pos < len(self.text) and self.text[self.pos] == "[":
+            return self.ret_array()
+        agg = self.try_agg()
+        if agg is not None:
+            return agg
+        save = self.pos
+        if self.consume("score"):
+            if self.consume("("):
+                self.must_consume(")")
+                return ast.RetScore()
+            self.pos = save
+        if self.consume("."):
+            field = self.consume_key()
+            if field is None:
+                raise ParseError(f"Expected field after '.' at {self.pos}")
+            default = None
+            if self.consume("default"):
+                self.must_consume("=")
+                default = self.consume_json_primitive()
+            return ast.RetPath(field, default)
+        try:
+            return ast.RetLiteral(self.consume_json_primitive())
+        except ParseError:
+            raise ParseError(f"Expected return value at offset {self.pos}")
+
+    def try_agg(self) -> ast.RetAgg | None:
+        """Aggregate call per src/parser.rs:250-340; None if the next token
+        isn't an aggregate function application."""
+        save = self.pos
+        fun = None
+        for f in _AGG_FUNS:
+            if self.consume(f):
+                fun = f
+                break
+        if fun is None:
+            return None
+        if not self.consume("("):
+            self.pos = save
+            return None
+        if fun == "count":
+            self.must_consume(")")
+            agg = ast.RetAgg("count")
+        elif fun == "concat":
+            self.must_consume(".")
+            field = self.consume_key()
+            if field is None:
+                raise ParseError("Expected keypath in concat()")
+            sep = ","
+            if self.consume("sep"):
+                self.must_consume("=")
+                sep = self.consume_string_literal()
+            self.must_consume(")")
+            agg = ast.RetAgg("concat", field, sep=sep)
+        else:
+            self.must_consume(".")
+            field = self.consume_key()
+            if field is None:
+                raise ParseError(f"Expected keypath in {fun}()")
+            desc = False
+            if fun == "group" and self.consume("order"):
+                self.must_consume("=")
+                if self.consume("desc"):
+                    desc = True
+                elif not self.consume("asc"):
+                    raise ParseError("Expected asc or desc")
+            self.must_consume(")")
+            agg = ast.RetAgg(fun, field, desc=desc)
+        if self.consume("default"):
+            self.must_consume("=")
+            agg.default = self.consume_json_primitive()
+        return agg
+
 
 def _analyze(literal: str):
     from ..analysis.tokenizer import tokenize
@@ -365,5 +527,40 @@ def _analyze(literal: str):
     return tokenize(literal)
 
 
-def parse_query(text: str) -> ast.Query:
-    return QueryParser(text).parse()
+def ret_leaves(expr) -> list:
+    """Flatten a RetExpr tree to its leaf slots, left to right."""
+    if isinstance(expr, ast.RetObject):
+        out = []
+        for _name, e in expr.items:
+            out.extend(ret_leaves(e))
+        return out
+    if isinstance(expr, ast.RetArray):
+        out = []
+        for e in expr.items:
+            out.extend(ret_leaves(e))
+        return out
+    return [expr]
+
+
+def _validate_returns(q: ast.Query):
+    """src/query.rs:242-290: aggregates exclude ordering, and when any
+    aggregate is present every fetched leaf must be aggregated/grouped."""
+    if not isinstance(q.returns, (ast.RetObject, ast.RetArray, ast.RetAgg,
+                                  ast.RetPath, ast.RetScore, ast.RetLiteral)):
+        return
+    leaves = ret_leaves(q.returns)
+    has_ags = any(isinstance(l, ast.RetAgg) for l in leaves)
+    if not has_ags:
+        return
+    if q.order:
+        raise ParseError(
+            "Cannot have aggregates and ordering in the same query")
+    for l in leaves:
+        if isinstance(l, (ast.RetPath, ast.RetScore)):
+            raise ParseError(
+                "Return keypaths must either all have aggregate functions, "
+                "or none can them.")
+
+
+def parse_query(text: str, params: dict | None = None) -> ast.Query:
+    return QueryParser(text, params).parse()

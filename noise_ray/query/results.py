@@ -35,11 +35,29 @@ def json_type_rank(v: Any) -> int:
 
 
 def cmp_json(a: Any, b: Any) -> int:
+    """Reference total order (src/json_value.rs:67-123): null < false < true
+    < number < string < array < object; arrays/objects element-wise then by
+    length; strings byte-wise (Python code-point order ≡ UTF-8 byte order)."""
     ra, rb = json_type_rank(a), json_type_rank(b)
     if ra != rb:
         return -1 if ra < rb else 1
     if ra in (0, 1, 2):
         return 0
+    if ra == 5:  # arrays
+        for x, y in zip(a, b):
+            c = cmp_json(x, y)
+            if c:
+                return c
+        return (len(a) > len(b)) - (len(a) < len(b))
+    if ra == 6:  # objects: ordered (key, value) pairs
+        pa_, pb = list(a.items()), list(b.items())
+        for (ka, va), (kb, vb) in zip(pa_, pb):
+            if ka != kb:
+                return -1 if ka < kb else 1
+            c = cmp_json(va, vb)
+            if c:
+                return c
+        return (len(pa_) > len(pb)) - (len(pa_) < len(pb))
     if a < b:
         return -1
     if a > b:
