@@ -73,6 +73,9 @@ class IndexReader:
         self._postings_cache: dict[tuple[int, str], PostingList] = {}
         self._stats_cache: dict[tuple[int, str], tuple[int, int]] = {}
         self._docmap = self.manifest["docmap"]
+        from collections import OrderedDict
+        self._docmap_col_cache: OrderedDict = OrderedDict()
+        self._docmap_cache_bytes = 0
 
     # ---------------------------------------------------------- postings
 
@@ -156,41 +159,63 @@ class IndexReader:
 
     # ------------------------------------------------------------ docmap
 
+    _DOCMAP_CACHE_CAP = 256 << 20  # bytes of decoded docmap columns to keep
+
+    def _docmap_col(self, path: str, col: str):
+        """LRU-cached decoded docmap column (combine-chunked Array)."""
+        key = (path, col)
+        hit = self._docmap_col_cache.get(key)
+        if hit is not None:
+            self._docmap_col_cache.move_to_end(key)
+            return hit
+        arr = pq.read_table(path, columns=[col]).column(col).combine_chunks()
+        self._docmap_col_cache[key] = arr
+        self._docmap_cache_bytes += arr.nbytes
+        while (self._docmap_cache_bytes > self._DOCMAP_CACHE_CAP
+               and len(self._docmap_col_cache) > 1):
+            _, old = self._docmap_col_cache.popitem(last=False)
+            self._docmap_cache_bytes -= old.nbytes
+        return arr
+
     def fetch_docs(self, doc_ids: np.ndarray, columns: list[str] | None = None):
         """Materialize doc rows for result rendering (the analogue of the
-        reference's V-key fetches, src/snapshot.rs:233-433).  Reads only the
-        docmap partitions whose doc ranges intersect ``doc_ids``."""
+        reference's V-key fetches, src/snapshot.rs:233-433).
+
+        Docmap partitions hold contiguous doc_id ranges, so a doc's row index
+        inside its partition is ``doc_id - min_doc`` — lookups are pure
+        vectorized gathers on LRU-cached columns, no filter expressions.
+        Rows come back in ``doc_ids`` order."""
         import pyarrow as pa
 
         doc_ids = np.asarray(doc_ids, dtype=np.int64)
-        want_cols = columns
-        parts = []
+        if columns is None:
+            schema = pq.read_schema(self._docmap[0]["path"])
+            columns = [n for n in schema.names if n != "doc_id"]
+        sorted_ids = np.sort(doc_ids)
+        col_parts: dict[str, list] = {c: [] for c in columns}
         for dm in self._docmap:
             lo, hi = dm["min_doc"], dm["max_doc"]
-            sel = doc_ids[(doc_ids >= lo) & (doc_ids <= hi)]
-            if sel.size == 0:
+            s = np.searchsorted(sorted_ids, lo, side="left")
+            e = np.searchsorted(sorted_ids, hi, side="right")
+            if e <= s:
                 continue
-            cols = (list(dict.fromkeys(["doc_id", *want_cols]))
-                    if want_cols else None)
-            t = pq.read_table(
-                dm["path"], columns=cols,
-                filters=[("doc_id", "in", sel.tolist())],
-            )
-            parts.append(t)
-        if not parts:
-            schema_t = pq.read_schema(self._docmap[0]["path"]) if self._docmap else None
-            if want_cols and schema_t is not None:
-                schema_t = pa.schema(
-                    [schema_t.field("doc_id")]
-                    + [schema_t.field(c) for c in want_cols])
-            return pa.table(
-                {f.name: pa.array([], f.type) for f in schema_t}) if schema_t else pa.table({})
-        full = pa.concat_tables(parts)
-        # return rows in the order of doc_ids
-        order = {d: i for i, d in enumerate(doc_ids.tolist())}
-        idx = sorted(range(full.num_rows),
-                     key=lambda r: order[full.column("doc_id")[r].as_py()])
-        return full.take(idx)
+            idx = pa.array(sorted_ids[s:e] - lo, pa.int64())
+            for c in columns:
+                col_parts[c].append(self._docmap_col(dm["path"], c).take(idx))
+        out = {"doc_id": pa.array(sorted_ids, pa.int64())}
+        for c in columns:
+            if col_parts[c]:
+                out[c] = pa.concat_arrays(
+                    [a if isinstance(a, pa.Array) else a.combine_chunks()
+                     for a in col_parts[c]])
+            else:
+                out[c] = pa.array([], pa.string())
+        full = pa.table(out)
+        if doc_ids.size and not np.array_equal(sorted_ids, doc_ids):
+            # restore caller order
+            pos = np.searchsorted(sorted_ids, doc_ids)
+            full = full.take(pa.array(pos, pa.int64()))
+        return full
 
     def doc_values(self, doc_ids: np.ndarray, column: str) -> list:
         t = self.fetch_docs(doc_ids, [column])
