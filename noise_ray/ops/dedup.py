@@ -166,50 +166,78 @@ def minhash_lsh_pairs(sf_dir: str, num_hashes: int = 64, bands: int = 16):
 
 def simhash_pairs(sf_dir: str, hamming: int = 3):
     """SimHash near-dup: 64-bit signature from token hashes; candidates via
-    4-way band tables (any identical 16-bit quarter), verified by Hamming
-    distance."""
+    4-way band tables (any identical 16-bit quarter → a pair survives the
+    banding iff hamming<=3 guarantees one identical quarter, pigeonhole),
+    verified by Hamming distance.
+
+    Scale path: signatures in map_batches, candidates via ONE
+    groupby((quarter_idx, quarter_value)) carrying the full signature —
+    bucket-local pair verification, no all-pairs join and no driver-side
+    signature table."""
+    _BITS = np.arange(64, dtype=np.uint64)
+
     def sig_batch(batch: pa.Table) -> pa.Table:
         sigs = []
         for text in batch.column("text").to_pylist():
             toks = _WORD_RE.findall(text.lower())
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                acc += np.where(bits == 1, 1, -1)
-            sigs.append(int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)).astype(object)) & (2**64 - 1))
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "sig": pa.array(sigs, pa.uint64())})
+            if toks:
+                hs = np.array(
+                    [int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                                    "little") for t in toks],
+                    dtype=np.uint64)
+                bits = (hs[:, None] >> _BITS[None, :]) & np.uint64(1)
+                acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            else:
+                acc = np.zeros(64, dtype=np.int64)
+            sig = np.uint64(0)
+            for bit in np.flatnonzero(acc > 0):
+                sig |= np.uint64(1) << np.uint64(bit)
+            sigs.append(int(sig))
+        docs = batch.column("doc_id").to_pylist()
+        out_q, out_key, out_doc, out_sig = [], [], [], []
+        for doc, sig in zip(docs, sigs):
+            for q in range(4):
+                out_q.append(q)
+                out_key.append((sig >> (16 * q)) & 0xFFFF)
+                out_doc.append(doc)
+                out_sig.append(sig)
+        return pa.table({
+            "q": pa.array(out_q, pa.int32()),
+            "key": pa.array(out_key, pa.int32()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "sig": pa.array(out_sig, pa.uint64()),
+        })
 
-    sigs = (
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        order = np.argsort(group.column("doc_id").to_numpy())
+        docs = group.column("doc_id").to_numpy()[order]
+        sigs = group.column("sig").to_numpy()[order]
+        a, b = [], []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                if bin(int(sigs[i]) ^ int(sigs[j])).count("1") <= hamming:
+                    a.append(int(docs[i]))
+                    b.append(int(docs[j]))
+        return pa.table({"a_id": pa.array(a, pa.int64()),
+                         "b_id": pa.array(b, pa.int64())})
+
+    pairs = (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(sig_batch, batch_format="pyarrow")
+        .groupby(["q", "key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    t = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
-    docs = t.column("doc_id").to_numpy()
-    s = t.column("sig").to_numpy().astype(np.uint64)
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for i in range(s.size):
-        for q in range(4):
-            quarter = int((s[i] >> np.uint64(16 * q)) & np.uint64(0xFFFF))
-            buckets.setdefault((q, quarter), []).append(i)
-    seen = set()
-    a_out, b_out = [], []
-    for idxs in buckets.values():
-        for x in range(len(idxs)):
-            for y in range(x + 1, len(idxs)):
-                i, j = idxs[x], idxs[y]
-                if i > j:
-                    i, j = j, i
-                if (i, j) in seen:
-                    continue
-                seen.add((i, j))
-                if bin(int(s[i]) ^ int(s[j])).count("1") <= hamming:
-                    a_out.append(int(docs[i]))
-                    b_out.append(int(docs[j]))
-    pairs = sorted(zip(a_out, b_out))
-    return pa.table({"a_id": pa.array([p[0] for p in pairs], pa.int64()),
-                     "b_id": pa.array([p[1] for p in pairs], pa.int64())})
+    t = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
+    if t.num_rows == 0:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64())})
+    a = t.column("a_id").to_numpy()
+    b = t.column("b_id").to_numpy()
+    key = a * 10_000_000 + b
+    idx = np.unique(key, return_index=True)[1]
+    idx = idx[np.argsort(key[idx], kind="stable")]
+    return pa.table({"a_id": pa.array(a[idx], pa.int64()),
+                     "b_id": pa.array(b[idx], pa.int64())})
 
 
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45):
@@ -218,7 +246,8 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45):
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                               columns=["vec_id", "embedding"]).to_arrow_refs()))
     ids = t.column("vec_id").to_numpy()
-    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    from .similarity import embed_matrix
+    m = embed_matrix(t.column("embedding"))
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     mn = m / norms

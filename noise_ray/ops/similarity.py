@@ -15,12 +15,23 @@ import ray
 import ray.data
 
 
+def embed_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Zero-copy-ish (n, dim) float64 matrix from a fixed-width list column
+    (avoids to_pylist + np.stack row materialization)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0))
+    vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return vals.reshape(n, -1)
+
+
 def _load_queries(sf_dir: str, n_queries: int):
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
                       filters=[("vec_id", "<", n_queries)])
-    q = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    q = embed_matrix(t.column("embedding"))
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     return t.column("vec_id").to_numpy(), qn
 
@@ -40,9 +51,7 @@ def ann_topk_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
                              "vec_id": pa.array([], pa.int64()),
                              "sim": pa.array([], pa.float64())})
         ids = ids[keep]
-        m = np.stack(
-            [e for e, kp in zip(batch.column("embedding").to_pylist(), keep) if kp]
-        ).astype(np.float64)
+        m = embed_matrix(batch.column("embedding"))[keep]
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         sims = q @ mn.T  # (nq, nb)
         out_q, out_v, out_s = [], [], []
@@ -89,7 +98,7 @@ class _HyperplaneBucket:
         self.planes = rng.standard_normal((n_planes, dim))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        m = embed_matrix(batch.column("embedding"))
         bits = (m @ self.planes.T) > 0
         keys = (bits.astype(np.uint32) << np.arange(bits.shape[1], dtype=np.uint32)).sum(axis=1)
         return pa.table({"vec_id": batch.column("vec_id"),
@@ -103,8 +112,9 @@ def ann_bucketed(sf_dir: str, n_planes: int = 8):
     import pyarrow.parquet as pq
     from ray.data.aggregate import Count
 
-    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet",
-                            columns=["embedding"]).column("embedding")[0])
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first.column("embedding")[0])
     return (
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         .map_batches(_HyperplaneBucket, batch_format="pyarrow",
