@@ -17,6 +17,7 @@ from .engine import CompiledQuery, F32
 from .parser import parse_query, ret_leaves
 from .reader import IndexReader
 from .results import order_and_limit
+from .wand import wand_topk
 
 _TREE_TYPES = (ast.RetObject, ast.RetArray, ast.RetAgg, ast.RetPath,
                ast.RetScore, ast.RetLiteral)
@@ -28,14 +29,28 @@ def run_query(reader: IndexReader, q: ast.Query | str,
         q = parse_query(q, params)
 
     compiled = CompiledQuery(reader, q.filter)
-    result = compiled.evaluate()
-    docs = result.docs
-    scores = compiled.final_scores(result)
 
+    agg_leaves = None
     if isinstance(q.returns, _TREE_TYPES):
         leaves = ret_leaves(q.returns)
         if any(isinstance(l, ast.RetAgg) for l in leaves):
-            return _run_aggregates(reader, q, docs, scores, leaves)
+            agg_leaves = leaves
+
+    # block-max WAND fast path for scored top-k term/OR queries: prunes
+    # whole posting blocks by score upper bound; surviving docs are scored
+    # by the same f32 kernels, so results are identical to the full path
+    pruned = None if agg_leaves is not None else wand_topk(reader, compiled, q)
+    if pruned is not None:
+        compiled._check_not_validity(q.filter)
+        docs, scores = pruned
+    else:
+        result = compiled.evaluate()
+        docs = result.docs
+        scores = compiled.final_scores(result)
+
+    if agg_leaves is not None:
+        return _run_aggregates(reader, q, docs, scores, agg_leaves)
+    if isinstance(q.returns, _TREE_TYPES):
         # non-aggregate tree: order/limit per doc, then render the tree
         docs, scores = _apply_order_limit(reader, q, docs, scores)
         return _render_tree_table(reader, q.returns, leaves, docs, scores)

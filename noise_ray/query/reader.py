@@ -42,6 +42,28 @@ class PostingList:
         return self.pos_concat[s:e]
 
 
+@dataclass
+class LazyBlock:
+    """One posting block: skip metadata eager, payload decoded on demand."""
+    min_doc: int
+    max_doc: int
+    cnt: int
+    max_tf_norm: float
+    _docs_raw: bytes
+    _tfs_raw: bytes
+    _lens_raw: bytes
+    _decoded: tuple | None = None
+
+    def decode(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docs, tfs, lens), doc-ascending."""
+        if self._decoded is None:
+            docs = decode_deltas(self._docs_raw, self.cnt)
+            tfs = decode_varint(self._tfs_raw, self.cnt).astype(np.int64)
+            lens = decode_varint(self._lens_raw, self.cnt).astype(np.int64)
+            self._decoded = (docs, tfs, lens)
+        return self._decoded
+
+
 _EMPTY = None
 
 
@@ -71,6 +93,7 @@ class IndexReader:
         for s in self.manifest["stats"]:
             self._stats_by_bucket.setdefault(s["bucket"], []).append(s["path"])
         self._postings_cache: dict[tuple[int, str], PostingList] = {}
+        self._block_cache: dict[tuple[int, str], list] = {}
         self._stats_cache: dict[tuple[int, str], tuple[int, int]] = {}
         self._docmap = self.manifest["docmap"]
         from collections import OrderedDict
@@ -129,6 +152,47 @@ class IndexReader:
         if len(self._postings_cache) < 4096:
             self._postings_cache[key] = pl
         return pl
+
+    # ------------------------------------------------- lazy posting blocks
+
+    def term_blocks(self, field: str | int, term: str) -> list["LazyBlock"]:
+        """Per-block view of a term's postings with skip metadata
+        (min_doc/max_doc/cnt/max_tf_norm) read eagerly and payloads decoded
+        on demand — the block-max WAND access path.  Blocks are doc-range
+        sorted and disjoint."""
+        fid = field if isinstance(field, int) else self.field_id.get(field, -1)
+        if fid < 0:
+            return []
+        key = (fid, term)
+        hit = self._block_cache.get(key)
+        if hit is not None:
+            return hit
+        blocks: list[LazyBlock] = []
+        bucket = term_bucket(term, self.num_buckets)
+        for rng in range(self.num_ranges):
+            path = self._seg_by_gkey.get(bucket * self.num_ranges + rng)
+            if path is None:
+                continue
+            t = pq.read_table(
+                path,
+                columns=["min_doc", "max_doc", "cnt", "max_tf_norm",
+                         "docs", "tfs", "lens"],
+                filters=[("field", "==", fid), ("term", "==", term)],
+            )
+            for row in range(t.num_rows):
+                blocks.append(LazyBlock(
+                    min_doc=int(t.column("min_doc")[row].as_py()),
+                    max_doc=int(t.column("max_doc")[row].as_py()),
+                    cnt=int(t.column("cnt")[row].as_py()),
+                    max_tf_norm=float(t.column("max_tf_norm")[row].as_py()),
+                    _docs_raw=t.column("docs")[row].as_py(),
+                    _tfs_raw=t.column("tfs")[row].as_py(),
+                    _lens_raw=t.column("lens")[row].as_py(),
+                ))
+        blocks.sort(key=lambda b: b.min_doc)
+        if len(self._block_cache) < 4096:
+            self._block_cache[key] = blocks
+        return blocks
 
     # ------------------------------------------------------------- stats
 
