@@ -1,0 +1,217 @@
+"""Line-protocol REPL / CLI driver, the analogue of the reference's repl
+(/root/reference/src/repl.rs:68-207) re-expressed for the batch Parquet
+engine:
+
+    create <dir> ;            make/overwrite an index directory
+    open <dir> ;              bind to an existing index
+    drop <dir> ;              delete an index directory
+    add <parquet> [...] ;     stage input parquet files (the reference's
+                              per-doc `add` becomes per-file staging)
+    fields f1,f2 ;            set indexed fields for the next commit
+    keys k1,k2 ;              set the stable doc ordering key columns
+    commit ;                  build (or resume) the index from staged files
+                              — the atomic WriteBatch flush analogue
+    params {"name": value} ;  bind @name parameters for subsequent finds
+    find <query> ;            run a query, print one JSON row per line
+    pretty [on|off] ;         toggle indented JSON
+    dumpstats ;               manifest summary (the `dumpkeys` analogue)
+    exit / quit / EOF         leave
+
+Statements are `;`-terminated, matching the reference's protocol.  The REPL
+owns its Ray session when run standalone (`python -m noise_ray`); under an
+existing session (tests) it reuses it.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+
+
+class Repl:
+    def __init__(self, out=None):
+        self.out = out or sys.stdout
+        self.index_dir: str | None = None
+        self.reader = None
+        self.staged: list[str] = []
+        self.fields = ("role", "text", "tool")
+        self.keys = ("conv_id", "turn_idx")
+        self.params: dict | None = None
+        self.pretty = False
+
+    # ------------------------------------------------------------ plumbing
+
+    def _p(self, *lines):
+        for l in lines:
+            print(l, file=self.out)
+
+    def _reader_or_err(self):
+        if self.index_dir is None:
+            self._p("Index isn't open")
+            return None
+        if self.reader is None:
+            from .query import IndexReader
+
+            try:
+                self.reader = IndexReader(self.index_dir)
+            except FileNotFoundError:
+                self._p("Index has no manifest (nothing committed yet)")
+                return None
+        return self.reader
+
+    # ------------------------------------------------------------ commands
+
+    def execute(self, stmt: str):
+        stmt = stmt.strip()
+        if not stmt:
+            return True
+        if stmt in ("exit", "quit"):
+            return False
+        head, _, rest = stmt.partition(" ")
+        rest = rest.strip()
+        fn = getattr(self, f"cmd_{head}", None)
+        if fn is None and head == "find":
+            fn = self.cmd_find
+        if fn is None:
+            self._p(f"Unknown command: {head}")
+            return True
+        try:
+            fn(rest if head != "find" else stmt)
+        except Exception as e:  # surface errors like the reference REPL
+            self._p(str(e))
+        return True
+
+    def cmd_create(self, rest: str):
+        shutil.rmtree(rest, ignore_errors=True)
+        os.makedirs(rest, exist_ok=True)
+        self.index_dir = rest
+        self.reader = None
+        self.staged = []
+
+    def cmd_open(self, rest: str):
+        if not os.path.isdir(rest):
+            self._p(f"No such index: {rest}")
+            return
+        self.index_dir = rest
+        self.reader = None
+
+    def cmd_drop(self, rest: str):
+        shutil.rmtree(rest, ignore_errors=True)
+        if rest == self.index_dir:
+            self.index_dir = None
+            self.reader = None
+
+    def cmd_add(self, rest: str):
+        paths = []
+        for pat in rest.split():
+            hits = sorted(glob.glob(pat))
+            if not hits:
+                self._p(f"No files match {pat}")
+                return
+            paths.extend(hits)
+        self.staged.extend(paths)
+        self._p(f"staged {len(paths)} file(s), {len(self.staged)} pending")
+
+    def cmd_fields(self, rest: str):
+        self.fields = tuple(f.strip() for f in rest.split(",") if f.strip())
+
+    def cmd_keys(self, rest: str):
+        self.keys = tuple(f.strip() for f in rest.split(",") if f.strip())
+
+    def cmd_commit(self, rest: str):
+        if self.index_dir is None:
+            self._p("Index isn't open")
+            return
+        if not self.staged:
+            self._p("nothing staged")
+            return
+        from .build import build_index
+
+        manifest = build_index(self.staged, self.index_dir,
+                               fields=self.fields, key_columns=self.keys)
+        self.reader = None
+        self._p(f"committed {manifest['num_docs']} docs, "
+                f"{len(manifest['segments'])} segments")
+
+    def cmd_params(self, rest: str):
+        v = json.loads(rest)
+        if not isinstance(v, dict):
+            self._p("Parameters must be json object")
+            return
+        self.params = v
+
+    def cmd_pretty(self, rest: str):
+        self.pretty = rest.strip().startswith("on")
+
+    def cmd_dumpstats(self, rest: str):
+        r = self._reader_or_err()
+        if r is None:
+            return
+        m = r.manifest
+        self._p(json.dumps({
+            "num_docs": m["num_docs"],
+            "fields": m["fields"],
+            "num_buckets": m["num_buckets"],
+            "num_ranges": m["num_ranges"],
+            "segments": len(m["segments"]),
+            "postings": sum(s["postings"] for s in m["segments"]),
+            "field_k": m["field_k"],
+        }, indent=2 if self.pretty else None))
+
+    def cmd_find(self, stmt: str):
+        r = self._reader_or_err()
+        if r is None:
+            return
+        from .query import run_query
+
+        t = run_query(r, stmt if stmt.endswith(";") else stmt + " ;",
+                      self.params)
+        for row in t.to_pylist():
+            self._p(json.dumps(_jsonable(row),
+                               indent=2 if self.pretty else None))
+
+
+def _jsonable(v):
+    import datetime
+
+    import numpy as np
+
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return v
+
+
+def run(inp=None, out=None, interactive: bool | None = None):
+    """Feed `;`-terminated statements from ``inp`` (default stdin)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    inp = inp or sys.stdin
+    repl = Repl(out)
+    if interactive is None:
+        interactive = inp is sys.stdin and sys.stdin.isatty()
+    buf = ""
+    while True:
+        if interactive:
+            print("noise> " if not buf else "    > ", end="", flush=True)
+        line = inp.readline()
+        if not line:
+            break
+        buf += line
+        while ";" in buf:
+            stmt, _, buf = buf.partition(";")
+            if not repl.execute(stmt):
+                return

@@ -1,0 +1,67 @@
+"""REPL line-protocol test, modeled on the reference's golden-script
+harness (/root/reference/tests/repl_tests.rs:10-71): feed `;`-terminated
+statements, compare full output."""
+
+import io
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_corpus(path: str):
+    t = pa.table({
+        "conv_id": pa.array(["a", "a", "b"]),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "role": pa.array(["user", "assistant", "user"]),
+        "text": pa.array(["quick brown fox", "lazy dog", "quick dog"]),
+        "tool": pa.array([None, None, None], pa.string()),
+        "ts": pa.array([0, 1, 2], pa.timestamp("us")),
+    })
+    pq.write_table(t, path)
+
+
+def test_repl_lifecycle(ray_session, tmp_path):
+    from noise_ray.repl import run
+
+    corpus = str(tmp_path / "docs.parquet")
+    _write_corpus(corpus)
+    idx = str(tmp_path / "idx")
+    script = f"""
+create {idx} ;
+add {corpus} ;
+commit ;
+find {{text: ~="quick"}} return ._id ;
+params {{"r": "assistant"}} ;
+find {{role: ==@r}} return ._id ;
+find {{role: =="user"}} return {{n: count()}} ;
+unknowncmd ;
+exit ;
+"""
+    out = io.StringIO()
+    run(io.StringIO(script), out, interactive=False)
+    lines = out.getvalue().strip().splitlines()
+    assert lines[0] == "staged 1 file(s), 1 pending"
+    assert lines[1].startswith("committed 3 docs")
+    # quick matches docs 0 and 2 (sorted by (conv_id, turn_idx))
+    ids = [eval(l)["doc_id"] for l in lines[2:4]]
+    assert ids == [0, 2]
+    assert eval(lines[4])["doc_id"] == 1          # @r = assistant
+    assert eval(lines[5])["n"] == 2.0             # grouped count
+    assert lines[6] == "Unknown command: unknowncmd"
+
+
+def test_repl_reopen(ray_session, tmp_path):
+    from noise_ray.repl import run
+
+    corpus = str(tmp_path / "docs.parquet")
+    _write_corpus(corpus)
+    idx = str(tmp_path / "idx2")
+    out = io.StringIO()
+    run(io.StringIO(f"create {idx} ; add {corpus} ; commit ; exit ;"),
+        out, interactive=False)
+    out2 = io.StringIO()
+    run(io.StringIO(f'open {idx} ; find {{text: ~="dog"}} return ._id ;'),
+        out2, interactive=False)
+    ids = [eval(l)["doc_id"] for l in out2.getvalue().strip().splitlines()]
+    assert ids == [1, 2]
