@@ -53,9 +53,15 @@ class EvalResult:
 
 
 class CompiledQuery:
-    def __init__(self, reader: IndexReader, node: ast.Node):
+    """``doc_range=(lo, hi)`` restricts evaluation to that doc_id interval
+    — exact under range partitioning because every filter and score is
+    per-doc independent (the basis of the distributed query fan-out)."""
+
+    def __init__(self, reader: IndexReader, node: ast.Node,
+                 doc_range: tuple[int, int] | None = None):
         self.reader = reader
         self.node = node
+        self.doc_range = doc_range
         self.num_slots = 0
         self.sum_idf_sq = F32(0.0)
         self._prepare(node)
@@ -122,6 +128,17 @@ class CompiledQuery:
             )  # src/query.rs:222-228
         _check_double_not(node, False)  # src/filters.rs:1051-1061
 
+    def _postings(self, field: str, term: str) -> PostingList:
+        pl = self.reader.postings(field, term)
+        if self.doc_range is not None:
+            pl = pl.slice_range(*self.doc_range)
+        return pl
+
+    def _universe(self) -> np.ndarray:
+        lo, hi = (self.doc_range if self.doc_range is not None
+                  else (0, self.reader.num_docs))
+        return np.arange(lo, hi, dtype=np.int64)
+
     def _term_scores(self, pl: PostingList, slot: _Slot) -> np.ndarray:
         """Vectorized add_match_score over a posting list (f32)."""
         tf = np.sqrt(pl.tfs.astype(F32))
@@ -131,7 +148,7 @@ class CompiledQuery:
     def _eval(self, node: ast.Node) -> EvalResult:
         reader = self.reader
         if isinstance(node, ast.Term):
-            pl = reader.postings(node.field, _stem_one(node.word))
+            pl = self._postings(node.field, _stem_one(node.word))
             r = EvalResult(pl.docs)
             slot = getattr(node, "_slot", None)  # None inside Not: unscored
             if slot is not None and not np.isnan(slot.idf):
@@ -154,7 +171,7 @@ class CompiledQuery:
             return self._eval_range(node)
 
         if isinstance(node, ast.AllDocs):
-            docs = np.arange(reader.num_docs, dtype=np.int64)
+            docs = self._universe()
             r = EvalResult(docs)
             # the reference hardcodes ordinal 1 here (src/filters.rs:58-63)
             r.slots[1] = (np.ones(docs.size, dtype=F32),
@@ -193,7 +210,7 @@ class CompiledQuery:
                 for r in results[1:]:
                     docs = np.intersect1d(docs, r.docs, assume_unique=True)
             else:
-                docs = np.arange(reader.num_docs, dtype=np.int64)
+                docs = self._universe()
                 results = []
             for c in negatives:
                 ndocs = self._not_docs(c)  # complement of the negated match
@@ -219,8 +236,7 @@ class CompiledQuery:
             inner = self._eval(node.inner).docs
         else:
             inner = self._eval(node).docs
-        universe = np.arange(self.reader.num_docs, dtype=np.int64)
-        return np.setdiff1d(universe, inner, assume_unique=True)
+        return np.setdiff1d(self._universe(), inner, assume_unique=True)
 
     # ---------------------------------------------------------- phrase
 
@@ -243,7 +259,7 @@ class CompiledQuery:
         plus the per-term posting lists.  Replicates the surviving-positions
         chain of src/filters.rs:206-215 (including the saturating_sub(1)
         quirk at position 0)."""
-        pls = [self.reader.postings(field, t) for t in terms]
+        pls = [self._postings(field, t) for t in terms]
         docs = pls[0].docs
         for pl in pls[1:]:
             docs = np.intersect1d(docs, pl.docs, assume_unique=True)
@@ -268,7 +284,7 @@ class CompiledQuery:
         terms, slots = self._phrase_meta(node)
         if len(terms) == 1:
             # parser emits a plain StemmedWordFilter for one token
-            pl = self.reader.postings(node.field, terms[0])
+            pl = self._postings(node.field, terms[0])
             r = EvalResult(pl.docs)
             if not np.isnan(slots[0].idf):
                 r.slots[slots[0].ordinal] = (
@@ -311,7 +327,11 @@ class CompiledQuery:
         reader = self.reader
         fieldname = node.field
         docs_parts = []
+        rlo, rhi = (self.doc_range if self.doc_range is not None
+                    else (0, reader.num_docs))
         for dm in reader._docmap:
+            if dm["max_doc"] < rlo or dm["min_doc"] >= rhi:
+                continue  # partition outside the evaluated doc range
             try:
                 t = pq.read_table(dm["path"], columns=["doc_id", fieldname])
             except Exception:
@@ -346,9 +366,10 @@ class CompiledQuery:
                     mask = pc.is_valid(vals)
                 else:
                     mask = pc.and_(mask, pc.is_valid(vals))
-            sel = t.filter(mask).column("doc_id").to_numpy()
+            sel = t.filter(mask).column("doc_id").to_numpy().astype(np.int64)
+            sel = sel[(sel >= rlo) & (sel < rhi)]
             if sel.size:
-                docs_parts.append(sel.astype(np.int64))
+                docs_parts.append(sel)
         docs = (np.sort(np.concatenate(docs_parts))
                 if docs_parts else np.zeros(0, dtype=np.int64))
         r = EvalResult(docs)
@@ -368,7 +389,7 @@ class CompiledQuery:
         survives depend on persistent iterator state, so this runs the
         reference algorithm sequentially over the decoded posting arrays."""
         terms, slots = self._phrase_meta(node)
-        pls = [self.reader.postings(node.field, t) for t in terms]
+        pls = [self._postings(node.field, t) for t in terms]
         score_arrays = [
             None if np.isnan(s.idf) else self._term_scores(pl, s)
             for pl, s in zip(pls, slots)

@@ -61,6 +61,15 @@ def run_query(reader: IndexReader, q: ast.Query | str,
 
 def _apply_order_limit(reader, q, docs, scores):
     if q.order:
+        # Pure relevance ordering gets an implicit ascending doc_id
+        # tie-break (SURVEY §2.6: "ties broken by doc_id asc to mirror seq
+        # order").  This makes the ordering TOTAL, so the output is
+        # independent of which non-qualifying rows a pruned candidate
+        # stream (WAND / distributed local-top-k) omitted — the buffered
+        # merge's tie behavior otherwise depends on chunk boundaries.
+        # Field orderings keep the reference's ported buffer semantics
+        # (limit.noise tie quirks) unchanged.
+        score_only = all(k.score for k in q.order)
         # fetch field values for all matched docs (only fields used as keys)
         key_fields = [k.field for k in q.order if not k.score]
         field_vals: dict[str, list] = {}
@@ -79,8 +88,13 @@ def _apply_order_limit(reader, q, docs, scores):
                     if v is None:
                         v = k.default
                     keys.append(_normalize_key(v))
+            if score_only:
+                keys.append(int(docs[i]))
             rows.append((*keys, i))
-        ordered = order_and_limit(rows, [k.desc for k in q.order], q.limit)
+        orders = [k.desc for k in q.order]
+        if score_only:
+            orders.append(False)  # doc_id ascending
+        ordered = order_and_limit(rows, orders, q.limit)
         sel = [r[-1] for r in ordered]
         docs = docs[sel]
         scores = scores[sel]

@@ -41,6 +41,24 @@ class PostingList:
         e = s + self.tfs[i]
         return self.pos_concat[s:e]
 
+    def slice_range(self, lo: int, hi: int) -> "PostingList":
+        """Postings restricted to doc_ids in [lo, hi) — zero-copy views.
+        Used by range-partitioned (distributed) query evaluation."""
+        s = int(np.searchsorted(self.docs, lo, side="left"))
+        e = int(np.searchsorted(self.docs, hi, side="left"))
+        if s == 0 and e == self.size:
+            return self
+        p0 = int(self.pos_starts[s]) if s < self.size else len(self.pos_concat)
+        p1 = (int(self.pos_starts[e - 1] + self.tfs[e - 1])
+              if e > s else p0)
+        return PostingList(
+            docs=self.docs[s:e],
+            tfs=self.tfs[s:e],
+            lens=self.lens[s:e],
+            pos_concat=self.pos_concat[p0:p1],
+            pos_starts=self.pos_starts[s:e] - p0,
+        )
+
 
 @dataclass
 class LazyBlock:

@@ -1,0 +1,45 @@
+"""Distributed (range-partitioned) query execution must be bit-identical
+to local evaluation for every query shape — filters, scoring, ordering,
+ties, aggregates, params."""
+
+import pytest
+
+from noise_ray.query import IndexReader, run_query, run_query_distributed
+
+
+@pytest.fixture(scope="module")
+def idx(small_transcripts):
+    return small_transcripts["index"]
+
+
+QUERIES = [
+    'find {text: ~="fox"} order score() desc return score() limit 10 ;',
+    'find {text: ~="the"} order score() desc return score() limit 25 ;',
+    'find {text: ~="quick" || text: ~="brown" || text: ~="fox"} '
+    "order score() desc return score() limit 15 ;",
+    'find {text: ~="quick fox"} order score() desc return score() ;',
+    'find {text: ~2="quick fox"} limit 40 ;',
+    'find {role: =="assistant", text: ~="time"} limit 30 ;',
+    'find {text: ~="work"} && !{role: =="system"} limit 50 ;',
+    'find {turn_idx: >= 3, turn_idx: < 6} limit 100 ;',
+    'find {text: ~="time"} order .conv_id desc, .turn_idx asc limit 20 ;',
+    'find {role: =="user"} return {r: group(.role), n: count()} ;',
+    'find {text: ~="the"} return {t: group(.tool), n: count(), '
+    "mx: max(.turn_idx)} ;",
+]
+
+
+@pytest.mark.parametrize("parts", [1, 3, 7])
+@pytest.mark.parametrize("q", QUERIES)
+def test_distributed_identical(idx, q, parts):
+    local = run_query(IndexReader(idx), q).to_pylist()
+    dist = run_query_distributed(idx, q, num_partitions=parts).to_pylist()
+    assert dist == local
+
+
+def test_distributed_params(idx):
+    q = 'find {role: ==@r} return {n: count()} ;'
+    local = run_query(IndexReader(idx), q, {"r": "user"}).to_pylist()
+    dist = run_query_distributed(idx, q, {"r": "user"},
+                                 num_partitions=4).to_pylist()
+    assert dist == local
