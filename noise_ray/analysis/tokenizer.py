@@ -83,6 +83,7 @@ def tokenize(text: str) -> list[tuple[int, str]]:
     return out
 
 
+@lru_cache(maxsize=65536)
 def tokenize_grouped(text: str) -> tuple[list[str], list[list[int]], int]:
     """Tokenize and group by stem, as the index build needs.
 
@@ -90,6 +91,9 @@ def tokenize_grouped(text: str) -> tuple[list[str], list[list[int]], int]:
     total number of tokens (the reference's L entry,
     /root/reference/src/json_shred.rs:156-173) and positions are ascending
     per term.  Term order is first-occurrence order.
+
+    Cached per text (low-cardinality fields like role/tool repeat millions
+    of times); callers must treat the returned lists as READ-ONLY.
     """
     toks = tokenize(text)
     terms: list[str] = []
