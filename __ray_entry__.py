@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": relational.orders_by_segment,
         "shipdate_range_counts": relational.shipdate_range_counts,
         "sessionize": relational.sessionize,
+        "asof_latest_order": relational.asof_latest_order,
+        "prev_event": relational.prev_event,
         # --- dedup suite
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -185,6 +187,17 @@ def oracle_sql() -> dict[str, str]:
                            > INTERVAL 30 MINUTE AS gap
                 FROM events
             ) GROUP BY user_id""",
+        "asof_latest_order": """
+            SELECT e.event_id, o.o_orderdate AS asof_date
+            FROM events e ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            ORDER BY e.event_id""",
+        "prev_event": """
+            SELECT event_id,
+                   coalesce(lag(event_id) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), -1)
+                       AS prev_event_id
+            FROM events ORDER BY event_id""",
         "dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
             FROM documents GROUP BY md5(text)""",

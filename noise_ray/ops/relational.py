@@ -175,3 +175,81 @@ def sessionize(sf_dir: str, gap_seconds: int = 1800):
         .groupby("user_id")
         .map_groups(sessions, batch_format="pyarrow")
     )
+
+
+def asof_latest_order(sf_dir: str):
+    """As-of join: for each event, the o_orderdate of the user's latest
+    order at or before the event timestamp.
+
+    Ray-native two-dataset as-of: both sides are tagged, unioned, and
+    co-shuffled by the join key in ONE ``groupby(key)``; each group sorts
+    its order rows once and resolves every event with a vectorized
+    searchsorted — no driver-side join, no per-event lookups.  At 100 TB
+    the shuffle moves each row exactly once, partitioned by key.
+    """
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b.column("user_id"),
+            "t": b.column("ts"),
+            "event_id": b.column("event_id"),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b.column("o_custkey"),
+            "t": b.column("o_orderdate"),
+            "event_id": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        })
+
+    def asof_group(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy()
+        ts = g.column("t").to_numpy().astype("datetime64[us]").astype(np.int64)
+        ev_mask = side == 0
+        ev_ts = ts[ev_mask]
+        ev_id = g.column("event_id").to_numpy()[ev_mask]
+        od_ts = np.sort(ts[~ev_mask])
+        if ev_id.size == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "asof_date": pa.array([], pa.timestamp("us"))})
+        idx = np.searchsorted(od_ts, ev_ts, side="right") - 1
+        matched = np.where(idx >= 0, od_ts[np.maximum(idx, 0)], -1)
+        keep = idx >= 0  # events with no prior order are dropped (inner asof)
+        return pa.table({
+            "event_id": pa.array(ev_id[keep], pa.int64()),
+            "asof_date": pa.array(matched[keep].astype("datetime64[us]")),
+        })
+
+    return (
+        events.map_batches(tag_events, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("key")
+        .map_groups(asof_group, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+def prev_event(sf_dir: str):
+    """Windowed as-of within one stream: each event's predecessor in its
+    user's timeline (lag over (user_id, ts) — groupby + per-group sort)."""
+    def lag_group(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        ev = g.column("event_id").to_numpy()
+        order = np.lexsort((ev, ts))
+        ev_sorted = ev[order]
+        prev = np.empty_like(ev_sorted)
+        prev[0] = -1
+        prev[1:] = ev_sorted[:-1]
+        return pa.table({"event_id": pa.array(ev_sorted, pa.int64()),
+                         "prev_event_id": pa.array(prev, pa.int64())})
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(lag_group, batch_format="pyarrow")
+        .sort("event_id")
+    )
