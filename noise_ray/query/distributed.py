@@ -33,13 +33,20 @@ from .engine import F32, CompiledQuery
 from .parser import parse_query, ret_leaves
 from .reader import IndexReader
 
-_READER_CACHE: dict[str, IndexReader] = {}
+_READER_CACHE: dict[tuple, IndexReader] = {}
 
 
 def _cached_reader(index_dir: str) -> IndexReader:
-    r = _READER_CACHE.get(index_dir)
+    import os
+
+    try:
+        tomb_mtime = os.stat(os.path.join(index_dir, "tombstones.json")).st_mtime_ns
+    except FileNotFoundError:
+        tomb_mtime = 0
+    key = (index_dir, tomb_mtime)
+    r = _READER_CACHE.get(key)
     if r is None:
-        r = _READER_CACHE[index_dir] = IndexReader(index_dir)
+        r = _READER_CACHE[key] = IndexReader(index_dir)
     return r
 
 

@@ -121,6 +121,23 @@ class CompiledQuery:
         self._check_not_validity(self.node)
         return self._eval(self.node)
 
+    def _drop_dead(self, r: EvalResult) -> EvalResult:
+        """Filter tombstoned docs out of a leaf result (slots stay
+        aligned).  Compositions (and/or/not) inherit the exclusion because
+        every leaf and the universe exclude them."""
+        t = self.reader.tombstones
+        if t.size == 0 or r.docs.size == 0:
+            return r
+        pos = np.searchsorted(t, r.docs)
+        pos[pos >= t.size] = t.size - 1
+        keep = t[pos] != r.docs
+        if keep.all():
+            return r
+        out = EvalResult(r.docs[keep])
+        for o, (s, c) in r.slots.items():
+            out.slots[o] = (s[keep], c[keep])
+        return out
+
     def _check_not_validity(self, node: ast.Node):
         if _is_all_not(node):
             raise ValueError(
@@ -137,7 +154,11 @@ class CompiledQuery:
     def _universe(self) -> np.ndarray:
         lo, hi = (self.doc_range if self.doc_range is not None
                   else (0, self.reader.num_docs))
-        return np.arange(lo, hi, dtype=np.int64)
+        u = np.arange(lo, hi, dtype=np.int64)
+        t = self.reader.tombstones
+        if t.size:
+            u = np.setdiff1d(u, t, assume_unique=True)
+        return u
 
     def _term_scores(self, pl: PostingList, slot: _Slot) -> np.ndarray:
         """Vectorized add_match_score over a posting list (f32)."""
@@ -145,7 +166,15 @@ class CompiledQuery:
         norm = F32(1.0) / np.sqrt(pl.lens.astype(F32))
         return ((slot.idf * slot.idf) * tf * norm * F32(slot.boost)).astype(F32)
 
+    _LEAVES = (ast.Term, ast.Phrase, ast.Proximity, ast.Exact, ast.RangeQ)
+
     def _eval(self, node: ast.Node) -> EvalResult:
+        r = self._eval_node(node)
+        if isinstance(node, self._LEAVES):
+            r = self._drop_dead(r)
+        return r
+
+    def _eval_node(self, node: ast.Node) -> EvalResult:
         reader = self.reader
         if isinstance(node, ast.Term):
             pl = self._postings(node.field, _stem_one(node.word))

@@ -117,6 +117,43 @@ class IndexReader:
         from collections import OrderedDict
         self._docmap_col_cache: OrderedDict = OrderedDict()
         self._docmap_cache_bytes = 0
+        # tombstoned doc_ids (Lucene-style deletes: hidden from every query,
+        # stats unchanged until a rebuild — the segment-tombstone design
+        # SURVEY §2.10 reserves for the reference's Index::delete,
+        # /root/reference/src/index.rs:164-179)
+        self._tombstone_path = os.path.join(index_dir, "tombstones.json")
+        self.tombstones = self._load_tombstones()
+
+    def _load_tombstones(self) -> np.ndarray:
+        if os.path.exists(self._tombstone_path):
+            with open(self._tombstone_path) as f:
+                return np.array(sorted(set(json.load(f))), dtype=np.int64)
+        return np.zeros(0, dtype=np.int64)
+
+    def add_tombstones(self, doc_ids) -> int:
+        """Mark docs deleted (atomic publish); returns live tombstone count."""
+        import uuid
+
+        merged = sorted(set(self.tombstones.tolist()) | {int(d) for d in doc_ids})
+        tmp = f"{self._tombstone_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, self._tombstone_path)
+        self.tombstones = np.array(merged, dtype=np.int64)
+        return len(merged)
+
+    def lookup_doc(self, conv_id: str, turn_idx: int) -> int | None:
+        """Resolve a (key columns) identity to its doc_id (the analogue of
+        the reference's I<id> lookup, src/key_builder.rs:104-109)."""
+        keys = self.manifest["key_columns"]
+        filters = [(keys[0], "==", conv_id)]
+        if len(keys) > 1:
+            filters.append((keys[1], "==", turn_idx))
+        for dm in self._docmap:
+            t = pq.read_table(dm["path"], columns=["doc_id"], filters=filters)
+            if t.num_rows:
+                return int(t.column("doc_id")[0].as_py())
+        return None
 
     # ---------------------------------------------------------- postings
 

@@ -150,4 +150,5 @@ def _score_interval(cq, infos, lo, hi):
         sums[idx] = sc
         cnts[idx] = 1
         res.slots[ordinal] = (sums, cnts)
-    return union, cq.final_scores(res)
+    res = cq._drop_dead(res)  # tombstoned docs never surface
+    return res.docs, cq.final_scores(res)

@@ -136,6 +136,28 @@ class Repl:
         self._p(f"committed {manifest['num_docs']} docs, "
                 f"{len(manifest['segments'])} segments")
 
+    def cmd_del(self, rest: str):
+        """`del <doc_id>... ;` or `del <conv_id>:<turn_idx> ;` — tombstone
+        docs (hidden from every query; stats unchanged until rebuild), the
+        analogue of the reference's Index::delete
+        (/root/reference/src/index.rs:164-179)."""
+        r = self._reader_or_err()
+        if r is None:
+            return
+        doc_ids = []
+        for tok in rest.split():
+            if ":" in tok:
+                conv, _, turn = tok.rpartition(":")
+                d = r.lookup_doc(conv, int(turn))
+                if d is None:
+                    self._p(f"not found: {tok}")
+                    return
+                doc_ids.append(d)
+            else:
+                doc_ids.append(int(tok))
+        total = r.add_tombstones(doc_ids)
+        self._p(f"ok ({total} tombstoned)")
+
     def cmd_params(self, rest: str):
         v = json.loads(rest)
         if not isinstance(v, dict):
