@@ -73,10 +73,15 @@ def tokenize(text: str) -> list[tuple[int, str]]:
     """
     out: list[tuple[int, str]] = []
     pos = 0
-    for _start, seg in word_segments(text):
-        stemmed = _norm_lower_stem(seg)
+    stem = _norm_lower_stem
+    append = out.append
+    # findall (one C call) rather than the word_segments generator: the
+    # build path discards segment offsets, and Match-object overhead is
+    # the tokenizer's hottest line at index-build scale.
+    for seg in _SEG_RE.findall(text):
+        stemmed = stem(seg)
         if stemmed is not None:
-            out.append((pos, stemmed))
+            append((pos, stemmed))
             pos += 1
     if not out:
         return [(0, unicodedata.normalize("NFKC", text))]

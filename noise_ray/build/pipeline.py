@@ -13,12 +13,13 @@ re-expressed as ONE streaming Ray Data execution:
                            Idempotent (tmp+rename), resumable per file.
   stage 2  tokenize        actor-pool ``map_batches`` over zero-copy Arrow
                            batches → per-(field, term) PRE-COMBINED posting
-                           runs (docs/tfs/lens/positions arrays, ascending
+                           runs, already delta+varint ENCODED (ascending
                            doc order) with a shuffle key `gkey` = (term
                            bucket, doc range).  Replicates
                            src/json_shred.rs:148-203 with a map-side
-                           combiner: the wide shuffle moves one row per
-                           (task, field, term), not one per posting.
+                           combiner: the wide shuffle moves one ~2B/posting
+                           binary row per (task, field, term), not one
+                           20B+ row per posting.
   stage 3  shuffle+write   ``groupby(gkey).map_groups`` → segment writer:
                            order runs by (field, term, min_doc), concatenate
                            (runs are doc-disjoint — each ingest task owns a
@@ -63,7 +64,8 @@ import ray
 import ray.data
 
 from ..analysis.tokenizer import tokenize_grouped
-from .codec import encode_deltas, encode_position_lists, encode_varint
+from .codec import (decode_deltas, decode_position_lists, decode_varint,
+                    encode_deltas, encode_position_lists, encode_varint)
 from .docids import FilePlan, plan_doc_ids, sorted_key_indices
 
 DEFAULT_FIELDS = ("role", "text", "tool")
@@ -194,43 +196,52 @@ class TokenizeBatch:
                     e[1].append(len(p))
                     e[2].append(field_len)
                     e[3].extend(p)
-        out = {k: [] for k in ("gkey", "field", "term", "min_doc", "docs",
-                               "tfs", "lens", "pos")}
+        out = {k: [] for k in ("gkey", "field", "term", "min_doc", "cnt",
+                               "docs", "tfs", "lens", "pos")}
         for (fi, t), (docs, tfs, lens, pos) in acc.items():
             b = bucket(t) * nr
+            docs_np = np.asarray(docs, dtype=np.int64)
+            tfs_np = np.asarray(tfs, dtype=np.int64)
+            lens_np = np.asarray(lens, dtype=np.int64)
+            pos_np = np.asarray(pos, dtype=np.int64)
+            pos_ends = np.cumsum(tfs_np)
             # split the run at doc-range boundaries so each row belongs to
             # exactly one shuffle group (gkey = bucket × range)
-            lo = 0
-            while lo < len(docs):
-                rng = min(docs[lo] // span, nr - 1)
-                if rng == nr - 1:
-                    hi = len(docs)
-                else:
-                    end_doc = (rng + 1) * span
-                    hi = lo
-                    while hi < len(docs) and docs[hi] < end_doc:
-                        hi += 1
-                p_lo = sum(tfs[:lo])
-                p_hi = p_lo + sum(tfs[lo:hi])
+            if nr == 1:
+                starts, ends = [0], [docs_np.size]
+            else:
+                rng_of = np.minimum(docs_np // span, nr - 1)
+                cut = np.flatnonzero(np.diff(rng_of)) + 1
+                starts = np.concatenate(([0], cut))
+                ends = np.concatenate((cut, [docs_np.size]))
+            for lo, hi in zip(starts, ends):
+                lo, hi = int(lo), int(hi)
+                rng = min(int(docs_np[lo]) // span, nr - 1)
+                p_lo = int(pos_ends[lo - 1]) if lo else 0
+                p_hi = int(pos_ends[hi - 1])
                 out["gkey"].append(b + rng)
                 out["field"].append(fi)
                 out["term"].append(t)
-                out["min_doc"].append(docs[lo])
-                out["docs"].append(docs[lo:hi])
-                out["tfs"].append(tfs[lo:hi])
-                out["lens"].append(lens[lo:hi])
-                out["pos"].append(pos[p_lo:p_hi])
-                lo = hi
+                out["min_doc"].append(int(docs_np[lo]))
+                out["cnt"].append(hi - lo)
+                # pre-encode in the mapper: the wide shuffle moves varint
+                # bytes (~2B/posting), not int64 lists (~20B/posting)
+                out["docs"].append(encode_deltas(docs_np[lo:hi]))
+                out["tfs"].append(encode_varint(tfs_np[lo:hi]))
+                out["lens"].append(encode_varint(lens_np[lo:hi]))
+                out["pos"].append(
+                    encode_position_lists(pos_np[p_lo:p_hi], tfs_np[lo:hi]))
         return pa.table(
             {
                 "gkey": pa.array(out["gkey"], pa.int32()),
                 "field": pa.array(out["field"], pa.int32()),
                 "term": pa.array(out["term"], pa.string()),
                 "min_doc": pa.array(out["min_doc"], pa.int64()),
-                "docs": pa.array(out["docs"], pa.list_(pa.int64())),
-                "tfs": pa.array(out["tfs"], pa.list_(pa.int32())),
-                "lens": pa.array(out["lens"], pa.list_(pa.int32())),
-                "pos": pa.array(out["pos"], pa.list_(pa.int32())),
+                "cnt": pa.array(out["cnt"], pa.int32()),
+                "docs": pa.array(out["docs"], pa.binary()),
+                "tfs": pa.array(out["tfs"], pa.binary()),
+                "lens": pa.array(out["lens"], pa.binary()),
+                "pos": pa.array(out["pos"], pa.binary()),
             }
         )
 
@@ -284,16 +295,13 @@ def _write_segment_group(group: pa.Table, seg_dir: str, stats_dir: str,
     r_field = group.column("field").to_numpy()
     r_term = group.column("term").to_pandas().to_numpy()  # object array
     r_min = group.column("min_doc").to_numpy()
+    r_cnt = group.column("cnt").to_numpy()
     order = np.lexsort((r_min, r_term, r_field))
 
-    def _flat(name, dtype):
-        la = group.column(name).combine_chunks()
-        return la.offsets.to_numpy(), la.values.to_numpy().astype(dtype)
-
-    d_off, d_val = _flat("docs", np.int64)
-    t_off, t_val = _flat("tfs", np.int64)
-    l_off, l_val = _flat("lens", np.int64)
-    p_off, p_val = _flat("pos", np.int64)
+    d_bin = group.column("docs").to_pylist()
+    t_bin = group.column("tfs").to_pylist()
+    l_bin = group.column("lens").to_pylist()
+    p_bin = group.column("pos").to_pylist()
 
     n = len(order)
     rows: dict[str, list] = {k: [] for k in (
@@ -312,10 +320,17 @@ def _write_segment_group(group: pa.Table, seg_dir: str, stats_dir: str,
         while j < n and r_field[order[j]] == fi and r_term[order[j]] == tm:
             j += 1
         runs = order[i:j]
-        docs = np.concatenate([d_val[d_off[r]:d_off[r + 1]] for r in runs])
-        tfs = np.concatenate([t_val[t_off[r]:t_off[r + 1]] for r in runs])
-        lens = np.concatenate([l_val[l_off[r]:l_off[r + 1]] for r in runs])
-        pos_flat = np.concatenate([p_val[p_off[r]:p_off[r + 1]] for r in runs])
+        run_tfs = [decode_varint(t_bin[r], int(r_cnt[r])).astype(np.int64)
+                   for r in runs]
+        docs = np.concatenate(
+            [decode_deltas(d_bin[r], int(r_cnt[r])) for r in runs])
+        tfs = np.concatenate(run_tfs)
+        lens = np.concatenate(
+            [decode_varint(l_bin[r], int(r_cnt[r])).astype(np.int64)
+             for r in runs])
+        pos_flat = np.concatenate(
+            [decode_position_lists(p_bin[r], rt)
+             for r, rt in zip(runs, run_tfs)])
         pos_splits = np.cumsum(tfs)
         tf_norm = np.sqrt(tfs.astype(np.float32)) / np.sqrt(
             lens.astype(np.float32))
