@@ -56,6 +56,53 @@ def _search_transcripts(query: str):
     return run
 
 
+def _incremental_upsert(sf_dir: str):
+    """Incremental add + upsert (SURVEY §2.0 Index::add on a live index):
+    build a tiny base index, append an epoch that also re-adds one existing
+    (conv_id, turn_idx) key, and query across epochs.  Deterministic fixed
+    corpus; rows-only check (exercised value-exactly in
+    tests/test_incremental.py)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from noise_ray.build import add_documents, build_index
+    from noise_ray.query import IndexReader, run_query
+
+    def write(dirpath, name, rows):
+        os.makedirs(dirpath, exist_ok=True)
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array(range(len(rows)), pa.timestamp("us")),
+        })
+        p = os.path.join(dirpath, name)
+        pq.write_table(t, p)
+        return p
+
+    root = tempfile.mkdtemp(prefix="noise_ray_incr_")
+    base = write(os.path.join(root, "in0"), "part-0.parquet", [
+        ("a", 0, "user", "the quick brown fox"),
+        ("a", 1, "assistant", "lazy dogs sleep"),
+        ("b", 0, "user", "fox hunting season"),
+    ])
+    idx = os.path.join(root, "idx")
+    build_index([base], idx, num_buckets=4)
+    delta = write(os.path.join(root, "in1"), "part-1.parquet", [
+        ("a", 0, "user", "updated fox text entirely"),  # upsert of (a, 0)
+        ("c", 0, "user", "quick quick fox"),
+    ])
+    add_documents(idx, [delta])
+    return run_query(
+        IndexReader(idx),
+        'find {text: ~="fox"} order score() desc return score() limit 10 ;')
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from noise_ray.ops import dedup, multimodal, relational, similarity, text
 
@@ -121,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.langid,
         # --- multimodal plumbing
         "payload_metadata": multimodal.payload_metadata,
+        # --- lifecycle: incremental add + upsert epochs
+        "incremental_upsert": _incremental_upsert,
     }
 
 

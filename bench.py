@@ -114,39 +114,46 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
 
 
 def _scaling() -> dict:
-    """Same job, same input, fresh processes at 8 and 32 CPUs.
+    """Same job, same input, fresh processes at two parallelism levels
+    (default 8 and 32 CPUs; override with GRAFT_SCALING_LEVELS="8,32").
 
     Uses a corpus large enough (GRAFT_SCALING_CONVS conversations, default
-    200k ≈ 2.2M turns) that per-session fixed costs don't mask scaling."""
+    200k ≈ 2.2M turns) that per-session fixed costs don't mask scaling.
+    Trials INTERLEAVE the two levels (lo, hi, lo, hi, ...) and each level
+    takes its best: the sandbox VM shares its host with other guests and
+    contention drifts minute to minute, so back-to-back same-level trials
+    would compare different machines."""
     convs = os.environ.get("GRAFT_SCALING_CONVS", "200000")
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(","))
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
     env0 = dict(os.environ, GRAFT_BENCH_CONVS=convs)
     # Warm the shared corpus cache once so generation isn't timed.
     subprocess.run([sys.executable, __file__, "--gen-corpus"], env=env0,
                    check=True)
-    results = {}
-    for cpus in (8, 32):
-        env = dict(env0, RAY_GRAFT_CPUS=str(cpus))
-        best = None
-        for _ in range(2):  # best-of-2: damp transient machine contention
+    best: dict[int, dict] = {}
+    for _ in range(trials):
+        for cpus in (lo, hi):
+            env = dict(env0, RAY_GRAFT_CPUS=str(cpus))
             p = subprocess.run([sys.executable, __file__, "--build-only"],
                                env=env, check=True, capture_output=True,
                                text=True)
             r = json.loads(p.stdout.strip().splitlines()[-1])
-            if best is None or r["build_sec"] < best["build_sec"]:
-                best = r
-        results[cpus] = best
-    t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
-    eff = (t32 / t8) / (32 / 8)
+            if cpus not in best or r["build_sec"] < best[cpus]["build_sec"]:
+                best[cpus] = r
+    t_lo, t_hi = best[lo]["turns_per_sec"], best[hi]["turns_per_sec"]
+    eff = (t_hi / t_lo) / (hi / lo)
     return {
-        "metric": "index-build scaling efficiency (8 -> 32 CPUs, fresh processes, same input)",
+        "metric": (f"index-build scaling efficiency ({lo} -> {hi} CPUs, "
+                   "fresh processes, interleaved trials, same input)"),
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": _sf_of(SF_DIR),
-        "throughput_8cpu": t8,
-        "throughput_32cpu": t32,
-        "build_sec_8cpu": results[8]["build_sec"],
-        "build_sec_32cpu": results[32]["build_sec"],
-        "num_turns": results[8]["num_turns"],
+        f"throughput_{lo}cpu": t_lo,
+        f"throughput_{hi}cpu": t_hi,
+        f"build_sec_{lo}cpu": best[lo]["build_sec"],
+        f"build_sec_{hi}cpu": best[hi]["build_sec"],
+        "num_turns": best[lo]["num_turns"],
     }
 
 

@@ -1,3 +1,5 @@
+from .incremental import add_documents, total_docs
 from .pipeline import build_index, term_bucket, DEFAULT_FIELDS, MANIFEST_NAME
 
-__all__ = ["build_index", "term_bucket", "DEFAULT_FIELDS", "MANIFEST_NAME"]
+__all__ = ["add_documents", "build_index", "term_bucket", "total_docs",
+           "DEFAULT_FIELDS", "MANIFEST_NAME"]

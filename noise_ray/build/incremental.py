@@ -1,0 +1,120 @@
+"""Incremental document adds: Lucene-style epoch indexes.
+
+The reference's ``Index::add`` + ``flush`` appends documents to a live
+index under a monotonically increasing seq, and re-adding an existing
+``_id`` is an upsert (delete old entries + reinsert,
+/root/reference/src/index.rs:131-161, src/json_shred.rs:452-475).
+
+Our batch-immutable analogue: each ``add_documents`` call builds a
+self-contained DELTA index ("epoch") under ``<index>/epochs/epoch-NNNN/``
+with the SAME streaming Ray Data pipeline as the base build, doc_ids
+continuing the parent's seq space (``doc_id_offset``).  The root
+``IndexReader`` merges postings / stats / docmaps across epochs at query
+time; upserts tombstone the older doc_id (Lucene hidden-doc deletes).
+
+An epoch is visible only once its ``manifest.json`` exists (build_index
+publishes it last, atomically), so a crashed add leaves an invisible
+partial epoch that the next add with the same inputs resumes (same epoch
+id = max existing + 1 only counts *published* epochs; unpublished
+directories are re-entered by name).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .pipeline import MANIFEST_NAME, build_index
+
+_EPOCH_RE = re.compile(r"^epoch-(\d{4})$")
+
+
+def _epoch_dirs(index_dir: str) -> list[str]:
+    """Published epoch directories (manifest present), in epoch order."""
+    edir = os.path.join(index_dir, "epochs")
+    if not os.path.isdir(edir):
+        return []
+    out = []
+    for name in sorted(os.listdir(edir)):
+        if _EPOCH_RE.match(name) and os.path.exists(
+                os.path.join(edir, name, MANIFEST_NAME)):
+            out.append(os.path.join(edir, name))
+    return out
+
+
+def total_docs(index_dir: str) -> int:
+    """Seq-space high-water mark across the base index and all epochs."""
+    with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+        base = json.load(f)
+    total = int(base.get("doc_id_offset", 0)) + int(base["num_docs"])
+    for ed in _epoch_dirs(index_dir):
+        with open(os.path.join(ed, MANIFEST_NAME)) as f:
+            m = json.load(f)
+        total = max(total, int(m.get("doc_id_offset", 0)) + int(m["num_docs"]))
+    return total
+
+
+def add_documents(index_dir: str, new_paths: list[str],
+                  *, update: bool = True) -> dict:
+    """Append documents from ``new_paths`` to an existing index.
+
+    Builds one new epoch; with ``update=True`` (the reference's upsert
+    semantics) any older doc sharing the new docs' key columns is
+    tombstoned so the new row shadows it.  Returns the epoch manifest.
+    """
+    with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+        base = json.load(f)
+    fields = tuple(base["fields"])
+    key_columns = tuple(base["key_columns"])
+    offset = total_docs(index_dir)
+
+    existing = _epoch_dirs(index_dir)
+    n = (int(_EPOCH_RE.match(os.path.basename(existing[-1])).group(1)) + 1
+         if existing else 1)
+    epoch_dir = os.path.join(index_dir, "epochs", f"epoch-{n:04d}")
+    os.makedirs(epoch_dir, exist_ok=True)
+
+    manifest = build_index(
+        list(new_paths), epoch_dir,
+        fields=fields, key_columns=key_columns,
+        # the term -> bucket hash must agree across epochs so a term's
+        # postings are found in every epoch's segment set
+        num_buckets=int(base["num_buckets"]),
+        doc_id_offset=offset,
+    )
+
+    tombstoned: list[int] = []
+    if update:
+        tombstoned = _tombstone_shadowed(index_dir, new_paths,
+                                         list(key_columns), offset)
+    manifest["tombstoned"] = tombstoned
+    return manifest
+
+
+def _tombstone_shadowed(index_dir: str, new_paths: list[str],
+                        key_columns: list[str], offset: int) -> list[int]:
+    """Tombstone older docs whose key columns collide with the new batch
+    (upsert semantics).  Vectorized: one hash semi-join per docmap
+    partition over the key columns only."""
+    new_keys = pa.concat_tables(
+        [pq.read_table(p, columns=key_columns) for p in new_paths]
+    )
+    # root-level reader state: tombstones live at the index root
+    from ..query.reader import IndexReader
+
+    reader = IndexReader(index_dir)
+    dead: list[int] = []
+    for dm in reader._docmap:
+        if dm["min_doc"] >= offset:
+            continue  # the epoch being added (or newer)
+        t = pq.read_table(dm["path"], columns=["doc_id", *key_columns])
+        hit = t.join(new_keys, keys=key_columns, join_type="inner")
+        if hit.num_rows:
+            dead.extend(hit.column("doc_id").to_pylist())
+    if dead:
+        reader.add_tombstones(dead)
+    return sorted(dead)

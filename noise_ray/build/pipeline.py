@@ -125,12 +125,13 @@ _BUCKET_CACHE: dict[tuple[int, str], int] = {}
 
 
 def tokenize_batch(batch: pa.Table, *, fields: tuple, num_buckets: int,
-                   num_ranges: int, range_span: int) -> pa.Table:
+                   num_ranges: int, range_span: int,
+                   range_base: int = 0) -> pa.Table:
     """Task-based batch tokenizer with a map-side combiner (see
     TokenizeBatch).  Worker processes persist module state across tasks, so
     the stemmer lru_cache and bucket cache warm up exactly like an actor's
     would — without actor-pool scale-up lag."""
-    tk = TokenizeBatch(fields, num_buckets, num_ranges, range_span)
+    tk = TokenizeBatch(fields, num_buckets, num_ranges, range_span, range_base)
     tk._bucket_cache = _BUCKET_CACHE_FOR(num_buckets)
     return tk(batch)
 
@@ -160,11 +161,12 @@ class TokenizeBatch:
     """
 
     def __init__(self, fields: tuple, num_buckets: int, num_ranges: int,
-                 range_span: int):
+                 range_span: int, range_base: int = 0):
         self.fields = fields
         self.num_buckets = num_buckets
         self.num_ranges = num_ranges
         self.range_span = range_span
+        self.range_base = range_base  # first doc_id (incremental epochs)
         self._bucket_cache: dict[str, int] = {}
 
     def _bucket(self, term: str) -> int:
@@ -210,13 +212,13 @@ class TokenizeBatch:
             if nr == 1:
                 starts, ends = [0], [docs_np.size]
             else:
-                rng_of = np.minimum(docs_np // span, nr - 1)
+                rng_of = np.minimum((docs_np - self.range_base) // span, nr - 1)
                 cut = np.flatnonzero(np.diff(rng_of)) + 1
                 starts = np.concatenate(([0], cut))
                 ends = np.concatenate((cut, [docs_np.size]))
             for lo, hi in zip(starts, ends):
                 lo, hi = int(lo), int(hi)
-                rng = min(int(docs_np[lo]) // span, nr - 1)
+                rng = min((int(docs_np[lo]) - self.range_base) // span, nr - 1)
                 p_lo = int(pos_ends[lo - 1]) if lo else 0
                 p_hi = int(pos_ends[hi - 1])
                 out["gkey"].append(b + rng)
@@ -407,8 +409,14 @@ def build_index(
     block_size: int = 4096,
     tokenize_batch_size: int | None = None,
     tokenize_concurrency: tuple | int | None = None,
+    doc_id_offset: int = 0,
 ) -> dict[str, Any]:
-    """Build (or resume) an index at ``index_dir``; returns the manifest."""
+    """Build (or resume) an index at ``index_dir``; returns the manifest.
+
+    ``doc_id_offset`` shifts all assigned doc_ids (used by incremental
+    epochs, noise_ray/build/incremental.py: new docs continue the parent
+    index's seq space, mirroring the reference's monotonically increasing
+    seq across adds, /root/reference/src/index.rs:146-155)."""
     docmap_dir = os.path.join(index_dir, "docmap")
     seg_dir = os.path.join(index_dir, "segments")
     stats_dir = os.path.join(index_dir, "stats")
@@ -417,6 +425,8 @@ def build_index(
 
     # ---- plan: metadata-only doc_id assignment
     plans: list[FilePlan] = plan_doc_ids(list(input_paths), list(key_columns))
+    for p in plans:
+        p.offset += doc_id_offset
     num_docs = sum(p.rows for p in plans)
     if docs_per_range is None:
         # doc ranges bound per-group work AND split hot-term buckets (Zipf
@@ -442,15 +452,24 @@ def build_index(
     # ---- single streaming execution: ingest → tokenize → shuffle → write
     # The plan rows are ~100-byte blocks; without this, Ray Data bundles them
     # all into ONE ingest task (target_min_block_size coalescing) and the
-    # whole pipeline serializes.  One plan row = one ingest task.
+    # whole pipeline serializes.
     ctx = ray.data.DataContext.get_current()
     prev_min_block = ctx.target_min_block_size
     ctx.target_min_block_size = 1
 
+    # Ingest parallelism is bounded by ~3x cluster CPUs, NOT by file count:
+    # one task per file makes the sort shuffle's partition-object count
+    # quadratic in file count (400 files -> 160k tiny objects) and multiplies
+    # combiner output rows (each task re-lists the common stems).  Each task
+    # owns a contiguous RUN of files — doc_id ranges stay contiguous, which
+    # the run-merge in the segment writer relies on.
+    cpus = int(ray.cluster_resources().get("CPU", 32))
+    num_tasks = max(1, min(len(plans), 3 * cpus))
+
     plan_rows = [{"path": p.path, "offset": p.offset, "rows": p.rows, "seq": i}
                  for i, p in enumerate(plans)]
     postings = (
-        ray.data.from_items(plan_rows, override_num_blocks=len(plan_rows))
+        ray.data.from_items(plan_rows, override_num_blocks=num_tasks)
         .map_batches(
             _ingest_emit,
             fn_kwargs={"key_columns": key_columns, "docmap_dir": docmap_dir,
@@ -464,6 +483,7 @@ def build_index(
                 "num_buckets": num_buckets,
                 "num_ranges": num_ranges,
                 "range_span": range_span,
+                "range_base": doc_id_offset,
             },
             # batch_size=None → per-block batches: the fused
             # ingest→tokenize op runs one task per input file.  An explicit
@@ -485,13 +505,15 @@ def build_index(
         postings = postings.map_batches(_drop_done, batch_format="pyarrow")
 
     try:
-        acks = (
+        acks_ds = (
             postings.groupby("gkey")
             .map_groups(_write_segment_group, batch_format="pyarrow",
                         fn_kwargs={"seg_dir": seg_dir, "stats_dir": stats_dir,
                                    "block_size": block_size})
-            .take_all()
         )
+        acks = acks_ds.take_all()
+        if os.environ.get("NOISE_RAY_BUILD_STATS"):
+            print(acks_ds.stats())
     finally:
         ctx.target_min_block_size = prev_min_block
 
@@ -518,6 +540,7 @@ def build_index(
         "fields": list(fields),
         "key_columns": list(key_columns),
         "num_docs": num_docs,
+        "doc_id_offset": doc_id_offset,
         "num_buckets": num_buckets,
         "num_ranges": num_ranges,
         "range_span": range_span,

@@ -39,11 +39,16 @@ _READER_CACHE: dict[tuple, IndexReader] = {}
 def _cached_reader(index_dir: str) -> IndexReader:
     import os
 
+    from ..build.incremental import _epoch_dirs
+
     try:
         tomb_mtime = os.stat(os.path.join(index_dir, "tombstones.json")).st_mtime_ns
     except FileNotFoundError:
         tomb_mtime = 0
-    key = (index_dir, tomb_mtime)
+    # key includes the published-epoch set: an incremental add must refresh
+    # cached readers even when it tombstoned nothing (pure append)
+    key = (index_dir, tomb_mtime,
+           tuple(os.path.basename(d) for d in _epoch_dirs(index_dir)))
     r = _READER_CACHE.get(key)
     if r is None:
         r = _READER_CACHE[key] = IndexReader(index_dir)

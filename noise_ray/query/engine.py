@@ -336,8 +336,11 @@ class CompiledQuery:
         terms = [t for _, t in tokenize(node.literal)]
         docs, _pls = self._phrase_candidates(node.field, terms)
         if docs.size:
-            vals = self.reader.doc_values(docs, node.field)
-            keep = np.array([v == node.literal for v in vals], dtype=bool)
+            import pyarrow.compute as pc
+
+            col = self.reader.fetch_docs(docs, [node.field]).column(node.field)
+            keep = pc.fill_null(pc.equal(col, node.literal), False).to_numpy(
+                zero_copy_only=False).astype(bool)
             docs = docs[keep]
         r = EvalResult(docs)
         slot = getattr(node, "_slot", None)

@@ -94,16 +94,34 @@ def _empty_postings() -> PostingList:
 
 
 class IndexReader:
-    def __init__(self, index_dir: str):
+    """A reader binds to the index as published at construction time: the
+    base manifest plus every published epoch (incremental add,
+    noise_ray/build/incremental.py).  Epoch postings/stats/docmaps are
+    merged here — the multi-segment analogue of the reference's snapshot
+    over one LSM (/root/reference/src/snapshot.rs:17-67)."""
+
+    def __init__(self, index_dir: str, _is_epoch: bool = False):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
             self.manifest = json.load(f)
         self.fields: list[str] = self.manifest["fields"]
         self.field_id = {f: i for i, f in enumerate(self.fields)}
-        self.num_docs: int = self.manifest["num_docs"]
         self.num_buckets: int = self.manifest["num_buckets"]
         self.num_ranges: int = self.manifest["num_ranges"]
         self.field_k = {int(k): v for k, v in self.manifest["field_k"].items()}
+        # ---- epochs (never nested: an epoch index has no epochs/ dir)
+        self._epochs: list[IndexReader] = []
+        if not _is_epoch:
+            from ..build.incremental import _epoch_dirs
+
+            self._epochs = [IndexReader(d, _is_epoch=True)
+                            for d in _epoch_dirs(index_dir)]
+        offset = int(self.manifest.get("doc_id_offset", 0))
+        self.num_docs: int = offset + int(self.manifest["num_docs"])
+        for e in self._epochs:
+            self.num_docs = max(self.num_docs, e.num_docs)
+            for fid, k in e.field_k.items():
+                self.field_k[fid] = self.field_k.get(fid, 0) + k
         self._seg_by_gkey = {s["gkey"]: s["path"] for s in self.manifest["segments"]}
         # one stats partition per shuffle group; a bucket spans num_ranges
         # groups, so stats lookups sum across the bucket's partitions
@@ -113,7 +131,9 @@ class IndexReader:
         self._postings_cache: dict[tuple[int, str], PostingList] = {}
         self._block_cache: dict[tuple[int, str], list] = {}
         self._stats_cache: dict[tuple[int, str], tuple[int, int]] = {}
-        self._docmap = self.manifest["docmap"]
+        self._docmap = list(self.manifest["docmap"])
+        for e in self._epochs:
+            self._docmap.extend(e._docmap)
         from collections import OrderedDict
         self._docmap_col_cache: OrderedDict = OrderedDict()
         self._docmap_cache_bytes = 0
@@ -149,11 +169,15 @@ class IndexReader:
         filters = [(keys[0], "==", conv_id)]
         if len(keys) > 1:
             filters.append((keys[1], "==", turn_idx))
+        best = None  # upsert semantics: the HIGHEST live doc_id wins
         for dm in self._docmap:
             t = pq.read_table(dm["path"], columns=["doc_id"], filters=filters)
-            if t.num_rows:
-                return int(t.column("doc_id")[0].as_py())
-        return None
+            for v in t.column("doc_id").to_pylist():
+                d = int(v)
+                if self.tombstones.size and d in self.tombstones:
+                    continue
+                best = d if best is None else max(best, d)
+        return best
 
     # ---------------------------------------------------------- postings
 
@@ -187,6 +211,15 @@ class IndexReader:
                 tf_parts.append(tfs)
                 len_parts.append(lens)
                 pos_parts.append(pos)
+        # epoch postings: every epoch's doc_ids exceed all earlier ones,
+        # so appending in epoch order preserves global doc order
+        for e in self._epochs:
+            pl = e.postings(fid, term)
+            if pl.size:
+                docs_parts.append(pl.docs)
+                tf_parts.append(pl.tfs)
+                len_parts.append(pl.lens)
+                pos_parts.append(pl.pos_concat)
         if not docs_parts:
             pl = _empty_postings()
         else:
@@ -244,6 +277,8 @@ class IndexReader:
                     _tfs_raw=t.column("tfs")[row].as_py(),
                     _lens_raw=t.column("lens")[row].as_py(),
                 ))
+        for e in self._epochs:
+            blocks.extend(e.term_blocks(fid, term))
         blocks.sort(key=lambda b: b.min_doc)
         if len(self._block_cache) < 4096:
             self._block_cache[key] = blocks
@@ -271,6 +306,9 @@ class IndexReader:
             )
             if t.num_rows:
                 c += int(pc.sum(t.column("c")).as_py())
+        for e in self._epochs:
+            c += e.term_stats(fid, term)[0]
+        # field_k was merged across epochs at construction time
         k = int(self.field_k.get(fid, 0))
         out = (c, k)
         self._stats_cache[key] = out

@@ -128,13 +128,23 @@ class Repl:
         if not self.staged:
             self._p("nothing staged")
             return
-        from .build import build_index
+        from .build import MANIFEST_NAME, add_documents, build_index
 
-        manifest = build_index(self.staged, self.index_dir,
-                               fields=self.fields, key_columns=self.keys)
+        if os.path.exists(os.path.join(self.index_dir, MANIFEST_NAME)):
+            # live index: append as an epoch with upsert semantics, the
+            # reference's add-then-flush (/root/reference/src/repl.rs:170-182)
+            manifest = add_documents(self.index_dir, self.staged)
+            extra = (f", {len(manifest['tombstoned'])} upserted"
+                     if manifest.get("tombstoned") else "")
+            self._p(f"committed {manifest['num_docs']} new docs "
+                    f"(epoch at seq {manifest['doc_id_offset']}){extra}")
+        else:
+            manifest = build_index(self.staged, self.index_dir,
+                                   fields=self.fields, key_columns=self.keys)
+            self._p(f"committed {manifest['num_docs']} docs, "
+                    f"{len(manifest['segments'])} segments")
         self.reader = None
-        self._p(f"committed {manifest['num_docs']} docs, "
-                f"{len(manifest['segments'])} segments")
+        self.staged = []
 
     def cmd_del(self, rest: str):
         """`del <doc_id>... ;` or `del <conv_id>:<turn_idx> ;` — tombstone

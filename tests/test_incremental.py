@@ -1,0 +1,120 @@
+"""Incremental adds (epochs): the reference's Index::add+flush on a live
+index (src/index.rs:131-161), including upsert semantics (re-adding an
+existing key shadows the old doc, src/json_shred.rs:452-475).
+
+New docs continue the seq space; scores over the grown corpus must equal a
+from-scratch build over the union (stats are merge-summed across epochs
+exactly like the reference's C/K merge operator, src/index.rs:301-322)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from noise_ray.build import add_documents, build_index, total_docs
+from noise_ray.query import IndexReader, run_query, run_query_distributed
+
+
+def _write(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "tool": pa.array([None] * len(rows), pa.string()),
+        "ts": pa.array(range(len(rows)), pa.timestamp("us")),
+    })
+    p = os.path.join(dirpath, name)
+    pq.write_table(t, p)
+    return p
+
+
+BASE = [
+    ("a", 0, "user", "the quick brown fox"),
+    ("a", 1, "assistant", "lazy dogs sleep"),
+    ("b", 0, "user", "fox hunting season"),
+]
+DELTA = [
+    ("c", 0, "user", "another fox appears"),
+    ("c", 1, "assistant", "quick quick fox"),
+]
+
+
+@pytest.fixture()
+def base_index(ray_session, tmp_path):
+    p = _write(str(tmp_path / "in0"), "part-0.parquet", BASE)
+    idx = str(tmp_path / "idx")
+    build_index([p], idx, num_buckets=4)
+    return idx
+
+
+def ids(t):
+    return t.column("doc_id").to_pylist()
+
+
+def test_add_grows_and_matches_scratch(base_index, tmp_path):
+    p1 = _write(str(tmp_path / "in1"), "part-1.parquet", DELTA)
+    m = add_documents(base_index, [p1])
+    assert m["doc_id_offset"] == 3
+    assert total_docs(base_index) == 5
+
+    r = IndexReader(base_index)
+    assert r.num_docs == 5
+    q = 'find {text: ~="fox"} order score() desc return score() limit 10 ;'
+    got = run_query(r, q)
+
+    # from-scratch build over the union must be doc-for-doc identical
+    scratch_in = str(tmp_path / "union")
+    _write(scratch_in, "part-0.parquet", BASE)
+    # separate file, non-overlapping conv_id range ("c" > "b")
+    _write(scratch_in, "part-1.parquet", DELTA)
+    scratch_idx = str(tmp_path / "scratch")
+    build_index(sorted(
+        os.path.join(scratch_in, f) for f in os.listdir(scratch_in)),
+        scratch_idx, num_buckets=4)
+    want = run_query(IndexReader(scratch_idx), q)
+    assert ids(got) == ids(want)
+    assert got.column("score").to_pylist() == want.column("score").to_pylist()
+
+    # distributed path sees epochs too
+    dist = run_query_distributed(base_index, q, num_partitions=2)
+    assert ids(dist) == ids(want)
+
+
+def test_upsert_shadows_old_doc(base_index, tmp_path):
+    # re-add turn (a, 0) with new text: old doc must vanish, new one match
+    p1 = _write(str(tmp_path / "in1"), "part-1.parquet",
+                [("a", 0, "user", "updated fox text entirely")])
+    m = add_documents(base_index, [p1])
+    assert m["tombstoned"] == [0]
+
+    r = IndexReader(base_index)
+    got = run_query(r, 'find {text: ~="updated"} limit 10 ;')
+    assert ids(got) == [3]
+    # the old version of (a,0) is hidden from every query
+    all_docs = ids(run_query(r, 'find {text: ~="fox"} limit 10 ;'))
+    assert 0 not in all_docs and 3 in all_docs
+    # identity lookup resolves to the newest live doc
+    assert r.lookup_doc("a", 0) == 3
+
+
+def test_multiple_epochs_and_reopen(base_index, tmp_path):
+    for i, rows in enumerate(([("d", 0, "user", "fox one")],
+                              [("e", 0, "user", "fox two")])):
+        p = _write(str(tmp_path / f"in{i+1}"), "part.parquet", rows)
+        add_documents(base_index, [p])
+    r = IndexReader(base_index)
+    assert r.num_docs == 5
+    assert len(r._epochs) == 2
+    docs = ids(run_query(r, 'find {text: ~="fox"} limit 10 ;'))
+    assert docs == [0, 2, 3, 4]
+
+    # crashed epoch (no manifest) stays invisible
+    ghost = os.path.join(base_index, "epochs", "epoch-0099")
+    os.makedirs(os.path.join(ghost, "segments"))
+    r2 = IndexReader(base_index)
+    assert len(r2._epochs) == 2
+    shutil.rmtree(ghost)
