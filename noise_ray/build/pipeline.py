@@ -21,10 +21,12 @@ re-expressed as ONE streaming Ray Data execution:
                            binary row per (task, field, term), not one
                            20B+ row per posting.
   stage 3  shuffle+write   ``groupby(gkey).map_groups`` → segment writer:
-                           order runs by (field, term, min_doc), concatenate
-                           (runs are doc-disjoint — each ingest task owns a
-                           contiguous doc range), chunk into posting
-                           blocks, delta+varint encode, block-max metadata,
+                           order the mapper's finished blocks by (field,
+                           term, min_doc) and write them through (runs are
+                           doc-disjoint — each ingest task owns a contiguous
+                           doc range — and arrive pre-chunked to block_size
+                           with block-max metadata, so no posting is decoded
+                           or re-encoded here),
                            write `seg-*.parquet` AND the group's term-stats
                            partition `stats-*.parquet` (C = Σ tf and
                            K-contribution = Σ postings per (field, term) —
@@ -64,8 +66,7 @@ import ray
 import ray.data
 
 from ..analysis.tokenizer import tokenize_grouped
-from .codec import (decode_deltas, decode_position_lists, decode_varint,
-                    encode_deltas, encode_position_lists, encode_varint)
+from .codec import encode_deltas, encode_position_lists, encode_varint
 from .docids import FilePlan, plan_doc_ids, sorted_key_indices
 
 DEFAULT_FIELDS = ("role", "text", "tool")
@@ -126,12 +127,13 @@ _BUCKET_CACHE: dict[tuple[int, str], int] = {}
 
 def tokenize_batch(batch: pa.Table, *, fields: tuple, num_buckets: int,
                    num_ranges: int, range_span: int,
-                   range_base: int = 0) -> pa.Table:
+                   range_base: int = 0, block_size: int = 4096) -> pa.Table:
     """Task-based batch tokenizer with a map-side combiner (see
     TokenizeBatch).  Worker processes persist module state across tasks, so
     the stemmer lru_cache and bucket cache warm up exactly like an actor's
     would — without actor-pool scale-up lag."""
-    tk = TokenizeBatch(fields, num_buckets, num_ranges, range_span, range_base)
+    tk = TokenizeBatch(fields, num_buckets, num_ranges, range_span, range_base,
+                       block_size)
     tk._bucket_cache = _BUCKET_CACHE_FOR(num_buckets)
     return tk(batch)
 
@@ -161,12 +163,14 @@ class TokenizeBatch:
     """
 
     def __init__(self, fields: tuple, num_buckets: int, num_ranges: int,
-                 range_span: int, range_base: int = 0):
+                 range_span: int, range_base: int = 0,
+                 block_size: int = 4096):
         self.fields = fields
         self.num_buckets = num_buckets
         self.num_ranges = num_ranges
         self.range_span = range_span
         self.range_base = range_base  # first doc_id (incremental epochs)
+        self.block_size = block_size
         self._bucket_cache: dict[str, int] = {}
 
     def _bucket(self, term: str) -> int:
@@ -198,8 +202,10 @@ class TokenizeBatch:
                     e[1].append(len(p))
                     e[2].append(field_len)
                     e[3].extend(p)
-        out = {k: [] for k in ("gkey", "field", "term", "min_doc", "cnt",
+        out = {k: [] for k in ("gkey", "field", "term", "min_doc", "max_doc",
+                               "cnt", "c_block", "max_tf_norm",
                                "docs", "tfs", "lens", "pos")}
+        bsz = self.block_size
         for (fi, t), (docs, tfs, lens, pos) in acc.items():
             b = bucket(t) * nr
             docs_np = np.asarray(docs, dtype=np.int64)
@@ -207,6 +213,8 @@ class TokenizeBatch:
             lens_np = np.asarray(lens, dtype=np.int64)
             pos_np = np.asarray(pos, dtype=np.int64)
             pos_ends = np.cumsum(tfs_np)
+            tf_norm = np.sqrt(tfs_np.astype(np.float32)) / np.sqrt(
+                lens_np.astype(np.float32))
             # split the run at doc-range boundaries so each row belongs to
             # exactly one shuffle group (gkey = bucket × range)
             if nr == 1:
@@ -216,30 +224,44 @@ class TokenizeBatch:
                 cut = np.flatnonzero(np.diff(rng_of)) + 1
                 starts = np.concatenate(([0], cut))
                 ends = np.concatenate((cut, [docs_np.size]))
-            for lo, hi in zip(starts, ends):
-                lo, hi = int(lo), int(hi)
-                rng = min((int(docs_np[lo]) - self.range_base) // span, nr - 1)
-                p_lo = int(pos_ends[lo - 1]) if lo else 0
-                p_hi = int(pos_ends[hi - 1])
-                out["gkey"].append(b + rng)
-                out["field"].append(fi)
-                out["term"].append(t)
-                out["min_doc"].append(int(docs_np[lo]))
-                out["cnt"].append(hi - lo)
-                # pre-encode in the mapper: the wide shuffle moves varint
-                # bytes (~2B/posting), not int64 lists (~20B/posting)
-                out["docs"].append(encode_deltas(docs_np[lo:hi]))
-                out["tfs"].append(encode_varint(tfs_np[lo:hi]))
-                out["lens"].append(encode_varint(lens_np[lo:hi]))
-                out["pos"].append(
-                    encode_position_lists(pos_np[p_lo:p_hi], tfs_np[lo:hi]))
+            for r_lo, r_hi in zip(starts, ends):
+                r_lo, r_hi = int(r_lo), int(r_hi)
+                rng = min((int(docs_np[r_lo]) - self.range_base) // span,
+                          nr - 1)
+                g = b + rng
+                # chunk at block_size: each emitted row IS a finished
+                # posting block (self-contained encodings, block metadata
+                # computed here) — the segment writer never re-encodes
+                for lo in range(r_lo, r_hi, bsz):
+                    hi = min(lo + bsz, r_hi)
+                    p_lo = int(pos_ends[lo - 1]) if lo else 0
+                    p_hi = int(pos_ends[hi - 1])
+                    out["gkey"].append(g)
+                    out["field"].append(fi)
+                    out["term"].append(t)
+                    out["min_doc"].append(int(docs_np[lo]))
+                    out["max_doc"].append(int(docs_np[hi - 1]))
+                    out["cnt"].append(hi - lo)
+                    out["c_block"].append(int(p_hi - p_lo))
+                    out["max_tf_norm"].append(float(tf_norm[lo:hi].max()))
+                    # pre-encode in the mapper: the wide shuffle moves varint
+                    # bytes (~2B/posting), not int64 lists (~20B/posting)
+                    out["docs"].append(encode_deltas(docs_np[lo:hi]))
+                    out["tfs"].append(encode_varint(tfs_np[lo:hi]))
+                    out["lens"].append(encode_varint(lens_np[lo:hi]))
+                    out["pos"].append(
+                        encode_position_lists(pos_np[p_lo:p_hi],
+                                              tfs_np[lo:hi]))
         return pa.table(
             {
                 "gkey": pa.array(out["gkey"], pa.int32()),
                 "field": pa.array(out["field"], pa.int32()),
                 "term": pa.array(out["term"], pa.string()),
                 "min_doc": pa.array(out["min_doc"], pa.int64()),
+                "max_doc": pa.array(out["max_doc"], pa.int64()),
                 "cnt": pa.array(out["cnt"], pa.int32()),
+                "c_block": pa.array(out["c_block"], pa.int64()),
+                "max_tf_norm": pa.array(out["max_tf_norm"], pa.float32()),
                 "docs": pa.array(out["docs"], pa.binary()),
                 "tfs": pa.array(out["tfs"], pa.binary()),
                 "lens": pa.array(out["lens"], pa.binary()),
@@ -291,103 +313,63 @@ def _write_segment_group(group: pa.Table, seg_dir: str, stats_dir: str,
         return _ack(gkey, out_path, stats_path, meta["postings"],
                     meta["field_k"])
 
-    # ---- merge posting runs: rows are doc-disjoint per (field, term), so
-    # ordering runs by (field, term, min_doc) and concatenating yields the
-    # full doc-ascending posting list — no row-level sort ever happens.
+    # ---- order finished blocks by (field, term, min_doc): rows arrive from
+    # the mapper ALREADY encoded and chunked to block_size with their block
+    # metadata computed, so the writer is a pure passthrough — no posting is
+    # ever decoded or re-encoded here (runs are doc-disjoint per (field,
+    # term); each block's encodings are self-contained).
     r_field = group.column("field").to_numpy()
     r_term = group.column("term").to_pandas().to_numpy()  # object array
     r_min = group.column("min_doc").to_numpy()
-    r_cnt = group.column("cnt").to_numpy()
     order = np.lexsort((r_min, r_term, r_field))
+    ordered = group.take(pa.array(order))
 
-    d_bin = group.column("docs").to_pylist()
-    t_bin = group.column("tfs").to_pylist()
-    l_bin = group.column("lens").to_pylist()
-    p_bin = group.column("pos").to_pylist()
-
+    # term stats over the sorted rows (one reduceat per column): C = Σ tf,
+    # K-contribution = Σ postings — the reference's merge-summed counters
+    # (/root/reference/src/json_shred.rs:191-199)
+    s_field = r_field[order]
+    s_term = r_term[order]
+    s_cnt = group.column("cnt").to_numpy()[order].astype(np.int64)
+    s_cblk = group.column("c_block").to_numpy()[order]
     n = len(order)
-    rows: dict[str, list] = {k: [] for k in (
-        "field", "term", "min_doc", "max_doc", "cnt", "c_block",
-        "max_tf_norm", "docs", "tfs", "lens", "positions")}
-    stat_field: list[int] = []
-    stat_term: list[str] = []
-    stat_c: list[int] = []
-    stat_k: list[int] = []
-    field_k: dict[str, int] = {}
-
-    i = 0
-    while i < n:
-        j = i
-        fi, tm = int(r_field[order[i]]), r_term[order[i]]
-        while j < n and r_field[order[j]] == fi and r_term[order[j]] == tm:
-            j += 1
-        runs = order[i:j]
-        run_tfs = [decode_varint(t_bin[r], int(r_cnt[r])).astype(np.int64)
-                   for r in runs]
-        docs = np.concatenate(
-            [decode_deltas(d_bin[r], int(r_cnt[r])) for r in runs])
-        tfs = np.concatenate(run_tfs)
-        lens = np.concatenate(
-            [decode_varint(l_bin[r], int(r_cnt[r])).astype(np.int64)
-             for r in runs])
-        pos_flat = np.concatenate(
-            [decode_position_lists(p_bin[r], rt)
-             for r, rt in zip(runs, run_tfs)])
-        pos_splits = np.cumsum(tfs)
-        tf_norm = np.sqrt(tfs.astype(np.float32)) / np.sqrt(
-            lens.astype(np.float32))
-        m = len(docs)
-        for bs in range(0, m, block_size):
-            be = min(bs + block_size, m)
-            p0 = int(pos_splits[bs - 1]) if bs > 0 else 0
-            p1 = int(pos_splits[be - 1])
-            t = tfs[bs:be]
-            rows["field"].append(fi)
-            rows["term"].append(tm)
-            rows["min_doc"].append(int(docs[bs]))
-            rows["max_doc"].append(int(docs[be - 1]))
-            rows["cnt"].append(be - bs)
-            rows["c_block"].append(int(t.sum()))
-            rows["max_tf_norm"].append(float(tf_norm[bs:be].max()))
-            rows["docs"].append(encode_deltas(docs[bs:be]))
-            rows["tfs"].append(encode_varint(t.astype(np.uint64)))
-            rows["lens"].append(encode_varint(lens[bs:be].astype(np.uint64)))
-            rows["positions"].append(encode_position_lists(pos_flat[p0:p1], t))
-        # term stats: C = Σ tf, K-contribution = Σ postings — the reference's
-        # merge-summed counters (/root/reference/src/json_shred.rs:191-199)
-        stat_field.append(fi)
-        stat_term.append(tm)
-        stat_c.append(int(pos_splits[-1]))
-        stat_k.append(m)
-        field_k[str(fi)] = field_k.get(str(fi), 0) + m
-        i = j
-
-    postings_total = sum(stat_k)
-    stats = pa.table({
-        "field": pa.array(stat_field, pa.int32()),
-        "term": pa.array(stat_term, pa.string()),
-        "c": pa.array(stat_c, pa.int64()),
-        "k": pa.array(stat_k, pa.int64()),
-    })
+    if n:
+        new_term = np.empty(n, dtype=bool)
+        new_term[0] = True
+        new_term[1:] = (s_field[1:] != s_field[:-1]) | (s_term[1:] != s_term[:-1])
+        t_starts = np.flatnonzero(new_term)
+        stat_c = np.add.reduceat(s_cblk, t_starts)
+        stat_k = np.add.reduceat(s_cnt, t_starts)
+        stat_field_np = s_field[t_starts]
+        field_k: dict[str, int] = {}
+        for fi in np.unique(s_field):
+            field_k[str(int(fi))] = int(s_cnt[s_field == fi].sum())
+        stats = pa.table({
+            "field": pa.array(stat_field_np.astype(np.int32)),
+            "term": pa.array(s_term[t_starts].tolist(), pa.string()),
+            "c": pa.array(stat_c.astype(np.int64)),
+            "k": pa.array(stat_k.astype(np.int64)),
+        })
+        postings_total = int(s_cnt.sum())
+    else:
+        field_k = {}
+        stats = pa.table({
+            "field": pa.array([], pa.int32()),
+            "term": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+            "k": pa.array([], pa.int64()),
+        })
+        postings_total = 0
     stats = stats.replace_schema_metadata({
         "noise_gkey": str(gkey),
         "noise_postings": str(postings_total),
         "noise_field_k": json.dumps(field_k, sort_keys=True),
     })
 
-    seg = pa.table({
-        "field": pa.array(rows["field"], pa.int32()),
-        "term": pa.array(rows["term"], pa.string()),
-        "min_doc": pa.array(rows["min_doc"], pa.int64()),
-        "max_doc": pa.array(rows["max_doc"], pa.int64()),
-        "cnt": pa.array(rows["cnt"], pa.int32()),
-        "c_block": pa.array(rows["c_block"], pa.int64()),
-        "max_tf_norm": pa.array(rows["max_tf_norm"], pa.float32()),
-        "docs": pa.array(rows["docs"], pa.binary()),
-        "tfs": pa.array(rows["tfs"], pa.binary()),
-        "lens": pa.array(rows["lens"], pa.binary()),
-        "positions": pa.array(rows["positions"], pa.binary()),
-    })
+    seg = ordered.select(["field", "term", "min_doc", "max_doc", "cnt",
+                          "c_block", "max_tf_norm", "docs", "tfs", "lens",
+                          "pos"]).rename_columns(
+        ["field", "term", "min_doc", "max_doc", "cnt", "c_block",
+         "max_tf_norm", "docs", "tfs", "lens", "positions"])
     seg = seg.replace_schema_metadata(
         {"noise_gkey": str(gkey), "noise_postings": str(postings_total)})
     # commit order: stats first, segment last — segment presence ⇒ committed
@@ -484,6 +466,7 @@ def build_index(
                 "num_ranges": num_ranges,
                 "range_span": range_span,
                 "range_base": doc_id_offset,
+                "block_size": block_size,
             },
             # batch_size=None → per-block batches: the fused
             # ingest→tokenize op runs one task per input file.  An explicit
@@ -561,8 +544,15 @@ def build_index(
             for g, a in sorted(by_gkey.items())
         ],
     }
+    # on disk the manifest holds RELATIVE paths (the index directory is
+    # relocatable — compaction swaps directories, and a 100 TB index moves
+    # between stores); the returned dict keeps absolute paths for callers.
+    disk = json.loads(json.dumps(manifest))
+    for part in ("docmap", "segments", "stats"):
+        for e in disk[part]:
+            e["path"] = os.path.relpath(e["path"], index_dir)
     tmp = os.path.join(index_dir, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
+        json.dump(disk, f, indent=1)
     os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
     return manifest

@@ -45,9 +45,12 @@ def _cached_reader(index_dir: str) -> IndexReader:
         tomb_mtime = os.stat(os.path.join(index_dir, "tombstones.json")).st_mtime_ns
     except FileNotFoundError:
         tomb_mtime = 0
-    # key includes the published-epoch set: an incremental add must refresh
-    # cached readers even when it tombstoned nothing (pure append)
-    key = (index_dir, tomb_mtime,
+    # key includes the published-epoch set (an incremental add must refresh
+    # cached readers even when it tombstoned nothing) AND the manifest
+    # mtime (compaction swaps in a new manifest with no epochs and no
+    # tombstones — indistinguishable from the original build otherwise)
+    man_mtime = os.stat(os.path.join(index_dir, "manifest.json")).st_mtime_ns
+    key = (index_dir, man_mtime, tomb_mtime,
            tuple(os.path.basename(d) for d in _epoch_dirs(index_dir)))
     r = _READER_CACHE.get(key)
     if r is None:

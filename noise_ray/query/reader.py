@@ -104,6 +104,12 @@ class IndexReader:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
             self.manifest = json.load(f)
+        # manifests store index-relative paths (relocatable directory);
+        # absolutize once here — older absolute-path manifests pass through
+        for part in ("docmap", "segments", "stats"):
+            for e in self.manifest.get(part, []):
+                if not os.path.isabs(e["path"]):
+                    e["path"] = os.path.join(index_dir, e["path"])
         self.fields: list[str] = self.manifest["fields"]
         self.field_id = {f: i for i, f in enumerate(self.fields)}
         self.num_buckets: int = self.manifest["num_buckets"]

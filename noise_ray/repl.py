@@ -168,6 +168,20 @@ class Repl:
         total = r.add_tombstones(doc_ids)
         self._p(f"ok ({total} tombstoned)")
 
+    def cmd_compact(self, rest: str):
+        """`compact ;` — fold epochs + tombstones into a fresh base index
+        (doc_ids reassigned dense in key order), the analogue of the
+        reference's compaction-filter GC
+        (/root/reference/src/index.rs:271-282)."""
+        if self._reader_or_err() is None:
+            return
+        from .build import compact_index
+
+        manifest = compact_index(self.index_dir)
+        self.reader = None
+        self._p(f"compacted to {manifest['num_docs']} docs, "
+                f"{len(manifest['segments'])} segments")
+
     def cmd_params(self, rest: str):
         v = json.loads(rest)
         if not isinstance(v, dict):

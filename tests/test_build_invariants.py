@@ -94,8 +94,13 @@ def test_resume_after_partial_build(ray_session, tmp_path):
 
 
 def test_partitioning_independence(ray_session, tmp_path):
-    """Index contents must not depend on input file layout or batch size
-    (the sandbox stand-in for cluster-size independence)."""
+    """Index CONTENT must not depend on input file layout or batch size
+    (the sandbox stand-in for cluster-size independence): identical term
+    stats (byte-for-byte — they are per-term totals), identical decoded
+    posting lists for the whole vocabulary, identical scores.  Segment
+    FILES may differ: posting blocks are finished in the mapper, so block
+    boundaries follow ingest-task boundaries (by design — the writer never
+    re-encodes)."""
     p_a = generate_transcripts(str(tmp_path / "a"), num_convs=40, num_files=2)
     p_b = generate_transcripts(str(tmp_path / "b"), num_convs=40, num_files=7)
     build_index(p_a, str(tmp_path / "idxa"), num_buckets=8,
@@ -103,13 +108,29 @@ def test_partitioning_independence(ray_session, tmp_path):
     build_index(p_b, str(tmp_path / "idxb"), num_buckets=8,
                 tokenize_batch_size=1024)
     ha = {k: v for k, v in _hash_dir_files(str(tmp_path / "idxa")).items()
-          if k.startswith(("segments/", "stats/"))}
+          if k.startswith("stats/")}
     hb = {k: v for k, v in _hash_dir_files(str(tmp_path / "idxb")).items()
-          if k.startswith(("segments/", "stats/"))}
+          if k.startswith("stats/")}
     assert ha == hb
 
     ra = IndexReader(str(tmp_path / "idxa"))
     rb = IndexReader(str(tmp_path / "idxb"))
+
+    # whole-vocabulary postings equality (decoded form)
+    vocab = set()
+    for s in ra.manifest["stats"]:
+        t = pq.read_table(s["path"], columns=["field", "term"])
+        vocab.update(zip(t.column("field").to_pylist(),
+                         t.column("term").to_pylist()))
+    assert vocab
+    for fid, term in sorted(vocab):
+        pa_, pb_ = ra.postings(fid, term), rb.postings(fid, term)
+        assert pa_.docs.tolist() == pb_.docs.tolist(), (fid, term)
+        assert pa_.tfs.tolist() == pb_.tfs.tolist(), (fid, term)
+        assert pa_.lens.tolist() == pb_.lens.tolist(), (fid, term)
+        assert pa_.pos_concat.tolist() == pb_.pos_concat.tolist(), (fid, term)
+        assert ra.term_stats(fid, term) == rb.term_stats(fid, term)
+
     q = 'find {text: ~="the quick"} order score() desc return score() limit 10 ;'
     ta, tb = run_query(ra, q), run_query(rb, q)
     assert ta.column("doc_id").to_pylist() == tb.column("doc_id").to_pylist()
