@@ -392,6 +392,7 @@ def build_index(
     tokenize_batch_size: int | None = None,
     tokenize_concurrency: tuple | int | None = None,
     doc_id_offset: int = 0,
+    docs_per_ingest_task: int = 16384,
 ) -> dict[str, Any]:
     """Build (or resume) an index at ``index_dir``; returns the manifest.
 
@@ -439,14 +440,18 @@ def build_index(
     prev_min_block = ctx.target_min_block_size
     ctx.target_min_block_size = 1
 
-    # Ingest parallelism is bounded by ~3x cluster CPUs, NOT by file count:
-    # one task per file makes the sort shuffle's partition-object count
-    # quadratic in file count (400 files -> 160k tiny objects) and multiplies
-    # combiner output rows (each task re-lists the common stems).  Each task
-    # owns a contiguous RUN of files — doc_id ranges stay contiguous, which
-    # the run-merge in the segment writer relies on.
-    cpus = int(ray.cluster_resources().get("CPU", 32))
-    num_tasks = max(1, min(len(plans), 3 * cpus))
+    # Ingest task granularity is DATA-proportional (~docs_per_ingest_task
+    # rows per task), NOT file- or cluster-proportional.  One task per file
+    # would make the sort shuffle's partition-object count quadratic in file
+    # count (400 files -> 160k tiny objects) and multiply combiner output
+    # rows (each task re-lists the common stems); scaling tasks with
+    # cluster CPUs would make the TOTAL work depend on cluster size, so
+    # the same input must produce the same tasks at every parallelism
+    # (the two-cluster-size scaling criterion measures pure scheduling).
+    # Each task owns a contiguous RUN of files — doc_id ranges stay
+    # contiguous, which the run-merge in the segment writer relies on.
+    num_tasks = max(1, min(len(plans),
+                           -(-num_docs // docs_per_ingest_task)))
 
     plan_rows = [{"path": p.path, "offset": p.offset, "rows": p.rows, "seq": i}
                  for i, p in enumerate(plans)]
