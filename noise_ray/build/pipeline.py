@@ -380,6 +380,37 @@ def _write_segment_group(group: pa.Table, seg_dir: str, stats_dir: str,
 
 # ------------------------------------------------------------------ driver
 
+def _repartition_by_key(paths: list[str], key_columns: list[str],
+                        out_dir: str) -> list[str]:
+    """Globally sort ``paths`` by ``key_columns`` into a range-partitioned
+    copy under ``out_dir`` (one explicit wide shuffle), so the metadata-only
+    doc_id plan applies.  Idempotent: an existing copy with the right row
+    count is reused (resume); a partial copy is rebuilt."""
+    import shutil
+
+    expected = sum(pq.read_metadata(p).num_rows for p in paths)
+
+    def _files(d: str) -> list[str]:
+        return sorted(os.path.join(d, f) for f in os.listdir(d)
+                      if f.endswith(".parquet"))
+
+    if os.path.isdir(out_dir):
+        files = _files(out_dir)
+        if files and sum(pq.read_metadata(f).num_rows for f in files) == expected:
+            return files
+        shutil.rmtree(out_dir)
+
+    tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    ray.data.read_parquet(paths).sort(list(key_columns)).write_parquet(tmp)
+    files = _files(tmp)
+    got = sum(pq.read_metadata(f).num_rows for f in files)
+    if got != expected:
+        raise RuntimeError(
+            f"repartition wrote {got} rows, expected {expected}")
+    os.replace(tmp, out_dir)
+    return _files(out_dir)
+
+
 def build_index(
     input_paths: list[str],
     index_dir: str,
@@ -406,8 +437,17 @@ def build_index(
     for d in (docmap_dir, seg_dir, stats_dir):
         os.makedirs(d, exist_ok=True)
 
-    # ---- plan: metadata-only doc_id assignment
-    plans: list[FilePlan] = plan_doc_ids(list(input_paths), list(key_columns))
+    # ---- plan: metadata-only doc_id assignment; inputs whose key ranges
+    # overlap first pass through ONE explicit global sort into a
+    # range-partitioned copy (the documented fallback in docids.py — the
+    # normal 100 TB layout is already range-partitioned and skips this)
+    try:
+        plans: list[FilePlan] = plan_doc_ids(list(input_paths),
+                                             list(key_columns))
+    except ValueError:
+        repart = _repartition_by_key(list(input_paths), list(key_columns),
+                                     os.path.join(index_dir, "repartitioned"))
+        plans = plan_doc_ids(repart, list(key_columns))
     for p in plans:
         p.offset += doc_id_offset
     num_docs = sum(p.rows for p in plans)

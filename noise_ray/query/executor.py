@@ -70,6 +70,20 @@ def _apply_order_limit(reader, q, docs, scores):
         # Field orderings keep the reference's ported buffer semantics
         # (limit.noise tie quirks) unchanged.
         score_only = all(k.score for k in q.order)
+        if score_only:
+            # vectorized fast path: the ordering is TOTAL on
+            # (score, doc_id), so a numpy lexsort is exactly the buffered
+            # machinery's output without the per-row Python comparator
+            # (the dominant cost of every scored top-k query)
+            import numpy as np
+
+            primary = scores.astype(np.float64)
+            if q.order[0].desc:
+                primary = -primary
+            sel = np.lexsort((docs, primary))
+            if q.limit is not None:
+                sel = sel[: q.limit]
+            return docs[sel], scores[sel]
         # fetch field values for all matched docs (only fields used as keys)
         key_fields = [k.field for k in q.order if not k.score]
         field_vals: dict[str, list] = {}
