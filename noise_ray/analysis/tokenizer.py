@@ -97,32 +97,19 @@ def tokenize_grouped(text: str) -> tuple[list[str], list[list[int]], int]:
     /root/reference/src/json_shred.rs:156-173) and positions are ascending
     per term.  Term order is first-occurrence order.
 
-    Single pass (segment → stem → group) rather than ``tokenize()`` + a
-    regroup: this is the index build's hottest Python loop.  Semantics are
-    identical, including the all-non-alphabetic fallback token.
-
     Cached per text (low-cardinality fields like role/tool repeat millions
     of times); callers must treat the returned lists as READ-ONLY.
     """
+    toks = tokenize(text)
     terms: list[str] = []
     positions: list[list[int]] = []
     index: dict[str, int] = {}
-    pos = 0
-    stem = _norm_lower_stem
-    get = index.get
-    for seg in _SEG_RE.findall(text):
-        term = stem(seg)
-        if term is None:
-            continue
-        i = get(term)
+    for pos, term in toks:
+        i = index.get(term)
         if i is None:
             index[term] = len(terms)
             terms.append(term)
             positions.append([pos])
         else:
             positions[i].append(pos)
-        pos += 1
-    if pos == 0:
-        # no alphabetic token: ONE fallback token = NFKC of the whole text
-        return [unicodedata.normalize("NFKC", text)], [[0]], 1
-    return terms, positions, pos
+    return terms, positions, len(toks)
