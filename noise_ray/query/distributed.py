@@ -58,6 +58,87 @@ def _cached_reader(index_dir: str) -> IndexReader:
     return r
 
 
+def _merge_states(fun: str, a, b, sep):
+    """Merge two per-range partial aggregate states (same group).
+
+    States are exactly the local fold's state domain, so min/max/array
+    merges reuse the ported actions.  sum/avg reassociate float addition
+    across ranges (deterministic — fixed range boundaries — but may differ
+    from the sequential fold in the last ulp on non-integer data)."""
+    from .aggregates import AGG_IMPLS
+
+    if fun == "count" or fun == "sum":
+        return a + b
+    if fun == "avg":
+        n = a[1] + b[1]
+        if n == 0.0:
+            return [0.0, 0.0]
+        return [(a[0] * a[1] + b[0] * b[1]) / n, n]
+    if fun in ("array", "array_flat"):
+        return a + b
+    if fun == "concat":
+        if isinstance(a, str) and isinstance(b, str):
+            return a + sep + b
+        return a if isinstance(a, str) else b
+    # min / max / min_array / max_array: b's state is in the value domain
+    # the action accepts as `new`
+    return AGG_IMPLS[fun][1](a, b, None)
+
+
+def _partial_fold(leaves, rows):
+    """Per-range partial aggregation: fold rows (doc order) into one state
+    row per group.  Returns [(hashable_group_key, slot_states)] in
+    first-seen order."""
+    from .aggregates import AGG_IMPLS
+
+    group_slots = [n for n, l in enumerate(leaves)
+                   if isinstance(l, ast.RetAgg) and l.fun == "group"]
+    agg_slots = [(n, l.fun, l.sep) for n, l in enumerate(leaves)
+                 if isinstance(l, ast.RetAgg) and l.fun != "group"]
+
+    def hashable(v):
+        return tuple(map(hashable, v)) if isinstance(v, list) else v
+
+    # REVERSED doc order: the local buffered merge accumulates group rows
+    # back to front (observable in array()/concat() output,
+    # repl-tests/group.noise); folding each range reversed — and merging
+    # ranges reversed — reproduces it exactly for unlimited aggregates
+    partial: dict = {}
+    for row in reversed(rows):
+        key = tuple(hashable(row[n]) for n in group_slots)
+        state = partial.get(key)
+        if state is None:
+            state = list(row)
+            for n, fun, _sep in agg_slots:
+                init = AGG_IMPLS[fun][0]
+                if init is not None:
+                    state[n] = init(row[n])
+            partial[key] = state
+        else:
+            for n, fun, sep in agg_slots:
+                state[n] = AGG_IMPLS[fun][1](state[n], row[n], sep)
+    return list(partial.items())
+
+
+@ray.remote
+def _agg_range_task(index_dir: str, qtext: str, params: dict | None,
+                    lo: int, hi: int):
+    """Evaluate + leaf-fetch + partial-aggregate one doc range — the heavy
+    per-match work (docmap column reads, per-row fold) never leaves the
+    workers; only one state row per (range, group) reaches the driver."""
+    from . import executor as ex
+
+    reader = _cached_reader(index_dir)
+    q = parse_query(qtext, params)
+    cq = CompiledQuery(reader, q.filter, doc_range=(lo, hi))
+    res = cq.evaluate()
+    docs = res.docs
+    scores = cq.final_scores(res)
+    leaves = ret_leaves(q.returns)
+    rows = ex._leaf_values(reader, leaves, docs, scores)
+    return _partial_fold(leaves, rows)
+
+
 @ray.remote
 def _eval_range_task(index_dir: str, qtext: str, params: dict | None,
                      lo: int, hi: int, keep_topk: int | None):
@@ -93,6 +174,18 @@ def run_query_distributed(index_dir: str, query: str,
     ranges = [(lo, min(lo + span, reader.num_docs))
               for lo in range(0, reader.num_docs, span)]
 
+    agg_leaves = None
+    if isinstance(q.returns, ex._TREE_TYPES):
+        leaves = ret_leaves(q.returns)
+        if any(isinstance(l, ast.RetAgg) for l in leaves):
+            agg_leaves = leaves
+    if agg_leaves is not None:
+        parts = ray.get([
+            _agg_range_task.remote(index_dir, query, params, lo, hi)
+            for lo, hi in ranges
+        ])
+        return _merge_agg_partials(q, agg_leaves, parts)
+
     # scored-top-k queries prune to local top-k in the workers
     keep_topk = None
     if (q.limit and q.order and len(q.order) == 1 and q.order[0].score
@@ -108,15 +201,58 @@ def run_query_distributed(index_dir: str, query: str,
               if parts else np.zeros(0, F32))
     # ranges are disjoint and ascending → already doc-ordered
 
-    agg_leaves = None
-    if isinstance(q.returns, ex._TREE_TYPES):
-        leaves = ret_leaves(q.returns)
-        if any(isinstance(l, ast.RetAgg) for l in leaves):
-            agg_leaves = leaves
-    if agg_leaves is not None:
-        return ex._run_aggregates(reader, q, docs, scores, agg_leaves)
     if isinstance(q.returns, ex._TREE_TYPES):
         docs, scores = ex._apply_order_limit(reader, q, docs, scores)
         return ex._render_tree_table(reader, q.returns, leaves, docs, scores)
     docs, scores = ex._apply_order_limit(reader, q, docs, scores)
     return ex._materialize(reader, docs, scores, q.returns)
+
+
+def _merge_agg_partials(q, leaves, parts) -> pa.Table:
+    """Merge per-range partial aggregate states in range order, finalize,
+    order groups, apply the limit, render.
+
+    Divergences from the local buffered fold, both documented: (a) sum/avg
+    reassociate float addition across ranges; (b) a `limit` applies to the
+    FINAL grouped rows rather than truncating mid-merge (the reference's
+    buffered early-cut can drop a group that later rows would have grown —
+    a quirk that cannot be reproduced from per-range partials)."""
+    import functools
+
+    from . import executor as ex
+    from .aggregates import AGG_FINALS
+    from .results import cmp_json
+
+    agg_slots = [(n, l.fun, l.sep) for n, l in enumerate(leaves)
+                 if isinstance(l, ast.RetAgg) and l.fun != "group"]
+    merged: dict = {}
+    for part in reversed(parts):  # reversed range order (see _partial_fold)
+        for key, state in part:
+            cur = merged.get(key)
+            if cur is None:
+                merged[key] = state
+            else:
+                for n, fun, sep in agg_slots:
+                    cur[n] = _merge_states(fun, cur[n], state[n], sep)
+    rows = list(merged.values())
+    for n, leaf in enumerate(leaves):
+        if isinstance(leaf, ast.RetAgg):
+            fin = AGG_FINALS.get(leaf.fun)
+            if fin is not None:
+                for row in rows:
+                    row[n] = fin(row[n])
+
+    orders = [(l.desc, n) for n, l in enumerate(leaves)
+              if isinstance(l, ast.RetAgg) and l.fun == "group"]
+
+    def cmp(a, b):
+        for desc, n in orders:
+            c = cmp_json(b[n], a[n]) if desc else cmp_json(a[n], b[n])
+            if c:
+                return c
+        return 0
+
+    rows.sort(key=functools.cmp_to_key(cmp))
+    if q.limit is not None:
+        rows = rows[: q.limit]
+    return ex._rows_to_table(q.returns, leaves, rows)

@@ -26,6 +26,17 @@ QUERIES = [
     'find {role: =="user"} return {r: group(.role), n: count()} ;',
     'find {text: ~="the"} return {t: group(.tool), n: count(), '
     "mx: max(.turn_idx)} ;",
+    # partial-aggregation path: every aggregate, incl. the reversed
+    # accumulation order observable in array()/concat()
+    'find {text: ~="the"} return {g: group(.role), n: count(), '
+    "s: sum(.turn_idx), lo: min(.turn_idx), hi: max(.turn_idx)} ;",
+    'find {role: =="user"} return {g: group(.tool), ids: array(.turn_idx), '
+    'c: concat(.conv_id sep="|")} ;',
+    'find {role: =="user"} return {g: group(.tool), '
+    "f: array_flat(.turn_idx), mn: min_array(.turn_idx), "
+    "mx: max_array(.turn_idx)} ;",
+    'find {role: =="user"} return {g: group(.role order=desc), '
+    "n: count()} limit 1 ;",
 ]
 
 
@@ -35,6 +46,21 @@ def test_distributed_identical(idx, q, parts):
     local = run_query(IndexReader(idx), q).to_pylist()
     dist = run_query_distributed(idx, q, num_partitions=parts).to_pylist()
     assert dist == local
+
+
+def test_distributed_avg_reassociates_within_ulp(idx):
+    """avg() merges per-range (mean, n) partials: float addition
+    reassociates across ranges, so the distributed result may differ from
+    the sequential incremental mean in the last ulp — and no more."""
+    import math
+
+    q = ('find {text: ~="the"} return {g: group(.role), '
+         "m: avg(.turn_idx)} ;")
+    local = run_query(IndexReader(idx), q).to_pylist()
+    dist = run_query_distributed(idx, q, num_partitions=3).to_pylist()
+    assert [r["g"] for r in dist] == [r["g"] for r in local]
+    for a, b in zip(local, dist):
+        assert math.isclose(a["m"], b["m"], rel_tol=1e-12)
 
 
 def test_distributed_params(idx):
