@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.langid,
         # --- multimodal plumbing
         "payload_metadata": multimodal.payload_metadata,
+        "payload_features": multimodal.payload_features_flat,
+        "payload_resize": multimodal.payload_resize,
+        "frame_sample": multimodal.frame_sample,
         # --- lifecycle: incremental add + upsert epochs
         "incremental_upsert": _incremental_upsert,
     }
@@ -305,4 +308,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS digest
             FROM documents""",
+        "payload_features": """
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS f_len,
+                   CAST(length(text) - length(replace(text, ' ', ''))
+                        AS DOUBLE) AS f_spaces,
+                   CAST(length(regexp_replace(text, '[^aeiou]', '', 'g'))
+                        AS DOUBLE) AS f_vowels,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                        AS DOUBLE) AS f_digits
+            FROM documents""",
+        "payload_resize": """
+            SELECT doc_id,
+                   CAST(least(octet_length(encode(text)), 64) AS BIGINT)
+                       AS n_bytes_out
+            FROM documents""",
+        "frame_sample": """
+            SELECT d.doc_id, CAST(u.f AS BIGINT) AS frame_idx,
+                   substr(d.text, CAST(u.f * 16 + 1 AS INT), 16) AS frame
+            FROM documents d,
+                 UNNEST(range(0, CAST(ceil(length(d.text) / 16.0) AS INT), 4))
+                     AS u(f)""",
     }

@@ -66,3 +66,106 @@ def payload_metadata(sf_dir: str):
         PayloadDecoder, batch_format="pyarrow", batch_size=256,
         concurrency=(1, 4),
     )
+
+
+class FeatureExtractor:
+    """Actor-pool feature-extraction stage.  A real deployment loads an
+    embedding model here once per actor and runs batched inference in
+    ``__call__``; the stand-in computes deterministic content features so
+    the stage is oracle-checkable end to end."""
+
+    def __init__(self, model: str = "byte-stats-v1"):
+        self.model = model  # real model load happens once per actor, here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for buf in batch.column("payload"):
+            s = buf.as_py().decode("utf-8")
+            feats.append([
+                float(len(s)),
+                float(s.count(" ")),
+                float(sum(s.count(v) for v in "aeiou")),
+                float(sum(c.isdigit() for c in s)),
+            ])
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "feature": pa.array(feats, pa.list_(pa.float64())),
+        })
+
+
+def payload_features(sf_dir: str):
+    """doc_id → feature vector (list<double>) via the actor-pool
+    extractor — the batched-inference shape for a real embedding model."""
+    return synthesize_payloads(sf_dir).map_batches(
+        FeatureExtractor, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+def payload_features_flat(sf_dir: str):
+    """Oracle-friendly projection of :func:`payload_features`: the feature
+    vector unpacked to scalar columns (the driver's value-hash compares
+    scalars)."""
+    def flatten(batch: pa.Table) -> pa.Table:
+        feats = batch.column("feature").to_pylist()
+        cols = {"doc_id": batch.column("doc_id")}
+        for i, name in enumerate(("f_len", "f_spaces", "f_vowels",
+                                  "f_digits")):
+            cols[name] = pa.array([f[i] for f in feats], pa.float64())
+        return pa.table(cols)
+
+    return payload_features(sf_dir).map_batches(flatten,
+                                                batch_format="pyarrow")
+
+
+class Resizer:
+    """Actor-pool resize stage: clamps each payload to ``target`` bytes
+    (a real deployment decodes, resizes and re-encodes here).  Output keeps
+    the binary column plus its new size — the schema a downstream training
+    shard writer consumes."""
+
+    def __init__(self, target: int = 64):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs, sizes = [], []
+        for buf in batch.column("payload"):
+            b = buf.as_py()[: self.target]
+            outs.append(b)
+            sizes.append(len(b))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "payload": pa.array(outs, pa.binary()),
+            "n_bytes_out": pa.array(sizes, pa.int64()),
+        })
+
+
+def payload_resize(sf_dir: str):
+    return (synthesize_payloads(sf_dir)
+            .map_batches(Resizer, batch_format="pyarrow", batch_size=256,
+                         concurrency=(1, 4))
+            .select_columns(["doc_id", "n_bytes_out"]))
+
+
+def frame_sample(sf_dir: str, frame_chars: int = 16, stride: int = 4):
+    """Explode each payload into fixed-size frames and keep every
+    ``stride``-th one — the video frame-sampling shape (one input row →
+    many frame rows) with a flat-map batch stage."""
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, idxs, frames = [], [], []
+        for did, buf in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("payload")):
+            s = buf.as_py().decode("utf-8")
+            n_frames = (len(s) + frame_chars - 1) // frame_chars
+            for f in range(0, n_frames, stride):
+                doc_ids.append(did)
+                idxs.append(f)
+                frames.append(s[f * frame_chars:(f + 1) * frame_chars])
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "frame": pa.array(frames, pa.string()),
+        })
+
+    return synthesize_payloads(sf_dir).map_batches(
+        explode, batch_format="pyarrow", batch_size=256)
