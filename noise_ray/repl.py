@@ -192,6 +192,30 @@ class Repl:
     def cmd_pretty(self, rest: str):
         self.pretty = rest.strip().startswith("on")
 
+    def cmd_dumpkeys(self, rest: str):
+        """`dumpkeys ;` — dump the posting keyspace in the reference's key
+        shape (`W<keypath>!<stem>#<seq>` / `C<keypath>!<stem>`,
+        src/key_builder.rs:64-93; debug surface of Index::all_keys,
+        src/index.rs:229-236).  One line per posting block / stats row."""
+        r = self._reader_or_err()
+        if r is None:
+            return
+        import pyarrow.parquet as pq
+
+        for s in sorted(r.manifest["segments"], key=lambda s: s["gkey"]):
+            t = pq.read_table(s["path"],
+                              columns=["field", "term", "min_doc", "max_doc",
+                                       "cnt"])
+            for row in t.to_pylist():
+                f = r.fields[row["field"]]
+                self._p(f"W.{f}!{row['term']}#{row['min_doc']}"
+                        f"..{row['max_doc']},{row['cnt']}")
+        for s in sorted(r.manifest["stats"], key=lambda s: s["gkey"]):
+            t = pq.read_table(s["path"], columns=["field", "term", "c"])
+            for row in t.to_pylist():
+                f = r.fields[row["field"]]
+                self._p(f"C.{f}!{row['term']},{row['c']}")
+
     def cmd_dumpstats(self, rest: str):
         r = self._reader_or_err()
         if r is None:
