@@ -60,13 +60,19 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, max_doc: int = 300)
     """Brute-force n-gram Jaccard pairs within a doc_id block (the oracle-
     checkable baseline; LSH below is the scale path).  Output (a_id, b_id)
     with a_id < b_id < max_doc and jaccard >= threshold."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    # filter pushed into the parquet read: only the bounded doc block
+    # (row-group pruned) is ever materialized, however large the corpus
     t = pa.concat_tables(ray.get(
-        _read_docs(sf_dir, ["doc_id", "text"]).to_arrow_refs()))
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+            filter=pads.field("doc_id") < max_doc,
+        ).to_arrow_refs()))
+    t = t.filter(pc.less(t.column("doc_id"), max_doc))  # exact residue
     ids = np.asarray(t.column("doc_id").to_numpy())
-    all_texts = t.column("text").to_pylist()
-    keep = ids < max_doc
-    texts = [all_texts[i] for i in np.flatnonzero(keep)]
-    ids = ids[keep]
+    texts = t.column("text").to_pylist()
     sh = [ _shingles(x) for x in texts ]
     order = np.argsort(ids)
     pairs_a, pairs_b = [], []

@@ -123,14 +123,15 @@ def orders_by_segment(sf_dir: str):
     cust = pa.concat_tables(
         ray.get(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_arrow_refs())
     )
-    cmap = dict(zip(cust.column("c_custkey").to_pylist(),
-                    cust.column("c_mktsegment").to_pylist()))
-    cmap_ref = ray.put(cmap)
+    # broadcast the Arrow table itself (zero-copy in the object store) and
+    # hash-join each batch against it in C++ — no Python per-row lookups
+    cust_ref = ray.put(cust)
 
     def add_segment(batch: pa.Table) -> pa.Table:
-        m = ray.get(cmap_ref)
-        seg = [m.get(k) for k in batch.column("o_custkey").to_pylist()]
-        return pa.table({"c_mktsegment": pa.array(seg, pa.string())})
+        c = ray.get(cust_ref)
+        joined = batch.join(c, keys=["o_custkey"], right_keys=["c_custkey"],
+                            join_type="left outer")
+        return joined.select(["c_mktsegment"])
 
     return (
         _read(sf_dir, "orders", ["o_custkey"])
