@@ -65,35 +65,18 @@ def _incremental_upsert(sf_dir: str):
     import os
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from noise_ray.build import add_documents, build_index
     from noise_ray.query import IndexReader, run_query
 
-    def write(dirpath, name, rows):
-        os.makedirs(dirpath, exist_ok=True)
-        t = pa.table({
-            "conv_id": pa.array([r[0] for r in rows], pa.string()),
-            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
-            "role": pa.array([r[2] for r in rows], pa.string()),
-            "text": pa.array([r[3] for r in rows], pa.string()),
-            "tool": pa.array([None] * len(rows), pa.string()),
-            "ts": pa.array(range(len(rows)), pa.timestamp("us")),
-        })
-        p = os.path.join(dirpath, name)
-        pq.write_table(t, p)
-        return p
-
     root = tempfile.mkdtemp(prefix="noise_ray_incr_")
-    base = write(os.path.join(root, "in0"), "part-0.parquet", [
+    base = _write_turns(os.path.join(root, "in0"), [
         ("a", 0, "user", "the quick brown fox"),
         ("a", 1, "assistant", "lazy dogs sleep"),
         ("b", 0, "user", "fox hunting season"),
     ])
     idx = os.path.join(root, "idx")
     build_index([base], idx, num_buckets=4)
-    delta = write(os.path.join(root, "in1"), "part-1.parquet", [
+    delta = _write_turns(os.path.join(root, "in1"), [
         ("a", 0, "user", "updated fox text entirely"),  # upsert of (a, 0)
         ("c", 0, "user", "quick quick fox"),
     ])
@@ -101,6 +84,57 @@ def _incremental_upsert(sf_dir: str):
     return run_query(
         IndexReader(idx),
         'find {text: ~="fox"} order score() desc return score() limit 10 ;')
+
+
+def _lifecycle_compact(sf_dir: str):
+    """Full lifecycle (SURVEY §2.0): base build → epoch add with upsert →
+    tombstone delete → compaction, then query the compacted index.
+    Deterministic fixed corpus; rows-only check (value-exact in
+    tests/test_compact.py: compaction ≡ fresh build over live rows)."""
+    import os
+    import tempfile
+
+    from noise_ray.build import add_documents, build_index, compact_index
+    from noise_ray.query import IndexReader, run_query
+
+    root = tempfile.mkdtemp(prefix="noise_ray_compact_")
+    base = _write_turns(os.path.join(root, "in0"), [
+        ("a", 0, "user", "the quick brown fox"),
+        ("a", 1, "assistant", "lazy dogs sleep"),
+        ("b", 0, "user", "fox hunting season"),
+    ])
+    idx = os.path.join(root, "idx")
+    build_index([base], idx, num_buckets=4)
+    delta = _write_turns(os.path.join(root, "in1"), [
+        ("a", 0, "user", "updated fox text entirely"),  # upsert of (a, 0)
+        ("c", 0, "user", "quick quick fox"),
+    ])
+    add_documents(idx, [delta])
+    IndexReader(idx).add_tombstones([1])  # delete (a, 1)
+    compact_index(idx)
+    return run_query(
+        IndexReader(idx),
+        'find {text: ~="fox"} order score() desc return score() limit 10 ;')
+
+
+def _write_turns(dirpath, rows):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dirpath, exist_ok=True)
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "tool": pa.array([None] * len(rows), pa.string()),
+        "ts": pa.array(range(len(rows)), pa.timestamp("us")),
+    })
+    p = os.path.join(dirpath, "part-0.parquet")
+    pq.write_table(t, p)
+    return p
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -171,8 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_features": multimodal.payload_features_flat,
         "payload_resize": multimodal.payload_resize,
         "frame_sample": multimodal.frame_sample,
-        # --- lifecycle: incremental add + upsert epochs
+        # --- lifecycle: incremental add + upsert epochs; compaction
         "incremental_upsert": _incremental_upsert,
+        "lifecycle_compact": _lifecycle_compact,
     }
 
 

@@ -145,8 +145,9 @@ class CompiledQuery:
             )  # src/query.rs:222-228
         _check_double_not(node, False)  # src/filters.rs:1051-1061
 
-    def _postings(self, field: str, term: str) -> PostingList:
-        pl = self.reader.postings(field, term)
+    def _postings(self, field: str, term: str,
+                  need_positions: bool = True) -> PostingList:
+        pl = self.reader.postings(field, term, need_positions)
         if self.doc_range is not None:
             pl = pl.slice_range(*self.doc_range)
         return pl
@@ -177,7 +178,9 @@ class CompiledQuery:
     def _eval_node(self, node: ast.Node) -> EvalResult:
         reader = self.reader
         if isinstance(node, ast.Term):
-            pl = self._postings(node.field, _stem_one(node.word))
+            # positions are never consulted for a single-term match
+            pl = self._postings(node.field, _stem_one(node.word),
+                                need_positions=False)
             r = EvalResult(pl.docs)
             slot = getattr(node, "_slot", None)  # None inside Not: unscored
             if slot is not None and not np.isnan(slot.idf):
@@ -260,12 +263,24 @@ class CompiledQuery:
         raise TypeError(f"unknown node {node!r}")
 
     def _not_docs(self, node: ast.Node) -> np.ndarray:
-        """Complement over the doc universe (NotFilter, src/filters.rs:944-1066)."""
+        """Complement over the doc universe (NotFilter,
+        src/filters.rs:944-1066).  Boolean-mask complement: O(N) with no
+        sort and no arange+setdiff materialization — at 10^7+ docs the
+        sort-based set difference dominated whole queries."""
         if isinstance(node, ast.Not):
             inner = self._eval(node.inner).docs
         else:
             inner = self._eval(node).docs
-        return np.setdiff1d(self._universe(), inner, assume_unique=True)
+        lo, hi = (self.doc_range if self.doc_range is not None
+                  else (0, self.reader.num_docs))
+        mask = np.ones(hi - lo, dtype=bool)
+        if inner.size:
+            mask[inner - lo] = False
+        t = self.reader.tombstones
+        if t.size:
+            tt = t[(t >= lo) & (t < hi)]
+            mask[tt - lo] = False
+        return np.flatnonzero(mask) + lo
 
     # ---------------------------------------------------------- phrase
 
@@ -313,7 +328,7 @@ class CompiledQuery:
         terms, slots = self._phrase_meta(node)
         if len(terms) == 1:
             # parser emits a plain StemmedWordFilter for one token
-            pl = self._postings(node.field, terms[0])
+            pl = self._postings(node.field, terms[0], need_positions=False)
             r = EvalResult(pl.docs)
             if not np.isnan(slots[0].idf):
                 r.slots[slots[0].ordinal] = (

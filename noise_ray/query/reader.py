@@ -25,12 +25,17 @@ from ..build.pipeline import MANIFEST_NAME, term_bucket
 
 @dataclass
 class PostingList:
-    """Decoded postings of one (field, term), doc-ascending."""
-    docs: np.ndarray        # int64
-    tfs: np.ndarray         # int64
-    lens: np.ndarray        # int64 (field length per doc instance)
-    pos_concat: np.ndarray  # int64, concatenated per-doc position lists
-    pos_starts: np.ndarray  # int64, start offset of each doc's positions
+    """Decoded postings of one (field, term), doc-ascending.
+
+    ``pos_concat`` / ``pos_starts`` are None when the postings were read
+    without positions (term / boolean / range evaluation never touches
+    them; skipping the positions column halves the segment bytes read and
+    the decode work for the hottest stopword terms)."""
+    docs: np.ndarray                   # int64
+    tfs: np.ndarray                    # int64
+    lens: np.ndarray                   # int64 (field length per instance)
+    pos_concat: np.ndarray | None      # int64, concatenated position lists
+    pos_starts: np.ndarray | None      # int64, per-doc start offsets
 
     @property
     def size(self) -> int:
@@ -48,6 +53,9 @@ class PostingList:
         e = int(np.searchsorted(self.docs, hi, side="left"))
         if s == 0 and e == self.size:
             return self
+        if self.pos_concat is None:
+            return PostingList(self.docs[s:e], self.tfs[s:e], self.lens[s:e],
+                               None, None)
         p0 = int(self.pos_starts[s]) if s < self.size else len(self.pos_concat)
         p1 = (int(self.pos_starts[e - 1] + self.tfs[e - 1])
               if e > s else p0)
@@ -187,63 +195,98 @@ class IndexReader:
 
     # ---------------------------------------------------------- postings
 
-    def postings(self, field: str | int, term: str) -> PostingList:
+    def postings(self, field: str | int, term: str,
+                 need_positions: bool = True) -> PostingList:
+        """Full decoded postings of one (field, term).
+
+        ``need_positions=False`` (term / boolean / range evaluation) skips
+        reading AND decoding the positions column — roughly half the bytes
+        of a stopword's postings.  Decoding is one vectorized pass per
+        stream over the concatenated raw block buffers: block doc deltas
+        restart absolute at each block, recovered with a segmented-cumsum
+        reset rather than a per-block Python loop."""
         fid = field if isinstance(field, int) else self.field_id.get(field, -1)
         if fid < 0:
             return _empty_postings()
         key = (fid, term)
         hit = self._postings_cache.get(key)
-        if hit is not None:
+        if hit is not None and (not need_positions
+                                or hit.pos_concat is not None
+                                or hit.size == 0):
             return hit
         bucket = term_bucket(term, self.num_buckets)
-        docs_parts, tf_parts, len_parts, pos_parts = [], [], [], []
+        cols = ["cnt", "docs", "tfs", "lens"]
+        if need_positions:
+            cols.append("positions")
+        cnts: list[int] = []
+        d_bufs: list[bytes] = []
+        t_bufs: list[bytes] = []
+        l_bufs: list[bytes] = []
+        p_bufs: list[bytes] = []
         for rng in range(self.num_ranges):
             gkey = bucket * self.num_ranges + rng
             path = self._seg_by_gkey.get(gkey)
             if path is None:
                 continue
             t = pq.read_table(
-                path,
-                columns=["min_doc", "cnt", "docs", "tfs", "lens", "positions"],
+                path, columns=cols,
                 filters=[("field", "==", fid), ("term", "==", term)],
             )
-            for row in range(t.num_rows):
-                cnt = t.column("cnt")[row].as_py()
-                docs = decode_deltas(t.column("docs")[row].as_py(), cnt)
-                tfs = decode_varint(t.column("tfs")[row].as_py(), cnt).astype(np.int64)
-                lens = decode_varint(t.column("lens")[row].as_py(), cnt).astype(np.int64)
-                pos = decode_position_lists(t.column("positions")[row].as_py(), tfs)
-                docs_parts.append(docs)
-                tf_parts.append(tfs)
-                len_parts.append(lens)
-                pos_parts.append(pos)
+            if t.num_rows:
+                cnts.extend(t.column("cnt").to_pylist())
+                d_bufs.extend(t.column("docs").to_pylist())
+                t_bufs.extend(t.column("tfs").to_pylist())
+                l_bufs.extend(t.column("lens").to_pylist())
+                if need_positions:
+                    p_bufs.extend(t.column("positions").to_pylist())
+        if cnts:
+            total = int(sum(cnts))
+            blk_starts = np.zeros(len(cnts), dtype=np.int64)
+            np.cumsum(np.asarray(cnts[:-1], dtype=np.int64),
+                      out=blk_starts[1:])
+            deltas = decode_varint(b"".join(d_bufs), total).astype(np.int64)
+            run = np.cumsum(deltas)
+            # each block's first delta is its absolute min_doc: subtract the
+            # running total at each block start (valid: run is non-decreasing)
+            base = np.zeros(total, dtype=np.int64)
+            base[blk_starts[1:]] = run[blk_starts[1:] - 1]
+            docs = run - np.maximum.accumulate(base)
+            tfs = decode_varint(b"".join(t_bufs), total).astype(np.int64)
+            lens = decode_varint(b"".join(l_bufs), total).astype(np.int64)
+            pos = (decode_position_lists(b"".join(p_bufs), tfs)
+                   if need_positions else None)
+            parts = [(docs, tfs, lens, pos)]
+        else:
+            parts = []
         # epoch postings: every epoch's doc_ids exceed all earlier ones,
         # so appending in epoch order preserves global doc order
         for e in self._epochs:
-            pl = e.postings(fid, term)
+            pl = e.postings(fid, term, need_positions)
             if pl.size:
-                docs_parts.append(pl.docs)
-                tf_parts.append(pl.tfs)
-                len_parts.append(pl.lens)
-                pos_parts.append(pl.pos_concat)
-        if not docs_parts:
+                parts.append((pl.docs, pl.tfs, pl.lens, pl.pos_concat))
+        if not parts:
             pl = _empty_postings()
         else:
-            docs = np.concatenate(docs_parts)
-            tfs = np.concatenate(tf_parts)
+            docs = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
             order_ok = (np.diff(docs) > 0).all() if docs.size > 1 else True
             if not order_ok:
                 raise AssertionError(f"postings for {key} not doc-sorted")
-            starts = np.zeros(tfs.size, dtype=np.int64)
-            np.cumsum(tfs[:-1], out=starts[1:])
+            if need_positions:
+                starts = np.zeros(tfs.size, dtype=np.int64)
+                np.cumsum(tfs[:-1], out=starts[1:])
+                pos_concat = np.concatenate([p[3] for p in parts])
+            else:
+                starts = None
+                pos_concat = None
             pl = PostingList(
                 docs=docs,
                 tfs=tfs,
-                lens=np.concatenate(len_parts),
-                pos_concat=np.concatenate(pos_parts),
+                lens=np.concatenate([p[2] for p in parts]),
+                pos_concat=pos_concat,
                 pos_starts=starts,
             )
-        if len(self._postings_cache) < 4096:
+        if len(self._postings_cache) < 4096 or key in self._postings_cache:
             self._postings_cache[key] = pl
         return pl
 
@@ -322,7 +365,11 @@ class IndexReader:
 
     # ------------------------------------------------------------ docmap
 
-    _DOCMAP_CACHE_CAP = 256 << 20  # bytes of decoded docmap columns to keep
+    # decoded docmap-column LRU budget: sized so a dictionary-encoded
+    # metadata column of a ~10^7-doc index stays resident (a single string
+    # column at 22M rows is ~200 MB; thrashing it re-reads every partition
+    # per query)
+    _DOCMAP_CACHE_CAP = 1 << 30
 
     def _docmap_col(self, path: str, col: str):
         """LRU-cached decoded docmap column (combine-chunked Array)."""
