@@ -309,19 +309,37 @@ class CompiledQuery:
             docs = np.intersect1d(docs, pl.docs, assume_unique=True)
         if docs.size == 0 or len(pls) == 1:
             return docs, pls
-        keep = np.zeros(docs.size, dtype=bool)
+
+        # Vectorized over ALL candidate docs at once: positions become flat
+        # (candidate_ordinal << 32 | position) keys — ascending, so each
+        # chain step is one searchsorted membership test instead of a
+        # Python loop per doc.  Candidate ordinals (not doc_ids) keep the
+        # key in 63 bits at any corpus size.
         idxs = [np.searchsorted(pl.docs, docs) for pl in pls]
-        for j in range(docs.size):
-            surviving = pls[0].positions_of(idxs[0][j])
-            ok = True
-            for t in range(1, len(pls)):
-                p = pls[t].positions_of(idxs[t][j])
-                mask = np.isin(np.maximum(p - 1, 0), surviving)
-                surviving = p[mask]
-                if surviving.size == 0:
-                    ok = False
-                    break
-            keep[j] = ok
+
+        def flat_pos(pl, idx):
+            tf = pl.tfs[idx]
+            st = pl.pos_starts[idx]
+            total = int(tf.sum())
+            ends = np.cumsum(tf)
+            rel = np.arange(total, dtype=np.int64) - np.repeat(ends - tf, tf)
+            pos = pl.pos_concat[np.repeat(st, tf) + rel]
+            ordinal = np.repeat(np.arange(docs.size, dtype=np.int64), tf)
+            return ordinal, pos.astype(np.int64)
+
+        ordinal0, pos0 = flat_pos(pls[0], idxs[0])
+        surv = (ordinal0 << np.int64(32)) | pos0
+        for t in range(1, len(pls)):
+            if surv.size == 0:
+                return docs[:0], pls
+            ordinal_t, pos_t = flat_pos(pls[t], idxs[t])
+            probe = (ordinal_t << np.int64(32)) | np.maximum(pos_t - 1, 0)
+            j = np.minimum(np.searchsorted(surv, probe), surv.size - 1)
+            mask = surv[j] == probe
+            surv = ((ordinal_t << np.int64(32)) | pos_t)[mask]
+        keep = np.zeros(docs.size, dtype=bool)
+        if surv.size:
+            keep[np.unique(surv >> np.int64(32))] = True
         return docs[keep], pls
 
     def _eval_phrase(self, node: ast.Phrase) -> EvalResult:
