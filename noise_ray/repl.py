@@ -112,6 +112,20 @@ class Repl:
                 self._p(f"No files match {pat}")
                 return
             paths.extend(hits)
+        jsonl = [p for p in paths
+                 if p.endswith((".jsonl", ".json", ".ndjson"))]
+        if jsonl:
+            # the reference's add takes JSON documents; convert through the
+            # streaming JSONL source into build-ready parquet shards
+            if self.index_dir is None:
+                self._p("Index isn't open")
+                return
+            from .sources.jsonl import jsonl_to_parquet
+
+            out = os.path.join(self.index_dir,
+                               f"staged-jsonl-{len(self.staged):04d}")
+            converted = jsonl_to_parquet(jsonl, out)
+            paths = [p for p in paths if p not in jsonl] + converted
         self.staged.extend(paths)
         self._p(f"staged {len(paths)} file(s), {len(self.staged)} pending")
 
