@@ -147,7 +147,11 @@ class CompiledQuery:
 
     def _postings(self, field: str, term: str,
                   need_positions: bool = True) -> PostingList:
-        pl = self.reader.postings(field, term, need_positions)
+        # the doc range is pushed into the segment read (block-bound
+        # filters), then sliced exactly — a range worker never decodes
+        # another range's postings
+        pl = self.reader.postings(field, term, need_positions,
+                                  self.doc_range)
         if self.doc_range is not None:
             pl = pl.slice_range(*self.doc_range)
         return pl

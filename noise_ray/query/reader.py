@@ -196,28 +196,45 @@ class IndexReader:
     # ---------------------------------------------------------- postings
 
     def postings(self, field: str | int, term: str,
-                 need_positions: bool = True) -> PostingList:
-        """Full decoded postings of one (field, term).
+                 need_positions: bool = True,
+                 doc_range: tuple[int, int] | None = None) -> PostingList:
+        """Decoded postings of one (field, term).
 
         ``need_positions=False`` (term / boolean / range evaluation) skips
         reading AND decoding the positions column — roughly half the bytes
-        of a stopword's postings.  Decoding is one vectorized pass per
-        stream over the concatenated raw block buffers: block doc deltas
-        restart absolute at each block, recovered with a segmented-cumsum
-        reset rather than a per-block Python loop."""
+        of a stopword's postings.  ``doc_range=(lo, hi)`` pushes block
+        bounds into the segment read (``max_doc >= lo``, ``min_doc < hi``)
+        so a range-partitioned worker decodes only its slice of each
+        posting list, not the whole corpus's.  Decoding is one vectorized
+        pass per stream over the concatenated raw block buffers: block doc
+        deltas restart absolute at each block, recovered with a
+        segmented-cumsum reset rather than a per-block Python loop."""
         fid = field if isinstance(field, int) else self.field_id.get(field, -1)
         if fid < 0:
             return _empty_postings()
-        key = (fid, term)
+        key = (fid, term) if doc_range is None else (fid, term, doc_range)
         hit = self._postings_cache.get(key)
         if hit is not None and (not need_positions
                                 or hit.pos_concat is not None
                                 or hit.size == 0):
             return hit
+        if doc_range is None:
+            full = None
+        else:
+            # a cached full posting list serves every range for free
+            full = self._postings_cache.get((fid, term))
+            if full is not None and (not need_positions
+                                     or full.pos_concat is not None
+                                     or full.size == 0):
+                return full
         bucket = term_bucket(term, self.num_buckets)
         cols = ["cnt", "docs", "tfs", "lens"]
         if need_positions:
             cols.append("positions")
+        filters = [("field", "==", fid), ("term", "==", term)]
+        if doc_range is not None:
+            filters.append(("max_doc", ">=", doc_range[0]))
+            filters.append(("min_doc", "<", doc_range[1]))
         cnts: list[int] = []
         d_bufs: list[bytes] = []
         t_bufs: list[bytes] = []
@@ -228,10 +245,7 @@ class IndexReader:
             path = self._seg_by_gkey.get(gkey)
             if path is None:
                 continue
-            t = pq.read_table(
-                path, columns=cols,
-                filters=[("field", "==", fid), ("term", "==", term)],
-            )
+            t = pq.read_table(path, columns=cols, filters=filters)
             if t.num_rows:
                 cnts.extend(t.column("cnt").to_pylist())
                 d_bufs.extend(t.column("docs").to_pylist())
@@ -261,7 +275,7 @@ class IndexReader:
         # epoch postings: every epoch's doc_ids exceed all earlier ones,
         # so appending in epoch order preserves global doc order
         for e in self._epochs:
-            pl = e.postings(fid, term, need_positions)
+            pl = e.postings(fid, term, need_positions, doc_range)
             if pl.size:
                 parts.append((pl.docs, pl.tfs, pl.lens, pl.pos_concat))
         if not parts:
