@@ -47,22 +47,15 @@ def _restore_source_schema(t: pa.Table) -> pa.Table:
     return t
 
 
-def _key_range(path: str, key_columns: list[str]) -> tuple[tuple, tuple]:
-    """(min_key, max_key) tuples from Parquet footer statistics only."""
-    md = pq.read_metadata(path)
-    mins, maxs = [], []
-    for col in key_columns:
-        idx = md.schema.names.index(col)
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                raise ValueError(f"{path}: no column statistics for {col}")
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        mins.append(lo)
-        maxs.append(hi)
-    return tuple(mins), tuple(maxs)
+def _first_key(path: str, key_columns: list[str]) -> tuple:
+    """The partition's lexicographic minimum key = its FIRST row (docmap
+    partitions are written key-sorted).  Per-column footer minima would be
+    wrong for composite keys: min(col1) over all rows is not the first
+    row's col1, and routing on it can create overlapping staged ranges
+    (forcing the rebuild into a needless global re-sort)."""
+    pf = pq.ParquetFile(path)
+    first = pf.read_row_group(0, columns=list(key_columns)).slice(0, 1)
+    return tuple(first.column(c)[0].as_py() for c in key_columns)
 
 
 def _stage_partition(batch: pa.Table, *, staging_dir: str, tombstones: tuple,
@@ -149,16 +142,20 @@ def compact_index(index_dir: str) -> dict:
     epoch_tbl = (pa.concat_tables(epoch_parts, promote_options="permissive")
                  if epoch_parts else None)
 
-    # ---- route epoch rows to base partitions by key range (footer stats)
+    # ---- route epoch rows to base partitions by first-row key boundaries
     base_dms = reader.manifest["docmap"]
-    ranges = [_key_range(dm["path"], key_columns) for dm in base_dms]
     routed: list[list[int]] = [[] for _ in base_dms]
+    extra_rows: list[int] = []  # epoch rows with no base partition to join
     if epoch_tbl is not None:
-        mins = [r[0] for r in ranges]
         key_cols = [epoch_tbl.column(c).to_pylist() for c in key_columns]
-        for i, key in enumerate(zip(*key_cols)):
-            j = bisect.bisect_right(mins, key) - 1
-            routed[max(j, 0)].append(i)
+        if base_dms:
+            mins = [_first_key(dm["path"], key_columns) for dm in base_dms]
+            for i, key in enumerate(zip(*key_cols)):
+                j = bisect.bisect_right(mins, key) - 1
+                routed[max(j, 0)].append(i)
+        else:
+            # base fully deleted earlier: every live row comes from epochs
+            extra_rows = list(range(epoch_tbl.num_rows))
 
     # ---- staging fan-out (one file per base partition, epoch broadcast)
     work_root = index_dir.rstrip("/") + ".compacting"
@@ -172,25 +169,33 @@ def compact_index(index_dir: str) -> dict:
     items = [{"part": i, "path": dm["path"],
               "epoch_idx": json.dumps(routed[i])}
              for i, dm in enumerate(base_dms)]
-    cpus = int(ray.cluster_resources().get("CPU", 32))
-    ctx = ray.data.DataContext.get_current()
-    prev_min_block = ctx.target_min_block_size
-    ctx.target_min_block_size = 1
-    try:
-        acks = (
-            ray.data.from_items(
-                items,
-                override_num_blocks=max(1, min(len(items), 3 * cpus)))
-            .map_batches(
-                _stage_partition, batch_format="pyarrow",
-                fn_kwargs={"staging_dir": staging_dir,
-                           "tombstones": tuple(sorted(tombs)),
-                           "key_columns": tuple(key_columns),
-                           "epoch_ref": epoch_ref})
-            .take_all()
-        )
-    finally:
-        ctx.target_min_block_size = prev_min_block
+    acks: list = []
+    if extra_rows:
+        # no base partition exists: stage the epoch live rows directly
+        t = _restore_source_schema(epoch_tbl)
+        out_path = os.path.join(staging_dir, "part-epochs.parquet")
+        pq.write_table(t, out_path, row_group_size=65536)
+        acks.append({"part": -1, "path": out_path, "rows": t.num_rows})
+    if items:
+        cpus = int(ray.cluster_resources().get("CPU", 32))
+        ctx = ray.data.DataContext.get_current()
+        prev_min_block = ctx.target_min_block_size
+        ctx.target_min_block_size = 1
+        try:
+            acks.extend(
+                ray.data.from_items(
+                    items,
+                    override_num_blocks=max(1, min(len(items), 3 * cpus)))
+                .map_batches(
+                    _stage_partition, batch_format="pyarrow",
+                    fn_kwargs={"staging_dir": staging_dir,
+                               "tombstones": tuple(sorted(tombs)),
+                               "key_columns": tuple(key_columns),
+                               "epoch_ref": epoch_ref})
+                .take_all()
+            )
+        finally:
+            ctx.target_min_block_size = prev_min_block
 
     base_manifest = reader.manifest
     del reader  # release docmap caches before the swap

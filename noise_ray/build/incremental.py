@@ -76,7 +76,26 @@ def add_documents(index_dir: str, new_paths: list[str],
     n = (int(_EPOCH_RE.match(os.path.basename(existing[-1])).group(1)) + 1
          if existing else 1)
     epoch_dir = os.path.join(index_dir, "epochs", f"epoch-{n:04d}")
+    # A crashed (unpublished) epoch dir is resumed ONLY for the same
+    # inputs: build_index's lineage checks (docmap row counts, committed
+    # segments) can't tell two input sets with equal shapes apart, so a
+    # fingerprint mismatch wipes the partial dir instead of splicing the
+    # old inputs' committed files into the new epoch.
+    fp = {"paths": sorted(os.path.abspath(p) for p in new_paths),
+          "offset": offset}
+    fp_path = os.path.join(epoch_dir, "inputs.json")
+    if os.path.isdir(epoch_dir):
+        old_fp = None
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                old_fp = json.load(f)
+        if old_fp != fp:
+            import shutil
+
+            shutil.rmtree(epoch_dir)
     os.makedirs(epoch_dir, exist_ok=True)
+    with open(fp_path, "w") as f:
+        json.dump(fp, f)
 
     manifest = build_index(
         list(new_paths), epoch_dir,

@@ -17,9 +17,15 @@ only on the doc itself and index-wide statistics, never on other matched
 docs.  Workers open the manifest independently and cache readers
 process-wide (one open per worker per index version).
 
-Aggregate-return queries also work: matches stream back per range and the
-order-sensitive aggregate fold runs on the driver over the doc-ordered
-concatenation — the identical row stream the local path folds.
+Aggregate-return queries run as per-range PARTIAL folds in the workers
+with a driver-side state merge (only one state row per (range, group)
+crosses the wire).  The merge reproduces the local buffered fold exactly
+— including array()/concat()'s reversed accumulation order — except that
+sum/avg reassociate float addition across ranges (deterministic, last-ulp
+on non-integer data).  An aggregate query WITH a limit streams matches
+back and folds on the driver instead: the reference's buffered early-cut
+truncates mid-merge in an order-sensitive way per-range partials cannot
+reproduce.
 """
 
 from __future__ import annotations
@@ -54,6 +60,10 @@ def _cached_reader(index_dir: str) -> IndexReader:
            tuple(os.path.basename(d) for d in _epoch_dirs(index_dir)))
     r = _READER_CACHE.get(key)
     if r is None:
+        # evict this index's older versions: each stale reader pins up to
+        # _DOCMAP_CACHE_CAP of decoded columns and is never used again
+        for k in [k for k in _READER_CACHE if k[0] == index_dir]:
+            del _READER_CACHE[k]
         r = _READER_CACHE[key] = IndexReader(index_dir)
     return r
 
@@ -180,6 +190,20 @@ def run_query_distributed(index_dir: str, query: str,
         if any(isinstance(l, ast.RetAgg) for l in leaves):
             agg_leaves = leaves
     if agg_leaves is not None:
+        if q.limit is not None:
+            # limit + aggregates: the reference's buffered early-cut is
+            # order-sensitive mid-merge — stream matches back and fold on
+            # the driver so results stay bit-identical to run_query
+            parts = ray.get([
+                _eval_range_task.remote(index_dir, query, params, lo, hi,
+                                        None)
+                for lo, hi in ranges
+            ])
+            docs = (np.concatenate([d for d, _ in parts])
+                    if parts else np.zeros(0, np.int64))
+            scores = (np.concatenate([s for _, s in parts]).astype(F32)
+                      if parts else np.zeros(0, F32))
+            return ex._run_aggregates(reader, q, docs, scores, agg_leaves)
         parts = ray.get([
             _agg_range_task.remote(index_dir, query, params, lo, hi)
             for lo, hi in ranges
@@ -209,14 +233,13 @@ def run_query_distributed(index_dir: str, query: str,
 
 
 def _merge_agg_partials(q, leaves, parts) -> pa.Table:
-    """Merge per-range partial aggregate states in range order, finalize,
-    order groups, apply the limit, render.
+    """Merge per-range partial aggregate states in reversed range order
+    (see _partial_fold), finalize, order groups, render.
 
-    Divergences from the local buffered fold, both documented: (a) sum/avg
-    reassociate float addition across ranges; (b) a `limit` applies to the
-    FINAL grouped rows rather than truncating mid-merge (the reference's
-    buffered early-cut can drop a group that later rows would have grown —
-    a quirk that cannot be reproduced from per-range partials)."""
+    Only divergence from the local buffered fold: sum/avg reassociate
+    float addition across ranges.  Queries with a limit never reach this
+    path (run_query_distributed falls back to the driver-side fold to
+    keep the reference's buffered early-cut semantics)."""
     import functools
 
     from . import executor as ex

@@ -120,10 +120,12 @@ class Repl:
             if self.index_dir is None:
                 self._p("Index isn't open")
                 return
+            import uuid
+
             from .sources.jsonl import jsonl_to_parquet
 
             out = os.path.join(self.index_dir,
-                               f"staged-jsonl-{len(self.staged):04d}")
+                               f"staged-jsonl-{uuid.uuid4().hex[:8]}")
             converted = jsonl_to_parquet(jsonl, out)
             paths = [p for p in paths if p not in jsonl] + converted
         self.staged.extend(paths)
@@ -216,33 +218,40 @@ class Repl:
             return
         import pyarrow.parquet as pq
 
-        for s in sorted(r.manifest["segments"], key=lambda s: s["gkey"]):
-            t = pq.read_table(s["path"],
-                              columns=["field", "term", "min_doc", "max_doc",
-                                       "cnt"])
-            for row in t.to_pylist():
-                f = r.fields[row["field"]]
-                self._p(f"W.{f}!{row['term']}#{row['min_doc']}"
-                        f"..{row['max_doc']},{row['cnt']}")
-        for s in sorted(r.manifest["stats"], key=lambda s: s["gkey"]):
-            t = pq.read_table(s["path"], columns=["field", "term", "c"])
-            for row in t.to_pylist():
-                f = r.fields[row["field"]]
-                self._p(f"C.{f}!{row['term']},{row['c']}")
+        manifests = [r.manifest] + [e.manifest for e in r._epochs]
+        for m in manifests:
+            for s in sorted(m["segments"], key=lambda s: s["gkey"]):
+                t = pq.read_table(s["path"],
+                                  columns=["field", "term", "min_doc",
+                                           "max_doc", "cnt"])
+                for row in t.to_pylist():
+                    f = r.fields[row["field"]]
+                    self._p(f"W.{f}!{row['term']}#{row['min_doc']}"
+                            f"..{row['max_doc']},{row['cnt']}")
+        for m in manifests:
+            for s in sorted(m["stats"], key=lambda s: s["gkey"]):
+                t = pq.read_table(s["path"], columns=["field", "term", "c"])
+                for row in t.to_pylist():
+                    f = r.fields[row["field"]]
+                    self._p(f"C.{f}!{row['term']},{row['c']}")
 
     def cmd_dumpstats(self, rest: str):
         r = self._reader_or_err()
         if r is None:
             return
-        m = r.manifest
+        manifests = [r.manifest] + [e.manifest for e in r._epochs]
         self._p(json.dumps({
-            "num_docs": m["num_docs"],
-            "fields": m["fields"],
-            "num_buckets": m["num_buckets"],
-            "num_ranges": m["num_ranges"],
-            "segments": len(m["segments"]),
-            "postings": sum(s["postings"] for s in m["segments"]),
-            "field_k": m["field_k"],
+            # reader-level view: epochs merged, like every query sees it
+            "num_docs": r.num_docs,
+            "fields": r.fields,
+            "num_buckets": r.num_buckets,
+            "num_ranges": r.num_ranges,
+            "segments": sum(len(m["segments"]) for m in manifests),
+            "postings": sum(s["postings"] for m in manifests
+                            for s in m["segments"]),
+            "field_k": {str(k): v for k, v in sorted(r.field_k.items())},
+            "epochs": len(r._epochs),
+            "tombstones": int(r.tombstones.size),
         }, indent=2 if self.pretty else None))
 
     def cmd_find(self, stmt: str):

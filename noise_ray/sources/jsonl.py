@@ -52,6 +52,8 @@ def jsonl_to_parquet(in_paths: list[str], out_dir: str) -> list[str]:
     the output is range-partitioned for the metadata-only doc_id plan
     (unsorted input would otherwise trigger the build's own repartition
     fallback and sort twice)."""
+    import shutil
+
     tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
     (
         ray.data.read_json(in_paths)
@@ -59,6 +61,8 @@ def jsonl_to_parquet(in_paths: list[str], out_dir: str) -> list[str]:
         .sort(["conv_id", "turn_idx"])
         .write_parquet(tmp)
     )
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)  # stale partial conversion
     os.replace(tmp, out_dir)
     return sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir)
                   if f.endswith(".parquet"))

@@ -100,6 +100,28 @@ def test_compact_all_deleted(ray_session, tmp_path):
     assert run_query(r, 'find {text: ~="fox"} limit 10 ;').num_rows == 0
 
 
+def test_compact_empty_base_with_epochs(ray_session, tmp_path):
+    """Regression: after a compaction that left zero docmap partitions,
+    a later epoch + compaction crashed routing epoch rows into an empty
+    partition list."""
+    p = _write(str(tmp_path / "in0"), "part-0.parquet",
+               [("a", 0, "user", "doomed fox")])
+    idx = str(tmp_path / "idx")
+    build_index([p], idx, num_buckets=4)
+    IndexReader(idx).add_tombstones([0])
+    compact_index(idx)
+    assert IndexReader(idx).num_docs == 0
+
+    p1 = _write(str(tmp_path / "in1"), "part-0.parquet",
+                [("b", 0, "user", "reborn fox")])
+    add_documents(idx, [p1])
+    m = compact_index(idx)
+    assert m["num_docs"] == 1
+    got = run_query(IndexReader(idx), 'find {text: ~="fox"} limit 5 ;')
+    assert got.column("conv_id").to_pylist() == ["b"]
+    assert ids(got) == [0]
+
+
 def test_compact_routes_interleaved_epoch_keys(ray_session, tmp_path):
     """Epoch keys that fall INSIDE the base key range must land in the
     right staging partition (non-overlapping ranges for the rebuild)."""

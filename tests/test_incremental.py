@@ -101,6 +101,28 @@ def test_upsert_shadows_old_doc(base_index, tmp_path):
     assert r.lookup_doc("a", 0) == 3
 
 
+def test_crashed_epoch_with_different_inputs_is_wiped(base_index, tmp_path):
+    """Regression: an unpublished (crashed) epoch dir must only be resumed
+    for the SAME inputs — build_index's lineage checks can't distinguish
+    input sets of equal shape, so a fingerprint mismatch wipes the
+    partial directory instead of splicing stale files in."""
+    import json
+
+    ghost = os.path.join(base_index, "epochs", "epoch-0001")
+    os.makedirs(os.path.join(ghost, "docmap"))
+    with open(os.path.join(ghost, "inputs.json"), "w") as f:
+        json.dump({"paths": ["/somewhere/else.parquet"], "offset": 3}, f)
+    marker = os.path.join(ghost, "docmap", "stale-file")
+    open(marker, "w").write("x")
+
+    p1 = _write(str(tmp_path / "in1"), "part-1.parquet", DELTA)
+    add_documents(base_index, [p1])
+    assert not os.path.exists(marker)  # partial dir was wiped, not resumed
+    r = IndexReader(base_index)
+    docs = ids(run_query(r, 'find {text: ~="fox"} limit 10 ;'))
+    assert docs == [0, 2, 3, 4]
+
+
 def test_multiple_epochs_and_reopen(base_index, tmp_path):
     for i, rows in enumerate(([("d", 0, "user", "fox one")],
                               [("e", 0, "user", "fox two")])):

@@ -55,6 +55,28 @@ def test_repl_add_jsonl(ray_session, tmp_path):
     assert eval(lines[2])["conv_id"] == "a"
 
 
+def test_repl_add_jsonl_twice(ray_session, tmp_path):
+    """Regression: a second JSONL add after a commit used to collide on
+    the staging directory name (commit resets the staged list) and stage
+    nothing."""
+    from noise_ray.repl import run
+
+    p0 = _write_jsonl(str(tmp_path / "a.jsonl"), ROWS)
+    p1 = _write_jsonl(str(tmp_path / "b.jsonl"),
+                      [{"conv_id": "z", "turn_idx": 0, "role": "user",
+                        "text": "zeta fox"}])
+    idx = str(tmp_path / "idx")
+    out = io.StringIO()
+    run(io.StringIO(
+        f'create {idx} ; add {p0} ; commit ; add {p1} ; commit ; '
+        'find {text: ~="fox"} return ._id ;'),
+        out, interactive=False)
+    lines = out.getvalue().strip().splitlines()
+    assert lines[3].startswith("committed 1 new docs")
+    found = [eval(l)["conv_id"] for l in lines if l.startswith("{")]
+    assert "z" in found
+
+
 def test_jsonl_missing_required_field(ray_session, tmp_path):
     import pytest
 
