@@ -114,20 +114,27 @@ class Repl:
             paths.extend(hits)
         jsonl = [p for p in paths
                  if p.endswith((".jsonl", ".json", ".ndjson"))]
-        if jsonl:
+        csvs = [p for p in paths if p.endswith(".csv")]
+        if jsonl or csvs:
             # the reference's add takes JSON documents; convert through the
-            # streaming JSONL source into build-ready parquet shards
+            # streaming source adapters into build-ready parquet shards
             if self.index_dir is None:
                 self._p("Index isn't open")
                 return
             import uuid
 
-            from .sources.jsonl import jsonl_to_parquet
+            from .sources.jsonl import csv_to_parquet, jsonl_to_parquet
 
-            out = os.path.join(self.index_dir,
-                               f"staged-jsonl-{uuid.uuid4().hex[:8]}")
-            converted = jsonl_to_parquet(jsonl, out)
-            paths = [p for p in paths if p not in jsonl] + converted
+            converted = []
+            for batch, conv in ((jsonl, jsonl_to_parquet),
+                                (csvs, csv_to_parquet)):
+                if batch:
+                    out = os.path.join(
+                        self.index_dir,
+                        f"staged-src-{uuid.uuid4().hex[:8]}")
+                    converted.extend(conv(batch, out))
+            paths = [p for p in paths
+                     if p not in jsonl and p not in csvs] + converted
         self.staged.extend(paths)
         self._p(f"staged {len(paths)} file(s), {len(self.staged)} pending")
 

@@ -1,4 +1,5 @@
-from .jsonl import jsonl_to_parquet
+from .jsonl import csv_to_parquet, jsonl_to_parquet
 from .transcripts import generate_transcripts, FIXTURE_TEXTS
 
-__all__ = ["generate_transcripts", "jsonl_to_parquet", "FIXTURE_TEXTS"]
+__all__ = ["csv_to_parquet", "generate_transcripts", "jsonl_to_parquet",
+           "FIXTURE_TEXTS"]

@@ -45,19 +45,17 @@ def _normalize(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def jsonl_to_parquet(in_paths: list[str], out_dir: str) -> list[str]:
-    """Convert JSONL transcript files to build-ready Parquet shards.
+def _convert(ds: "ray.data.Dataset", out_dir: str) -> list[str]:
+    """Normalize → global (conv_id, turn_idx) sort → Parquet shards.
 
-    Rows are globally sorted by (conv_id, turn_idx) during conversion so
-    the output is range-partitioned for the metadata-only doc_id plan
-    (unsorted input would otherwise trigger the build's own repartition
-    fallback and sort twice)."""
+    The sort makes the output range-partitioned for the metadata-only
+    doc_id plan (unsorted input would otherwise trigger the build's own
+    repartition fallback and sort twice)."""
     import shutil
 
     tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
     (
-        ray.data.read_json(in_paths)
-        .map_batches(_normalize, batch_format="pyarrow")
+        ds.map_batches(_normalize, batch_format="pyarrow")
         .sort(["conv_id", "turn_idx"])
         .write_parquet(tmp)
     )
@@ -66,3 +64,13 @@ def jsonl_to_parquet(in_paths: list[str], out_dir: str) -> list[str]:
     os.replace(tmp, out_dir)
     return sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir)
                   if f.endswith(".parquet"))
+
+
+def jsonl_to_parquet(in_paths: list[str], out_dir: str) -> list[str]:
+    """Convert JSONL transcript files to build-ready Parquet shards."""
+    return _convert(ray.data.read_json(in_paths), out_dir)
+
+
+def csv_to_parquet(in_paths: list[str], out_dir: str) -> list[str]:
+    """Convert CSV transcript files to build-ready Parquet shards."""
+    return _convert(ray.data.read_csv(in_paths), out_dir)

@@ -77,6 +77,25 @@ def test_repl_add_jsonl_twice(ray_session, tmp_path):
     assert "z" in found
 
 
+def test_csv_converts_and_builds(ray_session, tmp_path):
+    import csv as _csv
+
+    from noise_ray.sources.jsonl import csv_to_parquet
+
+    p = str(tmp_path / "turns.csv")
+    with open(p, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["conv_id", "turn_idx", "role",
+                                           "text"])
+        w.writeheader()
+        for r in ROWS:
+            w.writerow({k: r[k] for k in w.fieldnames})
+    shards = csv_to_parquet([p], str(tmp_path / "pq"))
+    idx = str(tmp_path / "idx")
+    build_index(shards, idx, num_buckets=4)
+    got = run_query(IndexReader(idx), 'find {text: ~="fox"} return ._id ;')
+    assert got.column("doc_id").to_pylist() == [0, 2]
+
+
 def test_jsonl_missing_required_field(ray_session, tmp_path):
     import pytest
 
