@@ -63,6 +63,20 @@ def test_distributed_avg_reassociates_within_ulp(idx):
         assert math.isclose(a["m"], b["m"], rel_tol=1e-12)
 
 
+def test_search_plan_switch_is_transparent(idx):
+    """search() picks in-process vs distributed by index size; forcing the
+    switch with a tiny threshold must not change any result."""
+    from noise_ray.pipelines import search
+
+    r = IndexReader(idx)
+    for q in ['find {text: ~="fox"} order score() desc return score() '
+              "limit 20 ;",
+              'find {role: =="user"} return {r: group(.role), n: count()} ;']:
+        local = search(r, q, distributed_threshold=10**12).to_pylist()
+        dist = search(r, q, distributed_threshold=1).to_pylist()
+        assert dist == local
+
+
 def test_distributed_params(idx):
     q = 'find {role: ==@r} return {n: count()} ;'
     local = run_query(IndexReader(idx), q, {"r": "user"}).to_pylist()
