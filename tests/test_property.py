@@ -184,6 +184,26 @@ def test_engine_matches_brute_force(prop_index, node):
 
 @settings(max_examples=100, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(node=_query, k=st.integers(min_value=1, max_value=20),
+       desc=st.booleans())
+def test_field_ordered_limit_values(prop_index, node, k, desc):
+    """Field orderings go through the ported buffered machinery; the
+    returned order-key VALUES must be the first k of the brute-force sort
+    (tie order among equal keys is the reference's buffered quirk, so only
+    values are asserted)."""
+    reader, docs = prop_index
+    body = _render(node)[:-2]
+    direction = "desc" if desc else "asc"
+    got = run_query(
+        reader, body + f" order .turn_idx {direction} limit {k} ;")
+    want_docs = _brute(node, docs)
+    by_id = {d["doc_id"]: d["turn_idx"] for d in docs}
+    want_vals = sorted((by_id[d] for d in want_docs), reverse=desc)[:k]
+    assert got.column("turn_idx").to_pylist() == want_vals
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(node=_query, k=st.integers(min_value=1, max_value=20))
 def test_scored_limit_is_prefix_of_full_ordering(prop_index, node, k):
     """WAND pruning + the vectorized top-k fast path must agree with the
