@@ -101,8 +101,10 @@ def add_documents(index_dir: str, new_paths: list[str],
         list(new_paths), epoch_dir,
         fields=fields, key_columns=key_columns,
         # the term -> bucket hash must agree across epochs so a term's
-        # postings are found in every epoch's segment set
+        # postings are found in every epoch's segment set; block geometry
+        # too, so base and epochs share one posting-block layout
         num_buckets=int(base["num_buckets"]),
+        block_size=int(base.get("block_size", 4096)),
         doc_id_offset=offset,
     )
 

@@ -384,19 +384,32 @@ def _repartition_by_key(paths: list[str], key_columns: list[str],
                         out_dir: str) -> list[str]:
     """Globally sort ``paths`` by ``key_columns`` into a range-partitioned
     copy under ``out_dir`` (one explicit wide shuffle), so the metadata-only
-    doc_id plan applies.  Idempotent: an existing copy with the right row
-    count is reused (resume); a partial copy is rebuilt."""
+    doc_id plan applies.  Idempotent: an existing copy whose recorded input
+    fingerprint (sorted paths + sizes + mtimes) matches is reused (resume);
+    anything else — partial copy, or a rebuild with different inputs that
+    happen to share a row count — is rebuilt."""
     import shutil
 
     expected = sum(pq.read_metadata(p).num_rows for p in paths)
+    fp = {"inputs": sorted(
+        [os.path.abspath(p), os.path.getsize(p), os.path.getmtime(p)]
+        for p in paths)}
 
     def _files(d: str) -> list[str]:
         return sorted(os.path.join(d, f) for f in os.listdir(d)
                       if f.endswith(".parquet"))
 
+    fp_name = "inputs.json"
     if os.path.isdir(out_dir):
         files = _files(out_dir)
-        if files and sum(pq.read_metadata(f).num_rows for f in files) == expected:
+        old_fp = None
+        try:
+            with open(os.path.join(out_dir, fp_name)) as f:
+                old_fp = json.load(f)
+        except (FileNotFoundError, ValueError):
+            pass
+        if (files and old_fp == fp
+                and sum(pq.read_metadata(f).num_rows for f in files) == expected):
             return files
         shutil.rmtree(out_dir)
 
@@ -407,6 +420,8 @@ def _repartition_by_key(paths: list[str], key_columns: list[str],
     if got != expected:
         raise RuntimeError(
             f"repartition wrote {got} rows, expected {expected}")
+    with open(os.path.join(tmp, fp_name), "w") as f:
+        json.dump(fp, f)
     os.replace(tmp, out_dir)
     return _files(out_dir)
 

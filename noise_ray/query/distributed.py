@@ -106,8 +106,23 @@ def _partial_fold(leaves, rows):
     agg_slots = [(n, l.fun, l.sep) for n, l in enumerate(leaves)
                  if isinstance(l, ast.RetAgg) and l.fun != "group"]
 
+    # Type-tagged canonical key: two values collide iff cmp_json treats
+    # them as equal.  A bare Python-hash key would merge True with 1.0
+    # (hash-equal, cmp_json-distinct) and TypeError on dict group values.
     def hashable(v):
-        return tuple(map(hashable, v)) if isinstance(v, list) else v
+        if v is None:
+            return (0,)
+        if isinstance(v, bool):  # before int: bool is an int subclass
+            return (1, v)
+        if isinstance(v, (int, float)):
+            return (2, float(v))
+        if isinstance(v, str):
+            return (3, v)
+        if isinstance(v, list):
+            return (4, tuple(map(hashable, v)))
+        if isinstance(v, dict):
+            return (5, tuple((k, hashable(x)) for k, x in v.items()))
+        return (6, v)
 
     # REVERSED doc order: the local buffered merge accumulates group rows
     # back to front (observable in array()/concat() output,

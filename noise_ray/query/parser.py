@@ -6,15 +6,17 @@ Covers the flat-schema subset of the reference grammar
 true/false/null), ``>`` ``<`` ``>=`` ``<=``, boolean ``&&`` ``,`` ``||`` ``!``
 with parens, per-clause ``^boost``, plus ``order`` (fields and ``score()``,
 asc/desc, ``default=``), ``return`` (``._id``, ``.field``, ``score()``, ``.``)
-and ``limit``.
+and ``limit``.  Parameterized queries (``params {...};`` then ``@name``,
+src/parser.rs:172-215) are supported: primitives substitute into value
+position via the ``params`` argument of :func:`parse_query`.
 
 Boolean operators are right-associative with equal precedence, exactly like
 the reference's ``obool`` (src/parser.rs:733-746): ``a || b && c`` parses as
 ``Or(a, And(b, c))``.
 
 Out of scope (documented non-goals, SURVEY §2.10): array context ``[...]``,
-bind variables, geospatial ``&&`` bbox, parameters ``@p``, and the full
-nested return-object grammar.
+bind variables, geospatial ``&&`` bbox, and the full nested return-object
+grammar.
 """
 
 from __future__ import annotations

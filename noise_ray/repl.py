@@ -100,6 +100,7 @@ class Repl:
 
     def cmd_drop(self, rest: str):
         shutil.rmtree(rest, ignore_errors=True)
+        shutil.rmtree(f"{rest}.staging", ignore_errors=True)
         if rest == self.index_dir:
             self.index_dir = None
             self.reader = None
@@ -125,12 +126,15 @@ class Repl:
 
             from .sources.jsonl import csv_to_parquet, jsonl_to_parquet
 
+            # staged OUTSIDE the index dir: compaction swaps+deletes the
+            # index directory wholesale, which would orphan a pending
+            # commit's staged sources if they lived inside it
             converted = []
             for batch, conv in ((jsonl, jsonl_to_parquet),
                                 (csvs, csv_to_parquet)):
                 if batch:
                     out = os.path.join(
-                        self.index_dir,
+                        f"{self.index_dir}.staging",
                         f"staged-src-{uuid.uuid4().hex[:8]}")
                     converted.extend(conv(batch, out))
             paths = [p for p in paths
