@@ -109,6 +109,25 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
         lat_ms.append(min(samples) * 1000.0)
     out["queries"] = queries
     out["query_p50_ms"] = round(statistics.median(lat_ms), 2)
+
+    # dedup signature throughput over the documents table (vectorized
+    # MinHash stage, then the full LSH pipeline incl. banding + distinct)
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops import dedup as _dedup
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sig = _dedup._MinHashBatch(64, 16)
+    sig(docs.slice(0, 64))  # warm numpy/arrow kernels
+    t0 = time.perf_counter()
+    sig(docs)
+    sig_dt = time.perf_counter() - t0
+    out["minhash_sig_docs_per_sec"] = round(docs.num_rows / sig_dt, 1)
+    t0 = time.perf_counter()
+    n_pairs = _dedup.minhash_lsh_pairs(SF_DIR).count()
+    out["minhash_lsh_sec"] = round(time.perf_counter() - t0, 3)
+    out["minhash_lsh_pairs"] = int(n_pairs)
     shutil.rmtree(idx_dir, ignore_errors=True)
     return out
 

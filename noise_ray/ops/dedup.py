@@ -92,24 +92,100 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, max_doc: int = 300)
                      "b_id": pa.array(pairs_b, pa.int64())})
 
 
-def _minhash_sig(shingles: set, num_hashes: int, seeds: np.ndarray) -> np.ndarray:
-    if not shingles:
-        return np.full(num_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
-    base = np.array(
-        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-         for s in shingles],
-        dtype=np.uint64,
+def _shingle_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc shingle-hash arrays, fully vectorized (no per-shingle
+    Python).  Returns ``(sh[uint64], offsets[int64, n_docs+1])`` — shingle
+    hashes for all docs concatenated.  Docs with ``0 < n_toks < n`` get one
+    shingle over all their tokens (mirrors ``_shingles``); empty docs get
+    none (two no-content docs have no Jaccard, same as the brute-force
+    oracle's skip)."""
+    from .hashing import splitmix64, tokenize_hashes
+
+    h, doc_offs = tokenize_hashes(texts)
+    n_docs = doc_offs.size - 1
+    counts = doc_offs[1:] - doc_offs[:-1]
+    with np.errstate(over="ignore"):
+        # rolling n-gram combine of token hashes (position-weighted so
+        # "a b c" != "c b a"), then avalanche
+        full = np.zeros(max(h.size - n + 1, 0), np.uint64)
+        for k in range(n):
+            full += h[k : h.size - n + 1 + k] * np.uint64(2 * k + 3)
+        full = splitmix64(full)
+    # valid 3-gram start positions: doc_start <= i <= doc_end - n
+    sh_counts = np.maximum(counts - n + 1, 0)
+    keep = np.zeros(full.size, bool)
+    starts, ends = doc_offs[:-1], doc_offs[:-1] + sh_counts
+    for d in np.flatnonzero(sh_counts):  # interval fill; cheap vs hashing
+        keep[starts[d] : ends[d]] = True
+    out_offs = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(sh_counts, out=out_offs[1:])
+    sh = full[keep] if full.size else full
+    # short docs (1..n-1 tokens): one shingle over all tokens
+    short = np.flatnonzero((counts > 0) & (counts < n))
+    if short.size:
+        with np.errstate(over="ignore"):
+            extra = np.zeros(short.size, np.uint64)
+            for si, d in enumerate(short):
+                seg = h[doc_offs[d] : doc_offs[d + 1]]
+                acc = np.uint64(0)
+                for k in range(seg.size):
+                    acc += seg[k] * np.uint64(2 * k + 3)
+                extra[si] = acc
+            extra = splitmix64(extra)
+        # splice the extras into per-doc order
+        pieces, off_counts = [], sh_counts.copy()
+        off_counts[short] = 1
+        new_offs = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(off_counts, out=new_offs[1:])
+        merged = np.empty(int(new_offs[-1]), np.uint64)
+        for d in range(n_docs):
+            if counts[d] and counts[d] < n:
+                merged[new_offs[d]] = extra[np.searchsorted(short, d)]
+            elif sh_counts[d]:
+                merged[new_offs[d] : new_offs[d + 1]] = \
+                    sh[out_offs[d] : out_offs[d + 1]]
+        return merged, new_offs
+    return sh, out_offs
+
+
+_MAX_BUCKET = 2000  # above this, emit star pairs (min-doc vs rest)
+
+
+def _bucket_index_pairs(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate index pairs within one bucket: all pairs normally; a
+    degenerate bucket (boilerplate content at corpus scale) degrades to
+    star pairs (0 vs rest) — linear output that still unions the bucket
+    into one connected component for dedup."""
+    if n > _MAX_BUCKET:
+        return np.zeros(n - 1, np.int64), np.arange(1, n, dtype=np.int64)
+    iu = np.triu_indices(n, k=1)
+    return iu[0].astype(np.int64), iu[1].astype(np.int64)
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    docs = np.sort(group.column("doc_id").to_numpy())
+    ii, jj = _bucket_index_pairs(docs.size)
+    return pa.table({"a_id": pa.array(docs[ii], pa.int64()),
+                     "b_id": pa.array(docs[jj], pa.int64())})
+
+
+def _distinct_pairs(pairs):
+    """Distributed pair distinct: a groupby on (a_id, b_id) — the pair set
+    never materializes on the driver."""
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["a_id", "b_id"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a_id", "b_id"])
+        .sort(["a_id", "b_id"])
     )
-    # xor-multiply-shift family per seed, vectorized over shingles
-    sig = np.empty(num_hashes, dtype=np.uint64)
-    for k in range(num_hashes):
-        h = (base ^ seeds[k]) * np.uint64(0x9E3779B97F4A7C15)
-        sig[k] = h.min()
-    return sig
 
 
 class _MinHashBatch:
-    """Actor-pool stage: shingle → MinHash signature → LSH band keys."""
+    """Actor-pool stage: text → shingle hashes → MinHash signature → LSH
+    band keys.  Signature kernel is numpy end-to-end: one
+    ``minimum.reduceat`` over doc boundaries per seed block."""
 
     def __init__(self, num_hashes: int, bands: int):
         self.num_hashes = num_hashes
@@ -119,113 +195,114 @@ class _MinHashBatch:
         self.seeds = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_band, out_key, out_doc = [], [], []
-        for doc, text in zip(batch.column("doc_id").to_pylist(),
-                             batch.column("text").to_pylist()):
-            sig = _minhash_sig(_shingles(text), self.num_hashes, self.seeds)
+        from .hashing import splitmix64
+
+        sh, offs = _shingle_hashes(batch.column("text"))
+        counts = offs[1:] - offs[:-1]
+        nz = np.flatnonzero(counts)         # docs with >= 1 shingle
+        docs = batch.column("doc_id").to_numpy()[nz]
+        if nz.size == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        starts = offs[:-1][nz]
+        sig = np.empty((nz.size, self.num_hashes), np.uint64)
+        with np.errstate(over="ignore"):
+            for k0 in range(0, self.num_hashes, 16):  # bound temp matrix
+                k1 = min(k0 + 16, self.num_hashes)
+                m = (sh[:, None] ^ self.seeds[None, k0:k1]) * \
+                    np.uint64(0x9E3779B97F4A7C15)
+                sig[:, k0:k1] = np.minimum.reduceat(m, starts, axis=0)
+            # band key = mixed combine of the band's rows (tagged by band
+            # index so identical row-chunks in different bands don't meet)
+            keys = np.empty((nz.size, self.bands), np.uint64)
             for b in range(self.bands):
-                chunk = sig[b * self.rows : (b + 1) * self.rows]
-                key = hashlib.md5(chunk.tobytes() + bytes([b])).hexdigest()[:16]
-                out_band.append(b)
-                out_key.append(key)
-                out_doc.append(doc)
+                acc = np.full(nz.size, np.uint64(b + 1), np.uint64)
+                for r in range(self.rows):
+                    acc = splitmix64(acc ^ sig[:, b * self.rows + r])
+                keys[:, b] = acc
         return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "key": pa.array(out_key, pa.string()),
-            "doc_id": pa.array(out_doc, pa.int64()),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32),
+                                     nz.size), pa.int32()),
+            "key": pa.array(keys.reshape(-1), pa.uint64()),
+            "doc_id": pa.array(np.repeat(docs, self.bands), pa.int64()),
         })
 
 
 def minhash_lsh_pairs(sf_dir: str, num_hashes: int = 64, bands: int = 16):
-    """MinHash+LSH near-duplicate candidate pairs: signatures in an
-    actor-pool map_batches, then ONE groupby on (band, key) — each bucket
-    emits its pairs.  Scale path: bucket sizes are bounded by signature
-    collisions, never by corpus size."""
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        docs = sorted(group.column("doc_id").to_pylist())
-        a, b = [], []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                a.append(docs[i])
-                b.append(docs[j])
-        return pa.table({"a_id": pa.array(a, pa.int64()),
-                         "b_id": pa.array(b, pa.int64())})
-
+    """MinHash+LSH near-duplicate candidate pairs: vectorized signatures in
+    an actor-pool map_batches, ONE groupby on (band, key) for candidate
+    generation, then a distributed distinct over the pair set.  Nothing
+    corpus-sized ever reaches the driver; returns the (a_id, b_id) Dataset."""
     pairs = (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(_MinHashBatch, batch_format="pyarrow",
                      fn_constructor_kwargs={"num_hashes": num_hashes, "bands": bands},
                      concurrency=(1, 4))
         .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
-    t = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
-    if t.num_rows == 0:
-        return t
-    # dedup candidate pairs discovered in multiple bands
-    import pyarrow.compute as pc
+    return _distinct_pairs(pairs)
 
-    key = pc.add(pc.multiply(t.column("a_id"), 10_000_000), t.column("b_id"))
-    idx = np.unique(key.to_numpy(), return_index=True)[1]
-    return t.take(np.sort(idx))
+
+def _simhash_sigs(texts) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit SimHash per doc, vectorized: token hashes → per-doc bit
+    counts via segment sums → majority bits.  Returns (sigs[uint64],
+    n_tokens[int64]) aligned with ``texts``."""
+    from .hashing import tokenize_hashes
+
+    h, offs = tokenize_hashes(texts)
+    counts = offs[1:] - offs[:-1]
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int32)
+    csum = np.zeros((h.size + 1, 64), np.int32)
+    np.cumsum(bits, axis=0, out=csum[1:])
+    ones = csum[offs[1:]] - csum[offs[:-1]]          # (n_docs, 64)
+    sig_bits = (2 * ones > counts[:, None])          # majority (ties -> 0)
+    sigs = np.bitwise_or.reduce(
+        sig_bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :],
+        axis=1)
+    return sigs, counts
 
 
 def simhash_pairs(sf_dir: str, hamming: int = 3):
     """SimHash near-dup: 64-bit signature from token hashes; candidates via
-    4-way band tables (any identical 16-bit quarter → a pair survives the
-    banding iff hamming<=3 guarantees one identical quarter, pigeonhole),
-    verified by Hamming distance.
+    4-way band tables (hamming<=3 guarantees one identical 16-bit quarter,
+    pigeonhole), verified by Hamming distance inside the bucket.
 
-    Scale path: signatures in map_batches, candidates via ONE
-    groupby((quarter_idx, quarter_value)) carrying the full signature —
-    bucket-local pair verification, no all-pairs join and no driver-side
-    signature table."""
-    _BITS = np.arange(64, dtype=np.uint64)
-
+    Scale path: vectorized signatures in map_batches, candidates via ONE
+    groupby((quarter_idx, quarter_value)) carrying the full signature,
+    bucket-local verification, distributed pair distinct — no driver-side
+    signature or pair table.  Empty docs (no tokens) are skipped."""
     def sig_batch(batch: pa.Table) -> pa.Table:
-        sigs = []
-        for text in batch.column("text").to_pylist():
-            toks = _WORD_RE.findall(text.lower())
-            if toks:
-                hs = np.array(
-                    [int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
-                                    "little") for t in toks],
-                    dtype=np.uint64)
-                bits = (hs[:, None] >> _BITS[None, :]) & np.uint64(1)
-                acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            else:
-                acc = np.zeros(64, dtype=np.int64)
-            sig = np.uint64(0)
-            for bit in np.flatnonzero(acc > 0):
-                sig |= np.uint64(1) << np.uint64(bit)
-            sigs.append(int(sig))
-        docs = batch.column("doc_id").to_pylist()
-        out_q, out_key, out_doc, out_sig = [], [], [], []
-        for doc, sig in zip(docs, sigs):
-            for q in range(4):
-                out_q.append(q)
-                out_key.append((sig >> (16 * q)) & 0xFFFF)
-                out_doc.append(doc)
-                out_sig.append(sig)
+        sigs, counts = _simhash_sigs(batch.column("text"))
+        nz = counts > 0
+        sigs = sigs[nz]
+        docs = batch.column("doc_id").to_numpy()[nz]
+        q = np.tile(np.arange(4, dtype=np.int32), sigs.size)
+        rep = np.repeat(sigs, 4)
+        key = ((rep >> (np.uint64(16) * q.astype(np.uint64)))
+               & np.uint64(0xFFFF)).astype(np.int32)
         return pa.table({
-            "q": pa.array(out_q, pa.int32()),
-            "key": pa.array(out_key, pa.int32()),
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "sig": pa.array(out_sig, pa.uint64()),
+            "q": pa.array(q, pa.int32()),
+            "key": pa.array(key, pa.int32()),
+            "doc_id": pa.array(np.repeat(docs, 4), pa.int64()),
+            "sig": pa.array(rep, pa.uint64()),
         })
+
+    _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(axis=1).astype(np.uint8)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         order = np.argsort(group.column("doc_id").to_numpy())
         docs = group.column("doc_id").to_numpy()[order]
         sigs = group.column("sig").to_numpy()[order]
-        a, b = [], []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                if bin(int(sigs[i]) ^ int(sigs[j])).count("1") <= hamming:
-                    a.append(int(docs[i]))
-                    b.append(int(docs[j]))
-        return pa.table({"a_id": pa.array(a, pa.int64()),
-                         "b_id": pa.array(b, pa.int64())})
+        ii, jj = _bucket_index_pairs(docs.size)
+        x = sigs[ii] ^ sigs[jj]
+        dist = _POP[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+        keep = dist <= hamming
+        return pa.table({"a_id": pa.array(docs[ii[keep]], pa.int64()),
+                         "b_id": pa.array(docs[jj[keep]], pa.int64())})
 
     pairs = (
         _read_docs(sf_dir, ["doc_id", "text"])
@@ -233,17 +310,7 @@ def simhash_pairs(sf_dir: str, hamming: int = 3):
         .groupby(["q", "key"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    t = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
-    if t.num_rows == 0:
-        return pa.table({"a_id": pa.array([], pa.int64()),
-                         "b_id": pa.array([], pa.int64())})
-    a = t.column("a_id").to_numpy()
-    b = t.column("b_id").to_numpy()
-    key = a * 10_000_000 + b
-    idx = np.unique(key, return_index=True)[1]
-    idx = idx[np.argsort(key[idx], kind="stable")]
-    return pa.table({"a_id": pa.array(a[idx], pa.int64()),
-                     "b_id": pa.array(b[idx], pa.int64())})
+    return _distinct_pairs(pairs)
 
 
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45):

@@ -1,0 +1,126 @@
+"""Dedup-operator quality tests: the LSH paths are rows-only at the
+oracle gate (banding isn't SQL-expressible), so this suite pins their
+semantics against brute force on the sf0.001 fixture instead."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+_WORD = re.compile(r"[a-z0-9]+")
+
+
+def test_tokenize_hashes_matches_regex_tokenizer():
+    from noise_ray.ops.hashing import tokenize_hashes
+
+    texts = ["The quick brown fox!", "", "  !!  ", "a b", "héllo wörld 123",
+             "x" * 5000 + " yy", "a!a!a", "ONE two THREE"]
+    h, offs = tokenize_hashes(pa.array(texts))
+    toks = [_WORD.findall(t.lower()) for t in texts]
+    assert [len(t) for t in toks] == list(offs[1:] - offs[:-1])
+    # same token <-> same hash (and no collisions on this vocabulary)
+    flat = [t for ts in toks for t in ts]
+    by_tok = {}
+    for t, hv in zip(flat, h):
+        assert by_tok.setdefault(t, hv) == hv
+    assert len(set(by_tok.values())) == len(by_tok)
+
+
+def test_hash_string_array_slice_invariant():
+    from noise_ray.ops.hashing import hash_string_array
+
+    arr = pa.array(["abc", "de", "", "fgh", "abc"])
+    full = hash_string_array(arr)
+    sliced = hash_string_array(arr.slice(1, 3))
+    assert (full[1:4] == sliced).all()
+    assert full[0] == full[4]
+
+
+def _true_jaccard_pairs(threshold: float) -> set:
+    from noise_ray.ops.dedup import _shingles
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    sh = [_shingles(x) for x in t.column("text").to_pylist()]
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sh[i], sh[j]
+            if not a and not b:
+                continue
+            u = len(a | b)
+            if u and len(a & b) / u >= threshold:
+                out.add((int(ids[i]), int(ids[j])))
+    return out
+
+
+def test_minhash_lsh_pairs_quality(ray_session):
+    from noise_ray.ops import dedup
+
+    got = dedup.minhash_lsh_pairs(SF).to_pandas()
+    pairs = set(zip(got.a_id.astype(int), got.b_id.astype(int)))
+    # fixture near-dups are all J >= 0.89: banding must find every one
+    hi = _true_jaccard_pairs(0.7)
+    assert hi <= pairs, f"missed true near-dups: {hi - pairs}"
+    # and candidate banding should not hallucinate dissimilar pairs
+    lo = _true_jaccard_pairs(0.3)
+    assert pairs <= lo, f"false positives below J=0.3: {pairs - lo}"
+    # output is a distinct, sorted pair set
+    assert len(pairs) == len(got)
+    assert got.sort_values(["a_id", "b_id"]).reset_index(drop=True).equals(
+        got.reset_index(drop=True))
+
+
+def test_simhash_pairs_quality(ray_session):
+    from noise_ray.ops import dedup
+
+    got = dedup.simhash_pairs(SF).to_pandas()
+    pairs = set(zip(got.a_id.astype(int), got.b_id.astype(int)))
+    assert len(pairs) == len(got)
+    # the 4-quarter banding is EXACT for hamming <= 3 (pigeonhole): the
+    # output must equal the brute-force hamming pair set, both directions
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sigs, counts = dedup._simhash_sigs(t.column("text"))
+    ids = t.column("doc_id").to_numpy()
+    keep = counts > 0  # empty docs carry no signal and are skipped
+    ids, sigs = ids[keep], sigs[keep]
+    want = set()
+    for i in range(len(ids)):
+        x = sigs[i] ^ sigs[i + 1 :]
+        if x.size == 0:
+            continue
+        for j in np.flatnonzero(
+                np.unpackbits(x.view(np.uint8)).reshape(x.size, -1)
+                .sum(axis=1) <= 3):
+            a, b = int(ids[i]), int(ids[i + 1 + j])
+            want.add((min(a, b), max(a, b)))
+    assert pairs == want
+
+
+def test_simhash_sig_batch_invariance():
+    """Signatures don't depend on batch boundaries."""
+    from noise_ray.ops.dedup import _simhash_sigs
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    whole, _ = _simhash_sigs(t.column("text"))
+    parts = [
+        _simhash_sigs(t.column("text").slice(i, 100))[0]
+        for i in range(0, t.num_rows, 100)
+    ]
+    assert (whole == np.concatenate(parts)).all()
+
+
+def test_bucket_index_pairs_star_cap():
+    from noise_ray.ops.dedup import _MAX_BUCKET, _bucket_index_pairs
+
+    ii, jj = _bucket_index_pairs(4)
+    assert list(zip(ii, jj)) == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3),
+                                 (2, 3)]
+    n = _MAX_BUCKET + 5
+    ii, jj = _bucket_index_pairs(n)
+    # degenerate bucket: linear star pairs, still one connected component
+    assert ii.size == n - 1 and (ii == 0).all()
+    assert (jj == np.arange(1, n)).all()
