@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "embedding_dup_pairs_bucketed": dedup.embedding_dup_pairs_bucketed,
         # --- similarity search
         "ann_topk": similarity.ann_topk_bruteforce,
         "ann_bucketed": similarity.ann_bucketed,

@@ -113,6 +113,20 @@ def test_simhash_sig_batch_invariance():
     assert (whole == np.concatenate(parts)).all()
 
 
+def test_embedding_dup_pairs_bucketed(ray_session):
+    """Bucketed path: exact precision (in-bucket cosine verify), full
+    recall on the fixture pairs with the default 48 tables."""
+    from noise_ray.ops import dedup
+
+    brute = dedup.embedding_dup_pairs(SF)
+    want = set(zip(brute.column("a_id").to_pylist(),
+                   brute.column("b_id").to_pylist()))
+    got = dedup.embedding_dup_pairs_bucketed(SF).to_pandas()
+    pairs = set(zip(got.a_id.astype(int), got.b_id.astype(int)))
+    assert pairs <= want          # never a sub-threshold pair
+    assert len(want & pairs) / max(len(want), 1) >= 0.9, (want, pairs)
+
+
 def test_bucket_index_pairs_star_cap():
     from noise_ray.ops.dedup import _MAX_BUCKET, _bucket_index_pairs
 
