@@ -390,6 +390,41 @@ class CompiledQuery:
 
     # ----------------------------------------------------------- range
 
+    @staticmethod
+    def _zone_prunes(reader, path: str, node: ast.RangeQ) -> bool:
+        """True iff the partition's zone map (Parquet footer min/max /
+        null_count, reader.docmap_zone) proves no row can satisfy the
+        range — the columnar stand-in for the reference's f/T/F/N value
+        keyspace (src/key_builder.rs:163-188).  Conservative: missing or
+        unmappable statistics never prune."""
+        vmin, vmax, nulls, rows = reader.docmap_zone(path, node.field)
+        if rows == 0:
+            return False  # unknown column shape: fall through to the read
+        if node.special == "null":
+            return nulls == 0
+        all_null = nulls is not None and nulls == rows
+        if node.special in ("true", "false"):
+            if all_null:
+                return True
+            if not isinstance(vmin, bool) or not isinstance(vmax, bool):
+                return False
+            want = node.special == "true"
+            return not (vmin <= want <= vmax)
+        # numeric / timestamp range: null rows never match
+        if all_null:
+            return True
+        if isinstance(vmin, bool) or vmin is None or vmax is None:
+            return False
+        if node.min is not None and (
+                vmax < node.min
+                or (vmax == node.min and not node.min_inclusive)):
+            return True
+        if node.max is not None and (
+                vmin > node.max
+                or (vmin == node.max and not node.max_inclusive)):
+            return True
+        return False
+
     def _eval_range(self, node: ast.RangeQ) -> EvalResult:
         import pyarrow.parquet as pq
 
@@ -401,6 +436,8 @@ class CompiledQuery:
         for dm in reader._docmap:
             if dm["max_doc"] < rlo or dm["min_doc"] >= rhi:
                 continue  # partition outside the evaluated doc range
+            if self._zone_prunes(reader, dm["path"], node):
+                continue  # footer statistics rule the partition out
             try:
                 t = pq.read_table(dm["path"], columns=["doc_id", fieldname])
             except Exception:

@@ -90,6 +90,24 @@ class LazyBlock:
         return self._decoded
 
 
+def _zone_value(v):
+    """Map a Parquet-footer min/max into the engine's RangeQ comparison
+    domain (engine._eval_range casts timestamps/dates to int64 and
+    numerics to float64).  Bools pass through; unmappable types → None."""
+    import datetime
+
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return float(np.datetime64(v.replace(tzinfo=None), "us")
+                     .astype(np.int64))
+    if isinstance(v, datetime.date):
+        return float(np.datetime64(v, "D").astype(np.int64))
+    return None
+
+
 _EMPTY = None
 
 
@@ -157,6 +175,9 @@ class IndexReader:
         # /root/reference/src/index.rs:164-179)
         self._tombstone_path = os.path.join(index_dir, "tombstones.json")
         self.tombstones = self._load_tombstones()
+        # zone maps: per-(docmap partition, column) footer statistics
+        self._zone_cache: dict[tuple[str, str], tuple] = {}
+        self._docmap_meta: dict[str, "pq.FileMetaData"] = {}
 
     def _load_tombstones(self) -> np.ndarray:
         if os.path.exists(self._tombstone_path):
@@ -400,6 +421,68 @@ class IndexReader:
             _, old = self._docmap_col_cache.popitem(last=False)
             self._docmap_cache_bytes -= old.nbytes
         return arr
+
+    def docmap_zone(self, path: str, col: str):
+        """Zone map of one docmap partition column, read from the Parquet
+        footer statistics (never the data pages): ``(vmin, vmax,
+        null_count, num_rows)``.  The reference keeps a dedicated
+        number/bool/null value keyspace (``f``/``T``/``F``/``N``,
+        /root/reference/src/key_builder.rs:163-188); our columnar analogue
+        is the min/max statistics Parquet already persists per row group —
+        RangeQ evaluation prunes whole partitions on them before touching
+        any data (engine._eval_range).
+
+        ``vmin``/``vmax`` are mapped into the engine's comparison domain
+        (numbers as float64; timestamps/dates as their int64 cast; bools
+        kept as bools) and are None when the footer has no usable stats
+        for the column — callers must then fall back to reading.
+        ``null_count`` is None when unavailable."""
+        key = (path, col)
+        hit = self._zone_cache.get(key)
+        if hit is not None:
+            return hit
+        md = self._docmap_meta.get(path)
+        if md is None:
+            md = self._docmap_meta[path] = pq.read_metadata(path)
+        try:
+            ci = md.schema.to_arrow_schema().names.index(col)
+        except ValueError:
+            out = (None, None, None, 0)
+            self._zone_cache[key] = out
+            return out
+        vmin = vmax = None
+        null_count: int | None = 0
+        rows = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            c = md.row_group(rg).column(ci)
+            rows += md.row_group(rg).num_rows
+            st = c.statistics
+            if st is None:
+                ok = False
+                null_count = None
+                break
+            if st.null_count is None:
+                null_count = None
+            elif null_count is not None:
+                null_count += st.null_count
+            if not st.has_min_max:
+                # all-null row groups legitimately carry no min/max
+                if st.null_count == md.row_group(rg).num_rows:
+                    continue
+                ok = False
+                continue
+            lo = _zone_value(st.min)
+            hi = _zone_value(st.max)
+            if lo is None or hi is None:
+                ok = False
+                continue
+            vmin = lo if vmin is None else min(vmin, lo)
+            vmax = hi if vmax is None else max(vmax, hi)
+        out = ((vmin, vmax, null_count, rows) if ok
+               else (None, None, null_count, rows))
+        self._zone_cache[key] = out
+        return out
 
     def fetch_docs(self, doc_ids: np.ndarray, columns: list[str] | None = None):
         """Materialize doc rows for result rendering (the analogue of the
