@@ -47,6 +47,10 @@ QUERY_SET = {
                 '!{role: =="system"} limit 1000 ;'),
     "exact_role": ('find {role: =="assistant", text: ~="pipeline"} '
                    "order score() desc limit 100 ;"),
+    # field-ordered top-k: exercises the vectorized lexsort+threshold path
+    # (executor._field_order_select) over every matching doc
+    "field_order": ('find {role: =="user"} order .ts desc, .conv_id '
+                    "limit 100 ;"),
 }
 
 

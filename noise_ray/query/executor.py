@@ -86,36 +86,188 @@ def _apply_order_limit(reader, q, docs, scores):
             return docs[sel], scores[sel]
         # fetch field values for all matched docs (only fields used as keys)
         key_fields = [k.field for k in q.order if not k.score]
-        field_vals: dict[str, list] = {}
-        if key_fields and docs.size:
-            t = reader.fetch_docs(docs, key_fields)
-            for f in key_fields:
-                field_vals[f] = t.column(f).to_pylist()
-        rows = []
-        for i in range(docs.size):
-            keys = []
-            for k in q.order:
-                if k.score:
-                    keys.append(float(scores[i]))
-                else:
-                    v = field_vals[k.field][i] if docs.size else None
-                    if v is None:
-                        v = k.default
-                    keys.append(_normalize_key(v))
-            if score_only:
-                keys.append(int(docs[i]))
-            rows.append((*keys, i))
-        orders = [k.desc for k in q.order]
-        if score_only:
-            orders.append(False)  # doc_id ascending
-        ordered = order_and_limit(rows, orders, q.limit)
-        sel = [r[-1] for r in ordered]
+        key_table = (reader.fetch_docs(docs, key_fields)
+                     if key_fields and docs.size else None)
+        sel = _field_order_select(q, docs, scores, key_table)
+        if sel is None:
+            # mixed-type / exotic keys: the ported per-row machinery
+            field_vals: dict[str, list] = {}
+            if key_table is not None:
+                for f in key_fields:
+                    field_vals[f] = key_table.column(f).to_pylist()
+            rows = []
+            for i in range(docs.size):
+                keys = []
+                for k in q.order:
+                    if k.score:
+                        keys.append(float(scores[i]))
+                    else:
+                        v = field_vals[k.field][i] if docs.size else None
+                        if v is None:
+                            v = k.default
+                        keys.append(_normalize_key(v))
+                rows.append((*keys, i))
+            orders = [k.desc for k in q.order]
+            ordered = order_and_limit(rows, orders, q.limit)
+            sel = [r[-1] for r in ordered]
         docs = docs[sel]
         scores = scores[sel]
     elif q.limit is not None:
         docs = docs[: q.limit]
         scores = scores[: q.limit]
     return docs, scores
+
+
+def _encode_order_key(k, docs, scores, key_table):
+    """(rank[float64], sub[float64]) arrays whose lexicographic order
+    equals cmp_json over the key's _normalize_key'd values — or None when
+    the column can't be encoded vectorized (nested types, NaN floats,
+    defaults that would need cross-scale comparison).  Polarity (desc) is
+    applied by the caller."""
+    n = docs.size
+    if k.score:
+        return np.full(n, 3.0), scores.astype(np.float64)
+    col = key_table.column(k.field) if key_table is not None else None
+    if col is None:
+        return None
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = col.type
+    nulls = col.is_null().to_numpy(zero_copy_only=False).astype(bool)
+    any_null = bool(nulls.any())
+    rank = np.empty(n, np.float64)
+    sub = np.zeros(n, np.float64)
+    import pyarrow.types as pt
+
+    if pt.is_integer(t) or pt.is_floating(t):
+        vals = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(vals[~nulls]).any():
+            return None  # NaN breaks total order; use the cmp path
+        rank[:] = 3.0
+        sub = np.where(nulls, 0.0, vals)
+        fam = 3
+    elif pt.is_timestamp(t) or pt.is_date(t):
+        if any_null and k.default is not None:
+            # default is compared in _normalize_key's epoch-seconds
+            # domain while values encode as raw int64 — scales differ
+            return None
+        vals = col.cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        rank[:] = 3.0
+        sub = np.where(nulls, 0.0, np.nan_to_num(vals))
+        fam = 3
+    elif pt.is_boolean(t):
+        b = col.to_numpy(zero_copy_only=False)
+        rank = np.where(nulls, 0.0,
+                        1.0 + np.where(b == True, 1.0, 0.0))  # noqa: E712
+        fam = None  # rank already encodes the value
+    elif pt.is_string(t) or pt.is_large_string(t):
+        vals = np.asarray(col.to_pylist(), dtype=object)
+        rank[:] = 4.0
+        fam = 4
+        vocab = vals[~nulls]
+        if any_null and isinstance(k.default, str):
+            vocab = np.concatenate([vocab, np.asarray([k.default], object)])
+        if vocab.size:
+            uniq, inv = np.unique(vocab, return_inverse=True)
+            codes = np.zeros(n, np.float64)
+            codes[~nulls] = inv[: int((~nulls).sum())]
+            if any_null and isinstance(k.default, str):
+                codes_default = float(inv[-1])
+            sub = codes
+        else:
+            sub = np.zeros(n, np.float64)
+    else:
+        return None
+    if any_null:
+        d = _normalize_key(k.default) if k.default is not None else None
+        from .results import json_type_rank
+
+        drank = float(json_type_rank(d))
+        rank[nulls] = drank
+        # default's sub must live in the column's comparison domain when
+        # the ranks coincide; otherwise any constant works (all defaulted
+        # rows carry the SAME default)
+        if fam == 3 and drank == 3.0:
+            sub[nulls] = float(d)
+        elif fam == 4 and drank == 4.0:
+            sub[nulls] = codes_default
+        else:
+            sub[nulls] = 0.0
+    return rank, sub
+
+
+def _field_order_select(q, docs, scores, key_table):
+    """Vectorized field-ordered order/limit (VERDICT r1 #6): encode each
+    order key into (type-rank, sub-key) float arrays, lexsort, and — with
+    a limit — drop every row whose key tuple sorts strictly after the
+    limit-th best before running the ported buffered machinery on the
+    survivors grouped by original arrival batch (results.py
+    order_and_limit_batched keeps the merge interleaving identical).
+    Returns selected indices into ``docs``, or None to use the unpruned
+    per-row machinery (mixed-type keys, NaN, nested values)."""
+    n = docs.size
+    if n == 0:
+        return []
+    if q.limit is not None and q.limit <= 0:
+        return None
+    encoded = []
+    for k in q.order:
+        e = _encode_order_key(k, docs, scores, key_table)
+        if e is None:
+            return None
+        rank, sub = e
+        if k.desc:
+            rank, sub = -rank, -sub
+        encoded.append((rank, sub))
+    if q.limit is None:
+        # full output: ties in seq-descending order == stable sort of the
+        # reversed sequence; lexsort keys are (primary last)
+        keys = [-np.arange(n)]
+        for rank, sub in reversed(encoded):
+            keys.extend([sub, rank])
+        return np.lexsort(keys)
+    limit = q.limit
+    if n <= limit:
+        kept = np.arange(n)
+    else:
+        keys = []
+        for rank, sub in reversed(encoded):
+            keys.extend([sub, rank])
+        order = np.lexsort(keys)
+        thr = order[limit - 1]
+        less = np.zeros(n, bool)
+        eq = np.ones(n, bool)
+        for rank, sub in encoded:
+            for arr in (rank, sub):
+                tv = arr[thr]
+                less |= eq & (arr < tv)
+                eq &= arr == tv
+        kept = np.flatnonzero(less | eq)  # arrival (doc) order preserved
+    # survivors run through the EXACT ported machinery with original
+    # arrival batching: build Python key rows only for the ~limit kept
+    rows_by_batch: dict[int, list] = {}
+    field_cache: dict[str, list] = {}
+    for k in q.order:
+        if not k.score and k.field not in field_cache:
+            field_cache[k.field] = (
+                key_table.column(k.field).take(pa.array(kept)).to_pylist())
+    orders = [k.desc for k in q.order]
+    for row_n, i in enumerate(kept.tolist()):
+        keys = []
+        for k in q.order:
+            if k.score:
+                keys.append(float(scores[i]))
+            else:
+                v = field_cache[k.field][row_n]
+                if v is None:
+                    v = k.default
+                keys.append(_normalize_key(v))
+        rows_by_batch.setdefault(i // limit, []).append((*keys, i))
+    from .results import order_and_limit_batched
+
+    ordered = order_and_limit_batched(
+        [rows_by_batch[b] for b in sorted(rows_by_batch)], orders, limit)
+    return [r[-1] for r in ordered]
 
 
 def _leaf_values(reader, leaves, docs, scores):

@@ -96,6 +96,39 @@ def order_and_limit(
         buf.reverse()
         return buf
 
+    def chunks():
+        buf = []
+        for row in rows:
+            buf.append(row)
+            if len(buf) == limit:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    return order_and_limit_batched(chunks(), orders, limit)
+
+
+def order_and_limit_batched(
+    batches: Iterable[list[tuple]],
+    orders: list[bool],
+    limit: int,
+) -> list[tuple]:
+    """The limited buffered machinery with EXPLICIT merge boundaries: one
+    merge per batch instead of one per ``limit`` arrivals.
+
+    Used by the vectorized field-ordered fast path (executor.py): rows that
+    can never reach the top ``limit`` are dropped up front, and the
+    survivors are re-fed grouped by their ORIGINAL arrival batch
+    (``arrival_index // limit``) so the merge interleaving — observable in
+    tie order, repl-tests/limit.noise — is byte-identical to feeding the
+    full stream.  (Dropped rows sort strictly after every survivor, so
+    they can't alter any merge prefix; property-tested in
+    tests/test_order_limit.py.)"""
+    import functools
+
+    keyfn = functools.cmp_to_key(lambda a, b: cmp_results(orders, a, b))
+
     ordered: list[tuple] = []
     in_buffer: list[tuple] = []
 
@@ -143,10 +176,9 @@ def order_and_limit(
         ordered = new_buffer
         in_buffer = []
 
-    for row in rows:
-        in_buffer.append(row)
-        if len(in_buffer) == limit:
-            merge()
+    for batch in batches:
+        in_buffer.extend(batch)
+        merge()
     merge()
     out = []
     while ordered:
