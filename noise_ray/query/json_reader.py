@@ -1,0 +1,355 @@
+"""JsonIndexReader: manifest-bound lookups into a NESTED-JSON index.
+
+The nested-index analogue of reader.IndexReader: ``field`` is a full
+keypath string (``.msgs$.text``) and postings are (doc, arraypath) STRING
+INSTANCES, so every access path carries the arraypath matrix alongside the
+doc ids.  The values partitions (one row per shredded scalar/marker entry)
+stand in for the reference's V/f/T/F/N keyspaces
+(/root/reference/src/key_builder.rs:163-262): RangeQ scans them by keypath,
+ExactMatch verifies literals against them, NOT existence checks consult
+them, and the JSON fetcher re-parses the docmap's stored ``json`` column
+(the analogue of reconstructing a doc from its V keys,
+src/snapshot.rs:194-433).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..build.codec import decode_position_lists, decode_varint
+from ..build.json_pipeline import kp_term_bucket
+from ..build.pipeline import MANIFEST_NAME
+from ..build.shred import parse_kp
+
+
+@dataclass
+class InstPostings:
+    """Decoded instance postings of one (keypath, term): one entry per
+    (doc, arraypath) string instance, sorted by (doc, arraypath)
+    numerically.  ``aps`` is (n × depth); depth 0 for array-free keypaths.
+    """
+
+    docs: np.ndarray                  # int64 (n,)
+    aps: np.ndarray                   # int64 (n, depth)
+    tfs: np.ndarray                   # int64
+    lens: np.ndarray                  # int64
+    pos_concat: np.ndarray | None     # int64, concatenated position lists
+    pos_starts: np.ndarray | None     # int64
+
+    @property
+    def size(self) -> int:
+        return int(self.docs.size)
+
+    def positions_of(self, i: int) -> np.ndarray:
+        s = self.pos_starts[i]
+        return self.pos_concat[s:s + self.tfs[i]]
+
+    def slice_range(self, lo: int, hi: int) -> "InstPostings":
+        s = int(np.searchsorted(self.docs, lo, side="left"))
+        e = int(np.searchsorted(self.docs, hi, side="left"))
+        if s == 0 and e == self.size:
+            return self
+        if self.pos_concat is None:
+            return InstPostings(self.docs[s:e], self.aps[s:e], self.tfs[s:e],
+                                self.lens[s:e], None, None)
+        p0 = int(self.pos_starts[s]) if s < self.size else len(self.pos_concat)
+        p1 = int(self.pos_starts[e - 1] + self.tfs[e - 1]) if e > s else p0
+        return InstPostings(self.docs[s:e], self.aps[s:e], self.tfs[s:e],
+                            self.lens[s:e], self.pos_concat[p0:p1],
+                            self.pos_starts[s:e] - p0)
+
+
+def _empty_inst(depth: int = 0) -> InstPostings:
+    z = np.zeros(0, dtype=np.int64)
+    return InstPostings(z, np.zeros((0, depth), dtype=np.int64), z, z, z, z)
+
+
+def kp_depth(kp: str) -> int:
+    """Array depth of a keypath = number of ``$`` markers."""
+    return sum(1 for s in parse_kp(kp) if s == "$")
+
+
+def kp_seg_prefix(prefix_segs: list[str], kp: str) -> bool:
+    """True iff ``kp`` starts with ``prefix_segs`` at a segment boundary —
+    the keypath-level half of ``is_kp_value_key_prefix``
+    (src/key_builder.rs:315-325)."""
+    segs = parse_kp(kp) if kp else []
+    if len(segs) < len(prefix_segs):
+        return False
+    return segs[: len(prefix_segs)] == prefix_segs
+
+
+class JsonIndexReader:
+    """Binds to one committed nested-index manifest (``nested: true``)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+            self.manifest = json.load(f)
+        if not self.manifest.get("nested"):
+            raise ValueError(f"{index_dir} is not a nested-JSON index")
+        for part in ("docmap", "values", "segments", "stats"):
+            for e in self.manifest.get(part, []):
+                if not os.path.isabs(e["path"]):
+                    e["path"] = os.path.join(index_dir, e["path"])
+        self.num_docs: int = int(self.manifest["num_docs"])
+        self.num_buckets: int = self.manifest["num_buckets"]
+        self.num_ranges: int = self.manifest["num_ranges"]
+        self.field_k: dict[str, int] = dict(self.manifest["field_k"])
+        self._seg_by_gkey = {s["gkey"]: s["path"]
+                             for s in self.manifest["segments"]}
+        self._stats_by_bucket: dict[int, list[str]] = {}
+        for s in self.manifest["stats"]:
+            self._stats_by_bucket.setdefault(s["bucket"], []).append(s["path"])
+        self._docmap = list(self.manifest["docmap"])
+        self._values = list(self.manifest["values"])
+        self._postings_cache: dict[tuple, InstPostings] = {}
+        self._stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
+        self._values_kp_cache: dict[str, tuple] = {}
+        self._values_tbl_cache: dict[str, pa.Table] = {}
+        self._zones_cache: dict[str, dict] = {}
+        self._json_cache: dict = {}
+
+    # ---------------------------------------------------------- postings
+
+    def postings(self, kp: str, term: str, need_positions: bool = True,
+                 doc_range: tuple[int, int] | None = None) -> InstPostings:
+        depth = kp_depth(kp)
+        key = (kp, term) if doc_range is None else (kp, term, doc_range)
+        hit = self._postings_cache.get(key)
+        if hit is not None and (not need_positions
+                                or hit.pos_concat is not None
+                                or hit.size == 0):
+            return hit
+        if doc_range is not None:
+            full = self._postings_cache.get((kp, term))
+            if full is not None and (not need_positions
+                                     or full.pos_concat is not None
+                                     or full.size == 0):
+                return full.slice_range(*doc_range)
+        bucket = kp_term_bucket(kp, term, self.num_buckets)
+        cols = ["cnt", "docs", "aps", "tfs", "lens"]
+        if need_positions:
+            cols.append("positions")
+        filters = [("field", "==", kp), ("term", "==", term)]
+        if doc_range is not None:
+            filters.append(("max_doc", ">=", doc_range[0]))
+            filters.append(("min_doc", "<", doc_range[1]))
+        cnts: list[int] = []
+        bufs: dict[str, list[bytes]] = {c: [] for c in cols if c != "cnt"}
+        for rng in range(self.num_ranges):
+            path = self._seg_by_gkey.get(bucket * self.num_ranges + rng)
+            if path is None:
+                continue
+            t = pq.read_table(path, columns=cols, filters=filters)
+            if t.num_rows:
+                cnts.extend(t.column("cnt").to_pylist())
+                for c in bufs:
+                    bufs[c].extend(t.column(c).to_pylist())
+        if not cnts:
+            pl = _empty_inst(depth)
+        else:
+            total = int(sum(cnts))
+            blk_starts = np.zeros(len(cnts), dtype=np.int64)
+            np.cumsum(np.asarray(cnts[:-1], dtype=np.int64),
+                      out=blk_starts[1:])
+            deltas = decode_varint(b"".join(bufs["docs"]),
+                                   total).astype(np.int64)
+            run = np.cumsum(deltas)
+            base = np.zeros(total, dtype=np.int64)
+            base[blk_starts[1:]] = run[blk_starts[1:] - 1]
+            docs = run - np.maximum.accumulate(base)
+            aps = (decode_varint(b"".join(bufs["aps"]), total * depth)
+                   .astype(np.int64).reshape(total, depth))
+            tfs = decode_varint(b"".join(bufs["tfs"]), total).astype(np.int64)
+            lens = decode_varint(b"".join(bufs["lens"]),
+                                 total).astype(np.int64)
+            if need_positions:
+                pos = decode_position_lists(b"".join(bufs["positions"]), tfs)
+                starts = np.zeros(total, dtype=np.int64)
+                np.cumsum(tfs[:-1], out=starts[1:])
+            else:
+                pos = starts = None
+            pl = InstPostings(docs, aps, tfs, lens, pos, starts)
+        if len(self._postings_cache) < 4096 or key in self._postings_cache:
+            self._postings_cache[key] = pl
+        return pl
+
+    def term_stats(self, kp: str, term: str) -> tuple[int, int]:
+        """(C, K): C = merge-summed occurrences of the term under the
+        keypath, K = the keypath's (instance × distinct-stem) total."""
+        key = (kp, term)
+        hit = self._stats_cache.get(key)
+        if hit is not None:
+            return hit
+        bucket = kp_term_bucket(kp, term, self.num_buckets)
+        c = 0
+        for path in self._stats_by_bucket.get(bucket, ()):
+            t = pq.read_table(path, columns=["c"],
+                              filters=[("field", "==", kp),
+                                       ("term", "==", term)])
+            if t.num_rows:
+                c += int(pc.sum(t.column("c")).as_py())
+        out = (c, int(self.field_k.get(kp, 0)))
+        self._stats_cache[key] = out
+        return out
+
+    # ------------------------------------------------------------ values
+
+    def _values_table(self, path: str) -> pa.Table:
+        t = self._values_tbl_cache.get(path)
+        if t is None:
+            t = pq.read_table(path)
+            if len(self._values_tbl_cache) < 64:
+                self._values_tbl_cache[path] = t
+        return t
+
+    def _kp_zones(self, path: str) -> dict:
+        z = self._zones_cache.get(path)
+        if z is None:
+            md = pq.read_metadata(path).metadata or {}
+            z = json.loads(md.get(b"noise_kp_zones", b"{}"))
+            self._zones_cache[path] = z
+        return z
+
+    def values_kp(self, kp: str, doc_range: tuple[int, int] | None = None):
+        """All value entries under EXACTLY keypath ``kp``:
+        ``(docs, aps, codes, nums, strs)`` sorted by (doc, arraypath) —
+        the f/T/F/N + V keyspace scan for one keypath.  Partition-pruned
+        by the per-kp zone maps written at ingest."""
+        cached = self._values_kp_cache.get(kp)
+        if cached is None:
+            depth = kp_depth(kp)
+            parts = []
+            for v in self._values:
+                if kp not in self._kp_zones(v["path"]):
+                    continue
+                t = pq.read_table(v["path"],
+                                  filters=[("kp", "==", kp)])
+                if t.num_rows:
+                    parts.append(t)
+            if parts:
+                t = pa.concat_tables(parts)
+                docs = t.column("doc_id").to_numpy().astype(np.int64)
+                ap_list = t.column("ap").to_pylist()
+                aps = (np.asarray(ap_list, dtype=np.int64)
+                       .reshape(len(ap_list), depth))
+                codes = np.asarray(t.column("code").to_pylist(), dtype=object)
+                nums = t.column("num").to_numpy(zero_copy_only=False)
+                strs = t.column("str").to_pylist()
+                order = np.lexsort(tuple(aps.T[::-1]) + (docs,))
+                docs = docs[order]
+                aps = aps[order]
+                codes = codes[order]
+                nums = nums[order]
+                strs = [strs[i] for i in order]
+            else:
+                docs = np.zeros(0, dtype=np.int64)
+                aps = np.zeros((0, kp_depth(kp)), dtype=np.int64)
+                codes = np.zeros(0, dtype=object)
+                nums = np.zeros(0, dtype=np.float64)
+                strs = []
+            cached = (docs, aps, codes, nums, strs)
+            if len(self._values_kp_cache) < 1024:
+                self._values_kp_cache[kp] = cached
+        if doc_range is not None:
+            docs = cached[0]
+            s = int(np.searchsorted(docs, doc_range[0], side="left"))
+            e = int(np.searchsorted(docs, doc_range[1], side="left"))
+            if s != 0 or e != docs.size:
+                return (docs[s:e], cached[1][s:e], cached[2][s:e],
+                        cached[3][s:e], cached[4][s:e])
+        return cached
+
+    def zero_prefix_lengths(self, prefix_segs: list[str],
+                            doc_range: tuple[int, int] | None = None
+                            ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc array length at the all-zeros arraypath prefix of a
+        NOT clause's keypath (``prefix_segs`` ends with ``"$"``):
+        L(doc) = 1 + max{ j : an entry exists whose vkey extends
+        ``fill(prefix, (0,...,0,j))`` } — the existence domain NotFilter's
+        candidate walk probes (src/filters.rs:964-993; the walk holds
+        every arraypath dimension but the last at 0).  Returns
+        ``(docs, lengths)`` for docs with L > 0."""
+        d = sum(1 for s in prefix_segs if s == "$")
+        assert d >= 1
+        per_doc: dict[int, int] = {}
+        for v in self._values:
+            zones = self._kp_zones(v["path"])
+            kps = [k for k in zones if kp_seg_prefix(prefix_segs, k)]
+            if not kps:
+                continue
+            t = self._values_table(v["path"])
+            kp_col = t.column("kp")
+            mask = pc.is_in(kp_col.cast(pa.string()),
+                            value_set=pa.array(kps, pa.string()))
+            sub = t.filter(mask)
+            if sub.num_rows == 0:
+                continue
+            docs = sub.column("doc_id").to_numpy().astype(np.int64)
+            if doc_range is not None:
+                sel = (docs >= doc_range[0]) & (docs < doc_range[1])
+                if not sel.any():
+                    continue
+                sub = sub.filter(pa.array(sel))
+                docs = docs[sel]
+            for doc, ap in zip(docs.tolist(),
+                               sub.column("ap").to_pylist()):
+                if d > 1 and any(x != 0 for x in ap[: d - 1]):
+                    continue
+                j = ap[d - 1]
+                if per_doc.get(doc, -1) < j:
+                    per_doc[doc] = j
+        if not per_doc:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        docs = np.array(sorted(per_doc), dtype=np.int64)
+        lens = np.array([per_doc[int(x)] + 1 for x in docs], dtype=np.int64)
+        return docs, lens
+
+    # ------------------------------------------------------------ docmap
+
+    def doc_json(self, doc_ids: np.ndarray) -> list:
+        """Raw stored JSON strings in ``doc_ids`` order (the whole-doc
+        fetch behind every Returnable; parsed values are memoized)."""
+        return self._doc_col(doc_ids, "json")
+
+    def doc_id_strs(self, doc_ids: np.ndarray) -> list:
+        return self._doc_col(doc_ids, "_id")
+
+    def _doc_col(self, doc_ids: np.ndarray, col: str) -> list:
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        out = [None] * doc_ids.size
+        srt = np.argsort(doc_ids, kind="stable")
+        sorted_ids = doc_ids[srt]
+        for dm in self._docmap:
+            lo, hi = dm["min_doc"], dm["max_doc"]
+            s = np.searchsorted(sorted_ids, lo, side="left")
+            e = np.searchsorted(sorted_ids, hi, side="right")
+            if e <= s:
+                continue
+            ckey = (dm["path"], col)
+            arr = self._json_cache.get(ckey)
+            if arr is None:
+                arr = pq.read_table(dm["path"],
+                                    columns=[col]).column(col).to_pylist()
+                if len(self._json_cache) < 64:
+                    self._json_cache[ckey] = arr
+            for i in range(s, e):
+                out[srt[i]] = arr[sorted_ids[i] - lo]
+        return out
+
+    def lookup_id(self, id_str: str) -> int | None:
+        """_id → doc_id (the reference's I<id> lookup)."""
+        for dm in self._docmap:
+            t = pq.read_table(dm["path"], columns=["doc_id"],
+                              filters=[("_id", "==", id_str)])
+            if t.num_rows:
+                return int(t.column("doc_id")[0].as_py())
+        return None
