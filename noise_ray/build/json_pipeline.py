@@ -62,12 +62,16 @@ def kp_term_bucket(kp: str, term: str, num_buckets: int) -> int:
 
 # ------------------------------------------------------------------ inputs
 
-def docs_to_parquet(docs: list, out_path: str, docid_base: int = 0):
+def docs_to_parquet(docs: list, out_path: str, docid_base: int = 0,
+                    seqs: list[int] | None = None):
     """Write JSON documents to one build-ready parquet shard
-    ``(_id, json)``.  ``docs`` entries are dicts or JSON strings; docs
-    without a root ``_id`` get a deterministic ``"doc<n>"`` id (the
+    ``(_id, json, seq)``.  ``docs`` entries are dicts or JSON strings;
+    docs without a root ``_id`` get a deterministic ``"doc<n>"`` id (the
     reference generates a UUID here, src/json_shred.rs:477-483 — we need
-    determinism for resumable builds)."""
+    determinism for resumable builds).  ``seqs`` records the reference's
+    monotonically increasing add-order seq per doc (defaults to position);
+    it is carried for the REPL's seq-string iteration-order quirks, not
+    used as the doc_id."""
     ids, texts = [], []
     for i, d in enumerate(docs):
         if isinstance(d, str):
@@ -82,8 +86,11 @@ def docs_to_parquet(docs: list, out_path: str, docid_base: int = 0):
                 "Expected string for `_id` field, got another type")
         ids.append(the_id)
         texts.append(json.dumps(d, ensure_ascii=False))
+    if seqs is None:
+        seqs = list(range(docid_base, docid_base + len(ids)))
     t = pa.table({"_id": pa.array(ids, pa.string()),
-                  "json": pa.array(texts, pa.string())})
+                  "json": pa.array(texts, pa.string()),
+                  "seq": pa.array(seqs, pa.int64())})
     _atomic_write_table(t, out_path)
     return out_path
 
@@ -155,7 +162,9 @@ class ShredTokenize:
                                    f"docmap-{seq:05d}.parquet")
         values_path = os.path.join(self.values_dir,
                                    f"values-{seq:05d}.parquet")
-        t = pq.read_table(path, columns=["_id", "json"])
+        have_seq = "seq" in pq.read_schema(path).names
+        t = pq.read_table(path, columns=(["_id", "json", "seq"] if have_seq
+                                         else ["_id", "json"]))
         if t.num_rows != rows:
             raise ValueError(
                 f"{path}: footer said {rows} rows, read {t.num_rows}")
@@ -223,12 +232,15 @@ class ShredTokenize:
             _atomic_write_table(vt, values_path, row_group_size=65536)
 
         if not os.path.exists(docmap_path):
-            dt = pa.table({
+            cols = {
                 "doc_id": pa.array(
                     np.arange(offset, offset + rows, dtype=np.int64)),
                 "_id": pa.array(ids, pa.string()),
                 "json": pa.array(texts, pa.string()),
-            })
+            }
+            if have_seq:
+                cols["seq"] = t.column("seq")
+            dt = pa.table(cols)
             _atomic_write_table(dt, docmap_path, row_group_size=65536)
 
     # ------------------------------------------------------------ batch

@@ -71,18 +71,41 @@ class AllDocs:
 
 @dataclass
 class And:
+    """``depth`` is the array context depth at the AND (the reference
+    resizes each side's arraypath to ``kb.arraypath_len()`` before
+    comparing, src/filters.rs:727-782).  Always 0 in flat queries."""
     clauses: Sequence["Node"]
+    depth: int = 0
 
 
 @dataclass
 class Or:
     left: "Node"
     right: "Node"
+    depth: int = 0
 
 
 @dataclass
 class Not:
+    """``kp``/``depth`` carry the keypath context at the ``!`` (the
+    reference clones its KeyBuilder into NotFilter, src/filters.rs:951-962)
+    — candidates are enumerated at that granularity and their existence
+    checked under that keypath.  Empty/0 in flat queries."""
     inner: "Node"
+    kp: str = ""
+    depth: int = 0
+
+
+@dataclass
+class Bind:
+    """``name::[...]`` bind variable (BindFilter, src/filters.rs:1068-1152):
+    passes the array filter through at doc granularity, collecting each
+    matched instance's value key under ``kp`` (the bound keypath WITH its
+    trailing array marker).  Nested queries only."""
+    name: str
+    inner: "Node"
+    kp: str
+    depth: int
 
 
 @dataclass
@@ -93,7 +116,8 @@ class Boost:
     factor: float
 
 
-Node = Union[Term, Phrase, Proximity, Exact, RangeQ, AllDocs, And, Or, Not, Boost]
+Node = Union[Term, Phrase, Proximity, Exact, RangeQ, AllDocs, And, Or, Not,
+             Boost, Bind]
 
 
 @dataclass
@@ -112,8 +136,23 @@ class OrderKey:
 @dataclass
 class RetPath:
     """`.field [default=json]` — fetch a doc field
-    (src/returnable.rs:295-343)."""
-    field: str
+    (src/returnable.rs:295-343).
+
+    ``field`` is a plain column name in flat queries; in nested queries it
+    is a PATH: a tuple of segments ``('k', key)`` / ``('i', index)`` /
+    ``('*',)`` mirroring the reference's ReturnPath
+    (src/returnable.rs:10-72), the empty tuple meaning the whole doc."""
+    field: object
+    default: object = None
+
+
+@dataclass
+class RetBind:
+    """`name[.extra.path]` in a return clause — the values bound by a
+    ``name::[...]`` filter (RetBind, src/returnable.rs:346-404); always
+    renders as an array, one element per bound instance.  Nested only."""
+    name: str
+    extra: tuple = ()
     default: object = None
 
 
@@ -135,10 +174,11 @@ class RetAgg:
     group/sum/max/max_array/min/min_array/array/array_flat/concat/avg/count;
     ``desc`` applies to group ordering, ``sep`` to concat."""
     fun: str
-    field: Optional[str] = None
+    field: object = None         # str (flat) or path tuple (nested)
     sep: Optional[str] = None
     default: object = None
     desc: bool = False
+    bind: Optional[str] = None   # aggregate over a bind variable's values
 
 
 @dataclass
@@ -153,7 +193,8 @@ class RetArray:
     items: list  # list[RetExpr]
 
 
-RetExpr = Union[RetPath, RetScore, RetLiteral, RetAgg, RetObject, RetArray]
+RetExpr = Union[RetPath, RetBind, RetScore, RetLiteral, RetAgg, RetObject,
+                RetArray]
 
 
 @dataclass

@@ -313,38 +313,7 @@ class CompiledQuery:
             docs = np.intersect1d(docs, pl.docs, assume_unique=True)
         if docs.size == 0 or len(pls) == 1:
             return docs, pls
-
-        # Vectorized over ALL candidate docs at once: positions become flat
-        # (candidate_ordinal << 32 | position) keys — ascending, so each
-        # chain step is one searchsorted membership test instead of a
-        # Python loop per doc.  Candidate ordinals (not doc_ids) keep the
-        # key in 63 bits at any corpus size.
-        idxs = [np.searchsorted(pl.docs, docs) for pl in pls]
-
-        def flat_pos(pl, idx):
-            tf = pl.tfs[idx]
-            st = pl.pos_starts[idx]
-            total = int(tf.sum())
-            ends = np.cumsum(tf)
-            rel = np.arange(total, dtype=np.int64) - np.repeat(ends - tf, tf)
-            pos = pl.pos_concat[np.repeat(st, tf) + rel]
-            ordinal = np.repeat(np.arange(docs.size, dtype=np.int64), tf)
-            return ordinal, pos.astype(np.int64)
-
-        ordinal0, pos0 = flat_pos(pls[0], idxs[0])
-        surv = (ordinal0 << np.int64(32)) | pos0
-        for t in range(1, len(pls)):
-            if surv.size == 0:
-                return docs[:0], pls
-            ordinal_t, pos_t = flat_pos(pls[t], idxs[t])
-            probe = (ordinal_t << np.int64(32)) | np.maximum(pos_t - 1, 0)
-            j = np.minimum(np.searchsorted(surv, probe), surv.size - 1)
-            mask = surv[j] == probe
-            surv = ((ordinal_t << np.int64(32)) | pos_t)[mask]
-        keep = np.zeros(docs.size, dtype=bool)
-        if surv.size:
-            keep[np.unique(surv >> np.int64(32))] = True
-        return docs[keep], pls
+        return docs[phrase_chain_survivors(pls, docs)], pls
 
     def _eval_phrase(self, node: ast.Phrase) -> EvalResult:
         terms, slots = self._phrase_meta(node)
@@ -500,105 +469,11 @@ class CompiledQuery:
             None if np.isnan(s.idf) else self._term_scores(pl, s)
             for pl, s in zip(pls, slots)
         ]
-
-        class WordIter:
-            """StemmedWordPosFilter: advance_gte + next over one posting list."""
-
-            __slots__ = ("pl", "i")
-
-            def __init__(self, pl):
-                self.pl = pl
-                self.i = 0
-
-            def first_result(self, start_doc):
-                self.i = int(np.searchsorted(self.pl.docs, start_doc, side="left"))
-                return self.next_result()
-
-            def next_result(self):
-                if self.i >= self.pl.size:
-                    return None
-                j = self.i
-                self.i += 1
-                return j  # index into pl arrays
-
-        iters = [WordIter(pl) for pl in pls]
-        n = len(iters)
-        dis = node.distance + 1
-        current = [0]  # persistent current_filter state
-
-        def result(base):
-            # base = (filter_idx, posting_idx) or None
-            matches_left = n - 1
-            if base is None:
-                return None
-            bf, bi = base
-            base_doc = int(pls[bf].docs[bi])
-            base_positions = [(int(p), bf) for p in pls[bf].positions_of(bi)]
-            if matches_left == 0:
-                return (bf, bi)
-            while True:
-                current[0] += 1
-                if current[0] == n:
-                    current[0] = 0
-                cf = current[0]
-                nj = iters[cf].first_result(base_doc)
-                if nj is None:
-                    return None
-                next_doc = int(pls[cf].docs[nj])
-                if base_doc != next_doc:
-                    bf, bi, base_doc = cf, nj, next_doc
-                    base_positions = [(int(p), cf) for p in pls[cf].positions_of(nj)]
-                    matches_left = n - 1
-                    continue
-                pos_only = [p for p, _ in base_positions]
-                new_map = {}
-                for p in pls[cf].positions_of(nj):
-                    p = int(p)
-                    lo = max(p - dis, 0)
-                    import bisect
-
-                    start = bisect.bisect_left(pos_only, lo)
-                    end = bisect.bisect_left(pos_only, p + dis)
-                    encountered = {f for _, f in base_positions[start:end]}
-                    if len(encountered) == n - matches_left:
-                        for pp, ff in base_positions[start:end]:
-                            new_map[pp] = ff
-                        new_map[p] = cf
-                if new_map:
-                    base_positions = sorted(new_map.items())
-                    pos_only = [p for p, _ in base_positions]
-                    matches_left -= 1
-                    if matches_left == 0:
-                        return (bf, bi)
-                    continue
-                nj = iters[cf].next_result()
-                if nj is None:
-                    return None
-                bf, bi = cf, nj
-                base_doc = int(pls[cf].docs[bi])
-                base_positions = [(int(p), cf) for p in pls[cf].positions_of(bi)]
-                matches_left = n - 1
-
-        out_docs: list[int] = []
-        out_slot: list[int] = []
-        out_score: list[float] = []
-        start = 0
-        while True:
-            base = iters[current[0]].first_result(start)
-            dr = result((current[0], base) if base is not None else None)
-            if dr is None:
-                break
-            bf, bi = dr
-            doc = int(pls[bf].docs[bi])
-            out_docs.append(doc)
-            out_slot.append(bf)
-            sa = score_arrays[bf]
-            out_score.append(float(sa[bi]) if sa is not None else 0.0)
-            start = doc + 1
-
+        out_docs, out_slot, out_score = distance_filter_stream(
+            pls, score_arrays, node.distance)
         docs = np.array(out_docs, dtype=np.int64)
         r = EvalResult(docs)
-        for t in range(n):
+        for t in range(len(pls)):
             mask = np.array([s == t for s in out_slot], dtype=bool)
             if mask.any() and score_arrays[t] is not None:
                 sums = np.zeros(docs.size, dtype=F32)
@@ -631,6 +506,155 @@ class CompiledQuery:
         ).astype(F32)
 
 
+# ---------------------------------------------------- shared kernels
+# Used by both the flat engine (doc_ids) and the nested engine
+# (json_engine.py, instance ordinals): the "docs" of the posting-likes may
+# be any ascending int64 keys as long as all lists share the key space.
+
+def phrase_chain_survivors(pls, docs) -> np.ndarray:
+    """Indices into ``docs`` whose positions survive the phrase chain of
+    src/filters.rs:206-215 (incl. the saturating_sub(1) quirk at pos 0).
+    ``docs`` must be a sorted subset of every pl's ``.docs``.
+
+    Vectorized over ALL candidate docs at once: positions become flat
+    (candidate_ordinal << 32 | position) keys — ascending, so each chain
+    step is one searchsorted membership test instead of a Python loop per
+    doc.  Candidate ordinals (not doc_ids) keep the key in 63 bits at any
+    corpus size."""
+    idxs = [np.searchsorted(pl.docs, docs) for pl in pls]
+
+    def flat_pos(pl, idx):
+        tf = pl.tfs[idx]
+        st = pl.pos_starts[idx]
+        total = int(tf.sum())
+        ends = np.cumsum(tf)
+        rel = np.arange(total, dtype=np.int64) - np.repeat(ends - tf, tf)
+        pos = pl.pos_concat[np.repeat(st, tf) + rel]
+        ordinal = np.repeat(np.arange(docs.size, dtype=np.int64), tf)
+        return ordinal, pos.astype(np.int64)
+
+    ordinal0, pos0 = flat_pos(pls[0], idxs[0])
+    surv = (ordinal0 << np.int64(32)) | pos0
+    for t in range(1, len(pls)):
+        if surv.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        ordinal_t, pos_t = flat_pos(pls[t], idxs[t])
+        probe = (ordinal_t << np.int64(32)) | np.maximum(pos_t - 1, 0)
+        j = np.minimum(np.searchsorted(surv, probe), surv.size - 1)
+        mask = surv[j] == probe
+        surv = ((ordinal_t << np.int64(32)) | pos_t)[mask]
+    if surv.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(surv >> np.int64(32))
+
+
+def distance_filter_stream(pls, score_arrays, distance: int):
+    """Literal port of DistanceFilter (src/filters.rs:588-726) over
+    posting-like lists; returns ``(keys, slot_idx, score)`` python lists —
+    one entry per emitted result, consumed with the top-level
+    first-match-per-key dedup.  The result stream and which filter's
+    DocResult (and hence score slot) survives depend on persistent
+    iterator state, so this runs the reference algorithm sequentially."""
+
+    class WordIter:
+        """StemmedWordPosFilter: advance_gte + next over one posting list."""
+
+        __slots__ = ("pl", "i")
+
+        def __init__(self, pl):
+            self.pl = pl
+            self.i = 0
+
+        def first_result(self, start_key):
+            self.i = int(np.searchsorted(self.pl.docs, start_key,
+                                         side="left"))
+            return self.next_result()
+
+        def next_result(self):
+            if self.i >= self.pl.size:
+                return None
+            j = self.i
+            self.i += 1
+            return j  # index into pl arrays
+
+    import bisect
+
+    iters = [WordIter(pl) for pl in pls]
+    n = len(iters)
+    dis = distance + 1
+    current = [0]  # persistent current_filter state
+
+    def result(base):
+        # base = (filter_idx, posting_idx) or None
+        matches_left = n - 1
+        if base is None:
+            return None
+        bf, bi = base
+        base_key = int(pls[bf].docs[bi])
+        base_positions = [(int(p), bf) for p in pls[bf].positions_of(bi)]
+        if matches_left == 0:
+            return (bf, bi)
+        while True:
+            current[0] += 1
+            if current[0] == n:
+                current[0] = 0
+            cf = current[0]
+            nj = iters[cf].first_result(base_key)
+            if nj is None:
+                return None
+            next_key = int(pls[cf].docs[nj])
+            if base_key != next_key:
+                bf, bi, base_key = cf, nj, next_key
+                base_positions = [(int(p), cf)
+                                  for p in pls[cf].positions_of(nj)]
+                matches_left = n - 1
+                continue
+            pos_only = [p for p, _ in base_positions]
+            new_map = {}
+            for p in pls[cf].positions_of(nj):
+                p = int(p)
+                lo = max(p - dis, 0)
+                start = bisect.bisect_left(pos_only, lo)
+                end = bisect.bisect_left(pos_only, p + dis)
+                encountered = {f for _, f in base_positions[start:end]}
+                if len(encountered) == n - matches_left:
+                    for pp, ff in base_positions[start:end]:
+                        new_map[pp] = ff
+                    new_map[p] = cf
+            if new_map:
+                base_positions = sorted(new_map.items())
+                pos_only = [p for p, _ in base_positions]
+                matches_left -= 1
+                if matches_left == 0:
+                    return (bf, bi)
+                continue
+            nj = iters[cf].next_result()
+            if nj is None:
+                return None
+            bf, bi = cf, nj
+            base_key = int(pls[cf].docs[bi])
+            base_positions = [(int(p), cf) for p in pls[cf].positions_of(bi)]
+            matches_left = n - 1
+
+    out_keys: list[int] = []
+    out_slot: list[int] = []
+    out_score: list[float] = []
+    start = 0
+    while True:
+        base = iters[current[0]].first_result(start)
+        dr = result((current[0], base) if base is not None else None)
+        if dr is None:
+            break
+        bf, bi = dr
+        key = int(pls[bf].docs[bi])
+        out_keys.append(key)
+        out_slot.append(bf)
+        sa = score_arrays[bf]
+        out_score.append(float(sa[bi]) if sa is not None else 0.0)
+        start = key + 1
+    return out_keys, out_slot, out_score
+
+
 # ------------------------------------------------------------- helpers
 
 def _stem_one(word: str) -> str:
@@ -646,6 +670,8 @@ def _is_all_not(node: ast.Node) -> bool:
     if isinstance(node, ast.Or):
         return _is_all_not(node.left) and _is_all_not(node.right)
     if isinstance(node, ast.Boost):
+        return _is_all_not(node.inner)
+    if isinstance(node, ast.Bind):
         return _is_all_not(node.inner)
     return False
 
@@ -665,4 +691,6 @@ def _check_double_not(node: ast.Node, parent_is_neg: bool):
         _check_double_not(node.left, parent_is_neg)
         _check_double_not(node.right, parent_is_neg)
     elif isinstance(node, ast.Boost):
+        _check_double_not(node.inner, parent_is_neg)
+    elif isinstance(node, ast.Bind):
         _check_double_not(node.inner, parent_is_neg)

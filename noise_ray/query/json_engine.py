@@ -1,0 +1,618 @@
+"""Nested-query evaluation: the (seq, arraypath)-granular filter algebra.
+
+The flat engine (engine.py) evaluates per doc; the reference evaluates per
+DocResult = (seq, arraypath) (/root/reference/src/query.rs:21-26), with
+each boolean operator comparing results truncated/zero-padded to its array
+context depth (AndFilter/OrFilter resize, src/filters.rs:727-942).  This
+module replicates that algebra vectorized over sorted instance-key arrays:
+
+- a filter node evaluates to an :class:`InstSet` — unique (doc, arraypath)
+  keys in ascending order with per-slot score columns and optional bind
+  collections;
+- ``resize(depth)`` truncates or zero-pads arraypaths; on truncation the
+  FIRST instance of each surviving key keeps its scores/binds, which is
+  exactly what the reference's iterator protocol observes (parents always
+  consume the first result with a given truncated key; the top-level loop
+  then keeps the first result per seq, src/query.rs:479-491);
+- and/or intersect/union those key sets, combining scores and binds on
+  equal keys (DocResult::combine);
+- NOT enumerates candidates the way NotFilter walks them
+  (src/filters.rs:944-1066): per doc, arraypaths (0,..,0,j) for j = 0 and
+  every j below the array length at the all-zeros prefix, minus the
+  negated filter's keys — j=0 needs only doc existence, j>0 needs the
+  element to exist (is_a_not_match).
+
+Scoring is the same f32 TF-IDF kernel as the flat engine, applied per
+string instance (the reference scores each W key instance independently);
+the final per-doc score is the first matching instance's, matching the
+reference's seq-level dedup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from ..analysis.tokenizer import tokenize
+from ..build.shred import fill_vkey, parse_kp
+from . import ast
+from .engine import (
+    F32, _Slot, _check_double_not, _is_all_not, _stem_one,
+    distance_filter_stream, phrase_chain_survivors,
+)
+from .json_reader import InstPostings, JsonIndexReader, kp_depth
+
+
+@dataclass
+class InstSet:
+    """Sorted unique (doc, arraypath) keys + aligned score/bind columns."""
+
+    docs: np.ndarray            # int64 (n,)
+    aps: np.ndarray             # int64 (n, depth)
+    # slot ordinal -> (sum f32, count int32), aligned to rows
+    slots: dict = dc_field(default_factory=dict)
+    # aligned bind collections: row -> {name: [vkey, ...]} or None
+    binds: list | None = None
+
+    @property
+    def size(self) -> int:
+        return int(self.docs.size)
+
+    @property
+    def depth(self) -> int:
+        return int(self.aps.shape[1])
+
+    def keys(self) -> np.ndarray:
+        return np.hstack([self.docs[:, None], self.aps])
+
+
+def _empty_set(depth: int = 0) -> InstSet:
+    return InstSet(np.zeros(0, dtype=np.int64),
+                   np.zeros((0, depth), dtype=np.int64))
+
+
+def _first_occurrence_mask(keys: np.ndarray) -> np.ndarray:
+    n = keys.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    keep = np.empty(n, dtype=bool)
+    keep[0] = True
+    if n > 1:
+        keep[1:] = np.any(keys[1:] != keys[:-1], axis=1)
+    return keep
+
+
+def _gather(s: InstSet, idx: np.ndarray, docs: np.ndarray,
+            aps: np.ndarray) -> InstSet:
+    out = InstSet(docs, aps)
+    for o, (sums, cnts) in s.slots.items():
+        out.slots[o] = (sums[idx], cnts[idx])
+    if s.binds is not None:
+        out.binds = [s.binds[i] for i in idx]
+    return out
+
+
+def resized(s: InstSet, depth: int) -> InstSet:
+    """arraypath.resize(depth, 0) + first-instance-per-key selection."""
+    d = s.depth
+    if d == depth:
+        return s
+    if d < depth:
+        aps = np.hstack([s.aps, np.zeros((s.size, depth - d),
+                                         dtype=np.int64)])
+        return InstSet(s.docs, aps, s.slots, s.binds)
+    aps = np.ascontiguousarray(s.aps[:, :depth])
+    keep = _first_occurrence_mask(np.hstack([s.docs[:, None], aps]))
+    idx = np.flatnonzero(keep)
+    return _gather(s, idx, s.docs[idx], aps[idx])
+
+
+def _merge_bind_rows(a: dict | None, b: dict | None) -> dict | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    out = {k: list(v) for k, v in a.items()}
+    for k, v in b.items():
+        out.setdefault(k, []).extend(v)
+    return out
+
+
+def _union(lr: InstSet, rr: InstSet) -> InstSet:
+    """OrFilter::take_smallest with combine on equal keys
+    (src/filters.rs:846-912)."""
+    lk, rk = lr.keys(), rr.keys()
+    allk = np.vstack([lk, rk])
+    uniq, inv = np.unique(allk, axis=0, return_inverse=True)
+    l_ranks = inv[: lk.shape[0]]
+    r_ranks = inv[lk.shape[0]:]
+    out = InstSet(uniq[:, 0].copy(), np.ascontiguousarray(uniq[:, 1:]))
+    n = uniq.shape[0]
+    for src, ranks in ((lr, l_ranks), (rr, r_ranks)):
+        for o, (sums, cnts) in src.slots.items():
+            osums, ocnts = out.slots.get(o, (None, None))
+            if osums is None:
+                osums = np.zeros(n, dtype=F32)
+                ocnts = np.zeros(n, dtype=np.int32)
+                out.slots[o] = (osums, ocnts)
+            # same ordinal can only come from ONE side (ordinals are
+            # per-leaf), so plain scatter is exact
+            osums[ranks] = sums
+            ocnts[ranks] = cnts
+    if lr.binds is not None or rr.binds is not None:
+        binds: list = [None] * n
+        for src, ranks in ((lr, l_ranks), (rr, r_ranks)):
+            if src.binds is None:
+                continue
+            for i, rk_ in enumerate(ranks):
+                binds[rk_] = _merge_bind_rows(binds[rk_], src.binds[i])
+        out.binds = binds
+    return out
+
+
+def _intersect(sets: list[InstSet]) -> InstSet:
+    """AndFilter at one depth: keys present in every set; scores/binds
+    combined from each side's (first) instance (src/filters.rs:727-807)."""
+    mats = [s.keys() for s in sets]
+    uniq, inv = np.unique(np.vstack(mats), axis=0, return_inverse=True)
+    ranks = []
+    off = 0
+    for m in mats:
+        ranks.append(inv[off: off + m.shape[0]])
+        off += m.shape[0]
+    common = ranks[0]
+    for r in ranks[1:]:
+        common = np.intersect1d(common, r, assume_unique=True)
+    docs = uniq[common, 0].copy()
+    aps = np.ascontiguousarray(uniq[common, 1:])
+    out = InstSet(docs, aps)
+    any_binds = any(s.binds is not None for s in sets)
+    if any_binds:
+        out.binds = [None] * common.size
+    for s, r in zip(sets, ranks):
+        idx = np.searchsorted(r, common)
+        for o, (sums, cnts) in s.slots.items():
+            out.slots[o] = (sums[idx], cnts[idx])
+        if s.binds is not None:
+            for j, i in enumerate(idx):
+                out.binds[j] = _merge_bind_rows(out.binds[j], s.binds[i])
+    return out
+
+
+class _PLShim:
+    """Posting-like view whose ``docs`` are instance ordinals — feeds the
+    shared phrase/proximity kernels (engine.py)."""
+
+    __slots__ = ("docs", "tfs", "lens", "pos_concat", "pos_starts")
+
+    def __init__(self, ordinals, pl: InstPostings):
+        self.docs = ordinals
+        self.tfs = pl.tfs
+        self.lens = pl.lens
+        self.pos_concat = pl.pos_concat
+        self.pos_starts = pl.pos_starts
+
+    @property
+    def size(self) -> int:
+        return int(self.docs.size)
+
+    def positions_of(self, i: int) -> np.ndarray:
+        s = self.pos_starts[i]
+        return self.pos_concat[s:s + self.tfs[i]]
+
+
+def _ordinalize(pls: list[InstPostings]):
+    """Shared (doc, arraypath) → dense ordinal mapping across posting
+    lists of the same keypath; returns (shims, key_matrix) where
+    key_matrix[ordinal] = (doc, *ap)."""
+    mats = [np.hstack([pl.docs[:, None], pl.aps]) for pl in pls]
+    uniq, inv = np.unique(np.vstack(mats), axis=0, return_inverse=True)
+    shims = []
+    off = 0
+    for pl, m in zip(pls, mats):
+        shims.append(_PLShim(inv[off: off + m.shape[0]], pl))
+        off += m.shape[0]
+    return shims, uniq
+
+
+class CompiledJsonQuery:
+    """Nested-index analogue of engine.CompiledQuery.  ``doc_range``
+    restricts evaluation to a doc_id interval (exact under range
+    partitioning: every filter and score is per-doc independent)."""
+
+    def __init__(self, reader: JsonIndexReader, node: ast.Node,
+                 doc_range: tuple[int, int] | None = None):
+        self.reader = reader
+        self.node = node
+        self.doc_range = doc_range
+        self.num_slots = 0
+        self.sum_idf_sq = F32(0.0)
+        self._prepare(node)
+        if self.num_slots > 0:
+            with np.errstate(divide="ignore"):
+                self.query_norm = F32(1.0) / self.sum_idf_sq
+        else:
+            self.query_norm = F32(0.0)
+
+    # -------------------------------------------------- prepare (slots)
+
+    def _new_slot(self, idf: F32, boost: float) -> _Slot:
+        s = _Slot(self.num_slots, idf, boost)
+        self.num_slots += 1
+        self.sum_idf_sq = F32(self.sum_idf_sq + F32(idf * idf))
+        return s
+
+    def _idf(self, kp: str, term: str) -> F32:
+        c, k = self.reader.term_stats(kp, term)
+        with np.errstate(divide="ignore"):
+            return F32(F32(1.0) + np.log(F32(k) / (F32(c) + F32(1.0))))
+
+    def _prepare(self, node: ast.Node):
+        if isinstance(node, ast.Term):
+            node._slot = self._new_slot(
+                self._idf(node.field, _stem_one(node.word)), node.boost)
+        elif isinstance(node, (ast.Phrase, ast.Proximity)):
+            node._terms = [t for _, t in tokenize(node.text)]
+            node._slots = [
+                self._new_slot(self._idf(node.field, t), node.boost)
+                for t in node._terms
+            ]
+        elif isinstance(node, (ast.Exact, ast.RangeQ)):
+            node._slot = self._new_slot(F32(1.0), 1.0)
+        elif isinstance(node, ast.AllDocs):
+            self._new_slot(F32(1.0), 1.0)
+        elif isinstance(node, ast.And):
+            for c in node.clauses:
+                self._prepare(c)
+        elif isinstance(node, ast.Or):
+            self._prepare(node.left)
+            self._prepare(node.right)
+        elif isinstance(node, ast.Not):
+            pass  # NotFilter.prepare_relevancy_scoring is a no-op
+        elif isinstance(node, (ast.Boost, ast.Bind)):
+            self._prepare(node.inner)
+        else:
+            raise TypeError(f"unknown node {node!r}")
+
+    # ------------------------------------------------------- evaluation
+
+    def evaluate(self) -> InstSet:
+        # double-not before all-not: error precedence matches the
+        # reference (src/query.rs:220-228)
+        _check_double_not(self.node, False)
+        if _is_all_not(self.node):
+            raise ValueError(
+                "query cannot be made up of only logical not. Must have at "
+                "least one match clause not negated.")
+        return resized(self._eval(self.node), 0)
+
+    def _postings(self, kp: str, term: str,
+                  need_positions: bool = True) -> InstPostings:
+        pl = self.reader.postings(kp, term, need_positions, self.doc_range)
+        if self.doc_range is not None:
+            pl = pl.slice_range(*self.doc_range)
+        return pl
+
+    def _doc_universe(self) -> np.ndarray:
+        lo, hi = (self.doc_range if self.doc_range is not None
+                  else (0, self.reader.num_docs))
+        return np.arange(lo, hi, dtype=np.int64)
+
+    def _term_scores(self, tfs, lens, slot: _Slot) -> np.ndarray:
+        tf = np.sqrt(tfs.astype(F32))
+        norm = F32(1.0) / np.sqrt(lens.astype(F32))
+        return ((slot.idf * slot.idf) * tf * norm
+                * F32(slot.boost)).astype(F32)
+
+    def _eval(self, node: ast.Node) -> InstSet:
+        if isinstance(node, ast.Term):
+            pl = self._postings(node.field, _stem_one(node.word),
+                                need_positions=False)
+            r = InstSet(pl.docs, pl.aps)
+            slot = getattr(node, "_slot", None)
+            if slot is not None and not np.isnan(slot.idf):
+                r.slots[slot.ordinal] = (
+                    self._term_scores(pl.tfs, pl.lens, slot),
+                    np.ones(pl.size, dtype=np.int32))
+            return r
+
+        if isinstance(node, ast.Phrase):
+            return self._eval_phrase(node)
+
+        if isinstance(node, ast.Proximity):
+            return self._eval_proximity(node)
+
+        if isinstance(node, ast.Exact):
+            return self._eval_exact(node)
+
+        if isinstance(node, ast.RangeQ):
+            return self._eval_range(node)
+
+        if isinstance(node, ast.AllDocs):
+            docs = self._doc_universe()
+            r = InstSet(docs, np.zeros((docs.size, 0), dtype=np.int64))
+            # ordinal 1 hardcoded, like the reference (src/filters.rs:58-63)
+            r.slots[1] = (np.ones(docs.size, dtype=F32),
+                          np.ones(docs.size, dtype=np.int32))
+            return r
+
+        if isinstance(node, ast.Boost):
+            r = self._eval(node.inner)
+            for o, (s, c) in r.slots.items():
+                r.slots[o] = ((s * F32(node.factor)).astype(F32), c)
+            return r
+
+        if isinstance(node, ast.And):
+            sets = [resized(self._eval(c), node.depth)
+                    for c in node.clauses]
+            return _intersect(sets)
+
+        if isinstance(node, ast.Or):
+            lr = resized(self._eval(node.left), node.depth)
+            rr = resized(self._eval(node.right), node.depth)
+            return _union(lr, rr)
+
+        if isinstance(node, ast.Not):
+            return self._eval_not(node)
+
+        if isinstance(node, ast.Bind):
+            return self._eval_bind(node)
+
+        raise TypeError(f"unknown node {node!r}")
+
+    # ---------------------------------------------------------- phrase
+
+    def _phrase_meta(self, node):
+        terms = getattr(node, "_terms", None)
+        if terms is None:
+            terms = [t for _, t in tokenize(node.text)]
+            node._terms = terms
+        slots = getattr(node, "_slots", None)
+        if slots is None:
+            slots = [_Slot(-1, F32(np.nan), 1.0) for _ in terms]
+            node._slots = slots
+        return terms, slots
+
+    def _phrase_candidates(self, kp: str, terms: list[str]):
+        """(surviving ordinals, ordinal→key matrix, shims) — the
+        instance-granular phrase chain: instances align by
+        (doc, arraypath), exactly the StemmedPhraseFilter equality test
+        on DocResults."""
+        pls = [self._postings(kp, t) for t in terms]
+        shims, keymat = _ordinalize(pls)
+        cand = shims[0].docs
+        for s in shims[1:]:
+            cand = np.intersect1d(cand, s.docs, assume_unique=True)
+        if cand.size and len(shims) > 1:
+            surv = phrase_chain_survivors(shims, cand)
+            cand = cand[surv]
+        return cand, keymat, shims
+
+    def _eval_phrase(self, node: ast.Phrase) -> InstSet:
+        terms, slots = self._phrase_meta(node)
+        if len(terms) == 1:
+            pl = self._postings(node.field, terms[0], need_positions=False)
+            r = InstSet(pl.docs, pl.aps)
+            if not np.isnan(slots[0].idf):
+                r.slots[slots[0].ordinal] = (
+                    self._term_scores(pl.tfs, pl.lens, slots[0]),
+                    np.ones(pl.size, dtype=np.int32))
+            return r
+        cand, keymat, shims = self._phrase_candidates(node.field, terms)
+        keys = keymat[cand]
+        r = InstSet(keys[:, 0].copy(), np.ascontiguousarray(keys[:, 1:]))
+        if cand.size and not np.isnan(slots[0].idf):
+            # only filters[0]'s DocResult survives the leapfrog
+            idx0 = np.searchsorted(shims[0].docs, cand)
+            scores0 = self._term_scores(shims[0].tfs, shims[0].lens,
+                                        slots[0])
+            r.slots[slots[0].ordinal] = (
+                scores0[idx0], np.ones(cand.size, np.int32))
+        return r
+
+    # ----------------------------------------------------------- exact
+
+    def _eval_exact(self, node: ast.Exact) -> InstSet:
+        terms = [t for _, t in tokenize(node.literal)]
+        cand, keymat, _shims = self._phrase_candidates(node.field, terms)
+        keys = keymat[cand]
+        if keys.shape[0]:
+            vdocs, vaps, vcodes, _vnums, vstrs = self.reader.values_kp(
+                node.field, self.doc_range)
+            vk = np.hstack([vdocs[:, None], vaps])
+            uniq, inv = np.unique(np.vstack([vk, keys]), axis=0,
+                                  return_inverse=True)
+            by_rank: dict[int, int] = {}
+            for i, rk in enumerate(inv[: vk.shape[0]]):
+                by_rank[int(rk)] = i
+            keep = np.zeros(keys.shape[0], dtype=bool)
+            for j, rk in enumerate(inv[vk.shape[0]:]):
+                i = by_rank.get(int(rk))
+                # the phrase filter matched this instance, so the value
+                # exists and is a string (ExactMatchFilter asserts this,
+                # src/filters.rs:316-339)
+                if i is not None and vcodes[i] == "s" \
+                        and vstrs[i] == node.literal:
+                    keep[j] = True
+            keys = keys[keep]
+        r = InstSet(keys[:, 0].copy(), np.ascontiguousarray(keys[:, 1:]))
+        slot = getattr(node, "_slot", None)
+        if slot is not None:
+            n = keys.shape[0]
+            r.slots[slot.ordinal] = (np.ones(n, dtype=F32),
+                                     np.ones(n, dtype=np.int32))
+        return r
+
+    # ----------------------------------------------------------- range
+
+    def _eval_range(self, node: ast.RangeQ) -> InstSet:
+        docs, aps, codes, nums, _strs = self.reader.values_kp(
+            node.field, self.doc_range)
+        if node.special == "true":
+            mask = codes == "T"
+        elif node.special == "false":
+            mask = codes == "F"
+        elif node.special == "null":
+            mask = codes == "N"
+        else:
+            mask = codes == "f"
+            if node.min is not None:
+                m = (nums >= node.min if node.min_inclusive
+                     else nums > node.min)
+                mask = mask & np.where(np.isnan(nums), False, m)
+            if node.max is not None:
+                m = (nums <= node.max if node.max_inclusive
+                     else nums < node.max)
+                mask = mask & np.where(np.isnan(nums), False, m)
+        r = InstSet(docs[mask], aps[mask])
+        slot = getattr(node, "_slot", None)
+        if slot is not None:
+            n = r.size
+            r.slots[slot.ordinal] = (np.ones(n, dtype=F32),
+                                     np.ones(n, dtype=np.int32))
+        return r
+
+    # ------------------------------------------------------- proximity
+
+    def _eval_proximity(self, node: ast.Proximity) -> InstSet:
+        terms, slots = self._phrase_meta(node)
+        pls = [self._postings(node.field, t) for t in terms]
+        shims, keymat = _ordinalize(pls)
+        score_arrays = [
+            None if np.isnan(s.idf)
+            else self._term_scores(sh.tfs, sh.lens, s)
+            for sh, s in zip(shims, slots)
+        ]
+        out_keys, out_slot, out_score = distance_filter_stream(
+            shims, score_arrays, node.distance)
+        keys = keymat[np.array(out_keys, dtype=np.int64)] if out_keys \
+            else keymat[:0]
+        r = InstSet(keys[:, 0].copy(), np.ascontiguousarray(keys[:, 1:]))
+        n = keys.shape[0]
+        for t in range(len(shims)):
+            mask = np.array([s == t for s in out_slot], dtype=bool)
+            if mask.any() and score_arrays[t] is not None:
+                sums = np.zeros(n, dtype=F32)
+                cnts = np.zeros(n, dtype=np.int32)
+                sums[mask] = np.array(out_score, dtype=F32)[mask]
+                cnts[mask] = 1
+                r.slots[slots[t].ordinal] = (sums, cnts)
+        return r
+
+    # --------------------------------------------------------------- not
+
+    def _eval_not(self, node: ast.Not) -> InstSet:
+        inner = resized(self._eval(node.inner), node.depth)
+        docs = self._doc_universe()
+        d = node.depth
+        if d == 0:
+            # docs is a contiguous arange and inner is evaluated under the
+            # same doc_range, so direct offset masking is exact
+            lo = int(docs[0]) if docs.size else 0
+            mask = np.ones(docs.size, dtype=bool)
+            if inner.size:
+                mask[inner.docs - lo] = False
+            out_docs = docs[mask]
+            return InstSet(out_docs,
+                           np.zeros((out_docs.size, 0), dtype=np.int64))
+        # candidate walk per doc: j = 0 always (doc existence only), plus
+        # j in [1, L) where L is the array length at the all-zeros prefix
+        # (src/filters.rs:964-993); minus the negated filter's keys with
+        # all-zero middle dims.
+        segs = parse_kp(node.kp)
+        ldocs, lens = self.reader.zero_prefix_lengths(segs, self.doc_range)
+        L = np.ones(docs.size, dtype=np.int64)  # j=0 candidate for all
+        if ldocs.size:
+            pos = np.searchsorted(docs, ldocs)
+            ok = (pos < docs.size)
+            L[pos[ok]] = np.maximum(lens[ok], 1)
+        total = int(L.sum())
+        cand_docs = np.repeat(docs, L)
+        ends = np.cumsum(L)
+        cand_j = np.arange(total, dtype=np.int64) - np.repeat(ends - L, L)
+        cand_aps = np.zeros((total, d), dtype=np.int64)
+        cand_aps[:, d - 1] = cand_j
+        if inner.size:
+            mid_zero = (np.all(inner.aps[:, : d - 1] == 0, axis=1)
+                        if d > 1 else np.ones(inner.size, dtype=bool))
+            f_keys = (inner.docs[mid_zero] << np.int64(20)) \
+                | inner.aps[mid_zero, d - 1]
+            c_keys = (cand_docs << np.int64(20)) | cand_j
+            # arraypaths can exceed 2^20 only in adversarial docs; fall
+            # back to exact matrix dedup there
+            if inner.aps[:, d - 1].size and (
+                    (inner.aps[:, d - 1] >= (1 << 20)).any()
+                    or (cand_j >= (1 << 20)).any()):
+                keep = ~_rows_in(
+                    np.column_stack([cand_docs, cand_j]),
+                    np.column_stack([inner.docs[mid_zero],
+                                     inner.aps[mid_zero, d - 1]]))
+            else:
+                keep = ~np.isin(c_keys, f_keys)
+            cand_docs = cand_docs[keep]
+            cand_aps = cand_aps[keep]
+        return InstSet(cand_docs, cand_aps)
+
+    # -------------------------------------------------------------- bind
+
+    def _eval_bind(self, node: ast.Bind) -> InstSet:
+        inner = self._eval(node.inner)
+        if inner.size == 0:
+            return inner
+        # one row per doc: the first instance's key/scores; vkeys of ALL
+        # the doc's instances collected in order (collect_results,
+        # src/filters.rs:1091-1105)
+        first = np.empty(inner.size, dtype=bool)
+        first[0] = True
+        first[1:] = inner.docs[1:] != inner.docs[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, inner.size))
+        vkeys = []
+        d = node.depth
+        for i in range(inner.size):
+            ap = tuple(int(x) for x in inner.aps[i, :d])
+            if inner.depth < d:
+                ap = ap + (0,) * (d - inner.depth)
+            vkeys.append(fill_vkey(node.kp, ap))
+        binds: list = []
+        for s, c in zip(starts, counts):
+            row = {node.name: vkeys[s: s + c]}
+            if inner.binds is not None and inner.binds[s] is not None:
+                row = _merge_bind_rows(dict(inner.binds[s]), row)
+            binds.append(row)
+        idx = starts
+        out = _gather(inner, idx, inner.docs[idx], inner.aps[idx])
+        out.binds = binds
+        return out
+
+    # ---------------------------------------------------- final scores
+
+    def final_scores(self, result: InstSet) -> np.ndarray:
+        """compute_relevancy_score vectorized (src/query.rs:463-477)."""
+        n = result.size
+        if self.num_slots == 0:
+            return np.zeros(n, dtype=F32)
+        acc = np.zeros(n, dtype=F32)
+        matched = np.zeros(n, dtype=np.int32)
+        for o in sorted(result.slots):
+            s, c = result.slots[o]
+            has = c > 0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                contrib = np.where(has, s / c.astype(F32),
+                                   F32(0.0)).astype(F32)
+            acc = (acc + contrib).astype(F32)
+            matched += has.astype(np.int32)
+        return ((self.query_norm * acc).astype(F32)
+                * matched.astype(F32) / F32(self.num_slots)).astype(F32)
+
+
+def _rows_in(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-row membership of a's rows in b's rows (both 2-col int64)."""
+    if b.shape[0] == 0:
+        return np.zeros(a.shape[0], dtype=bool)
+    uniq, inv = np.unique(np.vstack([b, a]), axis=0, return_inverse=True)
+    b_ranks = np.unique(inv[: b.shape[0]])
+    return np.isin(inv[b.shape[0]:], b_ranks)
+
+

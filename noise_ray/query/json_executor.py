@@ -1,0 +1,380 @@
+"""Nested-query execution: compile → evaluate → fetch → order/limit →
+render.
+
+The nested analogue of executor.run_query, consuming json_engine results
+the way the reference's QueryResults loop does (src/query.rs:479-573):
+one result per doc (the first matching (seq, arraypath) instance), scores
+from that instance, returnables fetched from the stored document by
+ReturnPath (the JsonFetcher re-expressed over parsed JSON,
+src/snapshot.rs:194-433), ordering/limit/aggregates through the ported
+buffered machinery (results.py / aggregates.py).
+
+``run_json_query`` returns the reference's JSON value stream (one Python
+value per result row) — the REPL renders it byte-identically to the
+reference's ``JsonValue::render``; ``json_query_table`` adapts the same
+rows into a pyarrow Table for the Dataset-facing API.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from ..build.shred import escape_key, parse_kp, unescape_segment
+from . import ast
+from .aggregates import AGG_FINALS, AGG_IMPLS, aggregate_order_limit
+from .json_engine import CompiledJsonQuery
+from .json_reader import JsonIndexReader
+from .noise_parser import parse_noise_query
+from .parser import ret_leaves
+from .results import order_and_limit
+
+_MISSING = object()
+
+
+# --------------------------------------------------------------- fetcher
+
+def canonical(v):
+    """A parsed JSON value as the reference's fetcher reconstructs it from
+    V keys (src/snapshot.rs:325-433): object keys in escaped-key byte
+    order (RocksDB iteration order), all numbers f64."""
+    if isinstance(v, dict):
+        return {k: canonical(v[k])
+                for k in sorted(v, key=escape_key)}
+    if isinstance(v, list):
+        return [canonical(x) for x in v]
+    if isinstance(v, bool) or v is None or isinstance(v, str):
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    raise TypeError(f"unjsonable value {v!r}")
+
+
+def literal_value(v):
+    """Normalize a query-literal JSON value (default=, RetLiteral):
+    numbers widen to f64 but object key order stays AS WRITTEN — the
+    reference stores these as literal JsonValues, never through the
+    V-key reconstruction that canonical() models."""
+    if isinstance(v, dict):
+        return {k: literal_value(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [literal_value(x) for x in v]
+    if isinstance(v, bool) or v is None or isinstance(v, str):
+        return v
+    return float(v)
+
+
+def fetch_path(value, segs: tuple, i: int = 0):
+    """descend_return_path (src/snapshot.rs:232-295) over a parsed doc:
+    returns the value at the path or ``_MISSING``.  ``('*',)`` fans out
+    over array elements, skipping elements where the rest of the path is
+    missing, stopping at the first non-existent element, missing if no
+    element yielded a value."""
+    while i < len(segs):
+        seg = segs[i]
+        i += 1
+        if seg[0] == "k":
+            if not isinstance(value, dict) or seg[1] not in value:
+                return _MISSING
+            value = value[seg[1]]
+        elif seg[0] == "i":
+            if not isinstance(value, list) or seg[1] >= len(value):
+                return _MISSING
+            value = value[seg[1]]
+        else:  # ('*',) fan-out
+            if not isinstance(value, list):
+                return _MISSING
+            out = []
+            for el in value:
+                sub = fetch_path(el, segs, i)
+                if sub is not _MISSING:
+                    out.append(sub)
+            return out if out else _MISSING
+    return canonical(value)
+
+
+def vkey_segs(vkey: str) -> tuple:
+    """A filled value key (``.bar$1``) as a fetch path."""
+    out = []
+    for seg in parse_kp(vkey):
+        if seg.startswith("$"):
+            out.append(("i", int(seg[1:] or 0)))
+        else:
+            out.append(("k", unescape_segment(seg)))
+    return tuple(out)
+
+
+class _DocFetcher:
+    def __init__(self, reader: JsonIndexReader, doc_ids: np.ndarray):
+        self.reader = reader
+        self._parsed = [None] * len(doc_ids)
+        self._texts = reader.doc_json(doc_ids)
+
+    def doc(self, row: int):
+        v = self._parsed[row]
+        if v is None:
+            v = self._parsed[row] = json.loads(self._texts[row])
+        return v
+
+
+# -------------------------------------------------------------- executor
+
+def run_json_query(reader: JsonIndexReader, q, params: dict | None = None
+                   ) -> list:
+    """Evaluate a nested query; returns the reference's JSON result stream
+    as Python values."""
+    if isinstance(q, str):
+        q = parse_noise_query(q, params)
+    compiled = CompiledJsonQuery(reader, q.filter)
+    result = compiled.evaluate()
+    scores = compiled.final_scores(result)
+    docs = result.docs
+    binds = result.binds
+
+    if isinstance(q.filter, ast.AllDocs) and docs.size:
+        # a bare `find {}` streams the V keyspace, whose seqs are DECIMAL
+        # STRINGS — RocksDB iteration yields 1, 10, 11, ..., 2
+        # (AllDocsIterator, src/snapshot.rs:435-456; repl-tests/
+        # query_basic.noise encodes this order).  Composed filters seek
+        # and compare numerically, so only the pure-AllDocs root gets
+        # the string order.
+        seqs = reader.doc_seqs(docs)
+        perm = np.array(
+            sorted(range(docs.size), key=lambda i: str(seqs[i])),
+            dtype=np.int64)
+        docs = docs[perm]
+        scores = scores[perm]
+        if binds is not None:
+            binds = [binds[i] for i in perm]
+
+    leaves = ret_leaves(q.returns)
+    has_ags = any(isinstance(l, ast.RetAgg) for l in leaves)
+
+    fetcher = _DocFetcher(reader, docs)
+
+    def leaf_value(leaf, row: int):
+        if isinstance(leaf, ast.RetScore):
+            return float(np.float64(scores[row]))
+        if isinstance(leaf, ast.RetLiteral):
+            return literal_value(leaf.value)
+        if isinstance(leaf, ast.RetAgg):
+            if leaf.fun == "count":
+                return None  # count() fetches nothing (returnable.rs:312)
+            if leaf.bind:
+                return _bind_value(leaf.bind, leaf.field or (), None, row)
+            return _path_value(leaf.field or (), leaf.default, row)
+        if isinstance(leaf, ast.RetBind):
+            return _bind_value(leaf.name, leaf.extra, leaf.default, row)
+        # RetPath
+        return _path_value(leaf.field, leaf.default, row)
+
+    def _path_value(segs, default, row: int):
+        v = fetch_path(fetcher.doc(row), segs)
+        if v is _MISSING:
+            return literal_value(default) if default is not None else None
+        return v
+
+    def _bind_value(name, extra, default, row: int):
+        """RetBind::fetch_result (src/returnable.rs:357-381)."""
+        row_binds = binds[row] if binds is not None else None
+        dflt = literal_value(default) if default is not None else None
+        if not row_binds or name not in row_binds:
+            return [dflt]
+        out = []
+        for vkey in row_binds[name]:
+            v = fetch_path(fetcher.doc(row), vkey_segs(vkey) + tuple(extra))
+            out.append(dflt if v is _MISSING else v)
+        return out
+
+    n = docs.size
+    if has_ags:
+        rows = [[leaf_value(l, i) for l in leaves] for i in range(n)]
+        orders: list[tuple[bool, int]] = []
+        inits, actions, finals = [], [], []
+        for slot, leaf in enumerate(leaves):
+            if not isinstance(leaf, ast.RetAgg):
+                continue
+            if leaf.fun == "group":
+                orders.append((leaf.desc, slot))
+                continue
+            init, action, _ = AGG_IMPLS[leaf.fun]
+            if init is not None:
+                inits.append((init, slot))
+            actions.append((action, leaf.sep, slot))
+            fin = AGG_FINALS.get(leaf.fun)
+            if fin is not None:
+                finals.append((fin, slot))
+        out_rows = aggregate_order_limit(rows, orders, q.limit, inits,
+                                         actions, finals)
+        return [_render_tree(q.returns, iter(r)) for r in out_rows]
+
+    if q.order:
+        def order_key(k: ast.OrderKey, i: int):
+            if k.score:
+                return float(np.float64(scores[i]))
+            v = fetch_path(fetcher.doc(i), k.field)
+            if v is _MISSING:
+                return literal_value(k.default) if k.default is not None \
+                    else None
+            return v
+
+        rows = [tuple(order_key(k, i) for k in q.order) + (i,)
+                for i in range(n)]
+        ordered = order_and_limit(rows, [k.desc for k in q.order], q.limit)
+        sel = [r[-1] for r in ordered]
+    elif q.limit is not None:
+        sel = range(min(q.limit, n))
+    else:
+        sel = range(n)
+
+    out = []
+    for i in sel:
+        vals = [leaf_value(l, i) for l in leaves]
+        out.append(_render_tree(q.returns, iter(vals)))
+    return out
+
+
+def _render_tree(expr, it):
+    if isinstance(expr, ast.RetObject):
+        return {name: _render_tree(e, it) for name, e in expr.items}
+    if isinstance(expr, ast.RetArray):
+        return [_render_tree(e, it) for e in expr.items]
+    return next(it)
+
+
+def json_query_table(reader: JsonIndexReader, q, params: dict | None = None
+                     ) -> pa.Table:
+    """Dataset-facing adapter: result rows as a single-column ``value``
+    table (JSON-encoded when rows aren't scalars of one type)."""
+    rows = run_json_query(reader, q, params)
+    try:
+        arr = pa.array(rows)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        arr = pa.array([json.dumps(r) for r in rows])
+    return pa.table({"value": arr})
+
+
+# -------------------------------------------------------------- renderer
+
+def fmt_f64(v: float) -> str:
+    """Rust ``f64::Display`` (shortest roundtrip, never exponent
+    notation, integral values without a fraction)."""
+    if v != v:
+        return "NaN"
+    if v in (float("inf"), float("-inf")):
+        return "inf" if v > 0 else "-inf"
+    if v == int(v):
+        if v == 0.0 and np.copysign(1.0, v) < 0:
+            return "-0"
+        return str(int(v))
+    r = repr(float(v))
+    if "e" in r or "E" in r:
+        from decimal import Decimal
+
+        return format(Decimal(r), "f")
+    return r
+
+
+def str_literal(s: str) -> str:
+    """JsonValue::str_to_literal (src/json_value.rs:19-29): only ``"`` and
+    ``\\`` are escaped — control characters pass through raw."""
+    out = ['"']
+    for c in s:
+        if c in '"\\':
+            out.append("\\")
+        out.append(c)
+    out.append('"')
+    return "".join(out)
+
+
+class PrettyPrint:
+    """src/json_value.rs:222-260."""
+
+    def __init__(self, indention: str = "", newline: str = "",
+                 spacing: str = ""):
+        self.indention = indention
+        self.newline = newline
+        self.spacing = spacing
+        self.buffer = ""
+        self._next_is_space = False
+
+    def push(self):
+        self.buffer += self.indention
+
+    def pop(self):
+        self.buffer = self.buffer[: len(self.buffer) - len(self.indention)]
+
+    def next_prefix_is_space(self):
+        self._next_is_space = True
+
+    def prefix(self) -> str:
+        if self._next_is_space:
+            self._next_is_space = False
+            return self.spacing
+        return self.buffer
+
+
+def render_json(v, pretty: PrettyPrint, out: list):
+    """JsonValue::render (src/json_value.rs:125-199)."""
+    if isinstance(v, bool):
+        out.append(pretty.prefix())
+        out.append("true" if v else "false")
+    elif v is None:
+        out.append(pretty.prefix())
+        out.append("null")
+    elif isinstance(v, (int, float)):
+        out.append(pretty.prefix())
+        out.append(fmt_f64(float(v)))
+    elif isinstance(v, str):
+        out.append(pretty.prefix())
+        out.append(str_literal(v))
+    elif isinstance(v, list):
+        if not v:
+            out.append(pretty.prefix())
+            out.append("[]")
+            return
+        out.append(pretty.prefix())
+        out.append("[")
+        out.append(pretty.newline)
+        pretty.push()
+        for i, el in enumerate(v):
+            render_json(el, pretty, out)
+            if i + 1 < len(v):
+                out.append(",")
+            out.append(pretty.newline)
+        pretty.pop()
+        out.append(pretty.prefix())
+        out.append("]")
+    elif isinstance(v, dict):
+        if not v:
+            out.append(pretty.prefix())
+            out.append("{}")
+            return
+        out.append(pretty.prefix())
+        out.append("{")
+        out.append(pretty.newline)
+        pretty.push()
+        items = list(v.items())
+        for i, (k, el) in enumerate(items):
+            out.append(pretty.prefix())
+            out.append(str_literal(k))
+            out.append(":")
+            pretty.next_prefix_is_space()
+            render_json(el, pretty, out)
+            if i + 1 < len(items):
+                out.append(",")
+            out.append(pretty.newline)
+        pretty.pop()
+        out.append(pretty.prefix())
+        out.append("}")
+    else:
+        raise TypeError(f"unrenderable {v!r}")
+
+
+def render_value(v, pretty_on: bool = False) -> str:
+    pp = (PrettyPrint("  ", "\n", " ") if pretty_on else PrettyPrint())
+    out: list = []
+    render_json(v, pp, out)
+    return "".join(out)

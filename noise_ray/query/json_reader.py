@@ -323,6 +323,16 @@ class JsonIndexReader:
     def doc_id_strs(self, doc_ids: np.ndarray) -> list:
         return self._doc_col(doc_ids, "_id")
 
+    def doc_seqs(self, doc_ids: np.ndarray) -> list:
+        """The reference's add-order seq per doc (docmap ``seq`` column;
+        equals doc_id for indexes built without one)."""
+        import pyarrow.parquet as _pq
+
+        if self._docmap and "seq" in _pq.read_schema(
+                self._docmap[0]["path"]).names:
+            return self._doc_col(doc_ids, "seq")
+        return [int(d) for d in np.asarray(doc_ids)]
+
     def _doc_col(self, doc_ids: np.ndarray, col: str) -> list:
         doc_ids = np.asarray(doc_ids, dtype=np.int64)
         out = [None] * doc_ids.size
