@@ -138,9 +138,15 @@ def _write_turns(dirpath, rows):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from noise_ray.ops import dedup, multimodal, relational, similarity, text
+    from noise_ray.ops import (
+        dedup, multimodal, nested_docs, relational, similarity, text,
+    )
 
     return {
+        # --- nested-JSON engine (keypaths, array contexts, return paths)
+        "nested_kp_range": nested_docs.nested_kp_range,
+        "nested_kp_exact_arrayctx": nested_docs.nested_kp_exact_arrayctx,
+        "nested_return_path": nested_docs.nested_return_path,
         # --- full-text engine over the documents table (oracle-checked)
         "search_exact_lang": _search_documents('find {lang: =="en"} ;'),
         "search_exact_and": _search_documents(
@@ -218,6 +224,25 @@ _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "nested_kp_range": """
+            SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS _id
+            FROM lineitem WHERE l_quantity >= 49""",
+        "nested_kp_exact_arrayctx": """
+            SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS _id
+            FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 48""",
+        "nested_return_path": """
+            WITH m AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                       WHERE l_quantity >= 49)
+            SELECT CAST(k AS VARCHAR) AS id,
+                   (SELECT l_quantity FROM lineitem li
+                    WHERE li.l_orderkey = m.k
+                    ORDER BY l_linenumber, l_quantity, l_returnflag
+                    LIMIT 1) AS first_qty,
+                   (SELECT string_agg(l_returnflag, '|'
+                                      ORDER BY l_linenumber, l_quantity,
+                                               l_returnflag)
+                    FROM lineitem li WHERE li.l_orderkey = m.k) AS flags
+            FROM m""",
         "search_exact_lang":
             "SELECT doc_id FROM documents WHERE lang = 'en'",
         "search_exact_and":

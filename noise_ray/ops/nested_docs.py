@@ -1,0 +1,148 @@
+"""Nested-JSON document pipelines over the relational test tables.
+
+Exercises the nested index end to end on DuckDB-oracleable data: orders
+become one JSON document each with their lineitems as a nested array
+(sorted by linenumber), built into a nested index
+(build/json_pipeline.py) and queried with keypath / array-context find
+clauses (query/json_executor.py).  The array-context queries are the
+semantics SQL EXISTS subqueries express — both clauses must hit the SAME
+array element — which is exactly what the reference's arraypath
+granularity provides (/root/reference/src/filters.rs:727-807).
+
+Corpus construction is a Ray Data ``groupby(l_orderkey).map_groups``
+(one all-to-all shuffle on the join key — at 100 TB this is the same
+single co-shuffle every doc-assembly join needs), writing build-ready
+``(_id, json)`` shards; the nested index build then streams them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_CACHE = "/tmp/noise_ray_cache"
+
+
+def _orders_index(sf_dir: str) -> str:
+    """Build (once) the nested orders corpus + index for ``sf_dir``."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(_CACHE, f"nested-orders-v1-{key}")
+    idx_dir = os.path.join(root, "idx")
+    if os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        return idx_dir
+    os.makedirs(root, exist_ok=True)
+    shard_dir = os.path.join(root, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+
+    def one_order(group: pa.Table) -> pa.Table:
+        # strict total order: linenumbers can repeat in the synthetic
+        # data and group row order is shuffle-dependent, so break ties on
+        # every carried column (identical rows are then interchangeable)
+        order = np.lexsort((
+            np.asarray(group.column("l_returnflag").to_pylist(),
+                       dtype=object),
+            group.column("l_quantity").to_numpy(),
+            group.column("l_linenumber").to_numpy(),
+        ))
+        lines = [
+            {"ln": float(group.column("l_linenumber")[int(i)].as_py()),
+             "flag": group.column("l_returnflag")[int(i)].as_py(),
+             "qty": float(group.column("l_quantity")[int(i)].as_py())}
+            for i in order
+        ]
+        okey = int(group.column("l_orderkey")[0].as_py())
+        doc = {"_id": str(okey), "okey": float(okey), "lines": lines}
+        return pa.table({
+            "okey": pa.array([okey], pa.int64()),
+            "json": pa.array([json.dumps(doc, ensure_ascii=False)]),
+        })
+
+    docs = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                     "l_quantity"])
+        .groupby("l_orderkey")
+        .map_groups(one_order, batch_format="pyarrow")
+    )
+    # deterministic doc order: shards sorted by order key
+    t = docs.sort("okey").to_arrow_refs()
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from ..build.json_pipeline import build_json_index
+
+    paths = []
+    for i, ref in enumerate(t):
+        part = _ray.get(ref)
+        if part.num_rows == 0:
+            continue
+        p = os.path.join(shard_dir, f"docs-{i:05d}.parquet")
+        if not os.path.exists(p):
+            okeys = part.column("okey")
+            pq.write_table(pa.table({
+                "_id": pa.compute.cast(okeys, pa.string()),
+                "json": part.column("json"),
+            }), p + ".tmp")
+            os.replace(p + ".tmp", p)
+        paths.append(p)
+    build_json_index(paths, idx_dir, local=False)
+    return idx_dir
+
+
+def _rows_table(rows: list, cols: dict) -> pa.Table:
+    """rows of dicts → table with the given (name → pa type) columns."""
+    return pa.table({
+        name: pa.array([r[name] for r in rows], typ)
+        for name, typ in cols.items()
+    })
+
+
+def nested_kp_range(sf_dir: str) -> pa.Table:
+    """Orders with ANY lineitem quantity >= 49 — keypath range inside an
+    array context (``find {lines: [{qty: >= 49}]}``)."""
+    from ..query.json_executor import run_json_query
+    from ..query.json_reader import JsonIndexReader
+
+    r = JsonIndexReader(_orders_index(sf_dir))
+    ids = run_json_query(r, "find {lines: [{qty: >= 49}]} return ._id ;")
+    return pa.table({"_id": pa.array(ids, pa.string())})
+
+
+def nested_kp_exact_arrayctx(sf_dir: str) -> pa.Table:
+    """Orders with a SINGLE lineitem that both has returnflag "R" AND
+    quantity >= 48: the array-element-scoped AND that a flat engine
+    cannot express (the two clauses must match the same array element,
+    like SQL EXISTS over the child table)."""
+    from ..query.json_executor import run_json_query
+    from ..query.json_reader import JsonIndexReader
+
+    r = JsonIndexReader(_orders_index(sf_dir))
+    ids = run_json_query(
+        r, 'find {lines: [{flag: =="R", qty: >= 48}]} return ._id ;')
+    return pa.table({"_id": pa.array(ids, pa.string())})
+
+
+def nested_return_path(sf_dir: str) -> pa.Table:
+    """Nested return paths: for matched orders return the FIRST
+    lineitem's quantity (``.lines[0].qty``) and every flag (``[]``
+    fan-out, ``.lines[].flag``)."""
+    from ..query.json_executor import run_json_query
+    from ..query.json_reader import JsonIndexReader
+
+    r = JsonIndexReader(_orders_index(sf_dir))
+    rows = run_json_query(
+        r,
+        "find {lines: [{qty: >= 49}]} "
+        "return {id: ._id, first_qty: .lines[0].qty, "
+        "flags: .lines[].flag} ;")
+    for row in rows:
+        row["flags"] = "|".join(row["flags"])
+    return _rows_table(rows, {"id": pa.string(),
+                              "first_qty": pa.float64(),
+                              "flags": pa.string()})

@@ -14,9 +14,10 @@ Boolean operators are right-associative with equal precedence, exactly like
 the reference's ``obool`` (src/parser.rs:733-746): ``a || b && c`` parses as
 ``Or(a, And(b, c))``.
 
-Out of scope (documented non-goals, SURVEY §2.10): array context ``[...]``,
-bind variables, geospatial ``&&`` bbox, and the full nested return-object
-grammar.
+Array contexts ``[...]``, bind variables, nested keypaths and the full
+return grammar live in the NESTED parser (noise_parser.py), used with
+nested-JSON indexes; geospatial ``&&`` bbox stays a non-goal (SURVEY
+§2.10).
 """
 
 from __future__ import annotations
