@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_kp_range": nested_docs.nested_kp_range,
         "nested_kp_exact_arrayctx": nested_docs.nested_kp_exact_arrayctx,
         "nested_return_path": nested_docs.nested_return_path,
+        "nested_conv_search": nested_docs.nested_conv_search,
         # --- full-text engine over the documents table (oracle-checked)
         "search_exact_lang": _search_documents('find {lang: =="en"} ;'),
         "search_exact_and": _search_documents(

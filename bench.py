@@ -132,6 +132,27 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     n_pairs = _dedup.minhash_lsh_pairs(SF_DIR).count()
     out["minhash_lsh_sec"] = round(time.perf_counter() - t0, 3)
     out["minhash_lsh_pairs"] = int(n_pairs)
+
+    # nested engine: same corpus packed as nested conversation docs
+    # (turns array), nested build + array-context query latency
+    from noise_ray.ops.nested_docs import nested_transcripts_index
+    from noise_ray.query.json_executor import run_json_query
+
+    nested_root = os.path.join(os.path.dirname(paths[0]), "nested")
+    shutil.rmtree(nested_root, ignore_errors=True)
+    t0 = time.perf_counter()
+    nr = nested_transcripts_index(SF_DIR)
+    out["nested_build_sec"] = round(time.perf_counter() - t0, 3)
+    out["nested_turns_per_sec"] = round(num_docs / out["nested_build_sec"],
+                                        1)
+    nq = ('find {turns: [{role: =="assistant", text: ~="quick brown"}]} '
+          "order score() desc return [._id, score()] limit 50 ;")
+    samples = []
+    for _ in range(3):
+        tq = time.perf_counter()
+        run_json_query(nr, nq)
+        samples.append(time.perf_counter() - tq)
+    queries["nested_arrayctx_topk"] = round(min(samples), 4)
     shutil.rmtree(idx_dir, ignore_errors=True)
     return out
 

@@ -179,7 +179,7 @@ class ShredTokenize:
         v_str: list[str | None] = []
         for i, (the_id, text) in enumerate(zip(ids, texts)):
             doc = offset + i
-            sd = shred(json.loads(text), docid=the_id)
+            sd = shred(json.loads(text), docid=the_id, sort=False)
             for e in sd.entries:
                 v_doc.append(doc)
                 v_kp.append(e.kp)
@@ -261,19 +261,22 @@ class ShredTokenize:
             order = _pack_ap_order(docs_np, aps)
             depth = len(aps[0]) if aps else 0
             docs_np = docs_np[order]
-            tfs_np = np.asarray(tfs, dtype=np.int64)[order]
-            lens_np = np.asarray(lens, dtype=np.int64)[order]
-            # positions re-gathered in instance order
             tf_all = np.asarray(tfs, dtype=np.int64)
+            tfs_np = tf_all[order]
+            lens_np = np.asarray(lens, dtype=np.int64)[order]
+            # positions re-gathered in instance order: one vectorized
+            # variable-length gather (repeat starts + ranges)
             p_starts = np.zeros(tf_all.size, dtype=np.int64)
             np.cumsum(tf_all[:-1], out=p_starts[1:])
             pos_np = np.asarray(pos, dtype=np.int64)
-            pos_parts = [pos_np[p_starts[i]:p_starts[i] + tf_all[i]]
-                         for i in order]
-            pos_np = (np.concatenate(pos_parts) if pos_parts
-                      else np.zeros(0, dtype=np.int64))
-            ap_mat = (np.asarray([aps[i] for i in order], dtype=np.int64)
-                      .reshape(len(order), depth))
+            if pos_np.size:
+                sel_starts = p_starts[order]
+                sel_ends = np.cumsum(tfs_np)
+                rel = (np.arange(int(sel_ends[-1]), dtype=np.int64)
+                       - np.repeat(sel_ends - tfs_np, tfs_np))
+                pos_np = pos_np[np.repeat(sel_starts, tfs_np) + rel]
+            ap_mat = (np.asarray(aps, dtype=np.int64)
+                      .reshape(len(aps), depth)[order])
             pos_ends = np.cumsum(tfs_np)
             tf_norm = np.sqrt(tfs_np.astype(np.float32)) / np.sqrt(
                 lens_np.astype(np.float32))

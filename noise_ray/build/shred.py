@@ -32,8 +32,13 @@ from dataclasses import dataclass
 _ESCAPE = set("\\$.!#")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def escape_key(key: str) -> str:
-    """``push_object_key`` escaping (src/key_builder.rs:384-397)."""
+    """``push_object_key`` escaping (src/key_builder.rs:384-397).
+    Cached: object keys repeat across every document of a corpus."""
     out = ["."]
     for c in key:
         if c in _ESCAPE:
@@ -144,14 +149,20 @@ class ShreddedDoc:
         return [e for e in self.entries if e.code == "s"]
 
 
-def shred(doc: dict, docid: str | None = None) -> ShreddedDoc:
+def shred(doc: dict, docid: str | None = None,
+          sort: bool = True) -> ShreddedDoc:
     """Shred one JSON document (root must be an object).
 
     ``_id`` handling mirrors the reference (src/json_shred.rs:233-246,
     477-483): a root-level ``_id`` must be a string and is indexed under
     keypath ``._id``; when absent, ``docid`` is used (the reference
     generates a UUID — we require a deterministic id from the caller).
-    Nested ``_id`` keys are ordinary fields."""
+    Nested ``_id`` keys are ordinary fields.
+
+    ``sort=False`` skips the vkey (BTreeMap-order) sort — the index build
+    doesn't depend on entry order and the per-entry vkey construction is
+    a measurable cost; the key-layout surfaces (w_keys/v_keys) sort
+    themselves."""
     if not isinstance(doc, dict):
         raise ShredError("Expected JSON object document")
     entries: list[Entry] = []
@@ -197,7 +208,8 @@ def shred(doc: dict, docid: str | None = None) -> ShreddedDoc:
     walk(doc, [], [], True)
     if the_id is not None:
         entries.append(Entry("._id", (), "s", the_id))
-    entries.sort(key=lambda e: e.vkey)
+    if sort:
+        entries.sort(key=lambda e: e.vkey)
     return ShreddedDoc(the_id, entries)
 
 

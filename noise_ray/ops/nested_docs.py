@@ -95,6 +95,95 @@ def _orders_index(sf_dir: str) -> str:
     return idx_dir
 
 
+def nested_transcripts_index(sf_dir: str):
+    """The flagship transcript corpus packed as NESTED conversation
+    documents — ``{_id: conv_id, turns: [{i, role, text, tool}, ...]}``
+    — indexed by the nested build.  This is the reference's native data
+    model applied to the target workload: per-turn postings under
+    ``.turns$.text`` with the turn index as the arraypath, so
+    array-context queries scope boolean logic to a single turn."""
+    from ..pipelines.flagship import transcripts_corpus
+
+    paths = transcripts_corpus(sf_dir)
+    root = os.path.join(os.path.dirname(paths[0]), "nested")
+    idx_dir = os.path.join(root, "idx")
+    from ..query.json_reader import JsonIndexReader
+
+    if os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        return JsonIndexReader(idx_dir)
+    os.makedirs(root, exist_ok=True)
+    shard_dir = os.path.join(root, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+
+    # The corpus files hold NON-OVERLAPPING conv_id ranges sorted by
+    # (conv_id, turn_idx) (sources/transcripts.py), so packing needs no
+    # shuffle at all: one task per file groups rows at conv boundaries
+    # and writes a build-ready (_id, json) shard — the same
+    # partitioning-reuse the flat build exploits.
+    def pack_file(row: dict) -> dict:
+        import pyarrow.parquet as pq
+
+        out = os.path.join(shard_dir, f"docs-{row['seq']:05d}.parquet")
+        if os.path.exists(out):
+            return {"path": out}
+        t = pq.read_table(row["path"],
+                          columns=["conv_id", "turn_idx", "role", "text",
+                                   "tool"])
+        conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        idxs = t.column("turn_idx").to_numpy()
+        roles = t.column("role").to_pylist()
+        texts = t.column("text").to_pylist()
+        tools = t.column("tool").to_pylist()
+        starts = np.flatnonzero(
+            np.concatenate(([True], conv[1:] != conv[:-1])))
+        ends = np.append(starts[1:], conv.size)
+        ids, docs = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            turns = []
+            for i in range(s, e):
+                turn = {"i": float(idxs[i]), "role": roles[i],
+                        "text": texts[i]}
+                if tools[i] is not None:
+                    turn["tool"] = tools[i]
+                turns.append(turn)
+            doc = {"_id": conv[s], "turns": turns,
+                   "n_turns": float(e - s)}
+            ids.append(conv[s])
+            docs.append(json.dumps(doc, ensure_ascii=False))
+        pq.write_table(pa.table({"_id": pa.array(ids, pa.string()),
+                                 "json": pa.array(docs, pa.string())}),
+                       out + ".tmp")
+        os.replace(out + ".tmp", out)
+        return {"path": out}
+
+    items = [{"path": p, "seq": i} for i, p in enumerate(paths)]
+    shard_paths = [r["path"] for r in ray.data.from_items(items)
+                   .map(pack_file).take_all()]
+    shard_paths.sort()
+
+    from ..build.json_pipeline import build_json_index
+
+    build_json_index(shard_paths, idx_dir, local=False)
+    return JsonIndexReader(idx_dir)
+
+
+def nested_conv_search(sf_dir: str) -> pa.Table:
+    """Array-context search over nested conversations: convs where ONE
+    turn is an assistant turn matching a phrase (rows-only check — the
+    analyzer's stemming isn't SQL-expressible)."""
+    from ..query.json_executor import run_json_query
+
+    r = nested_transcripts_index(sf_dir)
+    rows = run_json_query(
+        r,
+        'find {turns: [{role: =="assistant", text: ~="quick brown"}]} '
+        "order score() desc return [._id, score()] limit 50 ;")
+    return pa.table({
+        "_id": pa.array([x[0] for x in rows], pa.string()),
+        "score": pa.array([x[1] for x in rows], pa.float64()),
+    })
+
+
 def _rows_table(rows: list, cols: dict) -> pa.Table:
     """rows of dicts → table with the given (name → pa type) columns."""
     return pa.table({

@@ -72,6 +72,76 @@ def _empty_set(depth: int = 0) -> InstSet:
                    np.zeros((0, depth), dtype=np.int64))
 
 
+class RowPack:
+    """Packs (doc, arraypath) key rows into single int64 scalars so set
+    ops run on 1-D arrays (union1d/intersect1d/searchsorted) instead of
+    void-view ``np.unique(axis=0)`` argsorts — the profile-dominant cost
+    of boolean queries.  Bit allocation follows column order, so packed
+    order == lexicographic row order.  Falls back (``ok=False``) when the
+    value ranges exceed 63 bits; callers then use the matrix paths."""
+
+    __slots__ = ("ok", "shifts", "widths", "k")
+
+    def __init__(self, mats):
+        self.k = mats[0].shape[1] if mats else 0
+        maxes = np.zeros(self.k, dtype=np.int64)
+        ok = True
+        for m in mats:
+            if m.shape[0] == 0:
+                continue
+            if m.min() < 0:
+                ok = False
+                break
+            maxes = np.maximum(maxes, m.max(axis=0))
+        if ok:
+            widths = [max(int(v).bit_length(), 1) for v in maxes]
+            ok = sum(widths) <= 63
+        if not ok:
+            self.ok = False
+            self.shifts = self.widths = None
+            return
+        self.ok = True
+        self.widths = widths
+        shifts = []
+        acc = sum(widths)
+        for w in widths:
+            acc -= w
+            shifts.append(acc)
+        self.shifts = shifts
+
+    def pack(self, mat: np.ndarray) -> np.ndarray:
+        out = np.zeros(mat.shape[0], dtype=np.int64)
+        for c, sh in enumerate(self.shifts):
+            out |= mat[:, c] << np.int64(sh)
+        return out
+
+    def unpack(self, keys: np.ndarray) -> np.ndarray:
+        out = np.empty((keys.size, self.k), dtype=np.int64)
+        for c, (sh, w) in enumerate(zip(self.shifts, self.widths)):
+            out[:, c] = (keys >> np.int64(sh)) & np.int64((1 << w) - 1)
+        return out
+
+
+def _rank_rows(mats: list[np.ndarray]):
+    """Shared dense ranking of key rows across matrices: returns
+    (uniq_rows, [ranks per mat]); ranks are positions into uniq_rows,
+    which is lexicographically sorted."""
+    pk = RowPack(mats)
+    if pk.ok:
+        packed = [pk.pack(m) for m in mats]
+        uniq = np.unique(np.concatenate(packed)) if mats else \
+            np.zeros(0, dtype=np.int64)
+        return pk.unpack(uniq), [np.searchsorted(uniq, p) for p in packed]
+    allm = np.vstack(mats)
+    uniq, inv = np.unique(allm, axis=0, return_inverse=True)
+    ranks = []
+    off = 0
+    for m in mats:
+        ranks.append(inv[off: off + m.shape[0]])
+        off += m.shape[0]
+    return uniq, ranks
+
+
 def _first_occurrence_mask(keys: np.ndarray) -> np.ndarray:
     n = keys.shape[0]
     if n == 0:
@@ -122,11 +192,7 @@ def _merge_bind_rows(a: dict | None, b: dict | None) -> dict | None:
 def _union(lr: InstSet, rr: InstSet) -> InstSet:
     """OrFilter::take_smallest with combine on equal keys
     (src/filters.rs:846-912)."""
-    lk, rk = lr.keys(), rr.keys()
-    allk = np.vstack([lk, rk])
-    uniq, inv = np.unique(allk, axis=0, return_inverse=True)
-    l_ranks = inv[: lk.shape[0]]
-    r_ranks = inv[lk.shape[0]:]
+    uniq, (l_ranks, r_ranks) = _rank_rows([lr.keys(), rr.keys()])
     out = InstSet(uniq[:, 0].copy(), np.ascontiguousarray(uniq[:, 1:]))
     n = uniq.shape[0]
     for src, ranks in ((lr, l_ranks), (rr, r_ranks)):
@@ -154,13 +220,7 @@ def _union(lr: InstSet, rr: InstSet) -> InstSet:
 def _intersect(sets: list[InstSet]) -> InstSet:
     """AndFilter at one depth: keys present in every set; scores/binds
     combined from each side's (first) instance (src/filters.rs:727-807)."""
-    mats = [s.keys() for s in sets]
-    uniq, inv = np.unique(np.vstack(mats), axis=0, return_inverse=True)
-    ranks = []
-    off = 0
-    for m in mats:
-        ranks.append(inv[off: off + m.shape[0]])
-        off += m.shape[0]
+    uniq, ranks = _rank_rows([s.keys() for s in sets])
     common = ranks[0]
     for r in ranks[1:]:
         common = np.intersect1d(common, r, assume_unique=True)
@@ -207,12 +267,8 @@ def _ordinalize(pls: list[InstPostings]):
     lists of the same keypath; returns (shims, key_matrix) where
     key_matrix[ordinal] = (doc, *ap)."""
     mats = [np.hstack([pl.docs[:, None], pl.aps]) for pl in pls]
-    uniq, inv = np.unique(np.vstack(mats), axis=0, return_inverse=True)
-    shims = []
-    off = 0
-    for pl, m in zip(pls, mats):
-        shims.append(_PLShim(inv[off: off + m.shape[0]], pl))
-        off += m.shape[0]
+    uniq, ranks = _rank_rows(mats)
+    shims = [_PLShim(r, pl) for r, pl in zip(ranks, pls)]
     return shims, uniq
 
 
@@ -420,21 +476,15 @@ class CompiledJsonQuery:
         if keys.shape[0]:
             vdocs, vaps, vcodes, _vnums, vstrs = self.reader.values_kp(
                 node.field, self.doc_range)
-            vk = np.hstack([vdocs[:, None], vaps])
-            uniq, inv = np.unique(np.vstack([vk, keys]), axis=0,
-                                  return_inverse=True)
-            by_rank: dict[int, int] = {}
-            for i, rk in enumerate(inv[: vk.shape[0]]):
-                by_rank[int(rk)] = i
-            keep = np.zeros(keys.shape[0], dtype=bool)
-            for j, rk in enumerate(inv[vk.shape[0]:]):
-                i = by_rank.get(int(rk))
-                # the phrase filter matched this instance, so the value
-                # exists and is a string (ExactMatchFilter asserts this,
-                # src/filters.rs:316-339)
-                if i is not None and vcodes[i] == "s" \
-                        and vstrs[i] == node.literal:
-                    keep[j] = True
+            # restrict the value rows to matching strings FIRST, then a
+            # sorted-rank membership test locates the candidates whose
+            # stored value equals the literal (the phrase filter already
+            # guarantees the value exists and is a string,
+            # src/filters.rs:316-339)
+            eq = (vcodes == "s") & (np.asarray(vstrs, dtype=object)
+                                    == node.literal)
+            vk = np.hstack([vdocs[eq][:, None], vaps[eq]])
+            keep = _rows_in(keys, vk)
             keys = keys[keep]
         r = InstSet(keys[:, 0].copy(), np.ascontiguousarray(keys[:, 1:]))
         slot = getattr(node, "_slot", None)
@@ -536,20 +586,10 @@ class CompiledJsonQuery:
         if inner.size:
             mid_zero = (np.all(inner.aps[:, : d - 1] == 0, axis=1)
                         if d > 1 else np.ones(inner.size, dtype=bool))
-            f_keys = (inner.docs[mid_zero] << np.int64(20)) \
-                | inner.aps[mid_zero, d - 1]
-            c_keys = (cand_docs << np.int64(20)) | cand_j
-            # arraypaths can exceed 2^20 only in adversarial docs; fall
-            # back to exact matrix dedup there
-            if inner.aps[:, d - 1].size and (
-                    (inner.aps[:, d - 1] >= (1 << 20)).any()
-                    or (cand_j >= (1 << 20)).any()):
-                keep = ~_rows_in(
-                    np.column_stack([cand_docs, cand_j]),
-                    np.column_stack([inner.docs[mid_zero],
-                                     inner.aps[mid_zero, d - 1]]))
-            else:
-                keep = ~np.isin(c_keys, f_keys)
+            keep = ~_rows_in(
+                np.column_stack([cand_docs, cand_j]),
+                np.column_stack([inner.docs[mid_zero],
+                                 inner.aps[mid_zero, d - 1]]))
             cand_docs = cand_docs[keep]
             cand_aps = cand_aps[keep]
         return InstSet(cand_docs, cand_aps)
@@ -608,11 +648,10 @@ class CompiledJsonQuery:
 
 
 def _rows_in(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Per-row membership of a's rows in b's rows (both 2-col int64)."""
+    """Per-row membership of a's rows in b's rows (int64, same width)."""
     if b.shape[0] == 0:
         return np.zeros(a.shape[0], dtype=bool)
-    uniq, inv = np.unique(np.vstack([b, a]), axis=0, return_inverse=True)
-    b_ranks = np.unique(inv[: b.shape[0]])
-    return np.isin(inv[b.shape[0]:], b_ranks)
+    _, (a_ranks, b_ranks) = _rank_rows([a, b])
+    return np.isin(a_ranks, np.unique(b_ranks))
 
 

@@ -152,6 +152,14 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None
     leaves = ret_leaves(q.returns)
     has_ags = any(isinstance(l, ast.RetAgg) for l in leaves)
 
+    if not has_ags and not q.order and q.limit is not None:
+        # unordered limit truncates the seq-ordered stream up front
+        # (src/query.rs:558-560) — fetch only the surviving docs
+        docs = docs[: q.limit]
+        scores = scores[: q.limit]
+        if binds is not None:
+            binds = binds[: q.limit]
+
     fetcher = _DocFetcher(reader, docs)
 
     def leaf_value(leaf, row: int):

@@ -238,24 +238,27 @@ class JsonIndexReader:
             if parts:
                 t = pa.concat_tables(parts)
                 docs = t.column("doc_id").to_numpy().astype(np.int64)
-                ap_list = t.column("ap").to_pylist()
-                aps = (np.asarray(ap_list, dtype=np.int64)
-                       .reshape(len(ap_list), depth))
+                n = t.num_rows
+                if depth:
+                    flat = pc.list_flatten(t.column("ap")).to_numpy()
+                    aps = flat.astype(np.int64).reshape(n, depth)
+                else:
+                    aps = np.zeros((n, 0), dtype=np.int64)
                 codes = np.asarray(t.column("code").to_pylist(), dtype=object)
                 nums = t.column("num").to_numpy(zero_copy_only=False)
-                strs = t.column("str").to_pylist()
+                strs = np.asarray(t.column("str").to_pylist(), dtype=object)
                 order = np.lexsort(tuple(aps.T[::-1]) + (docs,))
                 docs = docs[order]
                 aps = aps[order]
                 codes = codes[order]
                 nums = nums[order]
-                strs = [strs[i] for i in order]
+                strs = strs[order]
             else:
                 docs = np.zeros(0, dtype=np.int64)
                 aps = np.zeros((0, kp_depth(kp)), dtype=np.int64)
                 codes = np.zeros(0, dtype=object)
                 nums = np.zeros(0, dtype=np.float64)
-                strs = []
+                strs = np.zeros(0, dtype=object)
             cached = (docs, aps, codes, nums, strs)
             if len(self._values_kp_cache) < 1024:
                 self._values_kp_cache[kp] = cached
