@@ -121,17 +121,26 @@ class _DocFetcher:
 
 # -------------------------------------------------------------- executor
 
-def run_json_query(reader: JsonIndexReader, q, params: dict | None = None
-                   ) -> list:
+def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
+                   distributed_threshold: int = 2_000_000) -> list:
     """Evaluate a nested query; returns the reference's JSON result stream
-    as Python values."""
+    as Python values.
+
+    Above ``distributed_threshold`` docs, matching+scoring fan out as one
+    Ray task per doc range (exact under range partitioning: every filter,
+    bind collection and score is per-doc independent; idf/stats are
+    global reads, identical in every task).  Fetch/order/limit/aggregate
+    stay on the driver — the result set is already per-doc."""
     if isinstance(q, str):
         q = parse_noise_query(q, params)
-    compiled = CompiledJsonQuery(reader, q.filter)
-    result = compiled.evaluate()
-    scores = compiled.final_scores(result)
-    docs = result.docs
-    binds = result.binds
+    if reader.num_docs >= distributed_threshold:
+        docs, scores, binds = _evaluate_distributed(reader, q.filter)
+    else:
+        compiled = CompiledJsonQuery(reader, q.filter)
+        result = compiled.evaluate()
+        scores = compiled.final_scores(result)
+        docs = result.docs
+        binds = result.binds
 
     if isinstance(q.filter, ast.AllDocs) and docs.size:
         # a bare `find {}` streams the V keyspace, whose seqs are DECIMAL
@@ -242,6 +251,44 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None
         vals = [leaf_value(l, i) for l in leaves]
         out.append(_render_tree(q.returns, iter(vals)))
     return out
+
+
+def _evaluate_distributed(reader: JsonIndexReader, filter_node):
+    """Range-partitioned filter evaluation: one Ray task per doc range,
+    each building its own reader + compiled query (slot ordinals are
+    deterministic DFS order, so per-task scoring state is identical) and
+    returning its depth-0 (docs, scores, binds).  Ranges are contiguous
+    and ordered, so concatenation preserves global doc order.  The
+    proximity filter keeps the reference's sequential iterator inside
+    each range (same caveat as the flat distributed path)."""
+    import ray
+
+    index_dir = reader.index_dir
+    num_docs = reader.num_docs
+    n_tasks = min(32, max(1, num_docs // 250_000))
+    span = -(-num_docs // n_tasks)
+
+    @ray.remote
+    def _one(lo: int, hi: int):
+        from .json_engine import CompiledJsonQuery as _CJQ
+        from .json_reader import JsonIndexReader as _JIR
+
+        r = _JIR(index_dir)
+        c = _CJQ(r, filter_node, doc_range=(lo, hi))
+        s = c.evaluate()
+        return s.docs, c.final_scores(s), s.binds
+
+    refs = [_one.remote(lo, min(lo + span, num_docs))
+            for lo in range(0, num_docs, span)]
+    parts = ray.get(refs)
+    docs = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    binds = None
+    if any(p[2] is not None for p in parts):
+        binds = []
+        for p in parts:
+            binds.extend(p[2] if p[2] is not None else [None] * p[0].size)
+    return docs, scores, binds
 
 
 def _render_tree(expr, it):

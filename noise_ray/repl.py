@@ -53,10 +53,20 @@ class Repl:
             self._p("Index isn't open")
             return None
         if self.reader is None:
+            import json as _json
+
             from .query import IndexReader
 
             try:
-                self.reader = IndexReader(self.index_dir)
+                mpath = os.path.join(self.index_dir, "manifest.json")
+                with open(mpath) as f:
+                    nested = _json.load(f).get("nested", False)
+                if nested:
+                    from .query.json_reader import JsonIndexReader
+
+                    self.reader = JsonIndexReader(self.index_dir)
+                else:
+                    self.reader = IndexReader(self.index_dir)
             except FileNotFoundError:
                 self._p("Index has no manifest (nothing committed yet)")
                 return None
@@ -250,6 +260,20 @@ class Repl:
         r = self._reader_or_err()
         if r is None:
             return
+        from .query.json_reader import JsonIndexReader
+
+        if isinstance(r, JsonIndexReader):
+            self._p(json.dumps({
+                "nested": True,
+                "num_docs": r.num_docs,
+                "keypaths": len(r.field_k),
+                "num_buckets": r.num_buckets,
+                "num_ranges": r.num_ranges,
+                "segments": len(r.manifest["segments"]),
+                "postings": sum(s["postings"]
+                                for s in r.manifest["segments"]),
+            }, indent=2 if self.pretty else None))
+            return
         manifests = [r.manifest] + [e.manifest for e in r._epochs]
         self._p(json.dumps({
             # reader-level view: epochs merged, like every query sees it
@@ -269,10 +293,19 @@ class Repl:
         r = self._reader_or_err()
         if r is None:
             return
+        stmt = stmt if stmt.endswith(";") else stmt + " ;"
+        from .query.json_reader import JsonIndexReader
+
+        if isinstance(r, JsonIndexReader):
+            # nested index: full reference grammar + JSON result stream
+            from .query.json_executor import render_value, run_json_query
+
+            for v in run_json_query(r, stmt, self.params):
+                self._p(render_value(v, self.pretty))
+            return
         from .query import run_query
 
-        t = run_query(r, stmt if stmt.endswith(";") else stmt + " ;",
-                      self.params)
+        t = run_query(r, stmt, self.params)
         for row in t.to_pylist():
             self._p(json.dumps(_jsonable(row),
                                indent=2 if self.pretty else None))
