@@ -53,7 +53,7 @@ from .pipeline import (
 )
 from .shred import shred
 
-VALUES_CODES = ("s", "f", "T", "F", "N", "o", "a")
+VALUES_CODES = ("s", "f", "T", "F", "N", "o", "a", "r")
 
 
 def kp_term_bucket(kp: str, term: str, num_buckets: int) -> int:
@@ -177,6 +177,7 @@ class ShredTokenize:
         v_code: list[str] = []
         v_num: list[float | None] = []
         v_str: list[str | None] = []
+        v_bbox: list[list[float] | None] = []
         for i, (the_id, text) in enumerate(zip(ids, texts)):
             doc = offset + i
             sd = shred(json.loads(text), docid=the_id, sort=False)
@@ -187,6 +188,7 @@ class ShredTokenize:
                 v_code.append(e.code)
                 v_num.append(e.value if e.code == "f" else None)
                 v_str.append(e.value if e.code == "s" else None)
+                v_bbox.append(list(e.value) if e.code == "r" else None)
                 if e.code == "s":
                     # add_stemmed_entries (src/json_shred.rs:148-203):
                     # one posting instance per (kp, stem, doc, ap)
@@ -209,6 +211,7 @@ class ShredTokenize:
                 "code": pa.array(v_code, pa.string()).dictionary_encode(),
                 "num": pa.array(v_num, pa.float64()),
                 "str": pa.array(v_str, pa.string()),
+                "bbox": pa.array(v_bbox, pa.list_(pa.float64())),
             })
             # per-kp zone map (numeric min/max + row count + codes seen):
             # the value-index analogue the flat path gets from Parquet

@@ -21,8 +21,18 @@ Object keys escape the delimiter characters ``\\ $ . ! #`` with a
 backslash (src/key_builder.rs:385-397).
 
 Value codes (src/json_shred.rs:540-566): ``s`` string, ``f`` number (f64),
-``T``/``F`` bool, ``N`` null, ``o`` empty object, ``a`` empty array.
-GeoJSON bbox detection (``r`` entries) is a documented non-goal.
+``T``/``F`` bool, ``N`` null, ``o`` empty object, ``a`` empty array,
+``r`` GeoJSON bounding box (value = (west, east, south, north), the
+reference's encoded order, src/json_shred.rs:505-513).
+
+GeoJSON detection replicates the reference's event-order quirks
+(src/json_shred.rs:55-61, 205-216, 485-545): a ``maybe_geometry``
+counter bumped by an object-keyed ``type`` with a GeoJSON type value and
+by an object-keyed ``coordinates`` array, checked (== 2) and RESET at
+every object end; every number seen while the counter is positive feeds
+the bbox with an x/y toggle that is never reset; and the east bound
+reads the just-updated west (``bounding_box[0].max(value)``) — i.e.
+east = max(west, LAST x) — a reference bug preserved for parity.
 """
 
 from __future__ import annotations
@@ -124,6 +134,12 @@ def is_vkey_prefix(prefix: str, vkey: str) -> bool:
     return rest == "" or rest[0] in ".$"
 
 
+_GEOJSON_TYPES = frozenset([
+    "Point", "MultiPoint", "LineString", "MultiLineString",
+    "Polygon", "MultiPolygon",
+])  # src/json_shred.rs:30-37
+
+
 class ShredError(ValueError):
     pass
 
@@ -170,31 +186,57 @@ def shred(doc: dict, docid: str | None = None,
     def emit(kp_segs: list[str], ap: list[int], code: str, value=None):
         entries.append(Entry("".join(kp_segs), tuple(ap), code, value))
 
-    def walk(v, kp_segs: list[str], ap: list[int], is_root: bool):
+    # GeoJSON geometry detection state (see module docstring)
+    _MAX = float("inf")
+    geo = {"count": 0, "bbox": [_MAX, _MAX, -_MAX, -_MAX], "first": True}
+
+    def _calc_mbb(value: float):
+        # src/json_shred.rs:205-216 — incl. the east-reads-west quirk
+        bb = geo["bbox"]
+        if geo["first"]:
+            bb[0] = min(bb[0], value)
+            bb[2] = max(bb[0], value)
+        else:
+            bb[1] = min(bb[1], value)
+            bb[3] = max(bb[3], value)
+        geo["first"] = not geo["first"]
+
+    def walk(v, kp_segs: list[str], ap: list[int], is_root: bool,
+             okey: str | None = None):
         if isinstance(v, dict):
-            if not v:
-                if not is_root:
-                    # empty-object marker (src/json_shred.rs:497-504);
-                    # never for the root (it always gets an _id entry)
-                    emit(kp_segs, ap, "o")
-                return
             for k, child in v.items():
                 if is_root and k == "_id":
                     continue  # handled by the caller
-                walk(child, kp_segs + [escape_key(k)], ap, False)
+                walk(child, kp_segs + [escape_key(k)], ap, False, okey=k)
+            # ObjectEnd (src/json_shred.rs:497-520)
+            if not v and not is_root:
+                # empty-object marker; never for the root (it always
+                # gets an _id entry)
+                emit(kp_segs, ap, "o")
+            if geo["count"] == 2:
+                bb = geo["bbox"]
+                emit(kp_segs, ap, "r", (bb[0], bb[2], bb[1], bb[3]))
+            geo["count"] = 0
+            geo["bbox"] = [_MAX, _MAX, -_MAX, -_MAX]
         elif isinstance(v, list):
+            if okey == "coordinates":
+                geo["count"] += 1  # src/json_shred.rs:521-525
             if not v:
                 emit(kp_segs, ap, "a")  # src/json_shred.rs:529-537
                 return
             for i, el in enumerate(v):
                 walk(el, kp_segs + ["$"], ap + [i], False)
         elif isinstance(v, str):
+            if okey == "type" and v in _GEOJSON_TYPES:
+                geo["count"] += 1  # src/json_shred.rs:247-254
             emit(kp_segs, ap, "s", v)
         elif isinstance(v, bool):
             emit(kp_segs, ap, "T" if v else "F")
         elif v is None:
             emit(kp_segs, ap, "N")
         elif isinstance(v, (int, float)):
+            if geo["count"] > 0:
+                _calc_mbb(float(v))
             emit(kp_segs, ap, "f", float(v))
         else:
             raise ShredError(f"unshreddable value type {type(v).__name__}")
@@ -239,6 +281,8 @@ def v_keys(sd: ShreddedDoc, seq: int) -> list[tuple[str, object]]:
     """``V<seq>#<vkey>`` → decoded JSON value, sorted by key
     (``kp_value_key``, src/key_builder.rs:234-248)."""
     def val(e: Entry):
+        if e.code == "r":
+            return list(e.value)  # (west, east, south, north)
         return {"s": e.value, "f": e.value, "T": True, "F": False,
                 "N": None, "o": {}, "a": []}[e.code]
 

@@ -63,6 +63,18 @@ class RangeQ:
 
 
 @dataclass
+class BboxQ:
+    """``field: && [west, south, east, north]`` — GeoJSON bounding-box
+    intersection against the shredded ``r`` entries (BboxFilter,
+    src/filters.rs:503-586).  Binary score.  Nested queries only."""
+    field: str
+    west: float
+    south: float
+    east: float
+    north: float
+
+
+@dataclass
 class AllDocs:
     """``{}`` — every doc, binary score.  The reference's AllDocsFilter
     hardcodes its score into ordinal 1 (src/filters.rs:58-63), a quirk we
@@ -116,8 +128,8 @@ class Boost:
     factor: float
 
 
-Node = Union[Term, Phrase, Proximity, Exact, RangeQ, AllDocs, And, Or, Not,
-             Boost, Bind]
+Node = Union[Term, Phrase, Proximity, Exact, RangeQ, BboxQ, AllDocs, And,
+             Or, Not, Boost, Bind]
 
 
 @dataclass

@@ -54,6 +54,11 @@ class InstSet:
     slots: dict = dc_field(default_factory=dict)
     # aligned bind collections: row -> {name: [vkey, ...]} or None
     binds: list | None = None
+    # per-row ITERATION rank when it differs from (doc, ap) order — only
+    # the bbox filter sets this (the reference's rtree iterator yields
+    # bbox order, observable in bind-variable collection order,
+    # repl-tests/geojson.noise); bind collection sorts by it
+    order: np.ndarray | None = None
 
     @property
     def size(self) -> int:
@@ -160,6 +165,8 @@ def _gather(s: InstSet, idx: np.ndarray, docs: np.ndarray,
         out.slots[o] = (sums[idx], cnts[idx])
     if s.binds is not None:
         out.binds = [s.binds[i] for i in idx]
+    if s.order is not None:
+        out.order = s.order[idx]
     return out
 
 
@@ -171,7 +178,7 @@ def resized(s: InstSet, depth: int) -> InstSet:
     if d < depth:
         aps = np.hstack([s.aps, np.zeros((s.size, depth - d),
                                          dtype=np.int64)])
-        return InstSet(s.docs, aps, s.slots, s.binds)
+        return InstSet(s.docs, aps, s.slots, s.binds, s.order)
     aps = np.ascontiguousarray(s.aps[:, :depth])
     keep = _first_occurrence_mask(np.hstack([s.docs[:, None], aps]))
     idx = np.flatnonzero(keep)
@@ -314,7 +321,7 @@ class CompiledJsonQuery:
                 self._new_slot(self._idf(node.field, t), node.boost)
                 for t in node._terms
             ]
-        elif isinstance(node, (ast.Exact, ast.RangeQ)):
+        elif isinstance(node, (ast.Exact, ast.RangeQ, ast.BboxQ)):
             node._slot = self._new_slot(F32(1.0), 1.0)
         elif isinstance(node, ast.AllDocs):
             self._new_slot(F32(1.0), 1.0)
@@ -385,6 +392,9 @@ class CompiledJsonQuery:
         if isinstance(node, ast.RangeQ):
             return self._eval_range(node)
 
+        if isinstance(node, ast.BboxQ):
+            return self._eval_bbox(node)
+
         if isinstance(node, ast.AllDocs):
             docs = self._doc_universe()
             r = InstSet(docs, np.zeros((docs.size, 0), dtype=np.int64))
@@ -394,7 +404,7 @@ class CompiledJsonQuery:
             return r
 
         if isinstance(node, ast.Boost):
-            r = self._eval(node.inner)
+            r = self._eval(node.inner)  # keeps binds and collect order
             for o, (s, c) in r.slots.items():
                 r.slots[o] = ((s * F32(node.factor)).astype(F32), c)
             return r
@@ -474,7 +484,7 @@ class CompiledJsonQuery:
         cand, keymat, _shims = self._phrase_candidates(node.field, terms)
         keys = keymat[cand]
         if keys.shape[0]:
-            vdocs, vaps, vcodes, _vnums, vstrs = self.reader.values_kp(
+            vdocs, vaps, vcodes, _vnums, vstrs, _vb = self.reader.values_kp(
                 node.field, self.doc_range)
             # restrict the value rows to matching strings FIRST, then a
             # sorted-rank membership test locates the candidates whose
@@ -497,7 +507,7 @@ class CompiledJsonQuery:
     # ----------------------------------------------------------- range
 
     def _eval_range(self, node: ast.RangeQ) -> InstSet:
-        docs, aps, codes, nums, _strs = self.reader.values_kp(
+        docs, aps, codes, nums, _strs, _vb = self.reader.values_kp(
             node.field, self.doc_range)
         if node.special == "true":
             mask = codes == "T"
@@ -516,6 +526,37 @@ class CompiledJsonQuery:
                      else nums < node.max)
                 mask = mask & np.where(np.isnan(nums), False, m)
         r = InstSet(docs[mask], aps[mask])
+        slot = getattr(node, "_slot", None)
+        if slot is not None:
+            n = r.size
+            r.slots[slot.ordinal] = (np.ones(n, dtype=F32),
+                                     np.ones(n, dtype=np.int32))
+        return r
+
+    def _eval_bbox(self, node: ast.BboxQ) -> InstSet:
+        """BboxFilter (src/filters.rs:503-586): stored boxes intersecting
+        the query box.  ``order`` records the rtree-iteration rank — the
+        rtree column family orders entries by their box, so within a doc
+        results stream in bbox order, not arraypath order."""
+        docs, aps, codes, _nums, _strs, bboxes = self.reader.values_kp(
+            node.field, self.doc_range)
+        mask = codes == "r"
+        if mask.any():
+            w, e = bboxes[:, 0], bboxes[:, 1]
+            s_, n_ = bboxes[:, 2], bboxes[:, 3]
+            mask = mask & (w <= node.east) & (e >= node.west) \
+                & (s_ <= node.north) & (n_ >= node.south)
+        docs = docs[mask]
+        aps = aps[mask]
+        bb = bboxes[mask]
+        r = InstSet(docs, aps)
+        if docs.size:
+            # rank within each doc by (west, east, south, north)
+            rank = np.lexsort((bb[:, 3], bb[:, 2], bb[:, 1], bb[:, 0],
+                               docs))
+            order = np.empty(docs.size, dtype=np.int64)
+            order[rank] = np.arange(docs.size)
+            r.order = order
         slot = getattr(node, "_slot", None)
         if slot is not None:
             n = r.size
@@ -617,7 +658,12 @@ class CompiledJsonQuery:
             vkeys.append(fill_vkey(node.kp, ap))
         binds: list = []
         for s, c in zip(starts, counts):
-            row = {node.name: vkeys[s: s + c]}
+            idxs = list(range(s, s + c))
+            if inner.order is not None:
+                # collect in the inner filter's ITERATION order (bbox
+                # results stream in rtree/bbox order, geojson.noise)
+                idxs.sort(key=lambda i: inner.order[i])
+            row = {node.name: [vkeys[i] for i in idxs]}
             if inner.binds is not None and inner.binds[s] is not None:
                 row = _merge_bind_rows(dict(inner.binds[s]), row)
             binds.append(row)

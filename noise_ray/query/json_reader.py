@@ -221,9 +221,11 @@ class JsonIndexReader:
 
     def values_kp(self, kp: str, doc_range: tuple[int, int] | None = None):
         """All value entries under EXACTLY keypath ``kp``:
-        ``(docs, aps, codes, nums, strs)`` sorted by (doc, arraypath) —
-        the f/T/F/N + V keyspace scan for one keypath.  Partition-pruned
-        by the per-kp zone maps written at ingest."""
+        ``(docs, aps, codes, nums, strs, bboxes)`` sorted by
+        (doc, arraypath) — the f/T/F/N/r + V keyspace scan for one
+        keypath.  ``bboxes`` is (n × 4) float64, NaN rows for non-``r``
+        entries.  Partition-pruned by the per-kp zone maps written at
+        ingest."""
         cached = self._values_kp_cache.get(kp)
         if cached is None:
             depth = kp_depth(kp)
@@ -236,7 +238,7 @@ class JsonIndexReader:
                 if t.num_rows:
                     parts.append(t)
             if parts:
-                t = pa.concat_tables(parts)
+                t = pa.concat_tables(parts, promote_options="permissive")
                 docs = t.column("doc_id").to_numpy().astype(np.int64)
                 n = t.num_rows
                 if depth:
@@ -247,19 +249,26 @@ class JsonIndexReader:
                 codes = np.asarray(t.column("code").to_pylist(), dtype=object)
                 nums = t.column("num").to_numpy(zero_copy_only=False)
                 strs = np.asarray(t.column("str").to_pylist(), dtype=object)
+                bboxes = np.full((n, 4), np.nan)
+                if "bbox" in t.schema.names:
+                    for i, b in enumerate(t.column("bbox").to_pylist()):
+                        if b is not None:
+                            bboxes[i] = b
                 order = np.lexsort(tuple(aps.T[::-1]) + (docs,))
                 docs = docs[order]
                 aps = aps[order]
                 codes = codes[order]
                 nums = nums[order]
                 strs = strs[order]
+                bboxes = bboxes[order]
             else:
                 docs = np.zeros(0, dtype=np.int64)
                 aps = np.zeros((0, kp_depth(kp)), dtype=np.int64)
                 codes = np.zeros(0, dtype=object)
                 nums = np.zeros(0, dtype=np.float64)
                 strs = np.zeros(0, dtype=object)
-            cached = (docs, aps, codes, nums, strs)
+                bboxes = np.zeros((0, 4), dtype=np.float64)
+            cached = (docs, aps, codes, nums, strs, bboxes)
             if len(self._values_kp_cache) < 1024:
                 self._values_kp_cache[kp] = cached
         if doc_range is not None:
@@ -267,8 +276,7 @@ class JsonIndexReader:
             s = int(np.searchsorted(docs, doc_range[0], side="left"))
             e = int(np.searchsorted(docs, doc_range[1], side="left"))
             if s != 0 or e != docs.size:
-                return (docs[s:e], cached[1][s:e], cached[2][s:e],
-                        cached[3][s:e], cached[4][s:e])
+                return tuple(c[s:e] for c in cached)
         return cached
 
     def zero_prefix_lengths(self, prefix_segs: list[str],

@@ -75,8 +75,19 @@ class NoiseParser:
         return self.text.startswith(tok, self.pos)
 
     def must_consume(self, tok: str):
-        if not self.consume(tok):
-            raise ParseError(f"Expected {tok!r} at offset {self.pos}")
+        """Error messages match the reference byte for byte
+        (src/parser.rs:88-108) — the character offset also matches,
+        because the reference eats whitespace after matched tokens and we
+        skip it before, which coincide at every error point."""
+        self._ws()
+        if not self.consume_no_ws(tok):
+            if self.pos == len(self.text):
+                raise ParseError(
+                    f"Expected '{tok}' at character {self.pos} but query "
+                    "string ended.")
+            raise ParseError(
+                f"Expected '{tok}' at character {self.pos}, "
+                f"found {self.text[self.pos]}.")
 
     def consume_field(self) -> str | None:
         """Identifier: alpha/_/$ start, alnum/_/$ continue
@@ -349,6 +360,9 @@ class NoiseParser:
         f = self.stemmed()
         if f is not None:
             return f
+        if self.consume("&&"):
+            # GeoJSON bounding-box intersection (src/parser.rs:983-995)
+            return ast.BboxQ(self.kp(), *self.consume_bbox())
         if self.consume(">"):
             inclusive = self.consume("=")
             v = self._range_number()
@@ -358,6 +372,25 @@ class NoiseParser:
             v = self._range_number()
             return ast.RangeQ(self.kp(), max=v, max_inclusive=inclusive)
         raise ParseError("Expected comparison operator")
+
+    def consume_bbox(self) -> tuple:
+        """``[west, south, east, north]`` — exactly four numbers, parsed
+        with the reference's own json grammar (src/parser.rs:262-285)."""
+        err = "Bounding box needs to be `[west, south, east, north]`."
+        self._ws()
+        self.must_consume("[")
+        vec: list = []
+        if not self.consume("]"):
+            while True:
+                vec.append(self.consume_json())
+                if not self.consume(","):
+                    break
+            self.must_consume("]")
+        if len(vec) != 4 or any(
+                isinstance(v, bool) or not isinstance(v, (int, float))
+                for v in vec):
+            raise ParseError(err)
+        return tuple(float(v) for v in vec)
 
     def _range_number(self) -> float:
         v = self.consume_json_primitive()

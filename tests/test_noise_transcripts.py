@@ -7,12 +7,10 @@ echoes commands, preserves blank/comment lines, drops expected-output
 lines from the input, and prints actual results — so a correct engine
 reproduces the file exactly (src/repl.rs:19-66).  These transcripts cover
 nested shredding, array-context booleans, NOT existence quirks, bind
-variables, exact/range/phrase matches, f32 scoring decimals, collation,
-group aggregates, limits, parameters, deletion/update batch semantics and
-the reference's JSON rendering.
-
-geojson.noise needs the rtree keyspace — a declared non-goal (SURVEY
-§2.10).
+variables, exact/range/phrase matches, GeoJSON bbox intersection, f32
+scoring decimals, collation, group aggregates, limits, parameters,
+deletion/update batch semantics and the reference's JSON rendering.
+ALL ELEVEN reference transcripts run — the full suite.
 """
 
 from __future__ import annotations
@@ -26,7 +24,7 @@ REPL_TESTS = "/root/reference/repl-tests"
 
 TRANSCRIPTS = [
     "not", "query_basic", "bind_var", "limit", "ranges", "collation",
-    "deletion_updates", "scoring", "group", "parameters",
+    "deletion_updates", "scoring", "group", "parameters", "geojson",
 ]
 
 pytestmark = pytest.mark.skipif(
