@@ -107,14 +107,21 @@ def vkey_segs(vkey: str) -> tuple:
 
 
 class _DocFetcher:
+    """Lazy doc-store access: text fetch happens on FIRST use, so queries
+    whose leaves touch no document (``return {n: count()}``) never read
+    the json column at all."""
+
     def __init__(self, reader: JsonIndexReader, doc_ids: np.ndarray):
         self.reader = reader
+        self._doc_ids = doc_ids
         self._parsed = [None] * len(doc_ids)
-        self._texts = reader.doc_json(doc_ids)
+        self._texts = None
 
     def doc(self, row: int):
         v = self._parsed[row]
         if v is None:
+            if self._texts is None:
+                self._texts = self.reader.doc_json(self._doc_ids)
             v = self._parsed[row] = json.loads(self._texts[row])
         return v
 
