@@ -70,27 +70,33 @@ def _orders_index(sf_dir: str) -> str:
         .groupby("l_orderkey")
         .map_groups(one_order, batch_format="pyarrow")
     )
-    # deterministic doc order: shards sorted by order key
-    t = docs.sort("okey").to_arrow_refs()
-    import pyarrow.parquet as pq
-    import ray as _ray
+    # deterministic doc order: one shard per sorted block, written INSIDE
+    # the task (nothing reaches the driver but ack rows); shard names
+    # carry the block's first order key, so file order == doc order no
+    # matter how the sort split blocks
+    def write_shard(part: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        if part.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        first = int(part.column("okey")[0].as_py())
+        p = os.path.join(shard_dir, f"docs-{first:012d}.parquet")
+        # always overwrite via tmp+rename: a crashed earlier run may have
+        # left a same-named shard from different sort-block boundaries
+        pq.write_table(pa.table({
+            "_id": pa.compute.cast(part.column("okey"), pa.string()),
+            "json": part.column("json"),
+        }), p + ".tmp")
+        os.replace(p + ".tmp", p)
+        return pa.table({"path": pa.array([p])})
 
     from ..build.json_pipeline import build_json_index
 
-    paths = []
-    for i, ref in enumerate(t):
-        part = _ray.get(ref)
-        if part.num_rows == 0:
-            continue
-        p = os.path.join(shard_dir, f"docs-{i:05d}.parquet")
-        if not os.path.exists(p):
-            okeys = part.column("okey")
-            pq.write_table(pa.table({
-                "_id": pa.compute.cast(okeys, pa.string()),
-                "json": part.column("json"),
-            }), p + ".tmp")
-            os.replace(p + ".tmp", p)
-        paths.append(p)
+    acks = (docs.sort("okey")
+            .map_batches(write_shard, batch_format="pyarrow",
+                         batch_size=None)
+            .take_all())
+    paths = sorted(a["path"] for a in acks)
     build_json_index(paths, idx_dir, local=False)
     return idx_dir
 

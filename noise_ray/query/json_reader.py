@@ -219,65 +219,88 @@ class JsonIndexReader:
             self._zones_cache[path] = z
         return z
 
+    def _values_kp_part(self, kp: str, path: str):
+        """One partition's decoded value entries for a keypath, sorted by
+        (doc, arraypath) — cached per (kp, partition) so a range-
+        partitioned worker never decodes another range's values."""
+        ckey = (kp, path)
+        cached = self._values_kp_cache.get(ckey)
+        if cached is not None:
+            return cached
+        depth = kp_depth(kp)
+        t = pq.read_table(path, filters=[("kp", "==", kp)])
+        n = t.num_rows
+        if n:
+            docs = t.column("doc_id").to_numpy().astype(np.int64)
+            if depth:
+                flat = pc.list_flatten(t.column("ap")).to_numpy()
+                aps = flat.astype(np.int64).reshape(n, depth)
+            else:
+                aps = np.zeros((n, 0), dtype=np.int64)
+            codes = np.asarray(t.column("code").to_pylist(), dtype=object)
+            nums = t.column("num").to_numpy(zero_copy_only=False)
+            strs = np.asarray(t.column("str").to_pylist(), dtype=object)
+            bboxes = np.full((n, 4), np.nan)
+            if "bbox" in t.schema.names:
+                for i, b in enumerate(t.column("bbox").to_pylist()):
+                    if b is not None:
+                        bboxes[i] = b
+            order = np.lexsort(tuple(aps.T[::-1]) + (docs,))
+            cached = (docs[order], aps[order], codes[order], nums[order],
+                      strs[order], bboxes[order])
+        else:
+            cached = (np.zeros(0, dtype=np.int64),
+                      np.zeros((0, depth), dtype=np.int64),
+                      np.zeros(0, dtype=object),
+                      np.zeros(0, dtype=np.float64),
+                      np.zeros(0, dtype=object),
+                      np.zeros((0, 4), dtype=np.float64))
+        if len(self._values_kp_cache) < 4096:
+            self._values_kp_cache[ckey] = cached
+        return cached
+
     def values_kp(self, kp: str, doc_range: tuple[int, int] | None = None):
         """All value entries under EXACTLY keypath ``kp``:
         ``(docs, aps, codes, nums, strs, bboxes)`` sorted by
         (doc, arraypath) — the f/T/F/N/r + V keyspace scan for one
         keypath.  ``bboxes`` is (n × 4) float64, NaN rows for non-``r``
-        entries.  Partition-pruned by the per-kp zone maps written at
-        ingest."""
-        cached = self._values_kp_cache.get(kp)
-        if cached is None:
+        entries.  Partitions are pruned TWICE before any data read: by
+        the per-kp zone maps written at ingest, and — under a doc_range
+        (distributed range workers) — by the partition's doc interval."""
+        parts = []
+        for v in self._values:
+            if doc_range is not None and (
+                    v["max_doc"] < doc_range[0]
+                    or v["min_doc"] >= doc_range[1]):
+                continue
+            if kp not in self._kp_zones(v["path"]):
+                continue
+            p = self._values_kp_part(kp, v["path"])
+            if p[0].size:
+                parts.append(p)
+        if not parts:
             depth = kp_depth(kp)
-            parts = []
-            for v in self._values:
-                if kp not in self._kp_zones(v["path"]):
-                    continue
-                t = pq.read_table(v["path"],
-                                  filters=[("kp", "==", kp)])
-                if t.num_rows:
-                    parts.append(t)
-            if parts:
-                t = pa.concat_tables(parts, promote_options="permissive")
-                docs = t.column("doc_id").to_numpy().astype(np.int64)
-                n = t.num_rows
-                if depth:
-                    flat = pc.list_flatten(t.column("ap")).to_numpy()
-                    aps = flat.astype(np.int64).reshape(n, depth)
-                else:
-                    aps = np.zeros((n, 0), dtype=np.int64)
-                codes = np.asarray(t.column("code").to_pylist(), dtype=object)
-                nums = t.column("num").to_numpy(zero_copy_only=False)
-                strs = np.asarray(t.column("str").to_pylist(), dtype=object)
-                bboxes = np.full((n, 4), np.nan)
-                if "bbox" in t.schema.names:
-                    for i, b in enumerate(t.column("bbox").to_pylist()):
-                        if b is not None:
-                            bboxes[i] = b
-                order = np.lexsort(tuple(aps.T[::-1]) + (docs,))
-                docs = docs[order]
-                aps = aps[order]
-                codes = codes[order]
-                nums = nums[order]
-                strs = strs[order]
-                bboxes = bboxes[order]
-            else:
-                docs = np.zeros(0, dtype=np.int64)
-                aps = np.zeros((0, kp_depth(kp)), dtype=np.int64)
-                codes = np.zeros(0, dtype=object)
-                nums = np.zeros(0, dtype=np.float64)
-                strs = np.zeros(0, dtype=object)
-                bboxes = np.zeros((0, 4), dtype=np.float64)
-            cached = (docs, aps, codes, nums, strs, bboxes)
-            if len(self._values_kp_cache) < 1024:
-                self._values_kp_cache[kp] = cached
+            out = (np.zeros(0, dtype=np.int64),
+                   np.zeros((0, depth), dtype=np.int64),
+                   np.zeros(0, dtype=object),
+                   np.zeros(0, dtype=np.float64),
+                   np.zeros(0, dtype=object),
+                   np.zeros((0, 4), dtype=np.float64))
+        elif len(parts) == 1:
+            out = parts[0]
+        else:
+            # partitions hold ascending disjoint doc ranges: concat keeps
+            # global (doc, arraypath) order
+            out = tuple(
+                np.concatenate([p[i] for p in parts])
+                for i in range(6))
         if doc_range is not None:
-            docs = cached[0]
+            docs = out[0]
             s = int(np.searchsorted(docs, doc_range[0], side="left"))
             e = int(np.searchsorted(docs, doc_range[1], side="left"))
             if s != 0 or e != docs.size:
-                return tuple(c[s:e] for c in cached)
-        return cached
+                out = tuple(c[s:e] for c in out)
+        return out
 
     def zero_prefix_lengths(self, prefix_segs: list[str],
                             doc_range: tuple[int, int] | None = None
@@ -293,6 +316,10 @@ class JsonIndexReader:
         assert d >= 1
         per_doc: dict[int, int] = {}
         for v in self._values:
+            if doc_range is not None and (
+                    v["max_doc"] < doc_range[0]
+                    or v["min_doc"] >= doc_range[1]):
+                continue
             zones = self._kp_zones(v["path"])
             kps = [k for k in zones if kp_seg_prefix(prefix_segs, k)]
             if not kps:
