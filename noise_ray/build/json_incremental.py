@@ -1,0 +1,162 @@
+"""Incremental adds for NESTED indexes: the epoch design of
+incremental.py applied to the JSON build.
+
+Each ``add_json_documents`` call builds a self-contained nested delta
+index under ``<index>/epochs/epoch-NNNN/`` with the same streaming
+pipeline (build_json_index), doc_ids continuing the parent's seq space;
+re-adding an existing ``_id`` tombstones the older doc — the reference's
+``Index::add`` upsert on a live index (src/index.rs:131-161) with
+Lucene hidden-doc deletes instead of in-place key rewrites.  The root
+JsonIndexReader merges postings / values / docmaps across epochs.
+
+``compact_json_index`` folds epochs + tombstones back into a fresh base
+(dense doc_ids in live seq order) — what a fresh build over the live
+documents would produce.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from .incremental import _EPOCH_RE, _epoch_dirs
+from .json_pipeline import build_json_index
+from .pipeline import MANIFEST_NAME
+
+
+def add_json_documents(index_dir: str, new_paths: list[str],
+                       *, update: bool = True) -> dict:
+    """Append ``(_id, json)`` parquet shards to a live nested index as a
+    new epoch; with ``update=True`` older docs sharing the new ``_id``s
+    are tombstoned.  Returns the epoch manifest."""
+    from ..query.json_reader import JsonIndexReader
+
+    with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+        base = json.load(f)
+    if not base.get("nested"):
+        raise ValueError(f"{index_dir} is not a nested-JSON index")
+    reader = JsonIndexReader(index_dir)
+    offset = reader.num_docs
+
+    existing = _epoch_dirs(index_dir)
+    n = (int(_EPOCH_RE.match(os.path.basename(existing[-1])).group(1)) + 1
+         if existing else 1)
+    epoch_dir = os.path.join(index_dir, "epochs", f"epoch-{n:04d}")
+    fp = {"paths": sorted(os.path.abspath(p) for p in new_paths),
+          "offset": offset}
+    fp_path = os.path.join(epoch_dir, "inputs.json")
+    if os.path.isdir(epoch_dir):
+        old_fp = None
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                old_fp = json.load(f)
+        if old_fp != fp:
+            shutil.rmtree(epoch_dir)
+    os.makedirs(epoch_dir, exist_ok=True)
+    with open(fp_path, "w") as f:
+        json.dump(fp, f)
+
+    manifest = build_json_index(
+        list(new_paths), epoch_dir,
+        num_buckets=int(base["num_buckets"]),
+        block_size=int(base.get("block_size", 4096)),
+        doc_id_offset=offset,
+    )
+
+    tombstoned: list[int] = []
+    if update:
+        import pyarrow as pa
+
+        new_ids = pa.concat_tables(
+            [pq.read_table(p, columns=["_id"]) for p in new_paths])
+        for dm in reader._docmap:
+            if dm["min_doc"] >= offset:
+                continue
+            t = pq.read_table(dm["path"], columns=["doc_id", "_id"])
+            hit = t.join(new_ids, keys=["_id"], join_type="inner")
+            if hit.num_rows:
+                tombstoned.extend(hit.column("doc_id").to_pylist())
+        if tombstoned:
+            reader.add_tombstones(tombstoned)
+    manifest["tombstoned"] = sorted(tombstoned)
+    return manifest
+
+
+def compact_json_index(index_dir: str) -> dict:
+    """Fold epochs + tombstones into a fresh base: rebuild from the live
+    documents in seq order (doc_ids reassigned dense), then atomically
+    swap directories — identical results to a fresh build over the live
+    rows.
+
+    Same distributed shape as the flat compaction: a metadata-light pass
+    over (doc_id, _id) columns derives the live set (highest live doc
+    per _id), which is broadcast once via ``ray.put``; per-docmap-
+    partition Ray tasks then rewrite only their live payload rows into
+    build-ready shards — the json column never crosses the driver."""
+    import ray
+
+    from ..query.json_reader import JsonIndexReader
+
+    reader = JsonIndexReader(index_dir)
+    dead = set(reader.tombstones.tolist())
+    best: dict[str, int] = {}
+    for dm in reader._docmap:
+        t = pq.read_table(dm["path"], columns=["doc_id", "_id"])
+        for d, i in zip(t.column("doc_id").to_pylist(),
+                        t.column("_id").to_pylist()):
+            if d in dead:
+                continue
+            if best.get(i, -1) < d:
+                best[i] = d
+    live = np.array(sorted(best.values()), dtype=np.int64)
+
+    tmp = index_dir + ".compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shard_dir = os.path.join(tmp, "live-src")
+    os.makedirs(shard_dir)
+    live_ref = ray.put(live)
+    dm_paths = [dict(dm) for dm in reader._docmap]
+
+    import ray.data as rd
+
+    def one_part(row: dict) -> dict:
+        import pyarrow as pa
+
+        lv = ray.get(live_ref)
+        t = pq.read_table(row["path"],
+                          columns=["doc_id", "_id", "json"])
+        docs = t.column("doc_id").to_numpy().astype(np.int64)
+        pos = np.searchsorted(lv, docs)
+        pos[pos >= lv.size] = max(lv.size - 1, 0)
+        keep = lv.size > 0
+        mask = (lv[pos] == docs) if keep else np.zeros(docs.size, bool)
+        if not mask.any():
+            return {"path": ""}
+        sub = t.filter(pa.array(mask))
+        out = os.path.join(shard_dir,
+                           f"live-{int(docs[mask][0]):012d}.parquet")
+        pq.write_table(pa.table({"_id": sub.column("_id"),
+                                 "json": sub.column("json")}),
+                       out + ".tmp")
+        os.replace(out + ".tmp", out)
+        return {"path": out}
+
+    acks = rd.from_items([{"path": dm["path"]} for dm in dm_paths]) \
+        .map(one_part).take_all()
+    paths = sorted(a["path"] for a in acks if a["path"])
+    with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+        base = json.load(f)
+    manifest = build_json_index(
+        paths, tmp,
+        num_buckets=int(base["num_buckets"]),
+        block_size=int(base.get("block_size", 4096)))
+    old = index_dir + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(index_dir, old)
+    os.replace(tmp, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return manifest

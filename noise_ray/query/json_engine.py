@@ -360,7 +360,11 @@ class CompiledJsonQuery:
     def _doc_universe(self) -> np.ndarray:
         lo, hi = (self.doc_range if self.doc_range is not None
                   else (0, self.reader.num_docs))
-        return np.arange(lo, hi, dtype=np.int64)
+        u = np.arange(lo, hi, dtype=np.int64)
+        t = self.reader.tombstones
+        if t.size:
+            u = np.setdiff1d(u, t, assume_unique=True)
+        return u
 
     def _term_scores(self, tfs, lens, slot: _Slot) -> np.ndarray:
         tf = np.sqrt(tfs.astype(F32))
@@ -368,7 +372,31 @@ class CompiledJsonQuery:
         return ((slot.idf * slot.idf) * tf * norm
                 * F32(slot.boost)).astype(F32)
 
+    _LEAVES = (ast.Term, ast.Phrase, ast.Proximity, ast.Exact,
+               ast.RangeQ, ast.BboxQ)
+
+    def _drop_dead(self, r: InstSet) -> InstSet:
+        """Filter tombstoned docs out of a leaf result (slots/binds stay
+        aligned) — compositions inherit the exclusion because every leaf
+        and the universe exclude them (same design as the flat engine)."""
+        t = self.reader.tombstones
+        if t.size == 0 or r.size == 0:
+            return r
+        pos = np.searchsorted(t, r.docs)
+        pos[pos >= t.size] = t.size - 1
+        keep = t[pos] != r.docs
+        if keep.all():
+            return r
+        idx = np.flatnonzero(keep)
+        return _gather(r, idx, r.docs[idx], r.aps[idx])
+
     def _eval(self, node: ast.Node) -> InstSet:
+        r = self._eval_node(node)
+        if isinstance(node, self._LEAVES):
+            r = self._drop_dead(r)
+        return r
+
+    def _eval_node(self, node: ast.Node) -> InstSet:
         if isinstance(node, ast.Term):
             pl = self._postings(node.field, _stem_one(node.word),
                                 need_positions=False)
@@ -598,12 +626,15 @@ class CompiledJsonQuery:
         docs = self._doc_universe()
         d = node.depth
         if d == 0:
-            # docs is a contiguous arange and inner is evaluated under the
-            # same doc_range, so direct offset masking is exact
-            lo = int(docs[0]) if docs.size else 0
-            mask = np.ones(docs.size, dtype=bool)
             if inner.size:
-                mask[inner.docs - lo] = False
+                pos = np.searchsorted(docs, inner.docs)
+                pos = pos[pos < docs.size]
+                mask = np.ones(docs.size, dtype=bool)
+                # inner docs are live (leaves drop tombstones), so every
+                # searchsorted position is an exact hit
+                mask[pos] = False
+            else:
+                mask = np.ones(docs.size, dtype=bool)
             out_docs = docs[mask]
             return InstSet(out_docs,
                            np.zeros((out_docs.size, 0), dtype=np.int64))

@@ -87,9 +87,14 @@ def kp_seg_prefix(prefix_segs: list[str], kp: str) -> bool:
 
 
 class JsonIndexReader:
-    """Binds to one committed nested-index manifest (``nested: true``)."""
+    """Binds to the nested index as published at construction time: the
+    base manifest plus every committed epoch (incremental add,
+    build/json_incremental.py).  Epoch postings / values / docmaps merge
+    here — doc ids of each epoch exceed all earlier ones, so appending
+    in epoch order preserves global doc order.  Tombstoned (upserted /
+    deleted) docs are hidden by the engine per leaf."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, _is_epoch: bool = False):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
             self.manifest = json.load(f)
@@ -99,7 +104,8 @@ class JsonIndexReader:
             for e in self.manifest.get(part, []):
                 if not os.path.isabs(e["path"]):
                     e["path"] = os.path.join(index_dir, e["path"])
-        self.num_docs: int = int(self.manifest["num_docs"])
+        self.num_docs: int = (int(self.manifest.get("doc_id_offset", 0))
+                              + int(self.manifest["num_docs"]))
         self.num_buckets: int = self.manifest["num_buckets"]
         self.num_ranges: int = self.manifest["num_ranges"]
         self.field_k: dict[str, int] = dict(self.manifest["field_k"])
@@ -110,12 +116,48 @@ class JsonIndexReader:
             self._stats_by_bucket.setdefault(s["bucket"], []).append(s["path"])
         self._docmap = list(self.manifest["docmap"])
         self._values = list(self.manifest["values"])
+        self._epochs: list[JsonIndexReader] = []
+        if not _is_epoch:
+            from ..build.incremental import _epoch_dirs
+
+            self._epochs = [JsonIndexReader(d, _is_epoch=True)
+                            for d in _epoch_dirs(index_dir)]
+        for e in self._epochs:
+            self.num_docs = max(self.num_docs, e.num_docs)
+            for kp, k in e.field_k.items():
+                self.field_k[kp] = self.field_k.get(kp, 0) + k
+            self._docmap.extend(e._docmap)
+            self._values.extend(e._values)
         self._postings_cache: dict[tuple, InstPostings] = {}
         self._stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
         self._values_kp_cache: dict[str, tuple] = {}
         self._values_tbl_cache: dict[str, pa.Table] = {}
         self._zones_cache: dict[str, dict] = {}
         self._json_cache: dict = {}
+        # tombstoned doc_ids (upserted or deleted): hidden from every
+        # query by the engine; stats unchanged until compaction — the
+        # same Lucene-style semantics as the flat index
+        self._tombstone_path = os.path.join(index_dir, "tombstones.json")
+        self.tombstones = self._load_tombstones()
+
+    def _load_tombstones(self) -> np.ndarray:
+        if os.path.exists(self._tombstone_path):
+            with open(self._tombstone_path) as f:
+                return np.array(sorted(set(json.load(f))), dtype=np.int64)
+        return np.zeros(0, dtype=np.int64)
+
+    def add_tombstones(self, doc_ids) -> int:
+        """Mark docs deleted (atomic publish); returns live count."""
+        import uuid
+
+        merged = sorted(set(self.tombstones.tolist())
+                        | {int(d) for d in doc_ids})
+        tmp = f"{self._tombstone_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, self._tombstone_path)
+        self.tombstones = np.array(merged, dtype=np.int64)
+        return len(merged)
 
     # ---------------------------------------------------------- postings
 
@@ -153,9 +195,8 @@ class JsonIndexReader:
                 cnts.extend(t.column("cnt").to_pylist())
                 for c in bufs:
                     bufs[c].extend(t.column(c).to_pylist())
-        if not cnts:
-            pl = _empty_inst(depth)
-        else:
+        parts = []
+        if cnts:
             total = int(sum(cnts))
             blk_starts = np.zeros(len(cnts), dtype=np.int64)
             np.cumsum(np.asarray(cnts[:-1], dtype=np.int64),
@@ -174,6 +215,28 @@ class JsonIndexReader:
             if need_positions:
                 pos = decode_position_lists(b"".join(bufs["positions"]), tfs)
                 starts = np.zeros(total, dtype=np.int64)
+                np.cumsum(tfs[:-1], out=starts[1:])
+            else:
+                pos = starts = None
+            parts.append(InstPostings(docs, aps, tfs, lens, pos, starts))
+        # epoch postings: every epoch's doc_ids exceed all earlier ones,
+        # so appending in epoch order preserves global (doc, ap) order
+        for e in self._epochs:
+            ep = e.postings(kp, term, need_positions, doc_range)
+            if ep.size:
+                parts.append(ep)
+        if not parts:
+            pl = _empty_inst(depth)
+        elif len(parts) == 1:
+            pl = parts[0]
+        else:
+            docs = np.concatenate([p.docs for p in parts])
+            aps = np.vstack([p.aps for p in parts])
+            tfs = np.concatenate([p.tfs for p in parts])
+            lens = np.concatenate([p.lens for p in parts])
+            if need_positions:
+                pos = np.concatenate([p.pos_concat for p in parts])
+                starts = np.zeros(tfs.size, dtype=np.int64)
                 np.cumsum(tfs[:-1], out=starts[1:])
             else:
                 pos = starts = None
@@ -197,6 +260,9 @@ class JsonIndexReader:
                                        ("term", "==", term)])
             if t.num_rows:
                 c += int(pc.sum(t.column("c")).as_py())
+        for e in self._epochs:
+            c += e.term_stats(kp, term)[0]
+        # field_k was merged across epochs at construction time
         out = (c, int(self.field_k.get(kp, 0)))
         self._stats_cache[key] = out
         return out
@@ -394,10 +460,17 @@ class JsonIndexReader:
         return out
 
     def lookup_id(self, id_str: str) -> int | None:
-        """_id → doc_id (the reference's I<id> lookup)."""
+        """_id → live doc_id (the reference's I<id> lookup); upsert
+        semantics: the HIGHEST live doc wins."""
+        best = None
+        dead = set(self.tombstones.tolist()) if self.tombstones.size \
+            else ()
         for dm in self._docmap:
             t = pq.read_table(dm["path"], columns=["doc_id"],
                               filters=[("_id", "==", id_str)])
-            if t.num_rows:
-                return int(t.column("doc_id")[0].as_py())
-        return None
+            for v in t.column("doc_id").to_pylist():
+                d = int(v)
+                if d in dead:
+                    continue
+                best = d if best is None else max(best, d)
+        return best
