@@ -126,12 +126,9 @@ def nested_transcripts_index(sf_dir: str):
     # shuffle at all: one task per file groups rows at conv boundaries
     # and writes a build-ready (_id, json) shard — the same
     # partitioning-reuse the flat build exploits.
-    def pack_file(row: dict) -> dict:
+    def pack_file(row: dict) -> list[dict]:
         import pyarrow.parquet as pq
 
-        out = os.path.join(shard_dir, f"docs-{row['seq']:05d}.parquet")
-        if os.path.exists(out):
-            return {"path": out}
         t = pq.read_table(row["path"],
                           columns=["conv_id", "turn_idx", "role", "text",
                                    "tool"])
@@ -156,20 +153,34 @@ def nested_transcripts_index(sf_dir: str):
                    "n_turns": float(e - s)}
             ids.append(conv[s])
             docs.append(json.dumps(doc, ensure_ascii=False))
-        pq.write_table(pa.table({"_id": pa.array(ids, pa.string()),
-                                 "json": pa.array(docs, pa.string())}),
-                       out + ".tmp")
-        os.replace(out + ".tmp", out)
-        return {"path": out}
+        # multiple shards per input file: the shred stage parallelizes
+        # per shard, so shard count — not input file count — bounds the
+        # build's ingest parallelism
+        outs = []
+        chunk = 1024
+        for ci, lo in enumerate(range(0, len(ids), chunk)):
+            out = os.path.join(
+                shard_dir, f"docs-{row['seq']:05d}-{ci:03d}.parquet")
+            hi = min(lo + chunk, len(ids))
+            pq.write_table(
+                pa.table({"_id": pa.array(ids[lo:hi], pa.string()),
+                          "json": pa.array(docs[lo:hi], pa.string())}),
+                out + ".tmp")
+            os.replace(out + ".tmp", out)
+            outs.append({"path": out})
+        return outs
 
     items = [{"path": p, "seq": i} for i, p in enumerate(paths)]
     shard_paths = [r["path"] for r in ray.data.from_items(items)
-                   .map(pack_file).take_all()]
+                   .flat_map(pack_file).take_all()]
     shard_paths.sort()
 
     from ..build.json_pipeline import build_json_index
 
-    build_json_index(shard_paths, idx_dir, local=False)
+    # conversation docs hold ~10 turns each: size ingest tasks in DOCS so
+    # per-task turn counts match the flat build's granularity
+    build_json_index(shard_paths, idx_dir, local=False,
+                     docs_per_ingest_task=1024)
     return JsonIndexReader(idx_dir)
 
 

@@ -156,10 +156,8 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
         # query_basic.noise encodes this order).  Composed filters seek
         # and compare numerically, so only the pure-AllDocs root gets
         # the string order.
-        seqs = reader.doc_seqs(docs)
-        perm = np.array(
-            sorted(range(docs.size), key=lambda i: str(seqs[i])),
-            dtype=np.int64)
+        seqs = np.asarray(reader.doc_seqs(docs)).astype("U20")
+        perm = np.argsort(seqs, kind="stable")
         docs = docs[perm]
         scores = scores[perm]
         if binds is not None:
