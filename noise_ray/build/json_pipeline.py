@@ -63,7 +63,8 @@ def kp_term_bucket(kp: str, term: str, num_buckets: int) -> int:
 # ------------------------------------------------------------------ inputs
 
 def docs_to_parquet(docs: list, out_path: str, docid_base: int = 0,
-                    seqs: list[int] | None = None):
+                    seqs: list[int] | None = None,
+                    id_prefix: str = ""):
     """Write JSON documents to one build-ready parquet shard
     ``(_id, json, seq)``.  ``docs`` entries are dicts or JSON strings;
     docs without a root ``_id`` get a deterministic ``"doc<n>"`` id (the
@@ -80,7 +81,7 @@ def docs_to_parquet(docs: list, out_path: str, docid_base: int = 0,
             raise ValueError("Expected JSON object document")
         the_id = d.get("_id")
         if the_id is None:
-            the_id = f"doc{docid_base + i}"
+            the_id = f"doc{id_prefix}{docid_base + i}"
         elif not isinstance(the_id, str):
             raise ValueError(
                 "Expected string for `_id` field, got another type")
@@ -107,7 +108,9 @@ def jsonl_to_doc_parquet(in_paths: list[str], out_dir: str) -> list[str]:
         if not os.path.exists(out):
             with open(src) as f:
                 docs = [l for l in f if l.strip()]
-            docs_to_parquet(docs, out)
+            # per-file id prefix: _id-less docs must not collide across
+            # files (the reference generates UUIDs; we need determinism)
+            docs_to_parquet(docs, out, id_prefix=f"{row['seq']}-")
         return {"path": out}
 
     items = [{"path": p, "seq": i} for i, p in enumerate(sorted(in_paths))]

@@ -152,14 +152,57 @@ _MAX_BUCKET = 2000  # above this, emit star pairs (min-doc vs rest)
 
 
 def _bucket_index_pairs(n: int) -> tuple[np.ndarray, np.ndarray]:
-    """Candidate index pairs within one bucket: all pairs normally; a
-    degenerate bucket (boilerplate content at corpus scale) degrades to
-    star pairs (0 vs rest) — linear output that still unions the bucket
-    into one connected component for dedup."""
+    """Candidate index pairs within one UNVERIFIED bucket (all members
+    share the exact band key): all pairs normally; a degenerate bucket
+    (boilerplate content at corpus scale) degrades to star pairs
+    (0 vs rest) — linear output that still unions the bucket into one
+    connected component for dedup.  Pipelines that VERIFY pairs after
+    candidate generation must use :func:`_verified_bucket_pairs`
+    instead — a star member failing verification would otherwise
+    disconnect silently."""
     if n > _MAX_BUCKET:
         return np.zeros(n - 1, np.int64), np.arange(1, n, dtype=np.int64)
     iu = np.triu_indices(n, k=1)
     return iu[0].astype(np.int64), iu[1].astype(np.int64)
+
+
+def _verified_bucket_pairs(n: int, pair_mask_fn):
+    """Verified pairs within one bucket, degeneracy-safe.
+
+    ``pair_mask_fn(ii, jj) -> bool mask`` runs the verification
+    (hamming / cosine) vectorized over index pairs.  Small buckets do
+    verified all-pairs.  Giant buckets peel in HUB ROUNDS: the min
+    member verifies against the rest; matched members join its
+    component and drop out; the unmatched remainder repeats with a new
+    hub until small enough for all-pairs — so a verified pair can never
+    be lost to an unverified star hub (two near-dups far from the
+    boilerplate hub still meet in a later round or the remainder).
+    Returns verified ``(ii, jj)`` index pairs."""
+    if n <= _MAX_BUCKET:
+        iu = np.triu_indices(n, k=1)
+        ii, jj = iu[0].astype(np.int64), iu[1].astype(np.int64)
+        keep = pair_mask_fn(ii, jj)
+        return ii[keep], jj[keep]
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    remaining = np.arange(n, dtype=np.int64)
+    while remaining.size > _MAX_BUCKET:
+        hub, rest = remaining[0], remaining[1:]
+        m = pair_mask_fn(np.full(rest.size, hub, np.int64), rest)
+        if m.any():
+            out_i.append(np.full(int(m.sum()), hub, np.int64))
+            out_j.append(rest[m])
+        remaining = rest[~m]
+    if remaining.size > 1:
+        iu = np.triu_indices(remaining.size, k=1)
+        ii, jj = remaining[iu[0]], remaining[iu[1]]
+        keep = pair_mask_fn(ii, jj)
+        out_i.append(ii[keep])
+        out_j.append(jj[keep])
+    if not out_i:
+        z = np.zeros(0, np.int64)
+        return z, z
+    return np.concatenate(out_i), np.concatenate(out_j)
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
@@ -297,12 +340,15 @@ def simhash_pairs(sf_dir: str, hamming: int = 3):
         order = np.argsort(group.column("doc_id").to_numpy())
         docs = group.column("doc_id").to_numpy()[order]
         sigs = group.column("sig").to_numpy()[order]
-        ii, jj = _bucket_index_pairs(docs.size)
-        x = sigs[ii] ^ sigs[jj]
-        dist = _POP[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
-        keep = dist <= hamming
-        return pa.table({"a_id": pa.array(docs[ii[keep]], pa.int64()),
-                         "b_id": pa.array(docs[jj[keep]], pa.int64())})
+
+        def within(ii, jj):
+            x = sigs[ii] ^ sigs[jj]
+            return _POP[x.view(np.uint8).reshape(-1, 8)].sum(axis=1) \
+                <= hamming
+
+        ii, jj = _verified_bucket_pairs(docs.size, within)
+        return pa.table({"a_id": pa.array(docs[ii], pa.int64()),
+                         "b_id": pa.array(docs[jj], pa.int64())})
 
     pairs = (
         _read_docs(sf_dir, ["doc_id", "text"])
@@ -385,11 +431,11 @@ def embedding_dup_pairs_bucketed(sf_dir: str, threshold: float = 0.45,
         order = np.argsort(ids)
         ids = ids[order]
         mn = embed_matrix(group.column("vec"))[order]
-        ii, jj = _bucket_index_pairs(ids.size)
-        if ii.size:
-            sims = np.einsum("ij,ij->i", mn[ii], mn[jj])
-            keep = sims >= threshold
-            ii, jj = ii[keep], jj[keep]
+
+        def within(ii, jj):
+            return np.einsum("ij,ij->i", mn[ii], mn[jj]) >= threshold
+
+        ii, jj = _verified_bucket_pairs(ids.size, within)
         return pa.table({"a_id": pa.array(ids[ii], pa.int64()),
                          "b_id": pa.array(ids[jj], pa.int64())})
 

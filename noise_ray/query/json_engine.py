@@ -646,8 +646,12 @@ class CompiledJsonQuery:
         ldocs, lens = self.reader.zero_prefix_lengths(segs, self.doc_range)
         L = np.ones(docs.size, dtype=np.int64)  # j=0 candidate for all
         if ldocs.size:
+            # ldocs may contain docs NOT in the universe (tombstoned):
+            # scatter only exact hits, or a dead doc's array length lands
+            # on whichever live doc sorts next
             pos = np.searchsorted(docs, ldocs)
-            ok = (pos < docs.size)
+            ok = pos < docs.size
+            ok[ok] = docs[pos[ok]] == ldocs[ok]
             L[pos[ok]] = np.maximum(lens[ok], 1)
         total = int(L.sum())
         cand_docs = np.repeat(docs, L)

@@ -141,6 +141,16 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
     if isinstance(q, str):
         q = parse_noise_query(q, params)
     if reader.num_docs >= distributed_threshold:
+        # validate on the driver: an all-not / double-not query must
+        # raise the reference's plain error, not a RayTaskError from
+        # every range task
+        from .json_engine import _check_double_not, _is_all_not
+
+        _check_double_not(q.filter, False)
+        if _is_all_not(q.filter):
+            raise ValueError(
+                "query cannot be made up of only logical not. Must have "
+                "at least one match clause not negated.")
         docs, scores, binds = _evaluate_distributed(reader, q.filter)
     else:
         compiled = CompiledJsonQuery(reader, q.filter)
@@ -320,12 +330,16 @@ def json_query_table(reader: JsonIndexReader, q, params: dict | None = None
 
 def fmt_f64(v: float) -> str:
     """Rust ``f64::Display`` (shortest roundtrip, never exponent
-    notation, integral values without a fraction)."""
+    notation, integral values without a fraction).  Above 2^53 the exact
+    binary value differs from the shortest roundtrip digits —
+    ``str(int(1e23))`` would print 99999999999999991611392 where Rust
+    prints 100000000000000000000000 — so large magnitudes go through
+    the shortest repr with the exponent expanded positionally."""
     if v != v:
         return "NaN"
     if v in (float("inf"), float("-inf")):
         return "inf" if v > 0 else "-inf"
-    if v == int(v):
+    if v == int(v) and abs(v) < 2.0 ** 53:
         if v == 0.0 and np.copysign(1.0, v) < 0:
             return "-0"
         return str(int(v))
@@ -333,7 +347,9 @@ def fmt_f64(v: float) -> str:
     if "e" in r or "E" in r:
         from decimal import Decimal
 
-        return format(Decimal(r), "f")
+        r = format(Decimal(r), "f")
+    if r.endswith(".0"):
+        r = r[:-2]
     return r
 
 

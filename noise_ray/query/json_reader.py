@@ -380,7 +380,8 @@ class JsonIndexReader:
         ``(docs, lengths)`` for docs with L > 0."""
         d = sum(1 for s in prefix_segs if s == "$")
         assert d >= 1
-        per_doc: dict[int, int] = {}
+        doc_parts: list[np.ndarray] = []
+        j_parts: list[np.ndarray] = []
         for v in self._values:
             if doc_range is not None and (
                     v["max_doc"] < doc_range[0]
@@ -390,32 +391,36 @@ class JsonIndexReader:
             kps = [k for k in zones if kp_seg_prefix(prefix_segs, k)]
             if not kps:
                 continue
-            t = self._values_table(v["path"])
-            kp_col = t.column("kp")
-            mask = pc.is_in(kp_col.cast(pa.string()),
-                            value_set=pa.array(kps, pa.string()))
-            sub = t.filter(mask)
-            if sub.num_rows == 0:
-                continue
-            docs = sub.column("doc_id").to_numpy().astype(np.int64)
-            if doc_range is not None:
-                sel = (docs >= doc_range[0]) & (docs < doc_range[1])
-                if not sel.any():
+            # each matching keypath has a FIXED arraypath depth — gather
+            # its (doc, ap[:d]) columns vectorized via the per-(kp,
+            # partition) cache instead of Python-iterating every row
+            for kp in kps:
+                docs, aps, _c, _n, _s, _b = self._values_kp_part(
+                    kp, v["path"])
+                if docs.size == 0:
                     continue
-                sub = sub.filter(pa.array(sel))
-                docs = docs[sel]
-            for doc, ap in zip(docs.tolist(),
-                               sub.column("ap").to_pylist()):
-                if d > 1 and any(x != 0 for x in ap[: d - 1]):
-                    continue
-                j = ap[d - 1]
-                if per_doc.get(doc, -1) < j:
-                    per_doc[doc] = j
-        if not per_doc:
+                if doc_range is not None:
+                    s_ = int(np.searchsorted(docs, doc_range[0]))
+                    e_ = int(np.searchsorted(docs, doc_range[1]))
+                    docs, aps = docs[s_:e_], aps[s_:e_]
+                    if docs.size == 0:
+                        continue
+                if d > 1:
+                    mid = np.all(aps[:, : d - 1] == 0, axis=1)
+                    docs, aps = docs[mid], aps[mid]
+                    if docs.size == 0:
+                        continue
+                doc_parts.append(docs)
+                j_parts.append(aps[:, d - 1])
+        if not doc_parts:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-        docs = np.array(sorted(per_doc), dtype=np.int64)
-        lens = np.array([per_doc[int(x)] + 1 for x in docs], dtype=np.int64)
-        return docs, lens
+        alldocs = np.concatenate(doc_parts)
+        allj = np.concatenate(j_parts)
+        order = np.argsort(alldocs, kind="stable")
+        alldocs, allj = alldocs[order], allj[order]
+        uniq, starts = np.unique(alldocs, return_index=True)
+        maxj = np.maximum.reduceat(allj, starts)
+        return uniq, maxj + 1
 
     # ------------------------------------------------------------ docmap
 

@@ -184,8 +184,18 @@ class NoiseParser:
         return v
 
     def consume_integer(self) -> int | None:
-        v = self.consume_number()
-        return None if v is None else int(v)
+        """Leading ASCII digits ONLY (src/parser.rs:217-233): ``2.5``
+        parses as 2 leaving ``.5`` to fail downstream, exactly like the
+        reference — never a silent float truncation."""
+        self._ws()
+        p = self.pos
+        while p < len(self.text) and self.text[p].isdigit():
+            p += 1
+        if p == self.pos:
+            return None
+        v = int(self.text[self.pos: p])
+        self.pos = p
+        return v
 
     def consume_json_primitive(self):
         p = self.maybe_param()

@@ -90,18 +90,25 @@ class LazyBlock:
         return self._decoded
 
 
-def _zone_value(v):
+def _zone_value(v, arrow_type=None):
     """Map a Parquet-footer min/max into the engine's RangeQ comparison
-    domain (engine._eval_range casts timestamps/dates to int64 and
-    numerics to float64).  Bools pass through; unmappable types → None."""
+    domain (engine._eval_range casts timestamps/dates to int64 in the
+    COLUMN'S OWN UNIT and numerics to float64), so the timestamp cast
+    must use the column unit — a ns column's stat converted at the
+    datetime default (us) would be 1000x off and silently prune
+    partitions that match.  Bools pass through; unmappable → None."""
     import datetime
+
+    import pyarrow.types as pt
 
     if isinstance(v, bool):
         return v
     if isinstance(v, (int, float)):
         return float(v)
     if isinstance(v, datetime.datetime):
-        return float(np.datetime64(v.replace(tzinfo=None), "us")
+        unit = (arrow_type.unit if arrow_type is not None
+                and pt.is_timestamp(arrow_type) else "us")
+        return float(np.datetime64(v.replace(tzinfo=None), unit)
                      .astype(np.int64))
     if isinstance(v, datetime.date):
         return float(np.datetime64(v, "D").astype(np.int64))
@@ -445,7 +452,9 @@ class IndexReader:
         if md is None:
             md = self._docmap_meta[path] = pq.read_metadata(path)
         try:
-            ci = md.schema.to_arrow_schema().names.index(col)
+            schema = md.schema.to_arrow_schema()
+            ci = schema.names.index(col)
+            arrow_type = schema.field(ci).type
         except ValueError:
             out = (None, None, None, 0)
             self._zone_cache[key] = out
@@ -472,11 +481,18 @@ class IndexReader:
                     continue
                 ok = False
                 continue
-            lo = _zone_value(st.min)
-            hi = _zone_value(st.max)
+            lo = _zone_value(st.min, arrow_type)
+            hi = _zone_value(st.max, arrow_type)
             if lo is None or hi is None:
                 ok = False
                 continue
+            import pyarrow.types as _pt
+
+            if _pt.is_timestamp(arrow_type) and arrow_type.unit == "ns":
+                # footer stats surface as datetimes (us precision): widen
+                # by the truncation so boundary rows never prune away
+                lo -= 1000.0
+                hi += 1000.0
             vmin = lo if vmin is None else min(vmin, lo)
             vmax = hi if vmax is None else max(vmax, hi)
         out = ((vmin, vmax, null_count, rows) if ok
