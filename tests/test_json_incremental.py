@@ -82,3 +82,32 @@ def test_epoch_add_upsert_delete_compact(ray_session, tmp_path):
     pf = docs_to_parquet(live, os.path.join(base, "fresh.parquet"))
     build_json_index([pf], fresh_dir, num_buckets=8)
     assert _run_all(idx) == _run_all(fresh_dir)
+
+
+def test_not_after_upsert_ignores_tombstoned_lengths(ray_session, tmp_path):
+    """Regression: a tombstoned doc's array length must not scatter onto
+    the next live doc in NOT's candidate walk — an unrelated upsert used
+    to fabricate NOT instances and flip query results."""
+    from noise_ray.build.json_incremental import add_json_documents
+    from noise_ray.build.json_pipeline import build_json_index, docs_to_parquet
+    from noise_ray.query.json_executor import run_json_query
+    from noise_ray.query.json_reader import JsonIndexReader
+
+    base = str(tmp_path)
+    docs = [
+        {"_id": "t", "arr": [{"x": "a"}, {"x": "a"}, {"x": "a"},
+                             {"x": "a"}]},
+        {"_id": "d", "arr": [{"y": "a"}, {"y": "b"}, {"y": "r"}]},
+        {"_id": "e", "arr": [{"x": "q"}]},
+    ]
+    p = docs_to_parquet(docs, os.path.join(base, "in.parquet"))
+    idx = os.path.join(base, "idx")
+    build_json_index([p], idx, num_buckets=4)
+    q = 'find {arr: [{x: != "q", y: == "r"}]} return ._id ;'
+    before = run_json_query(JsonIndexReader(idx), q)
+    assert before == []
+    # upsert doc "t" (tombstones doc 0, whose arr has length 4)
+    p2 = docs_to_parquet([{"_id": "t", "arr": [{"x": "zz"}]}],
+                         os.path.join(base, "in2.parquet"), docid_base=3)
+    add_json_documents(idx, [p2])
+    assert run_json_query(JsonIndexReader(idx), q) == before
