@@ -141,7 +141,7 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     nested_root = os.path.join(os.path.dirname(paths[0]), "nested")
     shutil.rmtree(nested_root, ignore_errors=True)
     t0 = time.perf_counter()
-    nr = nested_transcripts_index(SF_DIR)
+    nr = nested_transcripts_index(SF_DIR, paths=paths)
     out["nested_build_sec"] = round(time.perf_counter() - t0, 3)
     out["nested_turns_per_sec"] = round(num_docs / out["nested_build_sec"],
                                         1)

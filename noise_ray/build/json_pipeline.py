@@ -79,12 +79,14 @@ def docs_to_parquet(docs: list, out_path: str, docid_base: int = 0,
             d = json.loads(d)
         if not isinstance(d, dict):
             raise ValueError("Expected JSON object document")
+        if "_id" in d and not isinstance(d["_id"], str):
+            # a present-but-non-string _id (incl. null) is an error,
+            # like the reference shredder
+            raise ValueError(
+                "Expected string for `_id` field, got another type")
         the_id = d.get("_id")
         if the_id is None:
             the_id = f"doc{id_prefix}{docid_base + i}"
-        elif not isinstance(the_id, str):
-            raise ValueError(
-                "Expected string for `_id` field, got another type")
         ids.append(the_id)
         texts.append(json.dumps(d, ensure_ascii=False))
     if seqs is None:

@@ -241,10 +241,13 @@ def shred(doc: dict, docid: str | None = None,
         else:
             raise ShredError(f"unshreddable value type {type(v).__name__}")
 
-    the_id = doc.get("_id")
-    if the_id is not None and not isinstance(the_id, str):
+    # a PRESENT root _id of any non-string type — including null —
+    # errors (src/json_shred.rs:237-240 checks the value code, and 'N'
+    # is not 's'); only an ABSENT _id falls back to the supplied docid
+    if "_id" in doc and not isinstance(doc["_id"], str):
         raise ShredError(
             "Expected string for `_id` field, got another type")
+    the_id = doc.get("_id")
     if the_id is None:
         the_id = docid
     walk(doc, [], [], True)

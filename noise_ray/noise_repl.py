@@ -176,11 +176,12 @@ class NoiseRepl:
         if not isinstance(doc, dict):
             self._p("Shred error: Expected JSON object document")
             return
-        the_id = doc.get("_id")
-        if the_id is not None and not isinstance(the_id, str):
+        if "_id" in doc and not isinstance(doc["_id"], str):
+            # includes `"_id": null` (src/json_shred.rs:237-240)
             self._p("Shred error: Expected string for `_id` field, got "
                     "another type")
             return
+        the_id = doc.get("_id")
         if the_id is None:
             import uuid
 

@@ -171,13 +171,17 @@ def _verified_bucket_pairs(n: int, pair_mask_fn):
 
     ``pair_mask_fn(ii, jj) -> bool mask`` runs the verification
     (hamming / cosine) vectorized over index pairs.  Small buckets do
-    verified all-pairs.  Giant buckets peel in HUB ROUNDS: the min
-    member verifies against the rest; matched members join its
+    verified all-pairs (exact).  Giant buckets peel in HUB ROUNDS: the
+    min member verifies against the rest; matched members join its
     component and drop out; the unmatched remainder repeats with a new
-    hub until small enough for all-pairs — so a verified pair can never
-    be lost to an unverified star hub (two near-dups far from the
-    boilerplate hub still meet in a later round or the remainder).
-    Returns verified ``(ii, jj)`` index pairs."""
+    hub until small enough for all-pairs.  Guarantees in the degenerate
+    regime: every emitted pair is verified, and every member that
+    matches SOME hub is connected to a component.  It is NOT a complete
+    pair list: a pair between a hub-matched member and a later member is
+    not re-tested once the former drops out (completeness there costs
+    O(n²) in buckets that only arise from boilerplate content at corpus
+    scale; below _MAX_BUCKET the result is exact, which covers the
+    oracle fixtures).  Returns verified ``(ii, jj)`` index pairs."""
     if n <= _MAX_BUCKET:
         iu = np.triu_indices(n, k=1)
         ii, jj = iu[0].astype(np.int64), iu[1].astype(np.int64)
@@ -296,15 +300,24 @@ def _simhash_sigs(texts) -> tuple[np.ndarray, np.ndarray]:
 
     h, offs = tokenize_hashes(texts)
     counts = offs[1:] - offs[:-1]
+    # per-doc bit counts with ONE uint8 bits matrix + reduceat at doc
+    # starts (a token×64 int32 matrix plus a full cumsum copy would be
+    # ~512 B/token of transient memory per batch — enough to OOM
+    # concurrent workers on long-text blocks)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int32)
-    csum = np.zeros((h.size + 1, 64), np.int32)
-    np.cumsum(bits, axis=0, out=csum[1:])
-    ones = csum[offs[1:]] - csum[offs[:-1]]          # (n_docs, 64)
-    sig_bits = (2 * ones > counts[:, None])          # majority (ties -> 0)
+            & np.uint64(1)).astype(np.uint8)
+    starts = offs[:-1].astype(np.int64)
+    # reduceat needs monotone indices over a non-empty axis; empty docs
+    # repeat the next start, yielding the NEXT doc's row — masked below
+    if h.size == 0:
+        return np.zeros(counts.size, np.uint64), counts
+    safe = np.minimum(starts, h.size - 1)
+    ones = np.add.reduceat(bits, safe, axis=0).astype(np.int64)
+    sig_bits = (2 * ones > counts[:, None]) & (counts[:, None] > 0)
     sigs = np.bitwise_or.reduce(
         sig_bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :],
         axis=1)
+    sigs[counts == 0] = 0
     return sigs, counts
 
 

@@ -101,16 +101,21 @@ def _orders_index(sf_dir: str) -> str:
     return idx_dir
 
 
-def nested_transcripts_index(sf_dir: str):
+def nested_transcripts_index(sf_dir: str, paths: list[str] | None = None):
     """The flagship transcript corpus packed as NESTED conversation
     documents — ``{_id: conv_id, turns: [{i, role, text, tool}, ...]}``
     — indexed by the nested build.  This is the reference's native data
     model applied to the target workload: per-turn postings under
     ``.turns$.text`` with the turn index as the arraypath, so
-    array-context queries scope boolean logic to a single turn."""
-    from ..pipelines.flagship import transcripts_corpus
+    array-context queries scope boolean logic to a single turn.
 
-    paths = transcripts_corpus(sf_dir)
+    ``paths`` overrides the corpus (bench.py passes its own, which may
+    be resized via GRAFT_BENCH_CONVS — the cache dir must follow the
+    ACTUAL corpus or a stale index gets measured)."""
+    if paths is None:
+        from ..pipelines.flagship import transcripts_corpus
+
+        paths = transcripts_corpus(sf_dir)
     root = os.path.join(os.path.dirname(paths[0]), "nested")
     idx_dir = os.path.join(root, "idx")
     from ..query.json_reader import JsonIndexReader

@@ -72,11 +72,6 @@ class InstSet:
         return np.hstack([self.docs[:, None], self.aps])
 
 
-def _empty_set(depth: int = 0) -> InstSet:
-    return InstSet(np.zeros(0, dtype=np.int64),
-                   np.zeros((0, depth), dtype=np.int64))
-
-
 class RowPack:
     """Packs (doc, arraypath) key rows into single int64 scalars so set
     ops run on 1-D arrays (union1d/intersect1d/searchsorted) instead of

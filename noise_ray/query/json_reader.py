@@ -131,7 +131,6 @@ class JsonIndexReader:
         self._postings_cache: dict[tuple, InstPostings] = {}
         self._stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
         self._values_kp_cache: dict[str, tuple] = {}
-        self._values_tbl_cache: dict[str, pa.Table] = {}
         self._zones_cache: dict[str, dict] = {}
         self._json_cache: dict = {}
         # tombstoned doc_ids (upserted or deleted): hidden from every
@@ -268,14 +267,6 @@ class JsonIndexReader:
         return out
 
     # ------------------------------------------------------------ values
-
-    def _values_table(self, path: str) -> pa.Table:
-        t = self._values_tbl_cache.get(path)
-        if t is None:
-            t = pq.read_table(path)
-            if len(self._values_tbl_cache) < 64:
-                self._values_tbl_cache[path] = t
-        return t
 
     def _kp_zones(self, path: str) -> dict:
         z = self._zones_cache.get(path)
@@ -434,13 +425,38 @@ class JsonIndexReader:
 
     def doc_seqs(self, doc_ids: np.ndarray) -> list:
         """The reference's add-order seq per doc (docmap ``seq`` column;
-        equals doc_id for indexes built without one)."""
-        import pyarrow.parquet as _pq
-
-        if self._docmap and "seq" in _pq.read_schema(
-                self._docmap[0]["path"]).names:
-            return self._doc_col(doc_ids, "seq")
-        return [int(d) for d in np.asarray(doc_ids)]
+        equals doc_id for docs in partitions built without one — epochs
+        ingested from raw ``(_id, json)`` shards may mix with seq-bearing
+        base partitions, so the fallback is PER PARTITION)."""
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        out = [None] * doc_ids.size
+        srt = np.argsort(doc_ids, kind="stable")
+        sorted_ids = doc_ids[srt]
+        for dm in self._docmap:
+            lo, hi = dm["min_doc"], dm["max_doc"]
+            s = np.searchsorted(sorted_ids, lo, side="left")
+            e = np.searchsorted(sorted_ids, hi, side="right")
+            if e <= s:
+                continue
+            has_seq = dm.get("_has_seq")
+            if has_seq is None:
+                has_seq = "seq" in pq.read_schema(dm["path"]).names
+                dm["_has_seq"] = has_seq
+            if has_seq:
+                ckey = (dm["path"], "seq")
+                arr = self._json_cache.get(ckey)
+                if arr is None:
+                    arr = pq.read_table(
+                        dm["path"], columns=["seq"]).column("seq") \
+                        .to_pylist()
+                    if len(self._json_cache) < 64:
+                        self._json_cache[ckey] = arr
+                for i in range(s, e):
+                    out[srt[i]] = arr[sorted_ids[i] - lo]
+            else:
+                for i in range(s, e):
+                    out[srt[i]] = int(sorted_ids[i])
+        return out
 
     def _doc_col(self, doc_ids: np.ndarray, col: str) -> list:
         doc_ids = np.asarray(doc_ids, dtype=np.int64)

@@ -14,10 +14,9 @@ Boolean operators are right-associative with equal precedence, exactly like
 the reference's ``obool`` (src/parser.rs:733-746): ``a || b && c`` parses as
 ``Or(a, And(b, c))``.
 
-Array contexts ``[...]``, bind variables, nested keypaths and the full
-return grammar live in the NESTED parser (noise_parser.py), used with
-nested-JSON indexes; geospatial ``&&`` bbox stays a non-goal (SURVEY
-§2.10).
+Array contexts ``[...]``, bind variables, nested keypaths, geospatial
+``&&`` bbox and the full return grammar live in the NESTED parser
+(noise_parser.py), used with nested-JSON indexes.
 """
 
 from __future__ import annotations
