@@ -86,7 +86,11 @@ def docs_to_parquet(docs: list, out_path: str, docid_base: int = 0,
                 "Expected string for `_id` field, got another type")
         the_id = d.get("_id")
         if the_id is None:
+            # inject the generated id into the stored doc, like the
+            # reference's add_id (src/json_shred.rs:477-483): `return
+            # ._id` and whole-doc fetches must see it
             the_id = f"doc{id_prefix}{docid_base + i}"
+            d = {**d, "_id": the_id}
         ids.append(the_id)
         texts.append(json.dumps(d, ensure_ascii=False))
     if seqs is None:
@@ -117,7 +121,9 @@ def jsonl_to_doc_parquet(in_paths: list[str], out_dir: str) -> list[str]:
 
     items = [{"path": p, "seq": i} for i, p in enumerate(sorted(in_paths))]
     outs = ray.data.from_items(items).map(_one).take_all()
-    return [o["path"] for o in outs]
+    # take_all row order is not guaranteed across parallel tasks; shard
+    # names carry the input file order, so sorting restores doc order
+    return sorted(o["path"] for o in outs)
 
 
 # ----------------------------------------------------------------- stage 1+2
