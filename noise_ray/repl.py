@@ -8,6 +8,9 @@ engine:
     add <parquet> [...] ;     stage input parquet files (the reference's
                               per-doc `add` becomes per-file staging)
     fields f1,f2 ;            set indexed fields for the next commit
+    fields json ;             NESTED mode: commit builds a nested-JSON
+                              index from staged JSONL (arbitrary docs,
+                              keypath queries, epoch adds w/ upsert)
     keys k1,k2 ;              set the stable doc ordering key columns
     commit ;                  build (or resume) the index from staged files
                               — the atomic WriteBatch flush analogue
@@ -126,6 +129,8 @@ class Repl:
         jsonl = [p for p in paths
                  if p.endswith((".jsonl", ".json", ".ndjson"))]
         csvs = [p for p in paths if p.endswith(".csv")]
+        if self.fields == ("json",):
+            jsonl = []  # nested mode: commit converts JSONL itself
         if jsonl or csvs:
             # the reference's add takes JSON documents; convert through the
             # streaming source adapters into build-ready parquet shards
@@ -153,6 +158,9 @@ class Repl:
         self._p(f"staged {len(paths)} file(s), {len(self.staged)} pending")
 
     def cmd_fields(self, rest: str):
+        """``fields f1,f2 ;`` sets the flat indexed columns; ``fields
+        json ;`` switches the next commit to the NESTED build (arbitrary
+        JSON documents, keypath-qualified postings)."""
         self.fields = tuple(f.strip() for f in rest.split(",") if f.strip())
 
     def cmd_keys(self, rest: str):
@@ -165,9 +173,43 @@ class Repl:
         if not self.staged:
             self._p("nothing staged")
             return
-        from .build import MANIFEST_NAME, add_documents, build_index
+        from .build import (
+            MANIFEST_NAME, add_documents, add_json_documents, build_index,
+            build_json_index,
+        )
 
-        if os.path.exists(os.path.join(self.index_dir, MANIFEST_NAME)):
+        committed = os.path.exists(
+            os.path.join(self.index_dir, MANIFEST_NAME))
+        nested = self.fields == ("json",)
+        if committed:
+            with open(os.path.join(self.index_dir, MANIFEST_NAME)) as f:
+                nested = json.load(f).get("nested", False)
+        if nested:
+            # arbitrary-JSON mode: staged JSONL converts to (_id, json)
+            # shards, everything else must already be that shape
+            from .build.json_pipeline import jsonl_to_doc_parquet
+
+            jsonl = [p for p in self.staged
+                     if p.endswith((".jsonl", ".json", ".ndjson"))]
+            staged = [p for p in self.staged if p not in jsonl]
+            if jsonl:
+                import uuid
+
+                staged += jsonl_to_doc_parquet(
+                    jsonl, os.path.join(f"{self.index_dir}.staging",
+                                        f"json-{uuid.uuid4().hex[:8]}"))
+            if committed:
+                manifest = add_json_documents(self.index_dir, staged)
+                extra = (f", {len(manifest['tombstoned'])} upserted"
+                         if manifest.get("tombstoned") else "")
+                self._p(f"committed {manifest['num_docs']} new docs "
+                        f"(epoch at seq {manifest['doc_id_offset']})"
+                        f"{extra}")
+            else:
+                manifest = build_json_index(staged, self.index_dir)
+                self._p(f"committed {manifest['num_docs']} docs, "
+                        f"{len(manifest['segments'])} segments (nested)")
+        elif committed:
             # live index: append as an epoch with upsert semantics, the
             # reference's add-then-flush (/root/reference/src/repl.rs:170-182)
             manifest = add_documents(self.index_dir, self.staged)

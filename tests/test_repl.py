@@ -65,3 +65,33 @@ def test_repl_reopen(ray_session, tmp_path):
         out2, interactive=False)
     ids = [eval(l)["doc_id"] for l in out2.getvalue().strip().splitlines()]
     assert ids == [1, 2]
+
+
+def test_repl_nested_workflow(ray_session, tmp_path):
+    """`fields json` switches the CLI to the nested build: JSONL docs in,
+    keypath finds out, second commit becomes an epoch add."""
+    import io
+    import json as _json
+
+    from noise_ray.repl import Repl
+
+    d = str(tmp_path)
+    with open(f"{d}/docs.jsonl", "w") as f:
+        f.write(_json.dumps({"_id": "1", "msgs": [{"t": "quick fox"}]}) + "\n")
+        f.write(_json.dumps({"_id": "2", "msgs": [{"t": "lazy dog"}]}) + "\n")
+    with open(f"{d}/more.jsonl", "w") as f:
+        f.write(_json.dumps({"_id": "3", "msgs": [{"t": "brown fox"}]}) + "\n")
+    out = io.StringIO()
+    r = Repl(out)
+    for stmt in (f"create {d}/idx", "fields json", f"add {d}/docs.jsonl",
+                 "commit", 'find {msgs: [{t: ~="fox"}]} return ._id'):
+        r.execute(stmt)
+    assert '"1"' in out.getvalue()
+    out2 = io.StringIO()
+    r.out = out2
+    for stmt in (f"add {d}/more.jsonl", "commit",
+                 'find {msgs: [{t: ~="fox"}]} return ._id'):
+        r.execute(stmt)
+    lines = out2.getvalue().splitlines()
+    assert "epoch at seq 2" in lines[1]
+    assert lines[-2:] == ['"1"', '"3"']
