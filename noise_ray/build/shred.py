@@ -144,7 +144,7 @@ class ShredError(ValueError):
     pass
 
 
-@dataclass
+@dataclass(slots=True)
 class Entry:
     kp: str                 # keypath with bare $ markers
     ap: tuple[int, ...]     # one index per $
