@@ -243,19 +243,33 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
         return [_render_tree(q.returns, iter(r)) for r in out_rows]
 
     if q.order:
-        def order_key(k: ast.OrderKey, i: int):
-            if k.score:
-                return float(np.float64(scores[i]))
-            v = fetch_path(fetcher.doc(i), k.field)
-            if v is _MISSING:
-                return literal_value(k.default) if k.default is not None \
-                    else None
-            return v
+        score_only = all(k.score for k in q.order)
+        if score_only and n and np.unique(scores).size == n:
+            # untied score ordering is a TOTAL order: any sort method
+            # yields the buffered machinery's exact output, so skip the
+            # per-row Python rows (ties — where merge interleaving is
+            # observable, query_basic.noise — fall through to the port)
+            prim = scores.astype(np.float64)
+            sel = np.argsort(-prim if q.order[0].desc else prim,
+                             kind="stable")
+            if q.limit is not None:
+                sel = sel[: q.limit]
+            sel = sel.tolist()
+        else:
+            def order_key(k: ast.OrderKey, i: int):
+                if k.score:
+                    return float(np.float64(scores[i]))
+                v = fetch_path(fetcher.doc(i), k.field)
+                if v is _MISSING:
+                    return literal_value(k.default) \
+                        if k.default is not None else None
+                return v
 
-        rows = [tuple(order_key(k, i) for k in q.order) + (i,)
-                for i in range(n)]
-        ordered = order_and_limit(rows, [k.desc for k in q.order], q.limit)
-        sel = [r[-1] for r in ordered]
+            rows = [tuple(order_key(k, i) for k in q.order) + (i,)
+                    for i in range(n)]
+            ordered = order_and_limit(rows, [k.desc for k in q.order],
+                                      q.limit)
+            sel = [r[-1] for r in ordered]
     elif q.limit is not None:
         sel = range(min(q.limit, n))
     else:
