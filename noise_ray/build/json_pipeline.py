@@ -106,7 +106,11 @@ def jsonl_to_doc_parquet(in_paths: list[str], out_dir: str) -> list[str]:
     """Convert JSONL files of arbitrary JSON docs into ``(_id, json)``
     shards, one per input file (per-file tasks keep within-file line
     order, which defines doc_id order)."""
+    import hashlib as _hashlib
+
     os.makedirs(out_dir, exist_ok=True)
+    dest_tag = _hashlib.md5(
+        os.path.abspath(out_dir).encode()).hexdigest()[:8]
 
     def _one(row: dict) -> dict:
         src = row["path"]
@@ -114,9 +118,11 @@ def jsonl_to_doc_parquet(in_paths: list[str], out_dir: str) -> list[str]:
         if not os.path.exists(out):
             with open(src) as f:
                 docs = [l for l in f if l.strip()]
-            # per-file id prefix: _id-less docs must not collide across
-            # files (the reference generates UUIDs; we need determinism)
-            docs_to_parquet(docs, out, id_prefix=f"{row['seq']}-")
+            # id prefix unique per (destination, file): _id-less docs
+            # must not collide across files OR across separate ingest
+            # calls (the reference generates UUIDs; we keep determinism
+            # per destination so resumed conversions reuse the same ids)
+            docs_to_parquet(docs, out, id_prefix=f"{dest_tag}-{row['seq']}-")
         return {"path": out}
 
     items = [{"path": p, "seq": i} for i, p in enumerate(sorted(in_paths))]

@@ -190,13 +190,24 @@ def _verified_bucket_pairs(n: int, pair_mask_fn):
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
     remaining = np.arange(n, dtype=np.int64)
-    while remaining.size > _MAX_BUCKET:
+    rounds = 0
+    while remaining.size > _MAX_BUCKET and rounds < 64:
+        rounds += 1
         hub, rest = remaining[0], remaining[1:]
         m = pair_mask_fn(np.full(rest.size, hub, np.int64), rest)
         if m.any():
             out_i.append(np.full(int(m.sum()), hub, np.int64))
             out_j.append(rest[m])
         remaining = rest[~m]
+    if remaining.size > _MAX_BUCKET:
+        # pathological low-match giant bucket: bounded rounds exhausted
+        # without shrinking — degrade to star CANDIDATES (verified), the
+        # pre-existing linear behavior, instead of going O(N^2)
+        hub, rest = remaining[0], remaining[1:]
+        m = pair_mask_fn(np.full(rest.size, hub, np.int64), rest)
+        out_i.append(np.full(int(m.sum()), hub, np.int64))
+        out_j.append(rest[m])
+        remaining = remaining[:0]
     if remaining.size > 1:
         iu = np.triu_indices(remaining.size, k=1)
         ii, jj = remaining[iu[0]], remaining[iu[1]]
@@ -306,18 +317,20 @@ def _simhash_sigs(texts) -> tuple[np.ndarray, np.ndarray]:
     # concurrent workers on long-text blocks)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.uint8)
-    starts = offs[:-1].astype(np.int64)
-    # reduceat needs monotone indices over a non-empty axis; empty docs
-    # repeat the next start, yielding the NEXT doc's row — masked below
-    if h.size == 0:
-        return np.zeros(counts.size, np.uint64), counts
-    safe = np.minimum(starts, h.size - 1)
-    ones = np.add.reduceat(bits, safe, axis=0).astype(np.int64)
-    sig_bits = (2 * ones > counts[:, None]) & (counts[:, None] > 0)
-    sigs = np.bitwise_or.reduce(
+    nz = counts > 0
+    sigs = np.zeros(counts.size, np.uint64)
+    if h.size == 0 or not nz.any():
+        return sigs, counts
+    # reduceat over NON-EMPTY doc starts only: empty docs own no token
+    # rows, so consecutive non-empty starts bound exactly one doc's
+    # segment (clamping empty starts instead would split the last doc's
+    # segment and corrupt its signature at batch boundaries)
+    starts_nz = offs[:-1][nz].astype(np.int64)
+    ones = np.add.reduceat(bits, starts_nz, axis=0).astype(np.int64)
+    sig_bits = 2 * ones > counts[nz][:, None]
+    sigs[nz] = np.bitwise_or.reduce(
         sig_bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :],
         axis=1)
-    sigs[counts == 0] = 0
     return sigs, counts
 
 

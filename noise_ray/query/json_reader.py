@@ -458,7 +458,12 @@ class JsonIndexReader:
                     out[srt[i]] = int(sorted_ids[i])
         return out
 
-    def _doc_col(self, doc_ids: np.ndarray, col: str) -> list:
+    def _doc_col(self, doc_ids: np.ndarray, col: str,
+                 missing_fallback=None) -> list:
+        """Per-doc values of one docmap column, in ``doc_ids`` order.
+        ``missing_fallback(doc_id)`` supplies values for docs whose
+        partition lacks the column (only the optional ``seq`` column);
+        without it a missing column raises."""
         doc_ids = np.asarray(doc_ids, dtype=np.int64)
         out = [None] * doc_ids.size
         srt = np.argsort(doc_ids, kind="stable")
@@ -469,6 +474,16 @@ class JsonIndexReader:
             e = np.searchsorted(sorted_ids, hi, side="right")
             if e <= s:
                 continue
+            if missing_fallback is not None:
+                key = f"_has_{col}"
+                has = dm.get(key)
+                if has is None:
+                    has = col in pq.read_schema(dm["path"]).names
+                    dm[key] = has
+                if not has:
+                    for i in range(s, e):
+                        out[srt[i]] = missing_fallback(sorted_ids[i])
+                    continue
             ckey = (dm["path"], col)
             arr = self._json_cache.get(ckey)
             if arr is None:

@@ -189,7 +189,7 @@ class NoiseParser:
         reference — never a silent float truncation."""
         self._ws()
         p = self.pos
-        while p < len(self.text) and self.text[p].isdigit():
+        while p < len(self.text) and "0" <= self.text[p] <= "9":
             p += 1
         if p == self.pos:
             return None

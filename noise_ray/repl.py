@@ -118,6 +118,19 @@ class Repl:
             self.index_dir = None
             self.reader = None
 
+    def _nested_mode(self) -> bool:
+        """Nested when `fields json` was set OR the open index's manifest
+        says so (a reopened nested index must not convert JSONL through
+        the flat transcript adapter)."""
+        if self.fields == ("json",):
+            return True
+        if self.index_dir is not None:
+            mpath = os.path.join(self.index_dir, "manifest.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    return bool(json.load(f).get("nested", False))
+        return False
+
     def cmd_add(self, rest: str):
         paths = []
         for pat in rest.split():
@@ -129,7 +142,7 @@ class Repl:
         jsonl = [p for p in paths
                  if p.endswith((".jsonl", ".json", ".ndjson"))]
         csvs = [p for p in paths if p.endswith(".csv")]
-        if self.fields == ("json",):
+        if self._nested_mode():
             jsonl = []  # nested mode: commit converts JSONL itself
         if jsonl or csvs:
             # the reference's add takes JSON documents; convert through the
@@ -180,10 +193,7 @@ class Repl:
 
         committed = os.path.exists(
             os.path.join(self.index_dir, MANIFEST_NAME))
-        nested = self.fields == ("json",)
-        if committed:
-            with open(os.path.join(self.index_dir, MANIFEST_NAME)) as f:
-                nested = json.load(f).get("nested", False)
+        nested = self._nested_mode()
         if nested:
             # arbitrary-JSON mode: staged JSONL converts to (_id, json)
             # shards, everything else must already be that shape

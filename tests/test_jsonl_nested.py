@@ -31,7 +31,10 @@ def test_jsonl_to_nested_index(ray_session, tmp_path):
     assert r.num_docs == 4
 
     ids = run_json_query(r, 'find {msgs: [{t: ~="fox"}]} return ._id ;')
-    assert ids == ["x", "doc1-0"]  # per-file prefix: no cross-file clash
+    # auto-ids carry a (destination, file) prefix: no collisions across
+    # files or across separate ingest calls
+    assert ids[0] == "x" and ids[1].startswith("doc") \
+        and ids[1].endswith("-1-0")
     assert run_json_query(r, "find {n: >= 5} return ._id ;") == ["y"]
     # every auto-id is unique
     import numpy as np
