@@ -346,10 +346,24 @@ class CompiledJsonQuery:
         return resized(self._eval(self.node), 0)
 
     def _postings(self, kp: str, term: str,
-                  need_positions: bool = True) -> InstPostings:
-        pl = self.reader.postings(kp, term, need_positions, self.doc_range)
-        if self.doc_range is not None:
-            pl = pl.slice_range(*self.doc_range)
+                  need_positions: bool = True,
+                  span: tuple[int, int] | None = None) -> InstPostings:
+        """``span`` narrows the read beyond the compiled doc_range (the
+        allowed-candidates span of an enclosing AND): block bounds push
+        into the segment read, then the decoded list is sliced exactly."""
+        rng = self.doc_range
+        if span is not None:
+            if rng is None:
+                rng = span
+            else:
+                rng = (max(rng[0], span[0]), min(rng[1], span[1]))
+            if rng[0] >= rng[1]:
+                from .json_reader import _empty_inst, kp_depth as _kd
+
+                return _empty_inst(_kd(kp))
+        pl = self.reader.postings(kp, term, need_positions, rng)
+        if rng is not None:
+            pl = pl.slice_range(*rng)
         return pl
 
     def _doc_universe(self) -> np.ndarray:
@@ -385,41 +399,78 @@ class CompiledJsonQuery:
         idx = np.flatnonzero(keep)
         return _gather(r, idx, r.docs[idx], r.aps[idx])
 
-    def _eval(self, node: ast.Node) -> InstSet:
-        r = self._eval_node(node)
+    def _eval(self, node: ast.Node,
+              allowed: np.ndarray | None = None) -> InstSet:
+        """``allowed`` is a sorted array of LIVE doc ids that the result
+        will be intersected with at doc level by an enclosing AND — a
+        pure pruning hint.  Restricting any subtree to a doc SUPERSET of
+        the final intersection is exact (scores and binds of surviving
+        instances are computed from their own postings/values either
+        way), and it turns the classic leapfrog advantage of the
+        reference's AndFilter into candidate pushdown: the selective
+        side evaluates first and the unselective side (a low-selectivity
+        exact match is otherwise a corpus-wide values scan) only touches
+        the candidates' doc span."""
+        r = self._eval_node(node, allowed)
         if isinstance(node, self._LEAVES):
             r = self._drop_dead(r)
         return r
 
-    def _eval_node(self, node: ast.Node) -> InstSet:
+    @staticmethod
+    def _restrict(r: InstSet, allowed: np.ndarray | None) -> InstSet:
+        if allowed is None or r.size == 0:
+            return r
+        pos = np.searchsorted(allowed, r.docs)
+        pos[pos >= allowed.size] = max(allowed.size - 1, 0)
+        keep = (allowed.size > 0) & (allowed[pos] == r.docs) \
+            if allowed.size else np.zeros(r.size, dtype=bool)
+        if isinstance(keep, np.bool_):
+            keep = np.zeros(r.size, dtype=bool)
+        if keep.all():
+            return r
+        idx = np.flatnonzero(keep)
+        return _gather(r, idx, r.docs[idx], r.aps[idx])
+
+    @staticmethod
+    def _span_of(allowed: np.ndarray | None):
+        if allowed is None:
+            return None
+        if allowed.size == 0:
+            return (0, 0)
+        return (int(allowed[0]), int(allowed[-1]) + 1)
+
+    def _eval_node(self, node: ast.Node,
+                   allowed: np.ndarray | None = None) -> InstSet:
         if isinstance(node, ast.Term):
             pl = self._postings(node.field, _stem_one(node.word),
-                                need_positions=False)
+                                need_positions=False,
+                                span=self._span_of(allowed))
             r = InstSet(pl.docs, pl.aps)
             slot = getattr(node, "_slot", None)
             if slot is not None and not np.isnan(slot.idf):
                 r.slots[slot.ordinal] = (
                     self._term_scores(pl.tfs, pl.lens, slot),
                     np.ones(pl.size, dtype=np.int32))
-            return r
+            return self._restrict(r, allowed)
 
         if isinstance(node, ast.Phrase):
-            return self._eval_phrase(node)
+            return self._restrict(self._eval_phrase(node, allowed), allowed)
 
         if isinstance(node, ast.Proximity):
-            return self._eval_proximity(node)
+            return self._restrict(self._eval_proximity(node, allowed),
+                                  allowed)
 
         if isinstance(node, ast.Exact):
-            return self._eval_exact(node)
+            return self._eval_exact(node, allowed)
 
         if isinstance(node, ast.RangeQ):
-            return self._eval_range(node)
+            return self._eval_range(node, allowed)
 
         if isinstance(node, ast.BboxQ):
-            return self._eval_bbox(node)
+            return self._eval_bbox(node, allowed)
 
         if isinstance(node, ast.AllDocs):
-            docs = self._doc_universe()
+            docs = allowed if allowed is not None else self._doc_universe()
             r = InstSet(docs, np.zeros((docs.size, 0), dtype=np.int64))
             # ordinal 1 hardcoded, like the reference (src/filters.rs:58-63)
             r.slots[1] = (np.ones(docs.size, dtype=F32),
@@ -427,26 +478,38 @@ class CompiledJsonQuery:
             return r
 
         if isinstance(node, ast.Boost):
-            r = self._eval(node.inner)  # keeps binds and collect order
+            r = self._eval(node.inner, allowed)  # keeps binds + order
             for o, (s, c) in r.slots.items():
                 r.slots[o] = ((s * F32(node.factor)).astype(F32), c)
             return r
 
         if isinstance(node, ast.And):
-            sets = [resized(self._eval(c), node.depth)
-                    for c in node.clauses]
+            # evaluate selective children first and thread the shrinking
+            # candidate-doc set into the rest — the vectorized form of
+            # AndFilter's leapfrog (results are identical: restricting a
+            # side to a doc superset of the intersection is exact)
+            order = sorted(range(len(node.clauses)),
+                           key=lambda i: _sel_rank(node.clauses[i]))
+            sets: list = [None] * len(node.clauses)
+            cur = allowed
+            for i in order:
+                r = resized(self._eval(node.clauses[i], cur), node.depth)
+                sets[i] = r
+                docs = np.unique(r.docs)
+                cur = docs if cur is None else \
+                    np.intersect1d(cur, docs, assume_unique=True)
             return _intersect(sets)
 
         if isinstance(node, ast.Or):
-            lr = resized(self._eval(node.left), node.depth)
-            rr = resized(self._eval(node.right), node.depth)
+            lr = resized(self._eval(node.left, allowed), node.depth)
+            rr = resized(self._eval(node.right, allowed), node.depth)
             return _union(lr, rr)
 
         if isinstance(node, ast.Not):
-            return self._eval_not(node)
+            return self._eval_not(node, allowed)
 
         if isinstance(node, ast.Bind):
-            return self._eval_bind(node)
+            return self._eval_bind(node, allowed)
 
         raise TypeError(f"unknown node {node!r}")
 
@@ -463,12 +526,14 @@ class CompiledJsonQuery:
             node._slots = slots
         return terms, slots
 
-    def _phrase_candidates(self, kp: str, terms: list[str]):
+    def _phrase_candidates(self, kp: str, terms: list[str],
+                           allowed: np.ndarray | None = None):
         """(surviving ordinals, ordinal→key matrix, shims) — the
         instance-granular phrase chain: instances align by
         (doc, arraypath), exactly the StemmedPhraseFilter equality test
         on DocResults."""
-        pls = [self._postings(kp, t) for t in terms]
+        span = self._span_of(allowed)
+        pls = [self._postings(kp, t, span=span) for t in terms]
         shims, keymat = _ordinalize(pls)
         cand = shims[0].docs
         for s in shims[1:]:
@@ -478,17 +543,20 @@ class CompiledJsonQuery:
             cand = cand[surv]
         return cand, keymat, shims
 
-    def _eval_phrase(self, node: ast.Phrase) -> InstSet:
+    def _eval_phrase(self, node: ast.Phrase,
+                     allowed: np.ndarray | None = None) -> InstSet:
         terms, slots = self._phrase_meta(node)
         if len(terms) == 1:
-            pl = self._postings(node.field, terms[0], need_positions=False)
+            pl = self._postings(node.field, terms[0], need_positions=False,
+                                span=self._span_of(allowed))
             r = InstSet(pl.docs, pl.aps)
             if not np.isnan(slots[0].idf):
                 r.slots[slots[0].ordinal] = (
                     self._term_scores(pl.tfs, pl.lens, slots[0]),
                     np.ones(pl.size, dtype=np.int32))
             return r
-        cand, keymat, shims = self._phrase_candidates(node.field, terms)
+        cand, keymat, shims = self._phrase_candidates(node.field, terms,
+                                                      allowed)
         keys = keymat[cand]
         r = InstSet(keys[:, 0].copy(), np.ascontiguousarray(keys[:, 1:]))
         if cand.size and not np.isnan(slots[0].idf):
@@ -502,13 +570,25 @@ class CompiledJsonQuery:
 
     # ----------------------------------------------------------- exact
 
-    def _eval_exact(self, node: ast.Exact) -> InstSet:
+    def _eval_exact(self, node: ast.Exact,
+                    allowed: np.ndarray | None = None) -> InstSet:
         terms = [t for _, t in tokenize(node.literal)]
-        cand, keymat, _shims = self._phrase_candidates(node.field, terms)
+        cand, keymat, _shims = self._phrase_candidates(node.field, terms,
+                                                       allowed)
         keys = keymat[cand]
+        if allowed is not None and keys.shape[0]:
+            keep = np.searchsorted(allowed, keys[:, 0])
+            keep[keep >= allowed.size] = max(allowed.size - 1, 0)
+            keys = keys[allowed[keep] == keys[:, 0]] if allowed.size \
+                else keys[:0]
         if keys.shape[0]:
-            vdocs, vaps, vcodes, _vnums, vstrs, _vb = self.reader.values_kp(
-                node.field, self.doc_range)
+            if allowed is not None:
+                vdocs, vaps, vcodes, _vnums, vstrs, _vb = \
+                    self.reader.values_kp_for_docs(
+                        node.field, np.unique(keys[:, 0]))
+            else:
+                vdocs, vaps, vcodes, _vnums, vstrs, _vb = \
+                    self.reader.values_kp(node.field, self.doc_range)
             # restrict the value rows to matching strings FIRST, then a
             # sorted-rank membership test locates the candidates whose
             # stored value equals the literal (the phrase filter already
@@ -529,9 +609,14 @@ class CompiledJsonQuery:
 
     # ----------------------------------------------------------- range
 
-    def _eval_range(self, node: ast.RangeQ) -> InstSet:
-        docs, aps, codes, nums, _strs, _vb = self.reader.values_kp(
-            node.field, self.doc_range)
+    def _eval_range(self, node: ast.RangeQ,
+                    allowed: np.ndarray | None = None) -> InstSet:
+        if allowed is not None:
+            docs, aps, codes, nums, _strs, _vb = \
+                self.reader.values_kp_for_docs(node.field, allowed)
+        else:
+            docs, aps, codes, nums, _strs, _vb = self.reader.values_kp(
+                node.field, self.doc_range)
         if node.special == "true":
             mask = codes == "T"
         elif node.special == "false":
@@ -556,13 +641,18 @@ class CompiledJsonQuery:
                                      np.ones(n, dtype=np.int32))
         return r
 
-    def _eval_bbox(self, node: ast.BboxQ) -> InstSet:
+    def _eval_bbox(self, node: ast.BboxQ,
+                   allowed: np.ndarray | None = None) -> InstSet:
         """BboxFilter (src/filters.rs:503-586): stored boxes intersecting
         the query box.  ``order`` records the rtree-iteration rank — the
         rtree column family orders entries by their box, so within a doc
         results stream in bbox order, not arraypath order."""
-        docs, aps, codes, _nums, _strs, bboxes = self.reader.values_kp(
-            node.field, self.doc_range)
+        if allowed is not None:
+            docs, aps, codes, _nums, _strs, bboxes = \
+                self.reader.values_kp_for_docs(node.field, allowed)
+        else:
+            docs, aps, codes, _nums, _strs, bboxes = self.reader.values_kp(
+                node.field, self.doc_range)
         mask = codes == "r"
         if mask.any():
             w, e = bboxes[:, 0], bboxes[:, 1]
@@ -589,9 +679,11 @@ class CompiledJsonQuery:
 
     # ------------------------------------------------------- proximity
 
-    def _eval_proximity(self, node: ast.Proximity) -> InstSet:
+    def _eval_proximity(self, node: ast.Proximity,
+                        allowed: np.ndarray | None = None) -> InstSet:
         terms, slots = self._phrase_meta(node)
-        pls = [self._postings(node.field, t) for t in terms]
+        span = self._span_of(allowed)
+        pls = [self._postings(node.field, t, span=span) for t in terms]
         shims, keymat = _ordinalize(pls)
         score_arrays = [
             None if np.isnan(s.idf)
@@ -616,9 +708,10 @@ class CompiledJsonQuery:
 
     # --------------------------------------------------------------- not
 
-    def _eval_not(self, node: ast.Not) -> InstSet:
-        inner = resized(self._eval(node.inner), node.depth)
-        docs = self._doc_universe()
+    def _eval_not(self, node: ast.Not,
+                  allowed: np.ndarray | None = None) -> InstSet:
+        inner = resized(self._eval(node.inner, allowed), node.depth)
+        docs = allowed if allowed is not None else self._doc_universe()
         d = node.depth
         if d == 0:
             if inner.size:
@@ -638,7 +731,12 @@ class CompiledJsonQuery:
         # (src/filters.rs:964-993); minus the negated filter's keys with
         # all-zero middle dims.
         segs = parse_kp(node.kp)
-        ldocs, lens = self.reader.zero_prefix_lengths(segs, self.doc_range)
+        rng = self.doc_range
+        span = self._span_of(allowed)
+        if span is not None:
+            rng = span if rng is None else (max(rng[0], span[0]),
+                                            min(rng[1], span[1]))
+        ldocs, lens = self.reader.zero_prefix_lengths(segs, rng)
         L = np.ones(docs.size, dtype=np.int64)  # j=0 candidate for all
         if ldocs.size:
             # ldocs may contain docs NOT in the universe (tombstoned):
@@ -667,8 +765,9 @@ class CompiledJsonQuery:
 
     # -------------------------------------------------------------- bind
 
-    def _eval_bind(self, node: ast.Bind) -> InstSet:
-        inner = self._eval(node.inner)
+    def _eval_bind(self, node: ast.Bind,
+                   allowed: np.ndarray | None = None) -> InstSet:
+        inner = self._eval(node.inner, allowed)
         if inner.size == 0:
             return inner
         # one row per doc: the first instance's key/scores; vkeys of ALL
@@ -721,6 +820,27 @@ class CompiledJsonQuery:
             matched += has.astype(np.int32)
         return ((self.query_norm * acc).astype(F32)
                 * matched.astype(F32) / F32(self.num_slots)).astype(F32)
+
+
+def _sel_rank(node) -> int:
+    """Evaluation-order heuristic for AND children: postings-backed
+    leaves (bounded by their term's document frequency) before
+    values-scan leaves, with the corpus-wide NOT/AllDocs last."""
+    while isinstance(node, ast.Boost):
+        node = node.inner
+    if isinstance(node, (ast.Term, ast.Phrase, ast.Proximity)):
+        return 0
+    if isinstance(node, ast.BboxQ):
+        return 1
+    if isinstance(node, ast.RangeQ):
+        return 2
+    if isinstance(node, ast.Exact):
+        return 3
+    if isinstance(node, (ast.And, ast.Or, ast.Bind)):
+        return 4
+    if isinstance(node, ast.AllDocs):
+        return 5
+    return 6
 
 
 def _rows_in(a: np.ndarray, b: np.ndarray) -> np.ndarray:

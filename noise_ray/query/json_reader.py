@@ -276,6 +276,35 @@ class JsonIndexReader:
             self._zones_cache[path] = z
         return z
 
+    @staticmethod
+    def _decode_values(t: pa.Table, depth: int):
+        """A filtered values read → the 6-tuple arrays, (doc, ap)-sorted."""
+        n = t.num_rows
+        if not n:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros((0, depth), dtype=np.int64),
+                    np.zeros(0, dtype=object),
+                    np.zeros(0, dtype=np.float64),
+                    np.zeros(0, dtype=object),
+                    np.zeros((0, 4), dtype=np.float64))
+        docs = t.column("doc_id").to_numpy().astype(np.int64)
+        if depth:
+            flat = pc.list_flatten(t.column("ap")).to_numpy()
+            aps = flat.astype(np.int64).reshape(n, depth)
+        else:
+            aps = np.zeros((n, 0), dtype=np.int64)
+        codes = np.asarray(t.column("code").to_pylist(), dtype=object)
+        nums = t.column("num").to_numpy(zero_copy_only=False)
+        strs = np.asarray(t.column("str").to_pylist(), dtype=object)
+        bboxes = np.full((n, 4), np.nan)
+        if "bbox" in t.schema.names:
+            for i, b in enumerate(t.column("bbox").to_pylist()):
+                if b is not None:
+                    bboxes[i] = b
+        order = np.lexsort(tuple(aps.T[::-1]) + (docs,))
+        return (docs[order], aps[order], codes[order], nums[order],
+                strs[order], bboxes[order])
+
     def _values_kp_part(self, kp: str, path: str):
         """One partition's decoded value entries for a keypath, sorted by
         (doc, arraypath) — cached per (kp, partition) so a range-
@@ -286,35 +315,61 @@ class JsonIndexReader:
             return cached
         depth = kp_depth(kp)
         t = pq.read_table(path, filters=[("kp", "==", kp)])
-        n = t.num_rows
-        if n:
-            docs = t.column("doc_id").to_numpy().astype(np.int64)
-            if depth:
-                flat = pc.list_flatten(t.column("ap")).to_numpy()
-                aps = flat.astype(np.int64).reshape(n, depth)
-            else:
-                aps = np.zeros((n, 0), dtype=np.int64)
-            codes = np.asarray(t.column("code").to_pylist(), dtype=object)
-            nums = t.column("num").to_numpy(zero_copy_only=False)
-            strs = np.asarray(t.column("str").to_pylist(), dtype=object)
-            bboxes = np.full((n, 4), np.nan)
-            if "bbox" in t.schema.names:
-                for i, b in enumerate(t.column("bbox").to_pylist()):
-                    if b is not None:
-                        bboxes[i] = b
-            order = np.lexsort(tuple(aps.T[::-1]) + (docs,))
-            cached = (docs[order], aps[order], codes[order], nums[order],
-                      strs[order], bboxes[order])
-        else:
-            cached = (np.zeros(0, dtype=np.int64),
-                      np.zeros((0, depth), dtype=np.int64),
-                      np.zeros(0, dtype=object),
-                      np.zeros(0, dtype=np.float64),
-                      np.zeros(0, dtype=object),
-                      np.zeros((0, 4), dtype=np.float64))
+        cached = self._decode_values(t, depth)
         if len(self._values_kp_cache) < 4096:
             self._values_kp_cache[ckey] = cached
         return cached
+
+    def values_kp_for_docs(self, kp: str, docs: np.ndarray):
+        """Value entries under ``kp`` for exactly these (sorted) docs —
+        the candidate-pushdown read: partitions prune to the docs' span,
+        the parquet read filters to [min, max] (row groups are doc-
+        sorted), then an exact membership mask.  Bypasses the per-kp
+        cache: a selective AND sibling makes this a handful of row
+        groups however large the corpus."""
+        depth = kp_depth(kp)
+        docs = np.asarray(docs, dtype=np.int64)
+        if docs.size == 0:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros((0, depth), dtype=np.int64),
+                    np.zeros(0, dtype=object),
+                    np.zeros(0, dtype=np.float64),
+                    np.zeros(0, dtype=object),
+                    np.zeros((0, 4), dtype=np.float64))
+        parts = []
+        for v in self._values:
+            # a partition qualifies only if it CONTAINS one of the docs
+            # (span overlap is not enough: a handful of spread-out
+            # candidates would otherwise open every partition between
+            # them — hundreds of small files at corpus scale)
+            s_ = int(np.searchsorted(docs, v["min_doc"], side="left"))
+            e_ = int(np.searchsorted(docs, v["max_doc"], side="right"))
+            if e_ <= s_:
+                continue
+            if kp not in self._kp_zones(v["path"]):
+                continue
+            t = pq.read_table(v["path"],
+                              filters=[("kp", "==", kp),
+                                       ("doc_id", ">=", int(docs[s_])),
+                                       ("doc_id", "<=",
+                                        int(docs[e_ - 1]))])
+            if t.num_rows:
+                parts.append(self._decode_values(t, depth))
+        if not parts:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros((0, depth), dtype=np.int64),
+                    np.zeros(0, dtype=object),
+                    np.zeros(0, dtype=np.float64),
+                    np.zeros(0, dtype=object),
+                    np.zeros((0, 4), dtype=np.float64))
+        out = parts[0] if len(parts) == 1 else tuple(
+            np.concatenate([p[i] for p in parts]) for i in range(6))
+        pos = np.searchsorted(docs, out[0])
+        pos[pos >= docs.size] = docs.size - 1
+        keep = docs[pos] == out[0]
+        if keep.all():
+            return out
+        return tuple(c[keep] for c in out)
 
     def values_kp(self, kp: str, doc_range: tuple[int, int] | None = None):
         """All value entries under EXACTLY keypath ``kp``:
