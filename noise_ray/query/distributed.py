@@ -39,10 +39,14 @@ from .engine import F32, CompiledQuery
 from .parser import parse_query, ret_leaves
 from .reader import IndexReader
 
-_READER_CACHE: dict[tuple, IndexReader] = {}
+_READER_CACHE: dict[tuple, object] = {}
 
 
-def _cached_reader(index_dir: str) -> IndexReader:
+def _cached_reader(index_dir: str, cls: type = IndexReader):
+    """Per-worker-process reader cache, shared by the flat AND nested
+    (``cls=JsonIndexReader``) distributed paths: one open per worker per
+    index version, so repeated range tasks reuse decoded postings /
+    values / docmap caches instead of rebuilding them per query."""
     import os
 
     from ..build.incremental import _epoch_dirs
@@ -56,15 +60,16 @@ def _cached_reader(index_dir: str) -> IndexReader:
     # mtime (compaction swaps in a new manifest with no epochs and no
     # tombstones — indistinguishable from the original build otherwise)
     man_mtime = os.stat(os.path.join(index_dir, "manifest.json")).st_mtime_ns
-    key = (index_dir, man_mtime, tomb_mtime,
+    key = (index_dir, cls.__name__, man_mtime, tomb_mtime,
            tuple(os.path.basename(d) for d in _epoch_dirs(index_dir)))
     r = _READER_CACHE.get(key)
     if r is None:
         # evict this index's older versions: each stale reader pins up to
         # _DOCMAP_CACHE_CAP of decoded columns and is never used again
-        for k in [k for k in _READER_CACHE if k[0] == index_dir]:
+        for k in [k for k in _READER_CACHE
+                  if k[0] == index_dir and k[1] == cls.__name__]:
             del _READER_CACHE[k]
-        r = _READER_CACHE[key] = IndexReader(index_dir)
+        r = _READER_CACHE[key] = cls(index_dir)
     return r
 
 
@@ -248,16 +253,23 @@ def run_query_distributed(index_dir: str, query: str,
 
 
 def _merge_agg_partials(q, leaves, parts) -> pa.Table:
+    from . import executor as ex
+
+    return ex._rows_to_table(q.returns, leaves, merge_agg_rows(q, leaves, parts))
+
+
+def merge_agg_rows(q, leaves, parts) -> list:
     """Merge per-range partial aggregate states in reversed range order
-    (see _partial_fold), finalize, order groups, render.
+    (see _partial_fold), finalize, order groups, limit; returns the final
+    group rows (one value list per group).  Shared by the flat and nested
+    distributed aggregate paths — only the final rendering differs.
 
     Only divergence from the local buffered fold: sum/avg reassociate
     float addition across ranges.  Queries with a limit never reach this
-    path (run_query_distributed falls back to the driver-side fold to
+    path (both distributed paths fall back to the driver-side fold to
     keep the reference's buffered early-cut semantics)."""
     import functools
 
-    from . import executor as ex
     from .aggregates import AGG_FINALS
     from .results import cmp_json
 
@@ -293,4 +305,4 @@ def _merge_agg_partials(q, leaves, parts) -> pa.Table:
     rows.sort(key=functools.cmp_to_key(cmp))
     if q.limit is not None:
         rows = rows[: q.limit]
-    return ex._rows_to_table(q.returns, leaves, rows)
+    return rows

@@ -21,6 +21,7 @@ import json
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 from ..build.shred import escape_key, parse_kp, unescape_segment
 from . import ast
@@ -126,6 +127,58 @@ class _DocFetcher:
         return v
 
 
+class _LeafEval:
+    """Leaf-row materialization shared by the local executor and the
+    distributed per-range aggregate tasks: one JSON value per (leaf, row),
+    fetched lazily from the doc store."""
+
+    def __init__(self, reader: JsonIndexReader, leaves, docs: np.ndarray,
+                 scores: np.ndarray, binds):
+        self.leaves = leaves
+        self.scores = scores
+        self.binds = binds
+        self.fetcher = _DocFetcher(reader, docs)
+
+    def row(self, i: int) -> list:
+        return [self.leaf_value(l, i) for l in self.leaves]
+
+    def leaf_value(self, leaf, row: int):
+        if isinstance(leaf, ast.RetScore):
+            return float(np.float64(self.scores[row]))
+        if isinstance(leaf, ast.RetLiteral):
+            return literal_value(leaf.value)
+        if isinstance(leaf, ast.RetAgg):
+            if leaf.fun == "count":
+                return None  # count() fetches nothing (returnable.rs:312)
+            if leaf.bind:
+                return self._bind_value(leaf.bind, leaf.field or (), None,
+                                        row)
+            return self._path_value(leaf.field or (), leaf.default, row)
+        if isinstance(leaf, ast.RetBind):
+            return self._bind_value(leaf.name, leaf.extra, leaf.default, row)
+        # RetPath
+        return self._path_value(leaf.field, leaf.default, row)
+
+    def _path_value(self, segs, default, row: int):
+        v = fetch_path(self.fetcher.doc(row), segs)
+        if v is _MISSING:
+            return literal_value(default) if default is not None else None
+        return v
+
+    def _bind_value(self, name, extra, default, row: int):
+        """RetBind::fetch_result (src/returnable.rs:357-381)."""
+        row_binds = self.binds[row] if self.binds is not None else None
+        dflt = literal_value(default) if default is not None else None
+        if not row_binds or name not in row_binds:
+            return [dflt]
+        out = []
+        for vkey in row_binds[name]:
+            v = fetch_path(self.fetcher.doc(row),
+                           vkey_segs(vkey) + tuple(extra))
+            out.append(dflt if v is _MISSING else v)
+        return out
+
+
 # -------------------------------------------------------------- executor
 
 def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
@@ -140,6 +193,8 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
     stay on the driver — the result set is already per-doc."""
     if isinstance(q, str):
         q = parse_noise_query(q, params)
+    leaves = ret_leaves(q.returns)
+    has_ags = any(isinstance(l, ast.RetAgg) for l in leaves)
     if reader.num_docs >= distributed_threshold:
         # validate on the driver: an all-not / double-not query must
         # raise the reference's plain error, not a RayTaskError from
@@ -151,7 +206,31 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
             raise ValueError(
                 "query cannot be made up of only logical not. Must have "
                 "at least one match clause not negated.")
-        docs, scores, binds = _evaluate_distributed(reader, q.filter)
+        is_alldocs = isinstance(q.filter, ast.AllDocs)
+        if has_ags and q.limit is None and not is_alldocs:
+            # per-range partial folds: leaf fetch + fold stay in the
+            # workers, one state row per (range, group) crosses the wire
+            # (mirrors the flat path; AllDocs roots fall through — their
+            # string-seq row order isn't range-reconstructible, and
+            # limited aggregates keep the reference's order-sensitive
+            # buffered early-cut on the driver)
+            from .distributed import merge_agg_rows
+
+            parts = ray.get([
+                _json_agg_range.remote(reader.index_dir, q, lo, hi)
+                for lo, hi in _task_ranges(reader.num_docs)])
+            out_rows = merge_agg_rows(q, leaves, parts)
+            return [_render_tree(q.returns, iter(r)) for r in out_rows]
+        keep = None
+        if not has_ags and q.limit is not None:
+            if (q.order and len(q.order) == 1 and q.order[0].score
+                    and q.order[0].desc):
+                keep = ("score", q.limit)
+            elif not q.order and not is_alldocs:
+                # unordered limit truncates the doc-ordered stream: the
+                # global first k is within each range's first k
+                keep = ("head", q.limit)
+        docs, scores, binds = _evaluate_distributed(reader, q.filter, keep)
     else:
         compiled = CompiledJsonQuery(reader, q.filter)
         result = compiled.evaluate()
@@ -173,9 +252,6 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
         if binds is not None:
             binds = [binds[i] for i in perm]
 
-    leaves = ret_leaves(q.returns)
-    has_ags = any(isinstance(l, ast.RetAgg) for l in leaves)
-
     if not has_ags and not q.order and q.limit is not None:
         # unordered limit truncates the seq-ordered stream up front
         # (src/query.rs:558-560) — fetch only the surviving docs
@@ -184,45 +260,11 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
         if binds is not None:
             binds = binds[: q.limit]
 
-    fetcher = _DocFetcher(reader, docs)
-
-    def leaf_value(leaf, row: int):
-        if isinstance(leaf, ast.RetScore):
-            return float(np.float64(scores[row]))
-        if isinstance(leaf, ast.RetLiteral):
-            return literal_value(leaf.value)
-        if isinstance(leaf, ast.RetAgg):
-            if leaf.fun == "count":
-                return None  # count() fetches nothing (returnable.rs:312)
-            if leaf.bind:
-                return _bind_value(leaf.bind, leaf.field or (), None, row)
-            return _path_value(leaf.field or (), leaf.default, row)
-        if isinstance(leaf, ast.RetBind):
-            return _bind_value(leaf.name, leaf.extra, leaf.default, row)
-        # RetPath
-        return _path_value(leaf.field, leaf.default, row)
-
-    def _path_value(segs, default, row: int):
-        v = fetch_path(fetcher.doc(row), segs)
-        if v is _MISSING:
-            return literal_value(default) if default is not None else None
-        return v
-
-    def _bind_value(name, extra, default, row: int):
-        """RetBind::fetch_result (src/returnable.rs:357-381)."""
-        row_binds = binds[row] if binds is not None else None
-        dflt = literal_value(default) if default is not None else None
-        if not row_binds or name not in row_binds:
-            return [dflt]
-        out = []
-        for vkey in row_binds[name]:
-            v = fetch_path(fetcher.doc(row), vkey_segs(vkey) + tuple(extra))
-            out.append(dflt if v is _MISSING else v)
-        return out
+    ev = _LeafEval(reader, leaves, docs, scores, binds)
 
     n = docs.size
     if has_ags:
-        rows = [[leaf_value(l, i) for l in leaves] for i in range(n)]
+        rows = [ev.row(i) for i in range(n)]
         orders: list[tuple[bool, int]] = []
         inits, actions, finals = [], [], []
         for slot, leaf in enumerate(leaves):
@@ -259,7 +301,7 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
             def order_key(k: ast.OrderKey, i: int):
                 if k.score:
                     return float(np.float64(scores[i]))
-                v = fetch_path(fetcher.doc(i), k.field)
+                v = fetch_path(ev.fetcher.doc(i), k.field)
                 if v is _MISSING:
                     return literal_value(k.default) \
                         if k.default is not None else None
@@ -277,38 +319,85 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
 
     out = []
     for i in sel:
-        vals = [leaf_value(l, i) for l in leaves]
-        out.append(_render_tree(q.returns, iter(vals)))
+        out.append(_render_tree(q.returns, iter(ev.row(i))))
     return out
 
 
-def _evaluate_distributed(reader: JsonIndexReader, filter_node):
-    """Range-partitioned filter evaluation: one Ray task per doc range,
-    each building its own reader + compiled query (slot ordinals are
-    deterministic DFS order, so per-task scoring state is identical) and
-    returning its depth-0 (docs, scores, binds).  Ranges are contiguous
-    and ordered, so concatenation preserves global doc order.  The
-    proximity filter keeps the reference's sequential iterator inside
-    each range (same caveat as the flat distributed path)."""
-    import ray
-
-    index_dir = reader.index_dir
-    num_docs = reader.num_docs
+def _task_ranges(num_docs: int) -> list[tuple[int, int]]:
     n_tasks = min(32, max(1, num_docs // 250_000))
     span = -(-num_docs // n_tasks)
-
-    @ray.remote
-    def _one(lo: int, hi: int):
-        from .json_engine import CompiledJsonQuery as _CJQ
-        from .json_reader import JsonIndexReader as _JIR
-
-        r = _JIR(index_dir)
-        c = _CJQ(r, filter_node, doc_range=(lo, hi))
-        s = c.evaluate()
-        return s.docs, c.final_scores(s), s.binds
-
-    refs = [_one.remote(lo, min(lo + span, num_docs))
+    return [(lo, min(lo + span, num_docs))
             for lo in range(0, num_docs, span)]
+
+
+def _range_eval(index_dir: str, filter_node, lo: int, hi: int):
+    """One range's (docs, scores, binds) through the per-worker cached
+    reader (distributed.py:_cached_reader — one open per worker per index
+    version, so repeated queries reuse decoded postings/values/docmap
+    caches instead of rebuilding them per task per query)."""
+    from .distributed import _cached_reader
+    from .json_engine import CompiledJsonQuery as _CJQ
+
+    r = _cached_reader(index_dir, JsonIndexReader)
+    c = _CJQ(r, filter_node, doc_range=(lo, hi))
+    s = c.evaluate()
+    return r, s.docs, c.final_scores(s), s.binds
+
+
+def _json_eval_range_impl(index_dir: str, filter_node, lo: int, hi: int,
+                          keep):
+    _, docs, scores, binds = _range_eval(index_dir, filter_node, lo, hi)
+    if keep is not None and docs.size > keep[1]:
+        mode, k = keep
+        if mode == "score":
+            # local top-k + ties at the k-th score: a doc outside its
+            # range's top k is beaten by >= k docs of that range alone
+            # (same exactness argument as the flat path,
+            # distributed.py:_eval_range_task)
+            kth = np.partition(scores, docs.size - k)[docs.size - k]
+            m = scores >= kth
+            docs, scores = docs[m], scores[m]
+            if binds is not None:
+                binds = [b for b, ok in zip(binds, m) if ok]
+        else:  # "head": first k in doc order — superset of the global k
+            docs, scores = docs[:k], scores[:k]
+            if binds is not None:
+                binds = binds[:k]
+    return docs, scores, binds
+
+
+def _json_agg_range_impl(index_dir: str, q, lo: int, hi: int):
+    """Evaluate + leaf-fetch + partial-aggregate one doc range: docmap
+    json reads and the per-row fold never leave the worker; only one
+    state row per (range, group) reaches the driver (nested analogue of
+    distributed.py:_agg_range_task)."""
+    from .distributed import _partial_fold
+
+    r, docs, scores, binds = _range_eval(index_dir, q.filter, lo, hi)
+    leaves = ret_leaves(q.returns)
+    ev = _LeafEval(r, leaves, docs, scores, binds)
+    rows = [ev.row(i) for i in range(docs.size)]
+    return _partial_fold(leaves, rows)
+
+
+_json_eval_range = ray.remote(_json_eval_range_impl)
+_json_agg_range = ray.remote(_json_agg_range_impl)
+
+
+def _evaluate_distributed(reader: JsonIndexReader, filter_node, keep=None):
+    """Range-partitioned filter evaluation: one Ray task per doc range,
+    each evaluating the compiled query restricted to its range (slot
+    ordinals are deterministic DFS order, so per-task scoring state is
+    identical) through a per-worker cached reader, and returning its
+    depth-0 (docs, scores, binds) — pruned worker-side to the local top-k
+    + ties (``keep=("score", k)``) or the local head (``keep=("head",
+    k)``) when the driver's order/limit makes that exact.  Ranges are
+    contiguous and ordered, so concatenation preserves global doc order.
+    The proximity filter keeps the reference's sequential iterator inside
+    each range (same caveat as the flat distributed path)."""
+    refs = [_json_eval_range.remote(reader.index_dir, filter_node, lo, hi,
+                                    keep)
+            for lo, hi in _task_ranges(reader.num_docs)]
     parts = ray.get(refs)
     docs = np.concatenate([p[0] for p in parts])
     scores = np.concatenate([p[1] for p in parts])

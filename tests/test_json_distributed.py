@@ -46,6 +46,23 @@ QUERIES = [
     'find {msgs: [{t: ~="engine"}]} && !{msgs: [{t: ~="dog"}]} '
     "return ._id ;",
     'find {msgs: [{t: ~="ray"}]} return {n: count()} ;',
+    # worker-side top-k prune (score desc + limit), incl. ties
+    'find {msgs: [{t: ~="fox"}]} order score() desc '
+    "return [._id, score()] limit 7 ;",
+    # worker-side head prune (no order + limit)
+    'find {n: >= 3} return ._id limit 9 ;',
+    # per-range partial aggregate folds (group/sum/avg/max/array/concat)
+    'find {msgs: [{who: =="b"}]} return {g: group(.n), s: sum(.n), '
+    "a: avg(.n), m: max(.n), ids: array(._id)} ;",
+    'find {n: < 9} return {g: group(.n), c: concat(._id sep="|")} ;',
+    # aggregate WITH limit: driver-side buffered early-cut fallback
+    'find {msgs: [{who: =="u"}]} return {g: group(.n), '
+    "c: count()} limit 3 ;",
+    # AllDocs root aggregate: string-seq fold order, driver fallback
+    "find {} return {c: count(), ids: array(._id)} ;",
+    # bind collection with worker-side top-k prune
+    'find {msgs: x::[{t: ~="engine"}]} order score() desc '
+    "return [._id, x.who] limit 5 ;",
 ]
 
 
