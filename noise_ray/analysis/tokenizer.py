@@ -40,6 +40,17 @@ _SEG_RE = _re.compile(
     f"{_WORD_CHAR}(?:{_WORD_CHAR}|{_MID}(?={_WORD_CHAR}))*|.", _re.DOTALL
 )
 
+# ASCII fast path: for pure-ASCII text the Unicode classes collapse to
+# [A-Za-z0-9_] / [:'.,;] and the stdlib ``re`` engine scans ~2× faster
+# than the ``regex`` module.  Equality with _SEG_RE on every ASCII
+# string is asserted by tests/test_tokenizer.py::test_ascii_fast_path.
+import re as _stdre
+
+_ASCII_SEG_RE = _stdre.compile(
+    r"[A-Za-z0-9_](?:[A-Za-z0-9_]|[:'.,;](?=[A-Za-z0-9_]))*|.",
+    _stdre.DOTALL,
+)
+
 
 def word_segments(text: str):
     """Yield (start, segment) for UAX#29-style word segments of raw ``text``.
@@ -78,7 +89,8 @@ def tokenize(text: str) -> list[tuple[int, str]]:
     # findall (one C call) rather than the word_segments generator: the
     # build path discards segment offsets, and Match-object overhead is
     # the tokenizer's hottest line at index-build scale.
-    for seg in _SEG_RE.findall(text):
+    pat = _ASCII_SEG_RE if text.isascii() else _SEG_RE
+    for seg in pat.findall(text):
         stemmed = stem(seg)
         if stemmed is not None:
             append((pos, stemmed))

@@ -46,6 +46,7 @@ import ray
 import ray.data
 
 from ..analysis.tokenizer import tokenize_grouped
+from .arrow_shred import accumulate_postings, shred_table_fast
 from .codec import encode_deltas, encode_position_lists, encode_varint
 from .pipeline import (
     MANIFEST_NAME, _ack, _atomic_write_table, _seg_path, _stats_path,
@@ -153,7 +154,7 @@ class ShredTokenize:
 
     def __init__(self, docmap_dir: str, values_dir: str, num_buckets: int,
                  num_ranges: int, range_span: int, range_base: int,
-                 block_size: int):
+                 block_size: int, fast: bool = True):
         self.docmap_dir = docmap_dir
         self.values_dir = values_dir
         self.num_buckets = num_buckets
@@ -161,6 +162,7 @@ class ShredTokenize:
         self.range_span = range_span
         self.range_base = range_base
         self.block_size = block_size
+        self.fast = fast  # try the Arrow column-wise shred first
         self._bucket_cache: dict[tuple[str, str], int] = {}
 
     def _bucket(self, kp: str, term: str) -> int:
@@ -187,6 +189,31 @@ class ShredTokenize:
                 f"{path}: footer said {rows} rows, read {t.num_rows}")
         ids = t.column("_id").to_pylist()
         texts = t.column("json").to_pylist()
+
+        if self.fast:
+            fast = shred_table_fast(ids, texts, offset)
+            if fast is not None:
+                vt, zmeta, text_groups = fast
+                accumulate_postings(text_groups, acc, tokenize_grouped)
+                if not os.path.exists(values_path):
+                    vt = vt.replace_schema_metadata(
+                        {"noise_kp_zones": json.dumps(zmeta,
+                                                      sort_keys=True)})
+                    _atomic_write_table(vt, values_path,
+                                        row_group_size=65536)
+                if not os.path.exists(docmap_path):
+                    cols = {
+                        "doc_id": pa.array(
+                            np.arange(offset, offset + rows,
+                                      dtype=np.int64)),
+                        "_id": pa.array(ids, pa.string()),
+                        "json": pa.array(texts, pa.string()),
+                    }
+                    if have_seq:
+                        cols["seq"] = t.column("seq")
+                    _atomic_write_table(pa.table(cols), docmap_path,
+                                        row_group_size=65536)
+                return
 
         v_doc: list[int] = []
         v_kp: list[str] = []

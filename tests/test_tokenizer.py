@@ -91,3 +91,22 @@ def test_porter2_known_stems():
     }
     for word, expected in cases.items():
         assert stem(word) == expected, f"{word} -> {stem(word)} != {expected}"
+
+
+def test_ascii_fast_path_equals_unicode_engine():
+    # the stdlib-re ASCII segmenter must match the regex-module Unicode
+    # segmenter on every ASCII string (tokenize dispatches on isascii())
+    import random
+    import string
+
+    from noise_ray.analysis.tokenizer import _ASCII_SEG_RE, _SEG_RE
+
+    rng = random.Random(42)
+    pool = string.printable
+    samples = ["", "a", "don't", "a.b,c;d:e", "x_1.y'z", "...", "a..b",
+               "hello world", "3.14 and 2,718"] + [
+        "".join(rng.choice(pool) for _ in range(rng.randint(0, 80)))
+        for _ in range(5000)
+    ]
+    for s in samples:
+        assert _ASCII_SEG_RE.findall(s) == _SEG_RE.findall(s), repr(s)
