@@ -26,23 +26,27 @@ def _read_docs(sf_dir: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def _md5(s: str) -> str:
-    return hashlib.md5(s.encode("utf-8")).hexdigest()
-
-
 def dedup_exact(sf_dir: str):
     """Keep the smallest doc_id per exact text: hash-partition by content
-    hash, per-group min — one bounded shuffle of (hash, doc_id) pairs."""
+    hash, per-group min — one bounded shuffle of (hash, doc_id) pairs.
+
+    The content key is a vectorized 128-bit hash (ops/hashing.py) rather
+    than a per-row hashlib call; any injective-enough function of the
+    text yields the same groups, and the DuckDB oracle (GROUP BY
+    md5(text)) compares only the surviving doc_ids."""
+    from .hashing import hash_string_array_128
+
     def h(batch: pa.Table) -> pa.Table:
+        h1, h2 = hash_string_array_128(batch.column("text"))
         return pa.table({
-            "h": pa.array([_md5(t) for t in batch.column("text").to_pylist()]),
+            "h1": pa.array(h1), "h2": pa.array(h2),
             "doc_id": batch.column("doc_id"),
         })
 
     return (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(h, batch_format="pyarrow")
-        .groupby("h")
+        .groupby(["h1", "h2"])
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])
         .sort("doc_id")

@@ -117,3 +117,41 @@ def tokenize_hashes(texts: "pa.Array | pa.ChunkedArray") -> tuple[np.ndarray, np
     doc_offsets = keep_csum[list_offs]
     all_h = hash_string_array(values)
     return all_h[nonempty], doc_offsets
+
+
+_B2 = np.uint64(0x9E3779B97F4A7C15 | 1)   # second independent odd base
+_B2INV = np.uint64(pow(int(_B2), -1, 2**64))
+
+
+def hash_string_array_128(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 hashes per string — a 128-bit content key
+    for exact dedup grouping, where a single 64-bit key's birthday bound
+    is uncomfortable at billions of documents.  Same vectorized
+    polynomial construction as :func:`hash_string_array` with a second
+    base; both halves avalanche through splitmix64."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    offs, data = _string_offsets_data(arr)
+    lo, hi = int(offs[0]), int(offs[-1])
+    data = data[lo:hi]
+    offs = offs - lo
+    m = data.size
+    out = []
+    with np.errstate(over="ignore"):
+        d1 = data.astype(np.uint64) + np.uint64(1)
+        for base, binv in ((_B, _BINV), (_B2, _B2INV)):
+            bp = np.empty(m + 1, np.uint64)
+            bp[0] = np.uint64(1)
+            np.multiply.accumulate(np.full(m, base, np.uint64), out=bp[1:])
+            ip = np.empty(m + 1, np.uint64)
+            ip[0] = np.uint64(1)
+            np.multiply.accumulate(np.full(m, binv, np.uint64), out=ip[1:])
+            q = np.empty(m + 1, np.uint64)
+            q[0] = np.uint64(0)
+            np.cumsum(d1 * ip[:m], out=q[1:])
+            i, j = offs[:-1], offs[1:]
+            out.append(splitmix64(bp[np.maximum(j, 1) - 1] * (q[j] - q[i])))
+    return out[0], out[1]

@@ -8,15 +8,10 @@ setup happens once per actor via class stages where it matters.
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pyarrow as pa
 import ray.data
-
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
-# explicit ASCII whitespace class: must match the DuckDB (RE2) oracle regex
-_WS_RE = re.compile(r"[ \t\n\x0b\x0c\r]+")
 
 
 def _read_docs(sf_dir: str, columns=None):
@@ -25,16 +20,31 @@ def _read_docs(sf_dir: str, columns=None):
 
 def token_stats(sf_dir: str):
     """(doc_id, n_tokens, n_distinct) with the same [a-z0-9]+ tokenization
-    the DuckDB oracle uses — integer outputs, exact comparison."""
+    the DuckDB oracle uses — integer outputs, exact comparison.
+
+    Vectorized end to end: Arrow lower+split tokenization, per-doc token
+    counts from list offsets, distinct counts by sorting (doc, token-hash)
+    pairs and diffing a cumulative new-run counter (ops/hashing.py's
+    64-bit token hashes; a within-doc collision is the only way this can
+    undercount, vanishingly unlikely on natural text)."""
+    from .hashing import tokenize_hashes
+
     def stats(batch: pa.Table) -> pa.Table:
-        n_tok, n_dis = [], []
-        for text in batch.column("text").to_pylist():
-            toks = _TOKEN_RE.findall(text.lower())
-            n_tok.append(len(toks))
-            n_dis.append(len(set(toks)))
+        hashes, doc_offs = tokenize_hashes(batch.column("text"))
+        counts = np.diff(doc_offs)
+        n = len(counts)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((hashes, row_ids))
+        sh, sr = hashes[order], row_ids[order]
+        new = np.ones(sh.size, dtype=np.int64)
+        if sh.size > 1:
+            new[1:] = (sh[1:] != sh[:-1]) | (sr[1:] != sr[:-1])
+        csum = np.zeros(sh.size + 1, dtype=np.int64)
+        np.cumsum(new, out=csum[1:])
+        n_dis = csum[doc_offs[1:]] - csum[doc_offs[:-1]]
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_tokens": pa.array(counts, pa.int64()),
             "n_distinct": pa.array(n_dis, pa.int64()),
         })
 
@@ -43,12 +53,20 @@ def token_stats(sf_dir: str):
 
 
 def fingerprint(sf_dir: str):
-    """Content fingerprint: md5 of whitespace-collapsed lowercase text."""
+    """Content fingerprint: md5 of whitespace-collapsed lowercase text.
+
+    The collapse (lower + whitespace-run substitution) runs as Arrow
+    kernels over the whole batch; only the md5 itself stays per-row —
+    the hex digest IS the output column the DuckDB oracle compares, so
+    the hash function cannot be swapped for a vectorizable one."""
+    import pyarrow.compute as pc
+
     def fp(batch: pa.Table) -> pa.Table:
-        out = [
-            hashlib.md5(_WS_RE.sub(" ", t.lower()).encode("utf-8")).hexdigest()
-            for t in batch.column("text").to_pylist()
-        ]
+        collapsed = pc.replace_substring_regex(
+            pc.utf8_lower(batch.column("text")),
+            r"[ \t\n\x0b\x0c\r]+", " ")
+        out = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in collapsed.to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "fp": pa.array(out, pa.string())})
 
@@ -60,11 +78,12 @@ def quality_bucket(sf_dir: str):
     """Quality scoring reduced to deterministic integer buckets:
     bucket = (n_chars >= 200) + (n_tokens >= 40)."""
     def qb(batch: pa.Table) -> pa.Table:
-        buckets = []
-        for text, nc in zip(batch.column("text").to_pylist(),
-                            batch.column("n_chars").to_pylist()):
-            ntok = len(_TOKEN_RE.findall(text.lower()))
-            buckets.append(int(nc >= 200) + int(ntok >= 40))
+        from .hashing import tokenize_hashes
+
+        _, doc_offs = tokenize_hashes(batch.column("text"))
+        ntok = np.diff(doc_offs)
+        nc = batch.column("n_chars").to_numpy()
+        buckets = (nc >= 200).astype(np.int64) + (ntok >= 40)
         return pa.table({"doc_id": batch.column("doc_id"),
                          "bucket": pa.array(buckets, pa.int64())})
 
