@@ -4,10 +4,14 @@
 build the inverted index → BM25-style top-k query) at sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 plus the training-data-pipeline suite; ``oracle_sql()`` gives
-the DuckDB-equivalent SQL wherever the operator is SQL-expressible (search
-relevance scoring, LSH/minhash/simhash and language-ID are checked
-rows-only — the scored engine is conformance-tested against the reference's
-golden f32 scores in tests/ instead).
+the DuckDB-equivalent SQL wherever the operator is SQL-expressible.  The
+MinHash/SimHash/language-ID entries are EXACT oracles: the token-hash +
+signature arithmetic is replicated in SQL via HUGEINT mod-2**64 math
+(noise_ray/ops/oracle_sqlgen.py).  Scored search relevance is checked
+rows-only — the scored engine is conformance-tested against the
+reference's golden f32 scores in tests/ instead.  ``ann_bucketed`` is
+deliberately lossy (LSH candidate pruning) and stays rows-only with its
+recall measured in tests/test_ops_similarity.py.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing in
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -223,6 +227,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+
+def _sqlgen():
+    from noise_ray.ops import oracle_sqlgen
+
+    return oracle_sqlgen
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "nested_kp_range": """
@@ -342,6 +353,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a_id, b.vec_id AS b_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+        # the bucketed path verifies candidates with exact cosine
+        # (precision 1.0); its 48-table LSH recall is 1.0 on this corpus
+        # (pair-set equality with brute force asserted in
+        # tests/test_ops_dedup.py), so the brute-force SQL is its oracle
+        "embedding_dup_pairs_bucketed": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+        # exact SQL replicas of the LSH hash pipelines (see oracle_sqlgen)
+        "minhash_lsh_pairs": _sqlgen().minhash_lsh_pairs_sql(),
+        "simhash_pairs": _sqlgen().simhash_pairs_sql(),
+        "langid": _sqlgen().langid_sql(),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
             c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),

@@ -1,0 +1,229 @@
+"""DuckDB-SQL generators that replicate the vectorized dedup hash pipeline
+bit-for-bit, giving the LSH operators EXACT oracles.
+
+``ops/hashing.py`` hashes tokens with a polynomial byte fold
+(``h = h*B + byte+1`` mod 2**64, ``B = 0x100000001B3``) finished by
+splitmix64, and the MinHash / SimHash signatures are deterministic uint64
+arithmetic on top.  All of that is expressible in DuckDB with HUGEINT
+modular arithmetic:
+
+- ``a * c  (mod 2**64)`` for small ``c`` (< 2**63): direct HUGEINT multiply
+  + modulo (the product fits in INT128).
+- for 64-bit ``c``: split ``c = hi*2**32 + lo``; then
+  ``a*c = a*lo + ((a*hi mod 2**32) << 32)  (mod 2**64)`` with every term
+  inside INT128.
+- xor / shifts / bit_count run natively on UBIGINT.
+
+The generated SQL therefore reproduces ``minhash_lsh_pairs`` and
+``simhash_pairs`` EXACTLY (not statistically): same token hashes, same
+signatures, same band keys / quarter buckets, same pairs.  The only
+divergence is the degenerate-bucket star-pair peeling for buckets larger
+than ``ops.dedup._MAX_BUCKET`` (2000 members) — a corpus-boilerplate
+escape hatch the oracle fixtures never trigger (asserted in
+tests/test_oracle_sqlgen.py).
+"""
+
+from __future__ import annotations
+
+_M64 = 1 << 64
+_SM_A = 0x9E3779B97F4A7C15
+_SM_C1 = 0xBF58476D1CE4E5B9
+_SM_C2 = 0x94D049BB133111EB
+_B = 0x100000001B3          # ops.hashing._B (small: fits direct HUGEINT mul)
+_GOLD = 0x9E3779B97F4A7C15  # minhash xor-multiply mixer
+
+
+def _mm_small(a: str, c: int) -> str:
+    """``a * c mod 2**64`` for c < 2**63 (product fits HUGEINT)."""
+    return (f"CAST(((CAST({a} AS HUGEINT) * {c}) % {_M64}) AS UBIGINT)")
+
+
+def _mm(a: str, c: int) -> str:
+    """``a * c mod 2**64`` for arbitrary 64-bit c (split multiply)."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    A = f"CAST({a} AS HUGEINT)"
+    return (f"CAST((({A} * {lo} + (({A} * {hi}) % 4294967296) * 4294967296)"
+            f" % {_M64}) AS UBIGINT)")
+
+
+def _sm(x: str) -> str:
+    """Inline splitmix64 finalizer over expression ``x`` (UBIGINT)."""
+    z1 = f"CAST(((CAST({x} AS HUGEINT) + {_SM_A}) % {_M64}) AS UBIGINT)"
+    z2 = f"xor({z1}, ({z1}) >> 30)"
+    z3 = _mm(z2, _SM_C1)
+    z4 = f"xor({z3}, ({z3}) >> 27)"
+    z5 = _mm(z4, _SM_C2)
+    return f"xor({z5}, ({z5}) >> 31)"
+
+
+# Token-hash CTE chain shared by the minhash and simhash oracles.  Produces
+# ``th(doc_id, ti, h)``: 1-based token index and the splitmix64-finished
+# polynomial hash of each [a-z0-9]+ token — identical to
+# ops.hashing.tokenize_hashes.
+_TOKEN_HASH_CTES = f"""
+    tokd AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, i AS ti, ts[i] AS tok, length(ts[i]) AS tlen
+        FROM tokd, UNNEST(range(1, array_length(ts) + 1)) AS u(i)
+    ),
+    maxlen AS (SELECT coalesce(max(tlen), 1) AS ml FROM tok),
+    pow(e, p) AS (
+        SELECT 0, CAST(1 AS UBIGINT)
+        UNION ALL
+        SELECT e + 1, {_mm_small('p', _B)} FROM pow
+        WHERE e < (SELECT ml FROM maxlen)
+    ),
+    chars AS (
+        SELECT doc_id, ti, j, ord(substr(tok, CAST(j AS INT), 1)) + 1 AS d1,
+               tlen
+        FROM tok, UNNEST(range(1, tlen + 1)) AS v(j)
+    ),
+    traw AS (
+        SELECT doc_id, ti,
+               CAST(SUM(CAST(d1 AS HUGEINT) * CAST(p AS HUGEINT))
+                    % {_M64} AS UBIGINT) AS h0
+        FROM chars JOIN pow ON pow.e = chars.tlen - chars.j
+        GROUP BY doc_id, ti
+    ),
+    th AS (SELECT doc_id, ti, {_sm('h0')} AS h FROM traw)
+"""
+
+
+def simhash_pairs_sql(hamming: int = 3) -> str:
+    """Exact oracle for ``ops.dedup.simhash_pairs``: 64-bit majority-vote
+    SimHash from the token hashes, then all (a < b) doc pairs with Hamming
+    distance <= ``hamming`` among docs with >= 1 token.  The Python path's
+    quarter-band candidate generation is COMPLETE for hamming<=3 by
+    pigeonhole (4 disjoint 16-bit quarters, <=3 differing bits leave one
+    quarter identical), so the verified pair set IS the plain threshold
+    join computed here."""
+    return f"""
+    WITH RECURSIVE
+    {_TOKEN_HASH_CTES},
+    ndoc AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+    bitsum AS (
+        SELECT th.doc_id, b,
+               SUM(CAST((h >> CAST(b AS INT)) & CAST(1 AS UBIGINT)
+                        AS BIGINT)) AS ones
+        FROM th, UNNEST(range(0, 64)) AS w(b)
+        GROUP BY th.doc_id, b
+    ),
+    sig AS (
+        SELECT bitsum.doc_id,
+               CAST(SUM(CASE WHEN 2 * ones > n
+                             THEN CAST(CAST(1 AS UBIGINT)
+                                       << CAST(b AS INT) AS HUGEINT)
+                             ELSE 0 END) AS UBIGINT) AS s
+        FROM bitsum JOIN ndoc ON ndoc.doc_id = bitsum.doc_id
+        GROUP BY bitsum.doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= {hamming}
+    ORDER BY a_id, b_id
+    """
+
+
+def _minhash_seeds(num_hashes: int) -> list[int]:
+    """The exact seeds ops.dedup._MinHashBatch uses (fixed rng stream)."""
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    return rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64).tolist()
+
+
+def minhash_lsh_pairs_sql(num_hashes: int = 64, bands: int = 16) -> str:
+    """Exact oracle for ``ops.dedup.minhash_lsh_pairs``: 3-gram shingle
+    hashes (position-weighted 3/5/7 combine + splitmix64; short docs get
+    one whole-doc shingle), per-seed xor-multiply min signatures, band
+    keys via the splitmix64 fold, then distinct pairs per (band, key)
+    bucket."""
+    rows = num_hashes // bands
+    seeds = _minhash_seeds(num_hashes)
+    seed_values = ", ".join(
+        f"({j}, CAST({s} AS UBIGINT))" for j, s in enumerate(seeds))
+    # band-key fold: acc = band+1; for each of the band's rows in order:
+    # acc = splitmix64(acc ^ sig)   (list_reduce over the ordered sig list)
+    fold = f"list_reduce(list_prepend(CAST(band + 1 AS UBIGINT), sigs), " \
+           f"(acc, s) -> {_sm('xor(acc, s)')})"
+    return f"""
+    WITH RECURSIVE
+    {_TOKEN_HASH_CTES},
+    ndoc AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+    shw AS (  -- 3-gram windows (docs with >= 3 tokens)
+        SELECT doc_id, ti,
+               CAST((3 * CAST(h AS HUGEINT)
+                     + 5 * CAST(lead(h, 1) OVER w AS HUGEINT)
+                     + 7 * CAST(lead(h, 2) OVER w AS HUGEINT))
+                    % {_M64} AS UBIGINT) AS c0,
+               lead(h, 2) OVER w IS NOT NULL AS full3
+        FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY ti)
+    ),
+    shshort AS (  -- docs with 1..2 tokens: one whole-doc shingle
+        SELECT th.doc_id,
+               CAST(SUM(CAST(h AS HUGEINT) * (2 * (ti - 1) + 3))
+                    % {_M64} AS UBIGINT) AS c0
+        FROM th JOIN ndoc ON ndoc.doc_id = th.doc_id AND ndoc.n < 3
+        GROUP BY th.doc_id
+    ),
+    shraw AS (
+        SELECT doc_id, c0 FROM shw WHERE full3
+        UNION ALL
+        SELECT doc_id, c0 FROM shshort
+    ),
+    sh AS (SELECT doc_id, {_sm('c0')} AS s FROM shraw),
+    seeds(j, seed) AS (VALUES {seed_values}),
+    sigm AS (
+        SELECT doc_id, j, min({_mm('xor(s, seed)', _GOLD)}) AS sig
+        FROM sh CROSS JOIN seeds
+        GROUP BY doc_id, j
+    ),
+    bandkeys AS (
+        SELECT doc_id, CAST(j // {rows} AS INT) AS band,
+               list(sig ORDER BY j) AS sigs
+        FROM sigm GROUP BY doc_id, 2
+    ),
+    keys AS (SELECT doc_id, band, {fold} AS key FROM bandkeys)
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ORDER BY a_id, b_id
+    """
+
+
+def langid_sql() -> str:
+    """Exact oracle for ``ops.text.langid``: CJK codepoint check on the
+    first 400 chars, else argmax of profile-gram containment scores over
+    the first 2000 lowercased chars, ties broken in profile order
+    (en, de, fr, es)."""
+    from .text import _LANG_PROFILES
+
+    def score(lang: str) -> str:
+        grams = _LANG_PROFILES[lang]
+        terms = " + ".join(
+            f"CAST(contains(sub, '{g}') AS INT)" for g in grams)
+        return f"({terms})"
+
+    return f"""
+    WITH s AS (
+        SELECT doc_id, substr(text, 1, 400) AS head,
+               substr(lower(text), 1, 2000) AS sub
+        FROM documents
+    ),
+    sc AS (
+        SELECT doc_id, regexp_matches(head, '[一-鿿]') AS is_zh,
+               {score('en')} AS s_en, {score('de')} AS s_de,
+               {score('fr')} AS s_fr, {score('es')} AS s_es
+        FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN is_zh THEN 'zh'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM sc
+    """
