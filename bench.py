@@ -153,8 +153,81 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
         run_json_query(nr, nq)
         samples.append(time.perf_counter() - tq)
     queries["nested_arrayctx_topk"] = round(min(samples), 4)
+
+    # nested lifecycle: epoch upsert + compaction, over a COPY of the
+    # cached index (the cache must stay pristine for the next run)
+    from noise_ray.build.json_incremental import (
+        add_json_documents, compact_json_index,
+    )
+    from noise_ray.build.json_pipeline import docs_to_parquet
+    from noise_ray.query.json_reader import JsonIndexReader
+
+    epoch_root = tempfile.mkdtemp(prefix="bench_nested_epoch_", dir="/tmp")
+    epoch_idx = os.path.join(epoch_root, "idx")
+    shutil.copytree(nr.index_dir, epoch_idx)
+    shard0 = sorted(
+        os.path.join(nested_root, "shards", f)
+        for f in os.listdir(os.path.join(nested_root, "shards")))[0]
+    st = pq.read_table(shard0, columns=["_id", "json"])
+    n_delta = min(max(64, nr.num_docs // 100), st.num_rows)
+    delta = []
+    for i in range(n_delta):  # upserts: re-add with a marker turn
+        d = json.loads(st.column("json")[i].as_py())
+        d["_id"] = st.column("_id")[i].as_py()
+        d["turns"].append({"i": float(len(d["turns"])), "role": "system",
+                           "text": "bench epoch marker turn"})
+        delta.append(d)
+    for i in range(n_delta // 4):  # plus some brand-new docs
+        delta.append({"_id": f"bench-epoch-{i}",
+                      "turns": [{"i": 0.0, "role": "user",
+                                 "text": f"fresh epoch doc {i}"}]})
+    dp = docs_to_parquet(delta, os.path.join(epoch_root, "delta.parquet"),
+                         docid_base=nr.num_docs)
+    t0 = time.perf_counter()
+    add_json_documents(epoch_idx, [dp])
+    out["nested_epoch_add_sec"] = round(time.perf_counter() - t0, 3)
+    out["nested_epoch_docs"] = len(delta)
+    t0 = time.perf_counter()
+    compact_json_index(epoch_idx)
+    out["nested_compact_sec"] = round(time.perf_counter() - t0, 3)
+    # sanity: the compacted index still answers the array-context query
+    run_json_query(JsonIndexReader(epoch_idx), nq)
+    shutil.rmtree(epoch_root, ignore_errors=True)
     shutil.rmtree(idx_dir, ignore_errors=True)
     return out
+
+
+def run_nested_build(num_cpus: int) -> dict:
+    """Nested pack+build throughput only (the --scaling nested mode):
+    same corpus as the flat build, fresh nested root each call."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from noise_ray.ops.nested_docs import nested_transcripts_index
+    from noise_ray.pipelines import corpus_at, transcripts_corpus
+
+    convs = int(os.environ.get("GRAFT_BENCH_CONVS", "0"))
+    paths = corpus_at(convs) if convs else transcripts_corpus(SF_DIR)
+    import pyarrow.parquet as pq
+
+    num_docs = sum(pq.read_metadata(p).num_rows for p in paths)
+    nested_root = os.path.join(os.path.dirname(paths[0]), "nested")
+    best = None
+    for _ in range(2):  # best-of-2, same contention rationale as flat
+        shutil.rmtree(nested_root, ignore_errors=True)
+        t0 = time.perf_counter()
+        nested_transcripts_index(SF_DIR, paths=paths)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": num_cpus,
+        "num_turns": num_docs,
+        "build_sec": round(best, 3),
+        "turns_per_sec": round(num_docs / best, 1),
+    }
 
 
 def _scaling() -> dict:
@@ -171,6 +244,8 @@ def _scaling() -> dict:
     lo, hi = (int(x) for x in
               os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(","))
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+    mode = os.environ.get("GRAFT_SCALING_MODE", "flat")  # flat | nested
+    flag = "--nested-build-only" if mode == "nested" else "--build-only"
     env0 = dict(os.environ, GRAFT_BENCH_CONVS=convs)
     # Warm the shared corpus cache once so generation isn't timed.
     subprocess.run([sys.executable, __file__, "--gen-corpus"], env=env0,
@@ -179,7 +254,7 @@ def _scaling() -> dict:
     for _ in range(trials):
         for cpus in (lo, hi):
             env = dict(env0, RAY_GRAFT_CPUS=str(cpus))
-            p = subprocess.run([sys.executable, __file__, "--build-only"],
+            p = subprocess.run([sys.executable, __file__, flag],
                                env=env, check=True, capture_output=True,
                                text=True)
             r = json.loads(p.stdout.strip().splitlines()[-1])
@@ -188,7 +263,8 @@ def _scaling() -> dict:
     t_lo, t_hi = best[lo]["turns_per_sec"], best[hi]["turns_per_sec"]
     eff = (t_hi / t_lo) / (hi / lo)
     return {
-        "metric": (f"index-build scaling efficiency ({lo} -> {hi} CPUs, "
+        "metric": (f"{mode} index-build scaling efficiency "
+                   f"({lo} -> {hi} CPUs, "
                    "fresh processes, interleaved trials, same input)"),
         "value": round(eff, 3),
         "unit": "efficiency",
@@ -218,6 +294,11 @@ def main() -> None:
         return
     if "--scaling" in sys.argv:
         print(json.dumps(_scaling()))
+        return
+    if "--nested-build-only" in sys.argv:
+        print(json.dumps(run_nested_build(NUM_CPUS)))
+        import ray
+        ray.shutdown()
         return
     build_only = "--build-only" in sys.argv
     res = run_headline(NUM_CPUS, build_only=build_only)

@@ -119,8 +119,8 @@ def add_documents(index_dir: str, new_paths: list[str],
 def _tombstone_shadowed(index_dir: str, new_paths: list[str],
                         key_columns: list[str], offset: int) -> list[int]:
     """Tombstone older docs whose key columns collide with the new batch
-    (upsert semantics).  Vectorized: one hash semi-join per docmap
-    partition over the key columns only."""
+    (upsert semantics): a distributed hash semi-join over the docmap
+    partitions' key columns only."""
     new_keys = pa.concat_tables(
         [pq.read_table(p, columns=key_columns) for p in new_paths]
     )
@@ -128,14 +128,41 @@ def _tombstone_shadowed(index_dir: str, new_paths: list[str],
     from ..query.reader import IndexReader
 
     reader = IndexReader(index_dir)
-    dead: list[int] = []
-    for dm in reader._docmap:
-        if dm["min_doc"] >= offset:
-            continue  # the epoch being added (or newer)
-        t = pq.read_table(dm["path"], columns=["doc_id", *key_columns])
-        hit = t.join(new_keys, keys=key_columns, join_type="inner")
-        if hit.num_rows:
-            dead.extend(hit.column("doc_id").to_pylist())
+    dead = shadowed_doc_ids(reader._docmap, new_keys, key_columns, offset)
     if dead:
         reader.add_tombstones(dead)
-    return sorted(dead)
+    return dead
+
+
+def shadowed_doc_ids(docmap_parts, new_keys: pa.Table,
+                     key_columns: list[str], offset: int) -> list[int]:
+    """Doc ids of pre-``offset`` docs whose key columns collide with
+    ``new_keys`` — one Ray task per docmap partition with the delta-sized
+    key table broadcast once via ``ray.put``; only the colliding doc_ids
+    (bounded by the delta) return to the driver.  Shared by the flat and
+    nested upsert paths."""
+    import ray
+    import ray.data as rd
+
+    parts = [dm["path"] for dm in docmap_parts if dm["min_doc"] < offset]
+    if not parts or new_keys.num_rows == 0:
+        return []
+    keys_ref = ray.put(new_keys)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        nk = ray.get(keys_ref)
+        outs = []
+        for p in batch.column("path").to_pylist():
+            t = pq.read_table(p, columns=["doc_id", *key_columns])
+            outs.append(t.join(nk, keys=key_columns, join_type="inner")
+                        .select(["doc_id"]))
+        return pa.concat_tables(outs)
+
+    hits = (rd.from_items([{"path": p} for p in parts],
+                          override_num_blocks=len(parts))
+            .map_batches(scan, batch_format="pyarrow"))
+    tables = ray.get(hits.to_arrow_refs())
+    if not tables:
+        return []
+    t = pa.concat_tables(tables)
+    return sorted(t.column("doc_id").to_pylist())

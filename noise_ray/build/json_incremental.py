@@ -71,19 +71,61 @@ def add_json_documents(index_dir: str, new_paths: list[str],
     if update:
         import pyarrow as pa
 
+        from .incremental import shadowed_doc_ids
+
         new_ids = pa.concat_tables(
             [pq.read_table(p, columns=["_id"]) for p in new_paths])
-        for dm in reader._docmap:
-            if dm["min_doc"] >= offset:
-                continue
-            t = pq.read_table(dm["path"], columns=["doc_id", "_id"])
-            hit = t.join(new_ids, keys=["_id"], join_type="inner")
-            if hit.num_rows:
-                tombstoned.extend(hit.column("doc_id").to_pylist())
+        tombstoned = shadowed_doc_ids(reader._docmap, new_ids, ["_id"],
+                                      offset)
         if tombstoned:
             reader.add_tombstones(tombstoned)
     manifest["tombstoned"] = sorted(tombstoned)
     return manifest
+
+
+def _live_doc_ids(reader) -> np.ndarray:
+    """Live set for compaction — the highest non-tombstoned doc per
+    ``_id`` — computed as a distributed groupby over the docmap
+    partitions.  Nothing corpus-sized crosses the driver except the final
+    int64 doc_id array (which compaction broadcasts to the rewrite tasks
+    anyway); the old implementation built a per-row Python dict of every
+    doc on the driver."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    paths = [dm["path"] for dm in reader._docmap]
+    if not paths:
+        return np.zeros(0, dtype=np.int64)
+    dead = np.sort(np.asarray(reader.tombstones, dtype=np.int64))
+    dead_ref = ray.put(dead)
+
+    def load(batch: pa.Table) -> pa.Table:
+        dd = ray.get(dead_ref)
+        outs = []
+        for p in batch.column("path").to_pylist():
+            t = pq.read_table(p, columns=["doc_id", "_id"])
+            docs = t.column("doc_id").to_numpy().astype(np.int64)
+            if dd.size:
+                pos = np.searchsorted(dd, docs)
+                pos[pos >= dd.size] = dd.size - 1
+                mask = dd[pos] != docs
+                t = t.filter(pa.array(mask))
+            outs.append(t)
+        return pa.concat_tables(outs)
+
+    agg = (rd.from_items([{"path": p} for p in paths],
+                         override_num_blocks=len(paths))
+           .map_batches(load, batch_format="pyarrow")
+           .groupby("_id")
+           .aggregate(Max("doc_id", alias_name="doc_id"))
+           .select_columns(["doc_id"]))
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return np.zeros(0, dtype=np.int64)
+    t = pa.concat_tables(tables)
+    return np.sort(t.column("doc_id").to_numpy().astype(np.int64))
 
 
 def compact_json_index(index_dir: str) -> dict:
@@ -102,17 +144,7 @@ def compact_json_index(index_dir: str) -> dict:
     from ..query.json_reader import JsonIndexReader
 
     reader = JsonIndexReader(index_dir)
-    dead = set(reader.tombstones.tolist())
-    best: dict[str, int] = {}
-    for dm in reader._docmap:
-        t = pq.read_table(dm["path"], columns=["doc_id", "_id"])
-        for d, i in zip(t.column("doc_id").to_pylist(),
-                        t.column("_id").to_pylist()):
-            if d in dead:
-                continue
-            if best.get(i, -1) < d:
-                best[i] = d
-    live = np.array(sorted(best.values()), dtype=np.int64)
+    live = _live_doc_ids(reader)
 
     tmp = index_dir + ".compact-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
