@@ -247,6 +247,12 @@ class ShredTokenize:
                         ent[3].append(field_len)
                         ent[4].extend(p)
 
+        spatial_path = os.path.join(
+            os.path.join(os.path.dirname(self.values_dir), "spatial"),
+            f"spatial-{seq:05d}.parquet")
+        if not os.path.exists(spatial_path):
+            self._write_spatial(spatial_path, v_doc, v_kp, v_ap, v_code,
+                                v_bbox)
         if not os.path.exists(values_path):
             vt = pa.table({
                 "doc_id": pa.array(v_doc, pa.int64()),
@@ -289,6 +295,38 @@ class ShredTokenize:
                 cols["seq"] = t.column("seq")
             dt = pa.table(cols)
             _atomic_write_table(dt, docmap_path, row_group_size=65536)
+
+    @staticmethod
+    def _write_spatial(spatial_path: str, v_doc, v_kp, v_ap, v_code,
+                       v_bbox) -> None:
+        """Grid-bucketed sidecar of this partition's ``r`` rows (the
+        rtree-CF analogue, build/spatial.py): rows replicated per
+        intersected cell, sorted by (kp, cell, doc) with small row groups
+        so a bbox query's cell filter prunes at the parquet layer.  No
+        file is written when the partition has no geometry."""
+        from .spatial import cells_for_boxes
+
+        r_idx = [i for i, c in enumerate(v_code) if c == "r"]
+        if not r_idx:
+            return
+        boxes = np.asarray([v_bbox[i] for i in r_idx], dtype=np.float64)
+        rows, cells = cells_for_boxes(boxes)
+        docs = np.asarray([v_doc[i] for i in r_idx], dtype=np.int64)[rows]
+        kps = [v_kp[r_idx[i]] for i in rows]
+        aps = [v_ap[r_idx[i]] for i in rows]
+        order = sorted(range(len(rows)),
+                       key=lambda i: (kps[i], int(cells[i]), int(docs[i])))
+        st = pa.table({
+            "kp": pa.array([kps[i] for i in order],
+                           pa.string()).dictionary_encode(),
+            "cell": pa.array([int(cells[i]) for i in order], pa.int32()),
+            "doc_id": pa.array([int(docs[i]) for i in order], pa.int64()),
+            "ap": pa.array([aps[i] for i in order], pa.list_(pa.int64())),
+            "bbox": pa.array([list(boxes[rows[i]]) for i in order],
+                             pa.list_(pa.float64())),
+        })
+        os.makedirs(os.path.dirname(spatial_path), exist_ok=True)
+        _atomic_write_table(st, spatial_path, row_group_size=4096)
 
     # ------------------------------------------------------------ batch
 

@@ -414,6 +414,74 @@ class JsonIndexReader:
                 out = tuple(c[s:e] for c in out)
         return out
 
+    def bbox_rows(self, kp: str, query_box: tuple[float, float, float,
+                                                  float],
+                  doc_range: tuple[int, int] | None = None):
+        """Grid-pruned ``r`` rows for a bbox query: ``(docs, aps, bboxes)``
+        sorted by (doc, arraypath), candidates only — the exact
+        intersection predicate still runs in the engine.
+
+        Reads the spatial sidecars (build/spatial.py) with a parquet
+        ``cell IN (...)`` filter, so only row groups of grid cells the
+        query box touches are materialized; partitions prune by doc range
+        and by the kp zone maps ("r" code present) first.  Falls back to
+        the full values scan for indexes built before the sidecars
+        existed."""
+        from ..build.spatial import cells_for_query
+
+        depth = kp_depth(kp)
+        empty = (np.zeros(0, dtype=np.int64),
+                 np.zeros((0, depth), dtype=np.int64),
+                 np.zeros((0, 4), dtype=np.float64))
+        cells = cells_for_query(*query_box)
+        parts = []
+        for v in self._values:
+            if doc_range is not None and (
+                    v["max_doc"] < doc_range[0]
+                    or v["min_doc"] >= doc_range[1]):
+                continue
+            z = self._kp_zones(v["path"]).get(kp)
+            if z is None or "r" not in z.get("codes", []):
+                continue
+            spath = os.path.join(os.path.dirname(os.path.dirname(v["path"])),
+                                 "spatial",
+                                 os.path.basename(v["path"]).replace(
+                                     "values-", "spatial-"))
+            if not os.path.exists(spath):
+                # pre-sidecar index: exact values-partition scan
+                docs, aps, codes, _n, _s, bb = self.values_kp(kp, doc_range)
+                m = codes == "r"
+                return docs[m], aps[m], bb[m]
+            t = pq.read_table(spath, filters=[("kp", "==", kp),
+                                              ("cell", "in", cells)])
+            if t.num_rows:
+                parts.append(t)
+        if not parts:
+            return empty
+        t = pa.concat_tables(parts)
+        docs = t.column("doc_id").to_numpy().astype(np.int64)
+        if depth:
+            aps = (pc.list_flatten(t.column("ap")).to_numpy()
+                   .astype(np.int64).reshape(len(docs), depth))
+        else:
+            aps = np.zeros((len(docs), 0), dtype=np.int64)
+        bb = (pc.list_flatten(t.column("bbox")).to_numpy()
+              .astype(np.float64).reshape(len(docs), 4))
+        if doc_range is not None:
+            m = (docs >= doc_range[0]) & (docs < doc_range[1])
+            docs, aps, bb = docs[m], aps[m], bb[m]
+        # collapse cell-replication duplicates; (doc, ap) is unique per
+        # stored box, so first-occurrence keeps the right bbox
+        order = np.lexsort(tuple(aps.T[::-1]) + (docs,))
+        docs, aps, bb = docs[order], aps[order], bb[order]
+        if docs.size > 1:
+            keys = np.hstack([docs[:, None], aps])
+            keep = np.empty(docs.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = np.any(keys[1:] != keys[:-1], axis=1)
+            docs, aps, bb = docs[keep], aps[keep], bb[keep]
+        return docs, aps, bb
+
     def zero_prefix_lengths(self, prefix_segs: list[str],
                             doc_range: tuple[int, int] | None = None
                             ) -> tuple[np.ndarray, np.ndarray]:
