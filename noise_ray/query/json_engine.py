@@ -180,6 +180,43 @@ def resized(s: InstSet, depth: int) -> InstSet:
     return _gather(s, idx, s.docs[idx], aps[idx])
 
 
+class LazyVkeys:
+    """Deferred bind-vkey list: holds the matched instances' arraypath
+    rows (in collection order) and materializes the ``fill_vkey`` strings
+    only when iterated — i.e. only for docs that survive order/limit.  A
+    bind query matching millions of docs with ``limit 10`` builds 10 docs'
+    worth of strings instead of millions, and the distributed path ships
+    a small int matrix per doc instead of string lists.  List-like where
+    it matters: ``_merge_bind_rows`` iterates (materializing only at the
+    rare bind-combine points) and ``RetBind`` iterates at render time."""
+
+    __slots__ = ("kp", "aps", "_mat")
+
+    def __init__(self, kp: str, aps: np.ndarray):
+        self.kp = kp
+        self.aps = aps
+        self._mat = None
+
+    def _materialize(self) -> list[str]:
+        if self._mat is None:
+            self._mat = [fill_vkey(self.kp, tuple(int(x) for x in row))
+                         for row in self.aps]
+        return self._mat
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __len__(self) -> int:
+        return int(self.aps.shape[0])
+
+    def __getstate__(self):
+        return (self.kp, self.aps)
+
+    def __setstate__(self, st):
+        self.kp, self.aps = st
+        self._mat = None
+
+
 def _merge_bind_rows(a: dict | None, b: dict | None) -> dict | None:
     if a is None:
         return b
@@ -648,12 +685,19 @@ class CompiledJsonQuery:
         rtree column family orders entries by their box, so within a doc
         results stream in bbox order, not arraypath order."""
         if allowed is not None:
+            # candidate pushdown from a selective AND sibling: a doc-keyed
+            # read beats a space-keyed one when candidates are few
             docs, aps, codes, _nums, _strs, bboxes = \
                 self.reader.values_kp_for_docs(node.field, allowed)
+            mask = codes == "r"
         else:
-            docs, aps, codes, _nums, _strs, bboxes = self.reader.values_kp(
-                node.field, self.doc_range)
-        mask = codes == "r"
+            # grid-bucketed read (build/spatial.py): only cells the query
+            # box touches are materialized; candidates only, so the exact
+            # predicate below still decides
+            docs, aps, bboxes = self.reader.bbox_rows(
+                node.field, (node.west, node.east, node.south, node.north),
+                self.doc_range)
+            mask = np.ones(docs.size, dtype=bool)
         if mask.any():
             w, e = bboxes[:, 0], bboxes[:, 1]
             s_, n_ = bboxes[:, 2], bboxes[:, 3]
@@ -778,21 +822,21 @@ class CompiledJsonQuery:
         first[1:] = inner.docs[1:] != inner.docs[:-1]
         starts = np.flatnonzero(first)
         counts = np.diff(np.append(starts, inner.size))
-        vkeys = []
         d = node.depth
-        for i in range(inner.size):
-            ap = tuple(int(x) for x in inner.aps[i, :d])
-            if inner.depth < d:
-                ap = ap + (0,) * (d - inner.depth)
-            vkeys.append(fill_vkey(node.kp, ap))
+        if inner.depth < d:
+            ap_mat = np.hstack([
+                inner.aps,
+                np.zeros((inner.size, d - inner.depth), dtype=np.int64)])
+        else:
+            ap_mat = inner.aps[:, :d]
         binds: list = []
         for s, c in zip(starts, counts):
-            idxs = list(range(s, s + c))
+            sl = np.arange(s, s + c)
             if inner.order is not None:
                 # collect in the inner filter's ITERATION order (bbox
                 # results stream in rtree/bbox order, geojson.noise)
-                idxs.sort(key=lambda i: inner.order[i])
-            row = {node.name: [vkeys[i] for i in idxs]}
+                sl = sl[np.argsort(inner.order[sl], kind="stable")]
+            row = {node.name: LazyVkeys(node.kp, ap_mat[sl])}
             if inner.binds is not None and inner.binds[s] is not None:
                 row = _merge_bind_rows(dict(inner.binds[s]), row)
             binds.append(row)

@@ -27,6 +27,13 @@ def nested_idx(tmp_path_factory):
                                     for j in range(4))}
                      for t in range(1 + i % 4)],
             "n": float(i % 17),
+            # two geo clusters, exercising the grid-bucketed bbox read
+            # inside range workers
+            "geometry": {"type": "Point",
+                         "coordinates": [(-100.0 if i % 2 else 15.0)
+                                         + (i % 9) * 0.01,
+                                         (30.0 if i % 2 else -40.0)
+                                         + (i % 7) * 0.01]},
         })
     paths = []
     for s in range(4):
@@ -63,6 +70,11 @@ QUERIES = [
     # bind collection with worker-side top-k prune
     'find {msgs: x::[{t: ~="engine"}]} order score() desc '
     "return [._id, x.who] limit 5 ;",
+    # grid-bucketed bbox read under range workers (one cluster only)
+    'find {geometry: && [-101, 29, -99, 31]} return ._id ;',
+    # bbox AND a selective term: candidate-pushdown path
+    'find {geometry: && [14, -41, 16, -39], msgs: [{t: ~="engine"}]} '
+    "return ._id ;",
 ]
 
 
