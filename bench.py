@@ -176,11 +176,13 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
         d["_id"] = st.column("_id")[i].as_py()
         d["turns"].append({"i": float(len(d["turns"])), "role": "system",
                            "text": "bench epoch marker turn"})
+        d["n_turns"] = float(len(d["turns"]))
         delta.append(d)
     for i in range(n_delta // 4):  # plus some brand-new docs
         delta.append({"_id": f"bench-epoch-{i}",
                       "turns": [{"i": 0.0, "role": "user",
-                                 "text": f"fresh epoch doc {i}"}]})
+                                 "text": f"fresh epoch doc {i}"}],
+                      "n_turns": 1.0})
     dp = docs_to_parquet(delta, os.path.join(epoch_root, "delta.parquet"),
                          docid_base=nr.num_docs)
     t0 = time.perf_counter()

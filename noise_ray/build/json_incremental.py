@@ -102,16 +102,15 @@ def _live_doc_ids(reader) -> np.ndarray:
     dead_ref = ray.put(dead)
 
     def load(batch: pa.Table) -> pa.Table:
+        from ..nputil import sorted_member_mask
+
         dd = ray.get(dead_ref)
         outs = []
         for p in batch.column("path").to_pylist():
             t = pq.read_table(p, columns=["doc_id", "_id"])
             docs = t.column("doc_id").to_numpy().astype(np.int64)
             if dd.size:
-                pos = np.searchsorted(dd, docs)
-                pos[pos >= dd.size] = dd.size - 1
-                mask = dd[pos] != docs
-                t = t.filter(pa.array(mask))
+                t = t.filter(pa.array(~sorted_member_mask(dd, docs)))
             outs.append(t)
         return pa.concat_tables(outs)
 
@@ -158,14 +157,13 @@ def compact_json_index(index_dir: str) -> dict:
     def one_part(row: dict) -> dict:
         import pyarrow as pa
 
+        from ..nputil import sorted_member_mask
+
         lv = ray.get(live_ref)
         t = pq.read_table(row["path"],
                           columns=["doc_id", "_id", "json"])
         docs = t.column("doc_id").to_numpy().astype(np.int64)
-        pos = np.searchsorted(lv, docs)
-        pos[pos >= lv.size] = max(lv.size - 1, 0)
-        keep = lv.size > 0
-        mask = (lv[pos] == docs) if keep else np.zeros(docs.size, bool)
+        mask = sorted_member_mask(lv, docs)
         if not mask.any():
             return {"path": ""}
         sub = t.filter(pa.array(mask))

@@ -36,6 +36,7 @@ import numpy as np
 
 from ..analysis.tokenizer import tokenize
 from ..build.shred import fill_vkey, parse_kp
+from ..nputil import sorted_member_mask
 from . import ast
 from .engine import (
     F32, _Slot, _check_double_not, _is_all_not, _stem_one,
@@ -428,9 +429,7 @@ class CompiledJsonQuery:
         t = self.reader.tombstones
         if t.size == 0 or r.size == 0:
             return r
-        pos = np.searchsorted(t, r.docs)
-        pos[pos >= t.size] = t.size - 1
-        keep = t[pos] != r.docs
+        keep = ~sorted_member_mask(t, r.docs)
         if keep.all():
             return r
         idx = np.flatnonzero(keep)
@@ -457,12 +456,7 @@ class CompiledJsonQuery:
     def _restrict(r: InstSet, allowed: np.ndarray | None) -> InstSet:
         if allowed is None or r.size == 0:
             return r
-        pos = np.searchsorted(allowed, r.docs)
-        pos[pos >= allowed.size] = max(allowed.size - 1, 0)
-        keep = (allowed.size > 0) & (allowed[pos] == r.docs) \
-            if allowed.size else np.zeros(r.size, dtype=bool)
-        if isinstance(keep, np.bool_):
-            keep = np.zeros(r.size, dtype=bool)
+        keep = sorted_member_mask(allowed, r.docs)
         if keep.all():
             return r
         idx = np.flatnonzero(keep)

@@ -27,6 +27,7 @@ from ..build.codec import decode_position_lists, decode_varint
 from ..build.json_pipeline import kp_term_bucket
 from ..build.pipeline import MANIFEST_NAME
 from ..build.shred import parse_kp
+from ..nputil import sorted_member_mask
 
 
 @dataclass
@@ -364,9 +365,7 @@ class JsonIndexReader:
                     np.zeros((0, 4), dtype=np.float64))
         out = parts[0] if len(parts) == 1 else tuple(
             np.concatenate([p[i] for p in parts]) for i in range(6))
-        pos = np.searchsorted(docs, out[0])
-        pos[pos >= docs.size] = docs.size - 1
-        keep = docs[pos] == out[0]
+        keep = sorted_member_mask(docs, out[0])
         if keep.all():
             return out
         return tuple(c[keep] for c in out)
@@ -430,11 +429,10 @@ class JsonIndexReader:
         from ..build.spatial import cells_for_query
 
         depth = kp_depth(kp)
-        empty = (np.zeros(0, dtype=np.int64),
-                 np.zeros((0, depth), dtype=np.int64),
-                 np.zeros((0, 4), dtype=np.float64))
         cells = cells_for_query(*query_box)
-        parts = []
+        doc_parts: list[np.ndarray] = []
+        ap_parts: list[np.ndarray] = []
+        bb_parts: list[np.ndarray] = []
         for v in self._values:
             if doc_range is not None and (
                     v["max_doc"] < doc_range[0]
@@ -448,25 +446,42 @@ class JsonIndexReader:
                                  os.path.basename(v["path"]).replace(
                                      "values-", "spatial-"))
             if not os.path.exists(spath):
-                # pre-sidecar index: exact values-partition scan
-                docs, aps, codes, _n, _s, bb = self.values_kp(kp, doc_range)
-                m = codes == "r"
-                return docs[m], aps[m], bb[m]
-            t = pq.read_table(spath, filters=[("kp", "==", kp),
-                                              ("cell", "in", cells)])
-            if t.num_rows:
-                parts.append(t)
-        if not parts:
-            return empty
-        t = pa.concat_tables(parts)
-        docs = t.column("doc_id").to_numpy().astype(np.int64)
-        if depth:
-            aps = (pc.list_flatten(t.column("ap")).to_numpy()
-                   .astype(np.int64).reshape(len(docs), depth))
-        else:
-            aps = np.zeros((len(docs), 0), dtype=np.int64)
-        bb = (pc.list_flatten(t.column("bbox")).to_numpy()
-              .astype(np.float64).reshape(len(docs), 4))
+                # partition from before the sidecars existed (e.g. an old
+                # base under newer epochs): exact per-partition values
+                # scan — other partitions keep their cell-pruned reads
+                d, a, c, _n, _s, b = self._values_kp_part(kp, v["path"])
+                m = c == "r"
+                d, a, b = d[m], a[m], b[m]
+            else:
+                ckey = (kp, spath, tuple(cells))
+                cached = self._values_kp_cache.get(ckey)
+                if cached is None:
+                    t = pq.read_table(spath,
+                                      filters=[("kp", "==", kp),
+                                               ("cell", "in", cells)])
+                    d = t.column("doc_id").to_numpy().astype(np.int64)
+                    if depth:
+                        a = (pc.list_flatten(t.column("ap")).to_numpy()
+                             .astype(np.int64).reshape(len(d), depth))
+                    else:
+                        a = np.zeros((len(d), 0), dtype=np.int64)
+                    b = (pc.list_flatten(t.column("bbox")).to_numpy()
+                         .astype(np.float64).reshape(len(d), 4))
+                    cached = (d, a, b)
+                    if len(self._values_kp_cache) < 4096:
+                        self._values_kp_cache[ckey] = cached
+                d, a, b = cached
+            if d.size:
+                doc_parts.append(d)
+                ap_parts.append(a)
+                bb_parts.append(b)
+        if not doc_parts:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros((0, depth), dtype=np.int64),
+                    np.zeros((0, 4), dtype=np.float64))
+        docs = np.concatenate(doc_parts)
+        aps = np.concatenate(ap_parts)
+        bb = np.concatenate(bb_parts)
         if doc_range is not None:
             m = (docs >= doc_range[0]) & (docs < doc_range[1])
             docs, aps, bb = docs[m], aps[m], bb[m]

@@ -117,7 +117,9 @@ def test_midscale_epochs_compaction_equals_fresh(ray_session, tmp_path):
     from noise_ray.build.json_pipeline import build_json_index, docs_to_parquet
     from noise_ray.query.json_reader import JsonIndexReader
 
-    n_base = int(os.environ.get("GRAFT_MIDSCALE_DOCS", "60000"))
+    # floor keeps the fixed structural offsets below (upsert windows,
+    # delete slice) disjoint at any requested size
+    n_base = max(int(os.environ.get("GRAFT_MIDSCALE_DOCS", "60000")), 6000)
     n_epoch = n_base // 3  # 2 epochs -> >= 100k docs total at the default
     base = str(tmp_path)
 
@@ -149,9 +151,11 @@ def test_midscale_epochs_compaction_equals_fresh(ray_session, tmp_path):
     m2 = add_json_documents(idx, [p2])
     assert len(m2["tombstoned"]) == re_hi - re_lo
 
-    # delete a contiguous live slice by _id
+    # delete a contiguous live slice by _id (middle of the base — outside
+    # both upsert windows for any n_base >= 6000)
     r = JsonIndexReader(idx)
-    deleted_ids = [f"d{k:06d}" for k in range(30000, 30500)]
+    del_lo = n_base // 2
+    deleted_ids = [f"d{k:06d}" for k in range(del_lo, del_lo + 500)]
     r.add_tombstones([r.lookup_id(i) for i in deleted_ids])
 
     before = _run_mid(idx)

@@ -90,6 +90,33 @@ def test_bbox_query_equals_fallback_scan(geo_index):
     assert all(len(g) >= 100 for g in got)  # cluster + world polygon
 
 
+def test_mixed_sidecar_index_prunes_per_partition(geo_index):
+    """One pre-sidecar partition (an old base under newer epochs) must
+    fall back to an exact scan for THAT partition only — the others keep
+    their cell-pruned reads, and results are unchanged."""
+    from noise_ray.query.json_executor import run_json_query
+    from noise_ray.query.json_reader import JsonIndexReader
+
+    idx, _ = geo_index
+    q = 'find {geometry: && [-121, 39, -119, 41]} return ._id ;'
+    want = run_json_query(JsonIndexReader(idx), q)
+    spatial = os.path.join(idx, "spatial")
+    names = sorted(os.listdir(spatial))
+    one = os.path.join(spatial, names[0])
+    os.rename(one, one + ".hidden")
+    try:
+        r = JsonIndexReader(idx)
+        assert run_json_query(r, q) == want
+        # partition 1 still prunes: its sidecar read returns only the
+        # queried cells' rows, so total candidates stay bounded (cluster
+        # + polygon + partition-0's full 200-row exact scan at most)
+        docs, _aps, _bb = r.bbox_rows(".geometry",
+                                      (-121.0, -119.0, 39.0, 41.0))
+        assert docs.size <= 220
+    finally:
+        os.rename(one + ".hidden", one)
+
+
 def test_oversize_bucket_always_probed():
     from noise_ray.build.spatial import (
         MAX_CELLS, OVERSIZE, cells_for_boxes, cells_for_query,
