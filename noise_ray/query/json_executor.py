@@ -216,9 +216,12 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
             # buffered early-cut on the driver)
             from .distributed import merge_agg_rows
 
+            pool = _worker_pool()
             parts = ray.get([
-                _json_agg_range.remote(reader.index_dir, q, lo, hi)
-                for lo, hi in _task_ranges(reader.num_docs)])
+                pool[i % len(pool)].agg_range.remote(
+                    reader.index_dir, q, lo, hi)
+                for i, (lo, hi) in
+                enumerate(_task_ranges(reader.num_docs))])
             out_rows = merge_agg_rows(q, leaves, parts)
             return [_render_tree(q.returns, iter(r)) for r in out_rows]
         keep = None
@@ -380,12 +383,48 @@ def _json_agg_range_impl(index_dir: str, q, lo: int, hi: int):
     return _partial_fold(leaves, rows)
 
 
-_json_eval_range = ray.remote(_json_eval_range_impl)
-_json_agg_range = ray.remote(_json_agg_range_impl)
+@ray.remote
+class _JsonRangeWorker:
+    """Long-lived range worker for the nested distributed fan-out.
+
+    Plain ``ray.remote`` tasks land on arbitrary worker processes, so the
+    per-worker reader cache only helped when Ray happened to reschedule a
+    range onto a process that had served it before — at 22M docs warm
+    latencies equalled cold ones.  A pool of named-by-position actors
+    gives every doc range a STABLE home (range i -> actor i mod n): the
+    second query over an index finds that range's postings/values/docmap
+    already decoded."""
+
+    def eval_range(self, index_dir, filter_node, lo, hi, keep):
+        return _json_eval_range_impl(index_dir, filter_node, lo, hi, keep)
+
+    def agg_range(self, index_dir, q, lo, hi):
+        return _json_agg_range_impl(index_dir, q, lo, hi)
+
+
+_pool: list = []
+
+
+def _worker_pool() -> list:
+    """Lazily created, driver-lifetime actor pool sized to the cluster
+    (<= 32).  Assignment by range index is deterministic, so caches stay
+    hot across queries; actors die with the driver.
+
+    ``num_cpus=0``: the pool must not RESERVE cores — an idle pool
+    holding n×1 CPU starves every subsequent Ray Data job on the same
+    cluster (builds, compactions) into deadlock.  Parallelism is bounded
+    by the actor count instead, and queries run the actors hot only
+    while a fan-out is in flight."""
+    global _pool
+    n = max(1, min(32, int(ray.cluster_resources().get("CPU", 1))))
+    if len(_pool) != n:
+        _pool = [_JsonRangeWorker.options(num_cpus=0).remote()
+                 for _ in range(n)]
+    return _pool
 
 
 def _evaluate_distributed(reader: JsonIndexReader, filter_node, keep=None):
-    """Range-partitioned filter evaluation: one Ray task per doc range,
+    """Range-partitioned filter evaluation: one actor call per doc range,
     each evaluating the compiled query restricted to its range (slot
     ordinals are deterministic DFS order, so per-task scoring state is
     identical) through a per-worker cached reader, and returning its
@@ -395,9 +434,10 @@ def _evaluate_distributed(reader: JsonIndexReader, filter_node, keep=None):
     contiguous and ordered, so concatenation preserves global doc order.
     The proximity filter keeps the reference's sequential iterator inside
     each range (same caveat as the flat distributed path)."""
-    refs = [_json_eval_range.remote(reader.index_dir, filter_node, lo, hi,
-                                    keep)
-            for lo, hi in _task_ranges(reader.num_docs)]
+    pool = _worker_pool()
+    refs = [pool[i % len(pool)].eval_range.remote(
+                reader.index_dir, filter_node, lo, hi, keep)
+            for i, (lo, hi) in enumerate(_task_ranges(reader.num_docs))]
     parts = ray.get(refs)
     docs = np.concatenate([p[0] for p in parts])
     scores = np.concatenate([p[1] for p in parts])

@@ -243,9 +243,18 @@ class Repl:
         r = self._reader_or_err()
         if r is None:
             return
+        from .query.json_reader import JsonIndexReader
+
+        nested = isinstance(r, JsonIndexReader)
         doc_ids = []
         for tok in rest.split():
-            if ":" in tok:
+            if nested and not tok.lstrip("-").isdigit():
+                d = r.lookup_id(tok)  # nested: delete by document _id
+                if d is None:
+                    self._p(f"not found: {tok}")
+                    return
+                doc_ids.append(d)
+            elif ":" in tok:
                 conv, _, turn = tok.rpartition(":")
                 d = r.lookup_doc(conv, int(turn))
                 if d is None:
@@ -264,9 +273,14 @@ class Repl:
         (/root/reference/src/index.rs:271-282)."""
         if self._reader_or_err() is None:
             return
-        from .build import compact_index
+        if self._nested_mode():
+            from .build.json_incremental import compact_json_index
 
-        manifest = compact_index(self.index_dir)
+            manifest = compact_json_index(self.index_dir)
+        else:
+            from .build import compact_index
+
+            manifest = compact_index(self.index_dir)
         self.reader = None
         self._p(f"compacted to {manifest['num_docs']} docs, "
                 f"{len(manifest['segments'])} segments")

@@ -95,3 +95,31 @@ def test_repl_nested_workflow(ray_session, tmp_path):
     lines = out2.getvalue().splitlines()
     assert "epoch at seq 2" in lines[1]
     assert lines[-2:] == ['"1"', '"3"']
+
+
+def test_repl_nested_del_compact(ray_session, tmp_path):
+    """Main-CLI lifecycle on a NESTED index: del by _id hides the doc,
+    compact folds tombstones+epochs into a fresh dense base."""
+    import io
+    import json
+    import os
+
+    from noise_ray.repl import Repl
+
+    docs = [{"_id": f"n{i}", "tags": ["fox" if i % 2 else "dog"],
+             "k": i} for i in range(6)]
+    src = os.path.join(str(tmp_path), "in.jsonl")
+    with open(src, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    out = io.StringIO()
+    r = Repl(out)
+    idx = os.path.join(str(tmp_path), "idx")
+    for line in (f"create {idx}", "fields json", f"add {src}", "commit",
+                 "del n3", 'find {tags: [ =="fox" ]} return ._id',
+                 "compact", 'find {tags: [ =="fox" ]} return ._id'):
+        r.execute(line)
+    text = out.getvalue()
+    assert '"n1"' in text and '"n5"' in text
+    assert text.count('"n3"') == 0          # deleted before AND after
+    assert "compacted to 5 docs" in text

@@ -117,6 +117,34 @@ def test_mixed_sidecar_index_prunes_per_partition(geo_index):
         os.rename(one + ".hidden", one)
 
 
+def test_random_query_boxes_match_full_scan(geo_index):
+    """Property: for ANY query box, the grid path's post-predicate match
+    set equals the exact full scan's — including boxes straddling cell
+    edges, degenerate (point) boxes, and boxes clipping the world edge."""
+    import random
+
+    from noise_ray.query.json_reader import JsonIndexReader
+
+    idx, _ = geo_index
+    r = JsonIndexReader(idx)
+    full_docs, full_aps, full_codes, _n, _s, full_bb = \
+        r.values_kp(".geometry")
+    rm = full_codes == "r"
+    fd, fb = full_docs[rm], full_bb[rm]
+    rng = random.Random(42)
+    for _ in range(50):
+        w = rng.uniform(-200, 180)
+        e = w + rng.choice([0.0, 0.005, 0.5, 5.0, 40.0, 400.0])
+        s = rng.uniform(-100, 90)
+        n = s + rng.choice([0.0, 0.005, 0.5, 5.0, 30.0, 200.0])
+        docs, aps, bb = r.bbox_rows(".geometry", (w, e, s, n))
+        got = docs[(bb[:, 0] <= e) & (bb[:, 1] >= w)
+                   & (bb[:, 2] <= n) & (bb[:, 3] >= s)]
+        want = fd[(fb[:, 0] <= e) & (fb[:, 1] >= w)
+                  & (fb[:, 2] <= n) & (fb[:, 3] >= s)]
+        assert set(got.tolist()) == set(want.tolist()), (w, e, s, n)
+
+
 def test_oversize_bucket_always_probed():
     from noise_ray.build.spatial import (
         MAX_CELLS, OVERSIZE, cells_for_boxes, cells_for_query,
