@@ -199,6 +199,7 @@ def shred_table_fast(ids: list[str], texts: list[str], offset: int):
     # ---------------------------------------------- values table + zones
     zones: dict[str, dict] = {}
     parts = []
+    part_kps = []
     for kp, c_docs, c_ap, code, nums, strs in out.values:
         m = len(c_docs)
         z = zones.setdefault(kp, {"n": 0, "codes": set()})
@@ -217,6 +218,7 @@ def shred_table_fast(ids: list[str], texts: list[str], offset: int):
         kp_arr = pa.DictionaryArray.from_arrays(
             pa.array(np.zeros(m, dtype=np.int32)),
             pa.array([kp], pa.string()))
+        part_kps.append(kp)
         parts.append(pa.table({
             "doc_id": pa.array(c_docs, pa.int64()),
             "kp": kp_arr,
@@ -228,11 +230,14 @@ def shred_table_fast(ids: list[str], texts: list[str], offset: int):
                     else pa.nulls(m, pa.string())),
             "bbox": pa.nulls(m, pa.list_(pa.float64())),
         }))
+    # (kp, doc)-sorted row groups: every values read filters on kp, so a
+    # kp-contiguous layout lets parquet row-group stats prune the other
+    # keypaths' groups; docs stay ascending within each kp run, so the
+    # doc_id range filters of values_kp_for_docs keep their stats too.
+    # Each per-kp part is already doc-ascending (column-wise walk order),
+    # so this is just a part reorder — cheaper than the old global take.
+    parts = [p for _, p in sorted(zip(part_kps, parts), key=lambda x: x[0])]
     vt = pa.concat_tables(parts, promote_options="default")
-    # doc-sorted row groups: values_kp_for_docs pushes doc_id range
-    # filters into the parquet read and relies on row-group doc stats
-    order = np.argsort(vt.column("doc_id").to_numpy(), kind="stable")
-    vt = vt.take(pa.array(order))
     zmeta = {kp: {**{k: v for k, v in z.items() if k != "codes"},
                   "codes": sorted(z["codes"])}
              for kp, z in zones.items()}

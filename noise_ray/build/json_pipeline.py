@@ -200,7 +200,7 @@ class ShredTokenize:
                         {"noise_kp_zones": json.dumps(zmeta,
                                                       sort_keys=True)})
                     _atomic_write_table(vt, values_path,
-                                        row_group_size=65536)
+                                        row_group_size=16384)
                 if not os.path.exists(docmap_path):
                     cols = {
                         "doc_id": pa.array(
@@ -254,6 +254,20 @@ class ShredTokenize:
             self._write_spatial(spatial_path, v_doc, v_kp, v_ap, v_code,
                                 v_bbox)
         if not os.path.exists(values_path):
+            # (kp, doc)-sorted rows: every values read filters on kp, so
+            # kp-contiguous row groups let parquet stats prune the other
+            # keypaths; the stable sort keeps docs ascending per kp for
+            # the doc-range filters (same layout as the Arrow fast path)
+            _, kp_inv = np.unique(
+                np.asarray(v_kp, dtype=object), return_inverse=True)
+            vorder = np.argsort(kp_inv, kind="stable")
+            v_doc = [v_doc[i] for i in vorder]
+            v_kp = [v_kp[i] for i in vorder]
+            v_ap = [v_ap[i] for i in vorder]
+            v_code = [v_code[i] for i in vorder]
+            v_num = [v_num[i] for i in vorder]
+            v_str = [v_str[i] for i in vorder]
+            v_bbox = [v_bbox[i] for i in vorder]
             vt = pa.table({
                 "doc_id": pa.array(v_doc, pa.int64()),
                 "kp": pa.array(v_kp, pa.string()).dictionary_encode(),
@@ -282,7 +296,7 @@ class ShredTokenize:
                      for kp, z in zones.items()}
             vt = vt.replace_schema_metadata(
                 {"noise_kp_zones": json.dumps(zmeta, sort_keys=True)})
-            _atomic_write_table(vt, values_path, row_group_size=65536)
+            _atomic_write_table(vt, values_path, row_group_size=16384)
 
         if not os.path.exists(docmap_path):
             cols = {
