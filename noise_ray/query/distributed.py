@@ -150,8 +150,7 @@ def _partial_fold(leaves, rows):
     return list(partial.items())
 
 
-@ray.remote
-def _agg_range_task(index_dir: str, qtext: str, params: dict | None,
+def _agg_range_impl(index_dir: str, qtext: str, params: dict | None,
                     lo: int, hi: int):
     """Evaluate + leaf-fetch + partial-aggregate one doc range — the heavy
     per-match work (docmap column reads, per-row fold) never leaves the
@@ -169,8 +168,7 @@ def _agg_range_task(index_dir: str, qtext: str, params: dict | None,
     return _partial_fold(leaves, rows)
 
 
-@ray.remote
-def _eval_range_task(index_dir: str, qtext: str, params: dict | None,
+def _eval_range_impl(index_dir: str, qtext: str, params: dict | None,
                      lo: int, hi: int, keep_topk: int | None):
     reader = _cached_reader(index_dir)
     q = parse_query(qtext, params)
@@ -185,6 +183,55 @@ def _eval_range_task(index_dir: str, qtext: str, params: dict | None,
         keep = scores >= kth
         docs, scores = docs[keep], scores[keep]
     return docs, scores.astype(F32)
+
+
+@ray.remote
+class _RangeWorker:
+    """Long-lived range worker shared by the flat and nested distributed
+    fan-outs.
+
+    Plain ``ray.remote`` tasks land on arbitrary worker processes, so the
+    per-process reader cache (``_cached_reader``) only helped when Ray
+    happened to reschedule a range onto a process that had served it
+    before — warm latencies of values-heavy queries equalled cold ones.
+    A pool of actors with a deterministic range→actor assignment (range
+    i → actor i mod n) gives every doc range a stable home: the second
+    query finds that range's postings/values/docmap already decoded.
+
+    ``num_cpus=0``: the pool must not RESERVE cores — an idle pool
+    holding n×1 CPU starves every later Ray Data job on the cluster
+    (builds, compactions) into deadlock.  Parallelism is bounded by the
+    actor count instead."""
+
+    def flat_eval(self, index_dir, qtext, params, lo, hi, keep_topk):
+        return _eval_range_impl(index_dir, qtext, params, lo, hi, keep_topk)
+
+    def flat_agg(self, index_dir, qtext, params, lo, hi):
+        return _agg_range_impl(index_dir, qtext, params, lo, hi)
+
+    def json_eval(self, index_dir, filter_node, lo, hi, keep):
+        from .json_executor import _json_eval_range_impl
+
+        return _json_eval_range_impl(index_dir, filter_node, lo, hi, keep)
+
+    def json_agg(self, index_dir, q, lo, hi):
+        from .json_executor import _json_agg_range_impl
+
+        return _json_agg_range_impl(index_dir, q, lo, hi)
+
+
+_pool: list = []
+
+
+def worker_pool() -> list:
+    """Lazily created, driver-lifetime actor pool sized to the cluster
+    (<= 32); actors die with the driver."""
+    global _pool
+    n = max(1, min(32, int(ray.cluster_resources().get("CPU", 1))))
+    if len(_pool) != n:
+        _pool = [_RangeWorker.options(num_cpus=0).remote()
+                 for _ in range(n)]
+    return _pool
 
 
 def run_query_distributed(index_dir: str, query: str,
@@ -214,19 +261,22 @@ def run_query_distributed(index_dir: str, query: str,
             # limit + aggregates: the reference's buffered early-cut is
             # order-sensitive mid-merge — stream matches back and fold on
             # the driver so results stay bit-identical to run_query
+            pool = worker_pool()
             parts = ray.get([
-                _eval_range_task.remote(index_dir, query, params, lo, hi,
-                                        None)
-                for lo, hi in ranges
+                pool[i % len(pool)].flat_eval.remote(
+                    index_dir, query, params, lo, hi, None)
+                for i, (lo, hi) in enumerate(ranges)
             ])
             docs = (np.concatenate([d for d, _ in parts])
                     if parts else np.zeros(0, np.int64))
             scores = (np.concatenate([s for _, s in parts]).astype(F32)
                       if parts else np.zeros(0, F32))
             return ex._run_aggregates(reader, q, docs, scores, agg_leaves)
+        pool = worker_pool()
         parts = ray.get([
-            _agg_range_task.remote(index_dir, query, params, lo, hi)
-            for lo, hi in ranges
+            pool[i % len(pool)].flat_agg.remote(
+                index_dir, query, params, lo, hi)
+            for i, (lo, hi) in enumerate(ranges)
         ])
         return _merge_agg_partials(q, agg_leaves, parts)
 
@@ -236,9 +286,11 @@ def run_query_distributed(index_dir: str, query: str,
             and q.order[0].desc):
         keep_topk = q.limit
 
+    pool = worker_pool()
     parts = ray.get([
-        _eval_range_task.remote(index_dir, query, params, lo, hi, keep_topk)
-        for lo, hi in ranges
+        pool[i % len(pool)].flat_eval.remote(
+            index_dir, query, params, lo, hi, keep_topk)
+        for i, (lo, hi) in enumerate(ranges)
     ])
     docs = np.concatenate([d for d, _ in parts]) if parts else np.zeros(0, np.int64)
     scores = (np.concatenate([s for _, s in parts]).astype(F32)

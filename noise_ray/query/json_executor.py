@@ -218,7 +218,7 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
 
             pool = _worker_pool()
             parts = ray.get([
-                pool[i % len(pool)].agg_range.remote(
+                pool[i % len(pool)].json_agg.remote(
                     reader.index_dir, q, lo, hi)
                 for i, (lo, hi) in
                 enumerate(_task_ranges(reader.num_docs))])
@@ -383,44 +383,12 @@ def _json_agg_range_impl(index_dir: str, q, lo: int, hi: int):
     return _partial_fold(leaves, rows)
 
 
-@ray.remote
-class _JsonRangeWorker:
-    """Long-lived range worker for the nested distributed fan-out.
-
-    Plain ``ray.remote`` tasks land on arbitrary worker processes, so the
-    per-worker reader cache only helped when Ray happened to reschedule a
-    range onto a process that had served it before — at 22M docs warm
-    latencies equalled cold ones.  A pool of named-by-position actors
-    gives every doc range a STABLE home (range i -> actor i mod n): the
-    second query over an index finds that range's postings/values/docmap
-    already decoded."""
-
-    def eval_range(self, index_dir, filter_node, lo, hi, keep):
-        return _json_eval_range_impl(index_dir, filter_node, lo, hi, keep)
-
-    def agg_range(self, index_dir, q, lo, hi):
-        return _json_agg_range_impl(index_dir, q, lo, hi)
-
-
-_pool: list = []
-
-
 def _worker_pool() -> list:
-    """Lazily created, driver-lifetime actor pool sized to the cluster
-    (<= 32).  Assignment by range index is deterministic, so caches stay
-    hot across queries; actors die with the driver.
+    """The shared flat/nested range-worker actor pool — see
+    ``distributed._RangeWorker`` for the stable-assignment rationale."""
+    from .distributed import worker_pool
 
-    ``num_cpus=0``: the pool must not RESERVE cores — an idle pool
-    holding n×1 CPU starves every subsequent Ray Data job on the same
-    cluster (builds, compactions) into deadlock.  Parallelism is bounded
-    by the actor count instead, and queries run the actors hot only
-    while a fan-out is in flight."""
-    global _pool
-    n = max(1, min(32, int(ray.cluster_resources().get("CPU", 1))))
-    if len(_pool) != n:
-        _pool = [_JsonRangeWorker.options(num_cpus=0).remote()
-                 for _ in range(n)]
-    return _pool
+    return worker_pool()
 
 
 def _evaluate_distributed(reader: JsonIndexReader, filter_node, keep=None):
@@ -435,7 +403,7 @@ def _evaluate_distributed(reader: JsonIndexReader, filter_node, keep=None):
     The proximity filter keeps the reference's sequential iterator inside
     each range (same caveat as the flat distributed path)."""
     pool = _worker_pool()
-    refs = [pool[i % len(pool)].eval_range.remote(
+    refs = [pool[i % len(pool)].json_eval.remote(
                 reader.index_dir, filter_node, lo, hi, keep)
             for i, (lo, hi) in enumerate(_task_ranges(reader.num_docs))]
     parts = ray.get(refs)
