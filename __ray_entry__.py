@@ -42,11 +42,25 @@ def _doc_ids_only(t):
     return t.select(["doc_id"])
 
 
-def _search_documents(query: str, columns=("doc_id",)):
+def _round4(t, cols=("score",)):
+    """Round float columns to 4 decimals as float64 so an engine-f32 score
+    hash-matches its f64 DuckDB oracle (noise_ray/ops/score_oracle.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for c in cols:
+        if c in t.column_names:
+            x = pc.round(pc.cast(t.column(c), pa.float64()), ndigits=4)
+            t = t.set_column(t.column_names.index(c), c, x)
+    return t
+
+
+def _search_documents(query: str, columns=("doc_id",), round_score=False):
     def run(sf_dir: str):
         from noise_ray.pipelines import documents_index, search
 
-        return search(documents_index(sf_dir), query).select(list(columns))
+        t = search(documents_index(sf_dir), query).select(list(columns))
+        return _round4(t) if round_score else t
 
     return run
 
@@ -64,8 +78,9 @@ def _incremental_upsert(sf_dir: str):
     """Incremental add + upsert (SURVEY §2.0 Index::add on a live index):
     build a tiny base index, append an epoch that also re-adds one existing
     (conv_id, turn_idx) key, and query across epochs.  Deterministic fixed
-    corpus; rows-only check (exercised value-exactly in
-    tests/test_incremental.py)."""
+    corpus; the oracle scores the post-upsert live corpus inlined as VALUES
+    (ops/score_oracle.py); value-exact epoch tests in
+    tests/test_incremental.py."""
     import os
     import tempfile
 
@@ -85,16 +100,18 @@ def _incremental_upsert(sf_dir: str):
         ("c", 0, "user", "quick quick fox"),
     ])
     add_documents(idx, [delta])
-    return run_query(
+    t = run_query(
         IndexReader(idx),
         'find {text: ~="fox"} order score() desc return score() limit 10 ;')
+    return _round4(t.select(["conv_id", "turn_idx", "score"]))
 
 
 def _lifecycle_compact(sf_dir: str):
     """Full lifecycle (SURVEY §2.0): base build → epoch add with upsert →
     tombstone delete → compaction, then query the compacted index.
-    Deterministic fixed corpus; rows-only check (value-exact in
-    tests/test_compact.py: compaction ≡ fresh build over live rows)."""
+    Deterministic fixed corpus; the oracle scores the post-lifecycle live
+    corpus inlined as VALUES (ops/score_oracle.py); compaction ≡ fresh
+    build is value-exact in tests/test_compact.py."""
     import os
     import tempfile
 
@@ -116,9 +133,10 @@ def _lifecycle_compact(sf_dir: str):
     add_documents(idx, [delta])
     IndexReader(idx).add_tombstones([1])  # delete (a, 1)
     compact_index(idx)
-    return run_query(
+    t = run_query(
         IndexReader(idx),
         'find {text: ~="fox"} order score() desc return score() limit 10 ;')
+    return _round4(t.select(["conv_id", "turn_idx", "score"]))
 
 
 def _write_turns(dirpath, rows):
@@ -163,14 +181,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_range_nchars": _search_documents("find {n_chars: > 300} ;"),
         "search_range_band": _search_documents(
             "find {n_chars: >= 100, n_chars: < 200} ;"),
-        # --- scored relevance queries (rows-only; scores conformance-tested
-        #     against the reference goldens in tests/)
+        # --- scored relevance queries (EXACT oracles: the reference TF-IDF
+        #     formula replicated in SQL, score rounded to 4dp on both sides
+        #     — noise_ray/ops/score_oracle.py; raw-f32 golden parity stays
+        #     in tests/)
         "search_term_topk": _search_documents(
-            'find {text: ~="merge"} order score() desc return score() limit 20 ;',
-            columns=("doc_id", "score")),
+            'find {text: ~="merge"} order score() desc, .doc_id asc '
+            "return score() limit 20 ;",
+            columns=("doc_id", "score"), round_score=True),
         "search_phrase_topk": _search_documents(
-            'find {text: ~="row scan"} order score() desc return score() limit 20 ;',
-            columns=("doc_id", "score")),
+            'find {text: ~="row scan"} order score() desc, .doc_id asc '
+            "return score() limit 20 ;",
+            columns=("doc_id", "score"), round_score=True),
         "flagship_or_topk": _search_transcripts(
             'find {text: ~="quick" || text: ~="brown" || text: ~="fox"} '
             "order score() desc return score() limit 50 ;"),
@@ -234,6 +256,12 @@ def _sqlgen():
     return oracle_sqlgen
 
 
+def _score_oracle():
+    from noise_ray.ops import score_oracle
+
+    return score_oracle
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "nested_kp_range": """
@@ -276,6 +304,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_chars) AS DOUBLE) AS hi,
                    avg(n_chars) AS mean
             FROM documents WHERE source = 'src0' GROUP BY lang""",
+        "search_term_topk": _score_oracle().term_topk_sql("merge", 20),
+        "search_phrase_topk": _score_oracle().phrase_topk_sql(
+            "row", "scan", 20),
+        "incremental_upsert": _score_oracle().values_corpus_term_sql([
+            ("a", 0, "updated fox text entirely"),
+            ("a", 1, "lazy dogs sleep"),
+            ("b", 0, "fox hunting season"),
+            ("c", 0, "quick quick fox"),
+        ], "fox", 10),
+        "lifecycle_compact": _score_oracle().values_corpus_term_sql([
+            ("a", 0, "updated fox text entirely"),
+            ("b", 0, "fox hunting season"),
+            ("c", 0, "quick quick fox"),
+        ], "fox", 10),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -1,0 +1,121 @@
+"""DuckDB-SQL oracles for the reference TF-IDF relevance score.
+
+The reference's scoring pipeline (noise_ray/query/engine.py:1-25;
+/root/reference/src/snapshot.rs:132-183, src/query.rs:463-477) is
+
+    idf_t      = 1 + ln(K / (C_t + 1))          # K: field total
+    per-match  = idf_t^2 * sqrt(tf_t) / sqrt(field_len) * boost
+    query_norm = 1 / sum_t(idf_t^2)
+    score      = query_norm * sum_slots(sum/count) * matched / num_slots
+
+which is SQL-expressible whenever SQL can reproduce the token
+statistics.  For corpora whose text tokenizes identically under
+UAX#29 + Porter2 and a lowercase ``[a-z0-9]+`` regex with no two
+tokens sharing a stem (the synthetic documents table has a 31-word
+closed vocabulary with both properties — asserted over the full
+corpus in tests/test_score_oracle.py), token statistics equal stem
+statistics, so the whole score computes in DuckDB from the raw table.
+
+Two deliberate reductions, both checked empirically in tests:
+
+- the engine scores in float32 for reference parity while SQL works in
+  float64, so oracled entries round the returned score to 4 decimals on
+  BOTH sides (raw-f32 golden parity against the reference transcripts
+  stays tested in tests/test_noise_transcripts.py and
+  tests/test_cross_engine.py);
+- top-k selection must be deterministic across engines, so the oracled
+  queries order by ``score() desc, <key> asc`` and the SQL mirrors
+  ``ORDER BY score DESC, key`` on the unrounded float64 score.  The
+  fixed synthetic corpora have no boundary-straddling near-ties (the
+  cross-engine equality tests would catch one).
+
+Useful cancellation: for a single-term query the idf cancels against
+the query norm and the score is exactly ``sqrt(tf / field_len)``.
+"""
+
+from __future__ import annotations
+
+_TOKS = """
+toks AS (
+  SELECT {key}, tok, ord FROM (
+    SELECT {key},
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+           generate_subscripts(
+               regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS ord
+    FROM {src})),
+lens AS (SELECT {key}, count(*) AS len FROM toks GROUP BY {key})"""
+
+
+def _toks(src: str, key: str) -> str:
+    return _TOKS.format(src=src, key=key)
+
+
+def term_topk_sql(term: str, limit: int, *, src: str = "documents",
+                  key: str = "doc_id") -> str:
+    """``find {{text: ~="<term>"}} order score() desc, .<key> asc
+    return score() limit N`` — single-slot score = sqrt(tf/len)."""
+    return f"""
+WITH {_toks(src, key)},
+tf AS (SELECT {key}, count(*) AS tf FROM toks
+       WHERE tok = '{term}' GROUP BY {key})
+SELECT tf.{key},
+       ROUND(sqrt(tf.tf / CAST(lens.len AS DOUBLE)), 4) AS score
+FROM tf JOIN lens USING ({key})
+ORDER BY sqrt(tf.tf / CAST(lens.len AS DOUBLE)) DESC, tf.{key}
+LIMIT {limit}"""
+
+
+def phrase_topk_sql(w1: str, w2: str, limit: int, *, src: str = "documents",
+                    key: str = "doc_id") -> str:
+    """Two-word phrase: docs where w2 directly follows w1; only the first
+    word's slot scores (StemmedPhraseFilter keeps filters[0]'s DocResult,
+    /root/reference/src/filters.rs:175-272), the second contributes only
+    idf^2 to the query norm; matched=1 of num_slots=2."""
+    return f"""
+WITH {_toks(src, key)},
+corpus_k AS (SELECT count(*) AS k
+             FROM (SELECT DISTINCT {key}, tok FROM toks)),
+c AS (SELECT
+        (SELECT count(*) FROM toks WHERE tok = '{w1}') AS c1,
+        (SELECT count(*) FROM toks WHERE tok = '{w2}') AS c2),
+idf AS (SELECT 1.0 + ln(k / (c1 + 1.0)) AS i1,
+               1.0 + ln(k / (c2 + 1.0)) AS i2
+        FROM corpus_k, c),
+phr AS (SELECT DISTINCT a.{key} FROM toks a JOIN toks b
+        ON a.{key} = b.{key} AND b.ord = a.ord + 1
+        WHERE a.tok = '{w1}' AND b.tok = '{w2}'),
+tf1 AS (SELECT {key}, count(*) AS tf FROM toks
+        WHERE tok = '{w1}' GROUP BY {key}),
+raw AS (SELECT phr.{key},
+               (i1 * i1 * sqrt(tf / CAST(len AS DOUBLE)))
+                 / (i1 * i1 + i2 * i2) * 0.5 AS score
+        FROM phr JOIN tf1 USING ({key}) JOIN lens USING ({key}), idf)
+SELECT {key}, ROUND(score, 4) AS score FROM raw
+ORDER BY score DESC, {key}
+LIMIT {limit}"""
+
+
+def values_corpus_term_sql(rows: list[tuple[str, int, str]], term: str,
+                           limit: int) -> str:
+    """Score oracle over an inline VALUES corpus — used by the lifecycle
+    entries, whose live corpus after upsert/delete/compaction is a small
+    fixed set of turns known a priori.  Returns (conv_id, turn_idx, score)
+    for turns matching ``term``, the single-slot score sqrt(tf/len)."""
+    vals = ", ".join(
+        "('%s', %d, '%s')" % (c, i, t.replace("'", "''"))
+        for c, i, t in rows)
+    return f"""
+WITH corpus(conv_id, turn_idx, text) AS (VALUES {vals}),
+toks AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM corpus),
+lens AS (SELECT conv_id, turn_idx, count(*) AS len
+         FROM toks GROUP BY conv_id, turn_idx),
+tf AS (SELECT conv_id, turn_idx, count(*) AS tf FROM toks
+       WHERE tok = '{term}' GROUP BY conv_id, turn_idx)
+SELECT tf.conv_id, CAST(tf.turn_idx AS INTEGER) AS turn_idx,
+       ROUND(sqrt(tf.tf / CAST(lens.len AS DOUBLE)), 4) AS score
+FROM tf JOIN lens USING (conv_id, turn_idx)
+ORDER BY sqrt(tf.tf / CAST(lens.len AS DOUBLE)) DESC, tf.conv_id, tf.turn_idx
+LIMIT {limit}"""
