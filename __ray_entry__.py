@@ -7,11 +7,15 @@ SURVEY.md §2 plus the training-data-pipeline suite; ``oracle_sql()`` gives
 the DuckDB-equivalent SQL wherever the operator is SQL-expressible.  The
 MinHash/SimHash/language-ID entries are EXACT oracles: the token-hash +
 signature arithmetic is replicated in SQL via HUGEINT mod-2**64 math
-(noise_ray/ops/oracle_sqlgen.py).  Scored search relevance is checked
-rows-only — the scored engine is conformance-tested against the
-reference's golden f32 scores in tests/ instead.  ``ann_bucketed`` is
-deliberately lossy (LSH candidate pruning) and stays rows-only with its
-recall measured in tests/test_ops_similarity.py.
+(noise_ray/ops/oracle_sqlgen.py).  The scored relevance queries
+(term/phrase/flagship-OR top-k and the lifecycle entries) are ALSO exact
+oracles: the reference TF-IDF formula is replicated in SQL with scores
+rounded to 4dp on both sides (noise_ray/ops/score_oracle.py); raw-f32
+golden parity vs the reference transcripts stays in tests/.  Still
+rows-only: ``flagship_proximity`` (the reference's stateful-iterator
+proximity scoring is not SQL-expressible), ``nested_conv_search``, and
+``ann_bucketed`` (deliberately lossy LSH pruning; recall measured in
+tests/test_ops_similarity.py).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing in
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -65,11 +69,14 @@ def _search_documents(query: str, columns=("doc_id",), round_score=False):
     return run
 
 
-def _search_transcripts(query: str):
+def _search_transcripts(query: str, columns=None, round_score=False):
     def run(sf_dir: str):
         from noise_ray.pipelines import search, transcripts_index
 
-        return search(transcripts_index(sf_dir), query)
+        t = search(transcripts_index(sf_dir), query)
+        if columns is not None:
+            t = t.select(list(columns))
+        return _round4(t) if round_score else t
 
     return run
 
@@ -195,7 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=("doc_id", "score"), round_score=True),
         "flagship_or_topk": _search_transcripts(
             'find {text: ~="quick" || text: ~="brown" || text: ~="fox"} '
-            "order score() desc return score() limit 50 ;"),
+            "order score() desc, .conv_id asc, .turn_idx asc "
+            "return score() limit 50 ;",
+            columns=("conv_id", "turn_idx", "score"), round_score=True),
         "flagship_proximity": _search_transcripts(
             'find {text: ~3="time work"} order score() desc limit 50 ;'),
         # --- query-language group/aggregate return clauses (SURVEY §2.7,
@@ -304,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_chars) AS DOUBLE) AS hi,
                    avg(n_chars) AS mean
             FROM documents WHERE source = 'src0' GROUP BY lang""",
+        "flagship_or_topk": _score_oracle().flagship_or_topk_sql(),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),
         "search_phrase_topk": _score_oracle().phrase_topk_sql(
             "row", "scan", 20),

@@ -95,6 +95,109 @@ ORDER BY score DESC, {key}
 LIMIT {limit}"""
 
 
+def flagship_or_topk_sql(terms: tuple[str, ...] = ("quick", "brown", "fox"),
+                         limit: int = 50,
+                         sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Score oracle for the flagship OR query over the synthetic
+    transcript corpus (the driver's correctness pass runs at sf0.01,
+    where corpus generation is Ray-free — pipelines/flagship.py).
+
+    The corpus text is space-joined words from a closed vocabulary, so it
+    tokenizes identically under the SQL regex and the engine's
+    UAX#29 + Porter2 analyzer — EXCEPT (a) three stem-collision pairs
+    (its/it, seeing/see, words/word), folded by a CASE computed here from
+    the generator vocabulary, and (b) a handful of fixture strata with
+    punctuation/unicode (FIXTURES.md §1): those are repo constants, so
+    their engine-token statistics (field_len, distinct stems) are inlined
+    literally and their rows excluded from the regex scan.  None of the
+    fixture divergers contains a query term (asserted below), so they
+    only contribute corpus statistics (K), never matches.
+    """
+    import re as _re
+
+    from ..analysis.porter2 import stem as _stem
+    from ..analysis.tokenizer import tokenize as _tokenize
+    from ..pipelines.flagship import transcripts_corpus
+    from ..sources.transcripts import _VOCAB, FIXTURE_TEXTS
+
+    paths = transcripts_corpus(sf_dir)
+    files = ", ".join("'%s'" % p for p in paths)
+
+    # divergent fixture texts -> literal (engine field_len, distinct stems)
+    fix_rows = []
+    for t in FIXTURE_TEXTS:
+        eng = [w for _, w in _tokenize(t)]
+        rx = [_stem(w) for w in _re.findall(r"[a-z0-9]+", t.lower())]
+        if eng != rx:
+            assert not (set(terms) & set(eng)), \
+                f"divergent fixture contains a query term: {t!r}"
+            fix_rows.append((t, len(eng), len(set(eng))))
+    fix_vals = ", ".join(
+        "('%s', %d, %d)" % (t.replace("'", "''"), ln, ns)
+        for t, ln, ns in fix_rows)
+
+    # stem-collision folding over the closed generator vocabulary
+    vocab = {w.lower() for w in _VOCAB}
+    for t in FIXTURE_TEXTS:
+        vocab.update(_re.findall(r"[a-z0-9]+", t.lower()))
+    by_stem: dict[str, list[str]] = {}
+    for w in sorted(vocab):
+        by_stem.setdefault(_stem(w), []).append(w)
+    cases = []
+    for s, ws in sorted(by_stem.items()):
+        if len(ws) > 1:
+            for w in ws:
+                if w != s:
+                    cases.append(f"WHEN '{w}' THEN '{s}'")
+    fold = ("CASE tok " + " ".join(cases) + " ELSE tok END") if cases \
+        else "tok"
+
+    tq = {t: f"t{i}" for i, t in enumerate(terms)}
+    c_sel = ", ".join(
+        f"(SELECT count(*) FROM toks WHERE tok = '{t}') AS c_{v}"
+        for t, v in tq.items())
+    idf_sel = ", ".join(
+        f"1.0 + ln(k / (c_{v} + 1.0)) AS i_{v}" for v in tq.values())
+    tf_sel = ", ".join(
+        f"count(*) FILTER (tok = '{t}') AS tf_{v}" for t, v in tq.items())
+    having = " + ".join(f"tf_{v}" for v in tq.values())
+    contrib = " + ".join(
+        f"CASE WHEN tf_{v} > 0 THEN i_{v} * i_{v} * "
+        f"sqrt(tf_{v} / CAST(len AS DOUBLE)) ELSE 0.0 END"
+        for v in tq.values())
+    norm = " + ".join(f"i_{v} * i_{v}" for v in tq.values())
+    matched = " + ".join(f"CAST(tf_{v} > 0 AS INTEGER)" for v in tq.values())
+
+    return f"""
+WITH src AS (SELECT conv_id, turn_idx, text
+             FROM read_parquet([{files}])),
+fix(ftext, flen, fstems) AS (VALUES {fix_vals}),
+clean AS (SELECT conv_id, turn_idx, text FROM src
+          WHERE text NOT IN (SELECT ftext FROM fix)),
+toks AS (SELECT conv_id, turn_idx, {fold} AS tok FROM (
+           SELECT conv_id, turn_idx,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM clean)),
+lens AS (SELECT conv_id, turn_idx, count(*) AS len
+         FROM toks GROUP BY conv_id, turn_idx),
+corpus_k AS (
+  SELECT (SELECT count(*) FROM (SELECT DISTINCT conv_id, turn_idx, tok
+                                FROM toks))
+       + (SELECT coalesce(sum(fstems), 0)
+          FROM src JOIN fix ON src.text = fix.ftext) AS k),
+c AS (SELECT {c_sel}),
+idf AS (SELECT {idf_sel} FROM corpus_k, c),
+tfs AS (SELECT conv_id, turn_idx, {tf_sel}
+        FROM toks GROUP BY conv_id, turn_idx
+        HAVING {having} > 0),
+raw AS (SELECT t.conv_id, t.turn_idx,
+               ({contrib}) / ({norm}) * ({matched}) / {len(terms)}.0 AS score
+        FROM tfs t JOIN lens USING (conv_id, turn_idx), idf)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       ROUND(score, 4) AS score
+FROM raw ORDER BY score DESC, conv_id, turn_idx LIMIT {limit}"""
+
+
 def values_corpus_term_sql(rows: list[tuple[str, int, str]], term: str,
                            limit: int) -> str:
     """Score oracle over an inline VALUES corpus — used by the lifecycle

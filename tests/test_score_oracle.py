@@ -55,6 +55,22 @@ def test_scored_search_matches_oracle(ray_session, sf_dir, name):
 
 
 @pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", SF])
+def test_flagship_or_topk_matches_oracle(ray_session, sf_dir):
+    """The flagship scored OR query (3-slot TF-IDF with fixture-strata
+    corrections) hash-matches its generated DuckDB oracle."""
+    import __ray_entry__ as entry
+    from noise_ray.ops import score_oracle
+
+    r = entry.queries()["flagship_or_topk"](sf_dir).to_pandas()
+    sql = score_oracle.flagship_or_topk_sql(sf_dir=sf_dir)
+    o = duckdb.connect().execute(sql).fetchdf()
+    rn, on = _norm(r), _norm(o)
+    assert list(rn.columns) == list(on.columns)
+    assert rn.astype(on.dtypes.to_dict()).equals(on)
+
+
+@pytest.mark.parametrize(
     "name", ["incremental_upsert", "lifecycle_compact"])
 def test_lifecycle_matches_values_oracle(ray_session, name):
     import __ray_entry__ as entry
