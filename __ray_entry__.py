@@ -313,6 +313,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_chars) AS DOUBLE) AS hi,
                    avg(n_chars) AS mean
             FROM documents WHERE source = 'src0' GROUP BY lang""",
+        "nested_conv_search": _score_oracle().nested_conv_phrase_sql(
+            w1="of", w2="your"),
         "flagship_or_topk": _score_oracle().flagship_or_topk_sql(),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),
         "search_phrase_topk": _score_oracle().phrase_topk_sql(

@@ -191,18 +191,25 @@ def nested_transcripts_index(sf_dir: str, paths: list[str] | None = None):
 
 def nested_conv_search(sf_dir: str) -> pa.Table:
     """Array-context search over nested conversations: convs where ONE
-    turn is an assistant turn matching a phrase (rows-only check — the
-    analyzer's stemming isn't SQL-expressible)."""
+    turn is an assistant turn matching a phrase, scored.  Exact oracle:
+    the nested TF-IDF score (first matching instance per doc) is
+    replicated in SQL over the flat turn corpus
+    (ops/score_oracle.nested_conv_phrase_sql); rounded to 4dp on both
+    sides."""
     from ..query.json_executor import run_json_query
 
     r = nested_transcripts_index(sf_dir)
+    # phrase chosen to match ~45 convs at the driver's sf0.01 — enough
+    # rows to exercise per-instance scoring, but under the limit so the
+    # 4dp-rounded oracle never has to break a tie at the cutoff
     rows = run_json_query(
         r,
-        'find {turns: [{role: =="assistant", text: ~="quick brown"}]} '
-        "order score() desc return [._id, score()] limit 50 ;")
+        'find {turns: [{role: =="assistant", text: ~="of your"}]} '
+        "order score() desc, ._id asc return [._id, score()] limit 50 ;")
     return pa.table({
         "_id": pa.array([x[0] for x in rows], pa.string()),
-        "score": pa.array([x[1] for x in rows], pa.float64()),
+        "score": pa.array([round(float(x[1]), 4) for x in rows],
+                          pa.float64()),
     })
 
 

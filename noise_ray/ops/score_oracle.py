@@ -95,6 +95,75 @@ ORDER BY score DESC, {key}
 LIMIT {limit}"""
 
 
+def _transcript_corpus_parts(sf_dir: str, terms: tuple[str, ...]):
+    """(files, fix_vals, fold) shared by the transcript-corpus score
+    oracles: the parquet file list, literal corpus-stat rows for fixture
+    texts whose engine tokenization diverges from the SQL regex, and a
+    CASE expression folding stem-collision tokens (computed from the
+    closed generator vocabulary)."""
+    import re as _re
+
+    from ..analysis.porter2 import stem as _stem
+    from ..analysis.tokenizer import tokenize as _tokenize
+    from ..pipelines.flagship import transcripts_corpus
+    from ..sources.transcripts import _VOCAB, FIXTURE_TEXTS
+
+    paths = transcripts_corpus(sf_dir)
+    files = ", ".join("'%s'" % p for p in paths)
+
+    fix_rows = []
+    for t in FIXTURE_TEXTS:
+        eng = [w for _, w in _tokenize(t)]
+        rx = [_stem(w) for w in _re.findall(r"[a-z0-9]+", t.lower())]
+        if eng != rx:
+            assert not (set(terms) & set(eng)), \
+                f"divergent fixture contains a query term: {t!r}"
+            fix_rows.append((t, len(eng), len(set(eng))))
+    fix_vals = ", ".join(
+        "('%s', %d, %d)" % (t.replace("'", "''"), ln, ns)
+        for t, ln, ns in fix_rows)
+
+    vocab = {w.lower() for w in _VOCAB}
+    for t in FIXTURE_TEXTS:
+        vocab.update(_re.findall(r"[a-z0-9]+", t.lower()))
+    by_stem: dict[str, list[str]] = {}
+    for w in sorted(vocab):
+        by_stem.setdefault(_stem(w), []).append(w)
+    cases = []
+    for s, ws in sorted(by_stem.items()):
+        if len(ws) > 1:
+            for w in ws:
+                if w != s:
+                    cases.append(f"WHEN '{w}' THEN '{s}'")
+    fold = ("CASE tok " + " ".join(cases) + " ELSE tok END") if cases \
+        else "tok"
+    return files, fix_vals, fold
+
+
+# the corpus scan shared by the transcript score oracles: regex-clean
+# rows tokenized+folded in SQL, divergent fixture rows replaced by their
+# literal engine statistics when computing K
+_TRANSCRIPT_STATS = """
+src AS (SELECT conv_id, turn_idx, role, text
+        FROM read_parquet([{files}])),
+fix(ftext, flen, fstems) AS (VALUES {fix_vals}),
+clean AS (SELECT conv_id, turn_idx, role, text FROM src
+          WHERE text NOT IN (SELECT ftext FROM fix)),
+toks AS (SELECT conv_id, turn_idx, {fold} AS tok, ord FROM (
+           SELECT conv_id, turn_idx,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+                  generate_subscripts(
+                      regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS ord
+           FROM clean)),
+lens AS (SELECT conv_id, turn_idx, count(*) AS len
+         FROM toks GROUP BY conv_id, turn_idx),
+corpus_k AS (
+  SELECT (SELECT count(*) FROM (SELECT DISTINCT conv_id, turn_idx, tok
+                                FROM toks))
+       + (SELECT coalesce(sum(fstems), 0)
+          FROM src JOIN fix ON src.text = fix.ftext) AS k)"""
+
+
 def flagship_or_topk_sql(terms: tuple[str, ...] = ("quick", "brown", "fox"),
                          limit: int = 50,
                          sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -113,45 +182,9 @@ def flagship_or_topk_sql(terms: tuple[str, ...] = ("quick", "brown", "fox"),
     fixture divergers contains a query term (asserted below), so they
     only contribute corpus statistics (K), never matches.
     """
-    import re as _re
-
-    from ..analysis.porter2 import stem as _stem
-    from ..analysis.tokenizer import tokenize as _tokenize
-    from ..pipelines.flagship import transcripts_corpus
-    from ..sources.transcripts import _VOCAB, FIXTURE_TEXTS
-
-    paths = transcripts_corpus(sf_dir)
-    files = ", ".join("'%s'" % p for p in paths)
-
-    # divergent fixture texts -> literal (engine field_len, distinct stems)
-    fix_rows = []
-    for t in FIXTURE_TEXTS:
-        eng = [w for _, w in _tokenize(t)]
-        rx = [_stem(w) for w in _re.findall(r"[a-z0-9]+", t.lower())]
-        if eng != rx:
-            assert not (set(terms) & set(eng)), \
-                f"divergent fixture contains a query term: {t!r}"
-            fix_rows.append((t, len(eng), len(set(eng))))
-    fix_vals = ", ".join(
-        "('%s', %d, %d)" % (t.replace("'", "''"), ln, ns)
-        for t, ln, ns in fix_rows)
-
-    # stem-collision folding over the closed generator vocabulary
-    vocab = {w.lower() for w in _VOCAB}
-    for t in FIXTURE_TEXTS:
-        vocab.update(_re.findall(r"[a-z0-9]+", t.lower()))
-    by_stem: dict[str, list[str]] = {}
-    for w in sorted(vocab):
-        by_stem.setdefault(_stem(w), []).append(w)
-    cases = []
-    for s, ws in sorted(by_stem.items()):
-        if len(ws) > 1:
-            for w in ws:
-                if w != s:
-                    cases.append(f"WHEN '{w}' THEN '{s}'")
-    fold = ("CASE tok " + " ".join(cases) + " ELSE tok END") if cases \
-        else "tok"
-
+    files, fix_vals, fold = _transcript_corpus_parts(sf_dir, terms)
+    stats = _TRANSCRIPT_STATS.format(files=files, fix_vals=fix_vals,
+                                     fold=fold)
     tq = {t: f"t{i}" for i, t in enumerate(terms)}
     c_sel = ", ".join(
         f"(SELECT count(*) FROM toks WHERE tok = '{t}') AS c_{v}"
@@ -169,22 +202,7 @@ def flagship_or_topk_sql(terms: tuple[str, ...] = ("quick", "brown", "fox"),
     matched = " + ".join(f"CAST(tf_{v} > 0 AS INTEGER)" for v in tq.values())
 
     return f"""
-WITH src AS (SELECT conv_id, turn_idx, text
-             FROM read_parquet([{files}])),
-fix(ftext, flen, fstems) AS (VALUES {fix_vals}),
-clean AS (SELECT conv_id, turn_idx, text FROM src
-          WHERE text NOT IN (SELECT ftext FROM fix)),
-toks AS (SELECT conv_id, turn_idx, {fold} AS tok FROM (
-           SELECT conv_id, turn_idx,
-                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-           FROM clean)),
-lens AS (SELECT conv_id, turn_idx, count(*) AS len
-         FROM toks GROUP BY conv_id, turn_idx),
-corpus_k AS (
-  SELECT (SELECT count(*) FROM (SELECT DISTINCT conv_id, turn_idx, tok
-                                FROM toks))
-       + (SELECT coalesce(sum(fstems), 0)
-          FROM src JOIN fix ON src.text = fix.ftext) AS k),
+WITH {stats},
 c AS (SELECT {c_sel}),
 idf AS (SELECT {idf_sel} FROM corpus_k, c),
 tfs AS (SELECT conv_id, turn_idx, {tf_sel}
@@ -196,6 +214,53 @@ raw AS (SELECT t.conv_id, t.turn_idx,
 SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
        ROUND(score, 4) AS score
 FROM raw ORDER BY score DESC, conv_id, turn_idx LIMIT {limit}"""
+
+
+def nested_conv_phrase_sql(role: str = "assistant",
+                           w1: str = "quick", w2: str = "brown",
+                           limit: int = 50,
+                           sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Score oracle for the nested array-context search
+    ``find {turns: [{role: =="assistant", text: ~="quick brown"}]}``.
+
+    The nested engine scores each string instance (turn) independently
+    and keeps the FIRST matching instance per document
+    (query/json_engine.py:25-28).  Slots: the Exact role filter (idf 1,
+    contribution 1 per match), the phrase's first word (idf_1^2 *
+    sqrt(tf_w1 / turn_len)), and the phrase's second word (query-norm
+    only — StemmedPhraseFilter keeps filters[0]'s DocResult).  The
+    ``turns$.text`` keypath statistics (K, C) equal the per-turn stats of
+    the flat transcript corpus, because the nested corpus packs exactly
+    those turns (ops/nested_docs.py)."""
+    files, fix_vals, fold = _transcript_corpus_parts(sf_dir, (w1, w2))
+    stats = _TRANSCRIPT_STATS.format(files=files, fix_vals=fix_vals,
+                                     fold=fold)
+    return f"""
+WITH {stats},
+c AS (SELECT (SELECT count(*) FROM toks WHERE tok = '{w1}') AS c1,
+             (SELECT count(*) FROM toks WHERE tok = '{w2}') AS c2),
+idf AS (SELECT 1.0 + ln(k / (c1 + 1.0)) AS i1,
+               1.0 + ln(k / (c2 + 1.0)) AS i2
+        FROM corpus_k, c),
+phr AS (SELECT DISTINCT a.conv_id, a.turn_idx FROM toks a JOIN toks b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+           AND b.ord = a.ord + 1
+        WHERE a.tok = '{w1}' AND b.tok = '{w2}'),
+hits AS (SELECT p.conv_id, p.turn_idx FROM phr p
+         JOIN src USING (conv_id, turn_idx)
+         WHERE src.role = '{role}'),
+first_hit AS (SELECT conv_id, min(turn_idx) AS turn_idx
+              FROM hits GROUP BY conv_id),
+tf1 AS (SELECT conv_id, turn_idx, count(*) AS tf FROM toks
+        WHERE tok = '{w1}' GROUP BY conv_id, turn_idx),
+raw AS (SELECT f.conv_id AS _id,
+               (1.0 + i1 * i1 * sqrt(tf / CAST(len AS DOUBLE)))
+                 / (1.0 + i1 * i1 + i2 * i2) * (2.0 / 3.0) AS score
+        FROM first_hit f
+        JOIN tf1 USING (conv_id, turn_idx)
+        JOIN lens USING (conv_id, turn_idx), idf)
+SELECT _id, ROUND(score, 4) AS score FROM raw
+ORDER BY score DESC, _id LIMIT {limit}"""
 
 
 def values_corpus_term_sql(rows: list[tuple[str, int, str]], term: str,
