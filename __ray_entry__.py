@@ -11,11 +11,13 @@ signature arithmetic is replicated in SQL via HUGEINT mod-2**64 math
 (term/phrase/flagship-OR top-k and the lifecycle entries) are ALSO exact
 oracles: the reference TF-IDF formula is replicated in SQL with scores
 rounded to 4dp on both sides (noise_ray/ops/score_oracle.py); raw-f32
-golden parity vs the reference transcripts stays in tests/.  Still
-rows-only: ``flagship_proximity`` (the reference's stateful-iterator
-proximity scoring is not SQL-expressible), ``nested_conv_search``, and
-``ann_bucketed`` (deliberately lossy LSH pruning; recall measured in
-tests/test_ops_similarity.py).
+golden parity vs the reference transcripts stays in tests/.
+``nested_conv_search`` and ``ann_bucketed`` are exact too (the nested
+first-matching-instance score in SQL; deterministic Rademacher LSH planes
+inlined as SQL literals).  The ONE remaining rows-only entry is
+``flagship_proximity``: the reference's DistanceFilter carries round-robin
+iterator state ACROSS documents, so even its matched set has no closed
+form (verified empirically) — covered by property tests instead.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing in
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -419,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _sqlgen().minhash_lsh_pairs_sql(),
         "simhash_pairs": _sqlgen().simhash_pairs_sql(),
         "langid": _sqlgen().langid_sql(),
+        "ann_bucketed": _sqlgen().ann_bucketed_sql(),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
             c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),

@@ -227,3 +227,45 @@ def langid_sql() -> str:
                 ELSE 'es' END AS pred_lang
     FROM sc
     """
+
+
+def ann_bucketed_sql(n_queries: int = 5, k: int = 10, n_planes: int = 6,
+                     n_tables: int = 4, seed: int = 777,
+                     dim: int = 64) -> str:
+    """Exact oracle for ``ops.similarity.ann_bucketed``: the ±1 Rademacher
+    planes (similarity.rademacher_tables — splitmix64-derived, so the SAME
+    numbers are regenerated here and inlined as literals) bucket every
+    vector per table; a vector is a candidate for a query iff some table
+    puts them within hamming distance 1 (the engine's own-bucket +
+    1-bit-neighbor multiprobe); candidates are ranked by exact cosine.
+    Sign bits come from strict ``dot > 0`` on float64 math on both sides."""
+    from .similarity import rademacher_tables
+
+    tables = rademacher_tables(n_tables, n_planes, dim, seed)
+    key_cols = []
+    for ti, planes in enumerate(tables):
+        bits = []
+        for p in range(n_planes):
+            lit = "[" + ", ".join(
+                "%.1f" % v for v in planes[p].tolist()) + "]"
+            bits.append("CAST(list_dot_product(emb, %s) > 0 AS INT) * %d"
+                        % (lit, 1 << p))
+        key_cols.append("(" + " + ".join(bits) + ") AS k%d" % ti)
+    near = " OR ".join(
+        f"bit_count(xor(q.k{t}, c.k{t})) <= 1" for t in range(n_tables))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    keys AS (SELECT vec_id, emb, {", ".join(key_cols)} FROM e),
+    cand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+                    list_cosine_similarity(q.emb, c.emb) AS sim
+             FROM keys q JOIN keys c
+               ON q.vec_id < {n_queries} AND c.vec_id >= {n_queries}
+              AND ({near})),
+    r AS (SELECT qid AS query_id, vid AS vec_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, vid) AS rank
+          FROM cand)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+    FROM r WHERE rank <= {k}
+    """

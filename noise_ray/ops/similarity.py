@@ -97,6 +97,26 @@ def hyperplane_keys(mn: np.ndarray, planes: np.ndarray) -> np.ndarray:
             << np.arange(bits.shape[1], dtype=np.uint32)).sum(axis=1)
 
 
+def rademacher_tables(n_tables: int, n_planes: int, dim: int,
+                      seed: int) -> list[np.ndarray]:
+    """Deterministic ±1 hyperplane tables derived from splitmix64.
+
+    Sign-of-projection LSH needs only a symmetric component distribution,
+    so Rademacher (±1) planes give the same collision guarantees as
+    Gaussian ones — and, being integer-derived, the exact same planes can
+    be inlined as SQL literals, which is what makes ``ann_bucketed``
+    oracle-checkable end to end (ops/oracle_sqlgen.ann_bucketed_sql)."""
+    from .hashing import splitmix64
+
+    with np.errstate(over="ignore"):
+        idx = (np.arange(n_tables * n_planes * dim, dtype=np.uint64)
+               + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    bits = splitmix64(idx)
+    signs = np.where(bits & np.uint64(1), 1.0, -1.0).reshape(
+        n_tables, n_planes, dim)
+    return [signs[t] for t in range(n_tables)]
+
+
 def _embed_dim(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
@@ -125,12 +145,13 @@ def ann_bucketed(sf_dir: str, n_queries: int = 5, k: int = 10,
     adversarial case for ANN — true neighbors sit at ~65-70 degrees), so
     defaults favor recall (~0.7 at ~2/3 scan on the fixture, measured in
     tests/test_ops_similarity.py); clustered real-world embeddings prune
-    far harder at the same recall.  Rows-only at the oracle gate
-    (candidate pruning is deliberately lossy)."""
+    far harder at the same recall.  The planes are deterministic ±1
+    Rademacher tables (splitmix64), so the whole pipeline — bucketing,
+    hamming<=1 multiprobe, exact-cosine ranking inside the candidate set —
+    is replicated as an EXACT DuckDB oracle
+    (ops/oracle_sqlgen.ann_bucketed_sql)."""
     qids, qn = _load_queries(sf_dir, n_queries)
-    rng = np.random.default_rng(seed)
-    tables = [rng.standard_normal((n_planes, qn.shape[1]))
-              for _ in range(n_tables)]
+    tables = rademacher_tables(n_tables, n_planes, qn.shape[1], seed)
     probe: dict[tuple[int, int], list[int]] = {}
     for ti, planes in enumerate(tables):
         qkeys = hyperplane_keys(qn, planes)
