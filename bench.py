@@ -128,9 +128,13 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     sig(docs)
     sig_dt = time.perf_counter() - t0
     out["minhash_sig_docs_per_sec"] = round(docs.num_rows / sig_dt, 1)
-    t0 = time.perf_counter()
-    n_pairs = _dedup.minhash_lsh_pairs(SF_DIR).count()
-    out["minhash_lsh_sec"] = round(time.perf_counter() - t0, 3)
+    lsh_best = None
+    for _ in range(2):  # best-of-2, same host-contention rationale
+        t0 = time.perf_counter()
+        n_pairs = _dedup.minhash_lsh_pairs(SF_DIR).count()
+        dt = time.perf_counter() - t0
+        lsh_best = dt if lsh_best is None else min(lsh_best, dt)
+    out["minhash_lsh_sec"] = round(lsh_best, 3)
     out["minhash_lsh_pairs"] = int(n_pairs)
 
     # nested engine: same corpus packed as nested conversation docs
@@ -139,12 +143,15 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     from noise_ray.query.json_executor import run_json_query
 
     nested_root = os.path.join(os.path.dirname(paths[0]), "nested")
-    shutil.rmtree(nested_root, ignore_errors=True)
-    t0 = time.perf_counter()
-    nr = nested_transcripts_index(SF_DIR, paths=paths)
-    out["nested_build_sec"] = round(time.perf_counter() - t0, 3)
-    out["nested_turns_per_sec"] = round(num_docs / out["nested_build_sec"],
-                                        1)
+    nested_best = None
+    for _ in range(2):  # best-of-2, same host-contention rationale
+        shutil.rmtree(nested_root, ignore_errors=True)
+        t0 = time.perf_counter()
+        nr = nested_transcripts_index(SF_DIR, paths=paths)
+        dt = time.perf_counter() - t0
+        nested_best = dt if nested_best is None else min(nested_best, dt)
+    out["nested_build_sec"] = round(nested_best, 3)
+    out["nested_turns_per_sec"] = round(num_docs / nested_best, 1)
     nq = ('find {turns: [{role: =="assistant", text: ~="quick brown"}]} '
           "order score() desc return [._id, score()] limit 50 ;")
     samples = []

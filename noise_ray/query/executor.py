@@ -132,18 +132,19 @@ def _encode_order_key(k, docs, scores, key_table):
         return None
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     t = col.type
-    nulls = col.is_null().to_numpy(zero_copy_only=False).astype(bool)
-    any_null = bool(nulls.any())
+    any_null = col.null_count > 0
+    nulls = (col.is_null().to_numpy(zero_copy_only=False).astype(bool)
+             if any_null else np.zeros(n, bool))
     rank = np.empty(n, np.float64)
     sub = np.zeros(n, np.float64)
     import pyarrow.types as pt
 
     if pt.is_integer(t) or pt.is_floating(t):
         vals = col.to_numpy(zero_copy_only=False).astype(np.float64)
-        if np.isnan(vals[~nulls]).any():
+        if np.isnan(vals[~nulls] if any_null else vals).any():
             return None  # NaN breaks total order; use the cmp path
         rank[:] = 3.0
-        sub = np.where(nulls, 0.0, vals)
+        sub = np.where(nulls, 0.0, vals) if any_null else vals
         fam = 3
     elif pt.is_timestamp(t) or pt.is_date(t):
         if any_null and k.default is not None:
@@ -153,7 +154,8 @@ def _encode_order_key(k, docs, scores, key_table):
         vals = col.cast(pa.int64()).to_numpy(
             zero_copy_only=False).astype(np.float64)
         rank[:] = 3.0
-        sub = np.where(nulls, 0.0, np.nan_to_num(vals))
+        sub = (np.where(nulls, 0.0, np.nan_to_num(vals)) if any_null
+               else vals)
         fam = 3
     elif pt.is_boolean(t):
         b = col.to_numpy(zero_copy_only=False)
@@ -161,19 +163,29 @@ def _encode_order_key(k, docs, scores, key_table):
                         1.0 + np.where(b == True, 1.0, 0.0))  # noqa: E712
         fam = None  # rank already encodes the value
     elif pt.is_string(t) or pt.is_large_string(t):
-        vals = np.asarray(col.to_pylist(), dtype=object)
         rank[:] = 4.0
         fam = 4
-        vocab = vals[~nulls]
-        if any_null and isinstance(k.default, str):
-            vocab = np.concatenate([vocab, np.asarray([k.default], object)])
-        if vocab.size:
-            uniq, inv = np.unique(vocab, return_inverse=True)
-            codes = np.zeros(n, np.float64)
-            codes[~nulls] = inv[: int((~nulls).sum())]
+        # dictionary-encode in Arrow (C hashing over the full column),
+        # then sort only the SMALL distinct set in Python — same
+        # codepoint order as cmp_json/_normalize_key, but ~10x cheaper
+        # than to_pylist + np.unique over every matched row
+        dn = col.dictionary_encode()
+        dict_vals = dn.dictionary.to_pylist()
+        add_default = (any_null and isinstance(k.default, str)
+                       and k.default not in dict_vals)
+        allv = dict_vals + [k.default] if add_default else dict_vals
+        if allv:
+            order = sorted(range(len(allv)), key=allv.__getitem__)
+            pos = np.empty(len(allv), np.float64)
+            pos[order] = np.arange(len(allv), dtype=np.float64)
+            idx = dn.indices.to_numpy(zero_copy_only=False)
+            idx = (np.where(nulls, 0, idx) if any_null else idx).astype(
+                np.int64)
+            sub = pos[idx]
             if any_null and isinstance(k.default, str):
-                codes_default = float(inv[-1])
-            sub = codes
+                codes_default = float(
+                    pos[len(dict_vals)] if add_default
+                    else pos[dict_vals.index(k.default)])
         else:
             sub = np.zeros(n, np.float64)
     else:
