@@ -131,7 +131,8 @@ class JsonIndexReader:
             self._values.extend(e._values)
         self._postings_cache: dict[tuple, InstPostings] = {}
         self._stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
-        self._values_kp_cache: dict[str, tuple] = {}
+        self._values_kp_cache: dict[tuple, tuple] = {}
+        self._pushdown_counts: dict[tuple, int] = {}
         self._zones_cache: dict[str, dict] = {}
         self._json_cache: dict = {}
         # tombstoned doc_ids (upserted or deleted): hidden from every
@@ -325,9 +326,14 @@ class JsonIndexReader:
         """Value entries under ``kp`` for exactly these (sorted) docs —
         the candidate-pushdown read: partitions prune to the docs' span,
         the parquet read filters to [min, max] (row groups are doc-
-        sorted), then an exact membership mask.  Bypasses the per-kp
-        cache: a selective AND sibling makes this a handful of row
-        groups however large the corpus."""
+        sorted), then an exact membership mask.  Cold reads bypass the
+        per-kp cache — a selective AND sibling makes this a handful of
+        row groups however large the corpus — but a (kp, partition) that
+        keeps getting pushdown-read (>= 3 times) is PROMOTED to the full
+        decoded cache when its kp row count (zone metadata) is small
+        enough, so warm repeated queries slice from memory instead of
+        re-reading parquet.  A range-partitioned worker only ever
+        promotes its own ranges' partitions."""
         depth = kp_depth(kp)
         docs = np.asarray(docs, dtype=np.int64)
         if docs.size == 0:
@@ -347,13 +353,28 @@ class JsonIndexReader:
             e_ = int(np.searchsorted(docs, v["max_doc"], side="right"))
             if e_ <= s_:
                 continue
-            if kp not in self._kp_zones(v["path"]):
+            zones = self._kp_zones(v["path"])
+            if kp not in zones:
+                continue
+            lo, hi = int(docs[s_]), int(docs[e_ - 1])
+            ckey = (kp, v["path"])
+            cached = self._values_kp_cache.get(ckey)
+            if cached is None:
+                cnt = self._pushdown_counts.get(ckey, 0) + 1
+                self._pushdown_counts[ckey] = cnt
+                if (cnt >= 3
+                        and zones[kp].get("n", 1 << 60) <= 1 << 18):
+                    cached = self._values_kp_part(kp, v["path"])
+            if cached is not None:
+                cs = int(np.searchsorted(cached[0], lo, side="left"))
+                ce = int(np.searchsorted(cached[0], hi, side="right"))
+                if ce > cs:
+                    parts.append(tuple(c[cs:ce] for c in cached))
                 continue
             t = pq.read_table(v["path"],
                               filters=[("kp", "==", kp),
-                                       ("doc_id", ">=", int(docs[s_])),
-                                       ("doc_id", "<=",
-                                        int(docs[e_ - 1]))])
+                                       ("doc_id", ">=", lo),
+                                       ("doc_id", "<=", hi)])
             if t.num_rows:
                 parts.append(self._decode_values(t, depth))
         if not parts:
