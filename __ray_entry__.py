@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk": similarity.ann_topk_bruteforce,
         "ann_bucketed": similarity.ann_bucketed,
+        "ann_ivf": similarity.ann_ivf,
         # --- text analysis
         "token_stats": text.token_stats,
         "fingerprint": text.fingerprint,
@@ -422,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _sqlgen().simhash_pairs_sql(),
         "langid": _sqlgen().langid_sql(),
         "ann_bucketed": _sqlgen().ann_bucketed_sql(),
+        "ann_ivf": _sqlgen().ann_ivf_sql(),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
             c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),

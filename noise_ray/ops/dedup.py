@@ -415,7 +415,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45):
 
 
 def embedding_dup_pairs_bucketed(sf_dir: str, threshold: float = 0.45,
-                                 n_planes: int = 6, n_tables: int = 48,
+                                 n_planes: int = 4, n_tables: int = 48,
                                  seed: int = 777):
     """Bucketed embedding near-dup pairs — the scale path next to the
     brute-force ``embedding_dup_pairs`` oracle.
@@ -423,13 +423,17 @@ def embedding_dup_pairs_bucketed(sf_dir: str, threshold: float = 0.45,
     ``n_tables`` independent hyperplane-LSH tables of ``n_planes`` bits
     each: a vector lands in one bucket per table, candidate pairs are
     verified with EXACT cosine inside the bucket (precision 1.0 by
-    construction; recall is the LSH collision probability — ≈ 0.98 per
-    true pair at cosine 0.45 with these defaults, 1-(1-p_bit**6)**48,
-    measured against brute force in tests/test_ops_dedup.py).  One
+    construction; recall is the LSH collision probability —
+    1-(1-p_bit**4)**48 ≈ 0.9999 per true pair AT the cosine-0.45
+    threshold with these defaults, higher above it; measured against
+    brute force in tests/test_ops_dedup.py and pair-set-equal on both
+    test fixtures — the earlier 6-plane default was ≈ 0.976/pair and
+    measurably dropped ~3 of 144 sf0.1 pairs).  One
     groupby((table, bucket)) carrying the normalized vectors, then a
     distributed pair distinct — nothing corpus-sized on the driver.
-    Raise ``n_tables`` to trade compute for recall at lower thresholds;
-    at near-dup thresholds (>= 0.9 cosine) a handful of tables suffices."""
+    Raise ``n_planes`` to shrink buckets (compute) at the cost of
+    recall; at near-dup thresholds (>= 0.9 cosine) p_bit is ~0.86+ and
+    a handful of tables with 8+ planes suffices."""
     from .similarity import embed_matrix, hyperplane_keys
 
     def bucketize(batch: pa.Table) -> pa.Table:

@@ -269,3 +269,43 @@ def ann_bucketed_sql(n_queries: int = 5, k: int = 10, n_planes: int = 6,
     SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
     FROM r WHERE rank <= {k}
     """
+
+
+def ann_ivf_sql(n_queries: int = 5, k: int = 10, n_centroids: int = 32,
+                nprobe: int = 4) -> str:
+    """Exact oracle for ``ops.similarity.ann_ivf``: centroids are the
+    first ``n_centroids`` corpus vectors, assignment/probing rank by
+    cosine with ties toward the smaller id, candidates are ranked by
+    exact cosine — the whole IVF pipeline in SQL."""
+    nq, hi = n_queries, n_queries + n_centroids
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
+             WHERE vec_id >= {nq} AND vec_id < {hi}),
+    assign AS (SELECT vec_id, cid FROM (
+        SELECT c.vec_id, t.cid,
+               row_number() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY list_cosine_similarity(c.emb, t.cemb) DESC,
+                            t.cid) AS rn
+        FROM e c, cent t WHERE c.vec_id >= {nq}) WHERE rn = 1),
+    probe AS (SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, t.cid,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.emb, t.cemb) DESC,
+                            t.cid) AS rn
+        FROM e q, cent t WHERE q.vec_id < {nq}) WHERE rn <= {nprobe}),
+    s AS (SELECT p.qid, a.vec_id,
+                 list_cosine_similarity(qe.emb, ce.emb) AS sim
+          FROM probe p JOIN assign a USING (cid)
+          JOIN e qe ON qe.vec_id = p.qid
+          JOIN e ce ON ce.vec_id = a.vec_id),
+    r AS (SELECT qid AS query_id, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM s)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+    FROM r WHERE rank <= {k}
+    """

@@ -220,3 +220,93 @@ def ann_bucketed(sf_dir: str, n_queries: int = 5, k: int = 10,
     return pa.table({"query_id": pa.array(out_q, pa.int64()),
                      "rank": pa.array(out_r, pa.int64()),
                      "vec_id": pa.array(out_v, pa.int64())})
+
+
+def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
+            n_centroids: int = 32, nprobe: int = 4):
+    """IVF-flat ANN: the second scale path next to the LSH-bucketed one.
+
+    Every corpus vector is assigned to its nearest centroid (an inverted
+    list); a query scans only its ``nprobe`` nearest lists and ranks the
+    candidates by exact cosine.  Centroids are a DETERMINISTIC corpus
+    sample — the first ``n_centroids`` corpus vectors — so the whole
+    pipeline (assignment, probing, ranking, all ties broken toward the
+    smaller id) is replicated as an exact DuckDB oracle
+    (ops/oracle_sqlgen.ann_ivf_sql).  At 100 TB: the centroid matrix is a
+    broadcast ``ray.put``, the assignment is one vectorized matmul per
+    batch, and the inverted lists are the natural partition key for the
+    routed re-read (write corpus parquet partitioned by list id; a query
+    then opens only nprobe directories).
+
+    nprobe == n_centroids probes every list == exact brute force
+    (asserted in tests/test_ops_similarity.py)."""
+    import pyarrow.parquet as pq
+
+    qids, qn = _load_queries(sf_dir, n_queries)
+    ct = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", ">=", n_queries),
+                 ("vec_id", "<", n_queries + n_centroids)])
+    cm = embed_matrix(ct.column("embedding"))
+    cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
+    # per-query probe set: nprobe nearest centroids (sim desc, cid asc)
+    csims = qn @ cn.T
+    probes = np.stack([
+        np.lexsort((np.arange(cn.shape[0]), -csims[qi]))[:nprobe]
+        for qi in range(qn.shape[0])])
+    plan_ref = ray.put((qn, cn, probes))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qn, cn, probes = ray.get(plan_ref)
+        ids = batch.column("vec_id").to_numpy()
+        keep = ids >= n_queries
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if not keep.any():
+            return empty
+        ids = ids[keep]
+        m = embed_matrix(batch.column("embedding"))[keep]
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        # nearest-centroid assignment; argmax ties pick the first
+        # (smallest cid), matching the oracle's rank tie-break
+        assign = np.argmax(mn @ cn.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qn.shape[0]):
+            sel = np.isin(assign, probes[qi])
+            if not sel.any():
+                continue
+            sims = qn[qi] @ mn[sel].T
+            bids = ids[sel]
+            kk = min(k, bids.size)
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([int(qids[qi])] * top.size)
+            out_v.extend(bids[top].tolist())
+            out_s.extend(sims[top].tolist())
+        if not out_q:
+            return empty
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    parts = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        .map_batches(partial_topk, batch_format="pyarrow", batch_size=4096)
+    )
+    t = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+    out_q, out_r, out_v = [], [], []
+    tq = t.column("query_id").to_numpy()
+    tv = t.column("vec_id").to_numpy()
+    ts = t.column("sim").to_numpy()
+    for qid in sorted(set(qids.tolist())):
+        m = tq == qid
+        v, s = tv[m], ts[m]
+        order = np.lexsort((v, -s))[:k]  # sim desc, vec_id asc
+        for r, i in enumerate(order, 1):
+            out_q.append(int(qid))
+            out_r.append(r)
+            out_v.append(int(v[i]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "vec_id": pa.array(out_v, pa.int64())})

@@ -43,3 +43,21 @@ def test_ann_bucketed_more_tables_more_recall(ray_session):
     # bucket + the single 1-bit neighbor) == full corpus scan
     full = similarity.ann_bucketed(SF, n_planes=1, n_tables=1).to_pandas()
     assert full.equals(exact)
+
+
+def test_ann_ivf_recall_and_exhaustive_limit(ray_session):
+    """IVF recall at defaults; probing every list reproduces brute force."""
+    from noise_ray.ops import similarity
+
+    exact = similarity.ann_topk_bruteforce(SF).to_pandas()
+    ivf = similarity.ann_ivf(SF).to_pandas()
+    assert list(ivf.columns) == ["query_id", "rank", "vec_id"]
+    for q, grp in ivf.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (grp.vec_id >= 5).all()
+    rec = _recall_per_query(exact, ivf)
+    # near-uniform vectors + corpus-sample centroids: nprobe/n_centroids
+    # of the corpus is scanned, so recall ~ that fraction is the floor
+    assert np.mean(rec) >= 0.3, rec
+    full = similarity.ann_ivf(SF, n_centroids=8, nprobe=8).to_pandas()
+    assert full.equals(exact)
