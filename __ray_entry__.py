@@ -12,9 +12,10 @@ signature arithmetic is replicated in SQL via HUGEINT mod-2**64 math
 oracles: the reference TF-IDF formula is replicated in SQL with scores
 rounded to 4dp on both sides (noise_ray/ops/score_oracle.py); raw-f32
 golden parity vs the reference transcripts stays in tests/.
-``nested_conv_search`` and ``ann_bucketed`` are exact too (the nested
-first-matching-instance score in SQL; deterministic Rademacher LSH planes
-inlined as SQL literals).  The ONE remaining rows-only entry is
+``nested_conv_search``, ``ann_bucketed`` and ``ann_ivf`` are exact too
+(the nested first-matching-instance score in SQL; deterministic
+Rademacher LSH planes inlined as SQL literals; deterministic
+corpus-sample IVF centroids).  The ONE remaining rows-only entry is
 ``flagship_proximity``: the reference's DistanceFilter carries round-robin
 iterator state ACROSS documents, so even its matched set has no closed
 form (verified empirically) — covered by property tests instead.
