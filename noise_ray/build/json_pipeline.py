@@ -525,6 +525,9 @@ def build_json_index(
     the REPL path, where a transcript re-indexes a handful of documents
     between statements and a distributed execution would be all overhead.
     Defaults to local under 5_000 docs."""
+    import time as _time
+
+    t_build_start = _time.time()
     docmap_dir = os.path.join(index_dir, "docmap")
     values_dir = os.path.join(index_dir, "values")
     seg_dir = os.path.join(index_dir, "segments")
@@ -661,6 +664,19 @@ def build_json_index(
             {"gkey": g, "bucket": g // num_ranges, "path": a["stats_path"]}
             for g, a in sorted(by_gkey.items())
         ],
+        # build metrics next to the lineage (north-rule: resumable from
+        # checkpoint with per-partition lineage + metrics)
+        "metrics": {
+            "build_wall_sec": round(_time.time() - t_build_start, 3),
+            "docs_per_sec": round(
+                num_docs / max(_time.time() - t_build_start, 1e-9), 1),
+            "ingest_tasks": len(input_paths),
+            "segment_groups": len(by_gkey),
+            "resumed_groups": len(done_gkeys),
+            "total_postings": int(sum(int(a["postings"])
+                                      for a in by_gkey.values())),
+            "local": bool(local),
+        },
     }
     disk = json.loads(json.dumps(manifest))
     for part in ("docmap", "values", "segments", "stats"):

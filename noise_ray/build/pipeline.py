@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 import zlib
 from typing import Any
@@ -446,6 +447,7 @@ def build_index(
     epochs, noise_ray/build/incremental.py: new docs continue the parent
     index's seq space, mirroring the reference's monotonically increasing
     seq across adds, /root/reference/src/index.rs:146-155)."""
+    t_build_start = time.time()
     docmap_dir = os.path.join(index_dir, "docmap")
     seg_dir = os.path.join(index_dir, "segments")
     stats_dir = os.path.join(index_dir, "stats")
@@ -603,6 +605,19 @@ def build_index(
             {"gkey": g, "bucket": g // num_ranges, "path": a["stats_path"]}
             for g, a in sorted(by_gkey.items())
         ],
+        # build metrics next to the lineage (north-rule: resumable from
+        # checkpoint with per-partition lineage + metrics): wall/throughput
+        # for THIS invocation, and how much of the work a resume skipped
+        "metrics": {
+            "build_wall_sec": round(time.time() - t_build_start, 3),
+            "turns_per_sec": round(
+                num_docs / max(time.time() - t_build_start, 1e-9), 1),
+            "ingest_tasks": len(plans),
+            "segment_groups": len(by_gkey),
+            "resumed_groups": len(done_gkeys),
+            "total_postings": int(sum(int(a["postings"])
+                                      for a in by_gkey.values())),
+        },
     }
     # on disk the manifest holds RELATIVE paths (the index directory is
     # relocatable — compaction swaps directories, and a 100 TB index moves
