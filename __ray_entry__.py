@@ -171,7 +171,8 @@ def _write_turns(dirpath, rows):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from noise_ray.ops import (
-        dedup, multimodal, nested_docs, relational, similarity, text,
+        cluster, dedup, multimodal, nested_docs, relational, similarity,
+        text,
     )
 
     return {
@@ -238,6 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_dup_pairs_bucketed": dedup.embedding_dup_pairs_bucketed,
+        "dedup_clusters": cluster.dedup_clusters,
+        "dedup_clusters_lsh": cluster.dedup_clusters_lsh,
+        "dedup_keep_first": cluster.dedup_keep_first,
         # --- similarity search
         "ann_topk": similarity.ann_topk_bruteforce,
         "ann_bucketed": similarity.ann_bucketed,
@@ -276,7 +280,7 @@ def _score_oracle():
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "nested_kp_range": """
             SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS _id
             FROM lineitem WHERE l_quantity >= 49""",
@@ -475,3 +479,12 @@ def oracle_sql() -> dict[str, str]:
                  UNNEST(range(0, CAST(ceil(length(d.text) / 16.0) AS INT), 4))
                      AS u(f)""",
     }
+    # duplicate-cluster closures: the same pair SQL each operator's pair
+    # stage is oracled by, wrapped in a recursive-CTE connected-components
+    # closure (ops/oracle_sqlgen.py)
+    sqls["dedup_clusters"] = _sqlgen().closure_sql(sqls["ngram_jaccard_pairs"])
+    sqls["dedup_clusters_lsh"] = _sqlgen().closure_sql(
+        sqls["minhash_lsh_pairs"])
+    sqls["dedup_keep_first"] = _sqlgen().keep_first_sql(
+        sqls["minhash_lsh_pairs"])
+    return sqls

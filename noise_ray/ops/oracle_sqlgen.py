@@ -309,3 +309,38 @@ def ann_ivf_sql(n_queries: int = 5, k: int = 10, n_centroids: int = 32,
     SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
     FROM r WHERE rank <= {k}
     """
+
+
+def closure_sql(pairs_sql: str) -> str:
+    """Wrap any (a_id, b_id) duplicate-pair query in a recursive-CTE
+    transitive closure: (doc_id, cluster_id) with cluster_id = the
+    component's minimum doc_id — the oracle for
+    ops.cluster.connected_components over that pair generator."""
+    return f"""
+    WITH RECURSIVE
+    edges AS (SELECT a_id, b_id FROM ({pairs_sql}) pairs_q),
+    und AS (SELECT a_id AS u, b_id AS v FROM edges
+            UNION SELECT b_id, a_id FROM edges),
+    reach AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u
+        WHERE d.v <> r.u
+    )
+    SELECT CAST(u AS BIGINT) AS doc_id,
+           CAST(least(u, min(v)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY u ORDER BY doc_id
+    """
+
+
+def keep_first_sql(pairs_sql: str) -> str:
+    """Oracle for ops.cluster.dedup_keep_first: every doc_id except the
+    non-minimum members of the pair set's connected components."""
+    return f"""
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+        SELECT doc_id FROM ({closure_sql(pairs_sql)}) c
+        WHERE doc_id <> cluster_id)
+    ORDER BY doc_id
+    """
