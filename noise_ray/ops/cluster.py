@@ -113,18 +113,62 @@ def _digest(edges) -> tuple:
     return (agg["sum(n)"], agg["sum(s1)"], agg["sum(s2)"])
 
 
-def connected_components(pairs, max_rounds: int = 64):
+def _local_cc(edges: pa.Table, max_rounds: int) -> pa.Table:
+    """The SAME star rounds run in-process on one numpy table — used when
+    the (bounded) edge set is far below shuffle granularity, where each
+    Dataset round would be pure fixed overhead.  Bit-identical output to
+    the distributed rounds: both paths call _emit/_star_reduce."""
+    t = edges
+    prev_t = None
+    for _ in range(max_rounds):
+        for large in (True, False):
+            t = _star_reduce(_emit(t, large), large)
+        # local fixpoint test is exact: canonical-sort the edge list
+        order = np.lexsort((t.column("b_id").to_numpy(),
+                            t.column("a_id").to_numpy()))
+        t = t.take(pa.array(order))
+        if prev_t is not None and t.equals(prev_t):
+            break
+        prev_t = t
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint "
+                           f"in {max_rounds} rounds")
+    a = t.column("a_id").to_numpy()
+    b = t.column("b_id").to_numpy()
+    doc = np.concatenate([a, np.unique(b)])
+    cl = np.concatenate([b, np.unique(b)])
+    order = np.argsort(doc, kind="stable")
+    return pa.table({"doc_id": pa.array(doc[order], pa.int64()),
+                     "cluster_id": pa.array(cl[order], pa.int64())})
+
+
+def connected_components(pairs, max_rounds: int = 64,
+                         local_threshold: int = 2**21):
     """(a_id, b_id) pair Dataset -> (doc_id, cluster_id) Dataset, where
     cluster_id is the smallest doc_id in the node's connected component.
     Only nodes that appear in at least one non-self pair are emitted
     (isolated docs have no cluster).  Deterministic; at the fixpoint the
     edge multiset is exactly one (member, hub) edge per non-hub member,
-    which the digest detects as two identical consecutive rounds."""
+    which the digest detects as two identical consecutive rounds.
+
+    The edge set is materialized once up front (it is the candidate-pair
+    output — orders of magnitude smaller than the corpus).  Below
+    ``local_threshold`` edges the star rounds run in-process (same
+    kernels, identical output); above it each round is one bucketed
+    groupby shuffle, so the closure of a 100 TB corpus' pair set never
+    lands on one machine."""
     from ray.data.aggregate import Count
 
     if isinstance(pairs, pa.Table):
         pairs = ray.data.from_arrow(pairs)
-    edges = pairs.select_columns(["a_id", "b_id"])
+    edges = pairs.select_columns(["a_id", "b_id"]).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(_OUT_SCHEMA.empty_table())
+    if n_edges <= local_threshold:
+        t = pa.concat_tables(
+            ray.get(edges.to_arrow_refs())).combine_chunks()
+        return ray.data.from_arrow(_local_cc(t, max_rounds))
     prev = None
     for _ in range(max_rounds):
         for large in (True, False):

@@ -33,12 +33,14 @@ def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {v: find(v) for v in parent}
 
 
-def _run_cc(pairs: list[tuple[int, int]]) -> dict[int, int]:
+def _run_cc(pairs: list[tuple[int, int]],
+            local_threshold: int = 2**21) -> dict[int, int]:
     from noise_ray.ops.cluster import connected_components
 
     t = pa.table({"a_id": pa.array([a for a, _ in pairs], pa.int64()),
                   "b_id": pa.array([b for _, b in pairs], pa.int64())})
-    out = connected_components(ray.data.from_arrow(t)).take_all()
+    out = connected_components(ray.data.from_arrow(t),
+                               local_threshold=local_threshold).take_all()
     got = {r["doc_id"]: r["cluster_id"] for r in out}
     assert len(got) == len(out), "duplicate doc_id rows in cluster output"
     return got
@@ -51,15 +53,19 @@ def test_cc_matches_union_find_random(ray_session, seed, n_nodes, n_edges):
     rng = np.random.default_rng(seed)
     pairs = [(int(a), int(b)) for a, b in
              rng.integers(0, n_nodes, size=(n_edges, 2))]
-    assert _run_cc(pairs) == _union_find(pairs)
+    want = _union_find(pairs)
+    # local fast path and distributed star rounds must agree exactly
+    assert _run_cc(pairs) == want
+    assert _run_cc(pairs, local_threshold=0) == want
 
 
 def test_cc_chain_worst_case_diameter(ray_session):
     # a single path 0-1-2-...-99: max diameter, exercises the star
     # rounds' O(log^2 n) convergence rather than one-hop luck
     pairs = [(i, i + 1) for i in range(99)]
-    got = _run_cc(pairs)
-    assert got == {i: 0 for i in range(100)}
+    want = {i: 0 for i in range(100)}
+    assert _run_cc(pairs) == want
+    assert _run_cc(pairs, local_threshold=0) == want
 
 
 def test_cc_two_components_and_self_loops(ray_session):
