@@ -246,11 +246,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk_bruteforce,
         "ann_bucketed": similarity.ann_bucketed,
         "ann_ivf": similarity.ann_ivf,
+        "kmeans_embeddings": similarity.kmeans_embeddings,
         # --- text analysis
         "token_stats": text.token_stats,
         "fingerprint": text.fingerprint,
         "quality_bucket": text.quality_bucket,
         "langid": text.langid,
+        "top_terms": text.top_terms,
+        "grouped_topk": text.grouped_topk,
         # --- multimodal plumbing
         "payload_metadata": multimodal.payload_metadata,
         "payload_features": multimodal.payload_features_flat,
@@ -487,4 +490,17 @@ def oracle_sql() -> dict[str, str]:
         sqls["minhash_lsh_pairs"])
     sqls["dedup_keep_first"] = _sqlgen().keep_first_sql(
         sqls["minhash_lsh_pairs"])
+    sqls["kmeans_embeddings"] = _sqlgen().kmeans_sql()
+    sqls["top_terms"] = f"""
+        WITH tok AS (SELECT unnest({_TOK}) AS term FROM documents)
+        SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok
+        GROUP BY term ORDER BY n DESC, term LIMIT 25"""
+    sqls["grouped_topk"] = """
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(rank AS BIGINT) AS rank
+        FROM (SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id) AS rank
+              FROM documents)
+        WHERE rank <= 3 ORDER BY source, rank"""
     return sqls

@@ -344,3 +344,46 @@ def keep_first_sql(pairs_sql: str) -> str:
         WHERE doc_id <> cluster_id)
     ORDER BY doc_id
     """
+
+
+def kmeans_sql(n_clusters: int = 8, iters: int = 3) -> str:
+    """Exact oracle for ops.similarity.kmeans_embeddings: the same Lloyd
+    rounds as chained CTEs — deterministic first-k init, assignment by
+    (L2 distance, cid) rank, per-dimension mean update, empty clusters
+    keeping the previous centroid."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings)",
+        "dim AS (SELECT array_length(emb) AS d FROM e LIMIT 1)",
+        f"c0 AS (SELECT vec_id AS cid, emb AS cen FROM e "
+        f"WHERE vec_id < {n_clusters})",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes += [
+            f"""a{t} AS (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.emb, c.cen), c.cid) AS rn
+                FROM e, c{p} c) WHERE rn = 1)""",
+            f"""m{t} AS (SELECT a{t}.cid, u.i, avg(e.emb[u.i]) AS x
+                FROM a{t} JOIN e USING (vec_id),
+                     UNNEST(range(1, (SELECT d FROM dim) + 1)) AS u(i)
+                GROUP BY a{t}.cid, u.i)""",
+            f"""n{t} AS (SELECT cid, list(x ORDER BY i) AS cen
+                FROM m{t} GROUP BY cid)""",
+            f"""c{t} AS (SELECT c{p}.cid, coalesce(n{t}.cen, c{p}.cen) AS cen
+                FROM c{p} LEFT JOIN n{t} USING (cid))""",
+        ]
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.emb, c.cen), c.cid) AS rn
+        FROM e, c{iters} c) WHERE rn = 1
+    ORDER BY vec_id
+    """

@@ -310,3 +310,74 @@ def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
     return pa.table({"query_id": pa.array(out_q, pa.int64()),
                      "rank": pa.array(out_r, pa.int64()),
                      "vec_id": pa.array(out_v, pa.int64())})
+
+
+def kmeans_embeddings(sf_dir: str, n_clusters: int = 8, iters: int = 3):
+    """Lloyd k-means over the embedding column: (vec_id, cluster) after
+    ``iters`` full assign+update rounds plus a final assignment pass.
+
+    The canonical iterative Ray Data shape: centroids (k x dim — tiny)
+    are broadcast per round with ``ray.put``; each ``map_batches`` task
+    reduces its batch to per-cluster partial sums + counts (k rows), so
+    each round streams the corpus once and ships only k*dim floats per
+    task; the centroid update folds those partials on the driver.  Init
+    is DETERMINISTIC (the first ``n_clusters`` corpus vectors) and ties
+    go to the smaller cluster id, so the whole pipeline replicates as an
+    exact DuckDB oracle (ops/oracle_sqlgen.kmeans_sql: the same rounds as
+    chained CTEs).  An empty cluster keeps its previous centroid."""
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_clusters)])
+    cen = embed_matrix(ct.column("embedding"))  # (k, dim) float64
+
+    def _assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # squared L2 via the expansion; argmin ties pick the first
+        # (smallest cluster id), matching the oracle's rank tie-break
+        d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None]
+        return np.argmin(d2, axis=1)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    for _ in range(iters):
+        ref = ray.put(cen)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = embed_matrix(batch.column("embedding"))
+            a = _assign(m, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=c.shape[0])
+            return pa.table({
+                "cid": pa.array(np.arange(c.shape[0]), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+            })
+
+        parts = pa.concat_tables(ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()))
+        cids = parts.column("cid").to_numpy()
+        ns = parts.column("n").to_numpy()
+        svs = embed_matrix(parts.column("s"))
+        k, dim = cen.shape
+        tot_n = np.zeros(k)
+        tot_s = np.zeros((k, dim))
+        np.add.at(tot_n, cids, ns)
+        np.add.at(tot_s, cids, svs)
+        nonempty = tot_n > 0
+        cen = cen.copy()
+        cen[nonempty] = tot_s[nonempty] / tot_n[nonempty, None]
+
+    fref = ray.put(cen)
+
+    def final(batch: pa.Table) -> pa.Table:
+        c = ray.get(fref)
+        m = embed_matrix(batch.column("embedding"))
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(_assign(m, c), pa.int64()),
+        })
+
+    return ds.map_batches(final, batch_format="pyarrow").sort("vec_id")

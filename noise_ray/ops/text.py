@@ -133,3 +133,71 @@ class LangId:
 def langid(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def top_terms(sf_dir: str, k: int = 25):
+    """Corpus-wide heavy hitters: the k most frequent [a-z0-9]+ tokens
+    and their counts, ordered by (count desc, term asc).
+
+    100 TB shape: the per-batch stage collapses each batch to its LOCAL
+    (term, n) counts (Arrow lower/split/value_counts — a map-side
+    combiner bounded by per-batch vocabulary), so the one groupby
+    shuffles vocabulary-sized partials, never token streams; the final
+    sort+limit moves only unique terms."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z0-9]+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(
+            toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+            else toks)
+        return pa.table({"term": vc.field("values"),
+                         "n": vc.field("counts")})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def grouped_topk(sf_dir: str, per: int = 3):
+    """Top ``per`` documents by n_chars within every source (ties to the
+    smaller doc_id): per-batch partial top-k per source first (bounds the
+    shuffle to per*sources rows per batch), then one groupby finalizes.
+    The same two-phase shape handles any per-key top-k at corpus scale."""
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        nch = t.column("n_chars").to_numpy()
+        did = t.column("doc_id").to_numpy()
+        # sort (source asc, n_chars desc, doc_id asc), keep first `per`
+        # rows of each source run
+        order = np.lexsort((did, -nch, src))
+        src, nch, did = src[order], nch[order], did[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        rank = np.arange(src.size) - np.repeat(starts,
+                                               np.diff(np.r_[starts, src.size]))
+        keep = rank < per
+        return pa.table({
+            "source": pa.array(src[keep], pa.string()),
+            "doc_id": pa.array(did[keep], pa.int64()),
+            "n_chars": pa.array(nch[keep], pa.int64()),
+            "rank": pa.array(rank[keep] + 1, pa.int64()),
+        })
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(lambda t: _local_topk(t).drop_columns(["rank"]),
+                     batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(_local_topk, batch_format="pyarrow")
+        .sort(["source", "rank"])
+    )

@@ -1,0 +1,71 @@
+"""Analytics operators (top_terms heavy hitters, grouped per-key top-k,
+Lloyd k-means): semantics pinned against plain-Python references on the
+sf0.001 fixture — the oracle gate re-checks them against DuckDB SQL."""
+
+import collections
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+_WORD = re.compile(r"[a-z0-9]+")
+
+
+def test_top_terms_matches_counter(ray_session):
+    from noise_ray.ops.text import top_terms
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    counts = collections.Counter()
+    for txt in t.column("text").to_pylist():
+        counts.update(_WORD.findall(txt.lower()))
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [(r["term"], r["n"]) for r in top_terms(SF).take_all()]
+    assert got == want
+
+
+def test_grouped_topk_matches_reference(ray_session):
+    from noise_ray.ops.text import grouped_topk
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "source", "n_chars"])
+    rows = sorted(zip(t.column("source").to_pylist(),
+                      t.column("n_chars").to_pylist(),
+                      t.column("doc_id").to_pylist()),
+                  key=lambda r: (r[0], -r[1], r[2]))
+    want, seen = [], collections.Counter()
+    for src, nch, did in rows:
+        seen[src] += 1
+        if seen[src] <= 3:
+            want.append((src, did, nch, seen[src]))
+    got = [(r["source"], r["doc_id"], r["n_chars"], r["rank"])
+           for r in grouped_topk(SF).take_all()]
+    assert got == want
+    # the partial top-k combiner is exact: rank-4 rows of one batch can
+    # never enter another batch's top-3, asserted by the equality above
+
+
+def _ref_kmeans(emb: np.ndarray, k: int, iters: int):
+    cen = emb[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((emb[:, None, :] - cen[None]) ** 2).sum(-1)
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                cen[c] = emb[a == c].mean(axis=0)
+    d2 = ((emb[:, None, :] - cen[None]) ** 2).sum(-1)
+    return np.argmin(d2, axis=1)
+
+
+def test_kmeans_matches_reference(ray_session):
+    from noise_ray.ops.similarity import embed_matrix, kmeans_embeddings
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    emb = embed_matrix(t.column("embedding"))
+    want = _ref_kmeans(emb, 8, 3)
+    out = kmeans_embeddings(SF).take_all()
+    got = np.array([r["cluster"] for r in sorted(out, key=lambda r: r["vec_id"])])
+    assert (got == want).all()
+    assert len({r["cluster"] for r in out}) > 1  # nondegenerate clustering
