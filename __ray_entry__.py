@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_dup_pairs_bucketed": dedup.embedding_dup_pairs_bucketed,
         "dedup_clusters": cluster.dedup_clusters,
+        "substring_dup_clusters": dedup.substring_dup_clusters,
         "dedup_clusters_lsh": cluster.dedup_clusters_lsh,
         "dedup_keep_first": cluster.dedup_keep_first,
         # --- similarity search
@@ -491,6 +492,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["dedup_keep_first"] = _sqlgen().keep_first_sql(
         sqls["minhash_lsh_pairs"])
     sqls["kmeans_embeddings"] = _sqlgen().kmeans_sql()
+    # substring dedup: star edges (doc, per-window min) over the literal
+    # 12-token window strings, then the same recursive closure
+    sqls["substring_dup_clusters"] = _sqlgen().closure_sql(f"""
+        WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+        win AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+11], ' ') AS win
+                FROM tok, UNNEST(range(1, array_length(t) - 10)) AS u(i)
+                WHERE array_length(t) >= 12),
+        m AS (SELECT win, min(doc_id) AS mn FROM win GROUP BY win)
+        SELECT DISTINCT win.doc_id AS a_id, m.mn AS b_id
+        FROM win JOIN m USING (win) WHERE win.doc_id <> m.mn""")
     sqls["top_terms"] = f"""
         WITH tok AS (SELECT unnest({_TOK}) AS term FROM documents)
         SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok

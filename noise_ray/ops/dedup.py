@@ -481,3 +481,84 @@ def embedding_dup_pairs_bucketed(sf_dir: str, threshold: float = 0.45,
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     return _distinct_pairs(pairs)
+
+
+def _window_hashes(texts, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc rolling hashes of every w-token window (position-weighted
+    combine + splitmix64, same kernel family as _shingle_hashes but with
+    NO short-doc fallback: a doc with fewer than w tokens has no window).
+    Returns (hashes[uint64], offsets[int64, n_docs+1])."""
+    from .hashing import splitmix64, tokenize_hashes
+
+    h, doc_offs = tokenize_hashes(texts)
+    n_docs = doc_offs.size - 1
+    counts = doc_offs[1:] - doc_offs[:-1]
+    with np.errstate(over="ignore"):
+        full = np.zeros(max(h.size - w + 1, 0), np.uint64)
+        for k in range(w):
+            full += h[k : h.size - w + 1 + k] * np.uint64(2 * k + 3)
+        full = splitmix64(full)
+    win_counts = np.maximum(counts - w + 1, 0)
+    keep = np.zeros(full.size, bool)
+    starts, ends = doc_offs[:-1], doc_offs[:-1] + win_counts
+    for d in np.flatnonzero(win_counts):
+        keep[starts[d] : ends[d]] = True
+    offs = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(win_counts, out=offs[1:])
+    return (full[keep] if full.size else full), offs
+
+
+def substring_dup_clusters(sf_dir: str, window: int = 12):
+    """Exact-substring duplicate CLUSTERS: docs sharing ANY run of
+    ``window`` consecutive tokens, closed transitively — the
+    training-data dedup primitive of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL'22), expressed Ray-Data-first.
+
+    Shape: per-batch vectorized rolling window hashes -> ONE groupby on a
+    bucket of the window hash, whose vectorized reduce emits per-window
+    STAR edges (member, window-min) — linear in bucket size where
+    all-pairs would be quadratic, and connected components over stars
+    equal components over the full cliques — then the star-round closure
+    (ops/cluster.py).  The DuckDB oracle groups the literal token-window
+    STRINGS (collision-free by construction), so a 64-bit window-hash
+    collision would surface as an oracle mismatch; none occur on the
+    fixtures and the probability at 10^12 windows is ~1e-7."""
+    from .cluster import _bucket_of, connected_components
+
+    def emit(batch: pa.Table) -> pa.Table:
+        wh, offs = _window_hashes(batch.column("text"), window)
+        docs = np.repeat(batch.column("doc_id").to_numpy(),
+                         offs[1:] - offs[:-1])
+        # per-doc unique windows: one (window, doc) row each
+        u = np.unique(np.stack([wh, docs.astype(np.uint64)], axis=1), axis=0)
+        return pa.table({
+            "bucket": pa.array(_bucket_of(u[:, 0])),
+            "whash": pa.array(u[:, 0], pa.uint64()),
+            "doc_id": pa.array(u[:, 1].astype(np.int64), pa.int64()),
+        })
+
+    def star_edges(group: pa.Table) -> pa.Table:
+        src = group.column("whash").to_numpy()
+        dst = group.column("doc_id").to_numpy()
+        if src.size == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64())})
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        keep = np.ones(src.size, bool)
+        keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        src, dst = src[keep], dst[keep]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        counts = np.diff(np.r_[starts, src.size])
+        m_row = np.repeat(dst[starts], counts)  # min doc per window
+        mask = dst != m_row
+        return pa.table({"a_id": pa.array(dst[mask], pa.int64()),
+                         "b_id": pa.array(m_row[mask], pa.int64())})
+
+    edges = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(star_edges, batch_format="pyarrow")
+    )
+    return connected_components(edges)

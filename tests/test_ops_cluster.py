@@ -123,3 +123,28 @@ def test_dedup_keep_first_semantics(ray_session):
     want = sorted(all_ids - {d for d, c in want_cc.items() if d != c})
     got = [r["doc_id"] for r in dedup_keep_first(SF).take_all()]
     assert got == want
+
+
+def test_substring_dup_clusters_matches_reference(ray_session):
+    """Star edges over window hashes + closure == union-find over the
+    brute-force 'share a 12-token window' relation."""
+    from noise_ray.ops.dedup import substring_dup_clusters
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    import re
+    word = re.compile(r"[a-z0-9]+")
+    wins = {}
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        toks = word.findall(txt.lower())
+        for i in range(len(toks) - 11):
+            wins.setdefault(tuple(toks[i:i + 12]), []).append(did)
+    pairs = []
+    for docs in wins.values():
+        mn = min(docs)
+        pairs.extend((d, mn) for d in docs if d != mn)
+    want = _union_find(pairs)
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in substring_dup_clusters(SF).take_all()}
+    assert got == want
+    assert want, "fixture corpus must contain substring duplicates"
