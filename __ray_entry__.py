@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.langid,
         "top_terms": text.top_terms,
         "grouped_topk": text.grouped_topk,
+        "char_percentiles": text.char_percentiles,
         # --- multimodal plumbing
         "payload_metadata": multimodal.payload_metadata,
         "payload_features": multimodal.payload_features_flat,
@@ -514,4 +515,20 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY n_chars DESC, doc_id) AS rank
               FROM documents)
         WHERE rank <= 3 ORDER BY source, rank"""
+    # integer rank semantics (smallest k with 100*k >= pct*n) shared
+    # verbatim with the histogram finalize — no float percentile ambiguity
+    sqls["char_percentiles"] = """
+        WITH r AS (SELECT lang, n_chars,
+                          row_number() OVER (PARTITION BY lang
+                                             ORDER BY n_chars) AS rn,
+                          count(*) OVER (PARTITION BY lang) AS n
+                   FROM documents)
+        SELECT lang,
+               CAST(min(CASE WHEN 100*rn >= 50*n THEN n_chars END)
+                    AS BIGINT) AS p50,
+               CAST(min(CASE WHEN 100*rn >= 90*n THEN n_chars END)
+                    AS BIGINT) AS p90,
+               CAST(min(CASE WHEN 100*rn >= 99*n THEN n_chars END)
+                    AS BIGINT) AS p99
+        FROM r GROUP BY lang ORDER BY lang"""
     return sqls

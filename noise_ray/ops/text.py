@@ -201,3 +201,48 @@ def grouped_topk(sf_dir: str, per: int = 3):
         .map_groups(_local_topk, batch_format="pyarrow")
         .sort(["source", "rank"])
     )
+
+
+def char_percentiles(sf_dir: str):
+    """Exact p50/p90/p99 of n_chars per lang — the histogram-quantile
+    scale pattern: each batch collapses to (lang, value, count) partials
+    (bounded by the value domain, not the row count), one groupby sums
+    them, and the per-lang finalize walks the tiny cumulative histogram.
+    No global sort touches the corpus.  Rank semantics are pure integer
+    (smallest k with 100*k >= pct*n), shared verbatim with the SQL
+    oracle, so the comparison is exact."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        v = t.column("n_chars").to_numpy().astype(np.int64)
+        u, counts = np.unique(np.rec.fromarrays([lang, v]), return_counts=True)
+        return pa.table({
+            "lang": pa.array(u.f0, pa.string()),
+            "v": pa.array(u.f1, pa.int64()),
+            "cnt": pa.array(counts, pa.int64()),
+        })
+
+    def finalize(g: pa.Table) -> pa.Table:
+        v = g.column("v").to_numpy()
+        c = g.column("cnt").to_numpy()
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        out = {"lang": pa.array([g.column("lang")[0].as_py()], pa.string())}
+        for pct in (50, 90, 99):
+            k = -(-pct * n // 100)  # smallest k with 100*k >= pct*n
+            out[f"p{pct}"] = pa.array(
+                [int(v[np.searchsorted(cum, k)])], pa.int64())
+        return pa.table(out)
+
+    return (
+        _read_docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "v"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("lang")
+        .map_groups(finalize, batch_format="pyarrow")
+        .sort("lang")
+    )

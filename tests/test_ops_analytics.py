@@ -69,3 +69,25 @@ def test_kmeans_matches_reference(ray_session):
     got = np.array([r["cluster"] for r in sorted(out, key=lambda r: r["vec_id"])])
     assert (got == want).all()
     assert len({r["cluster"] for r in out}) > 1  # nondegenerate clustering
+
+
+def test_char_percentiles_matches_numpy(ray_session):
+    from noise_ray.ops.text import char_percentiles
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "n_chars"])
+    by_lang = collections.defaultdict(list)
+    for lang, nc in zip(t.column("lang").to_pylist(),
+                        t.column("n_chars").to_pylist()):
+        by_lang[lang].append(nc)
+    want = []
+    for lang in sorted(by_lang):
+        vs = sorted(by_lang[lang])
+        n = len(vs)
+        row = [lang]
+        for pct in (50, 90, 99):
+            k = -(-pct * n // 100)
+            row.append(vs[k - 1])
+        want.append(tuple(row))
+    got = [(r["lang"], r["p50"], r["p90"], r["p99"])
+           for r in char_percentiles(SF).take_all()]
+    assert got == want
