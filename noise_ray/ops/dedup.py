@@ -38,8 +38,12 @@ def dedup_exact(sf_dir: str):
 
     def h(batch: pa.Table) -> pa.Table:
         h1, h2 = hash_string_array_128(batch.column("text"))
+        # int64 bit views: groupby keys only need equality, and uint64
+        # keys above 2^63 overflow Ray's aggregate key conversion (it
+        # falls back to pickled-object blocks)
         return pa.table({
-            "h1": pa.array(h1), "h2": pa.array(h2),
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
             "doc_id": batch.column("doc_id"),
         })
 
@@ -265,7 +269,7 @@ class _MinHashBatch:
         docs = batch.column("doc_id").to_numpy()[nz]
         if nz.size == 0:
             return pa.table({"band": pa.array([], pa.int32()),
-                             "key": pa.array([], pa.uint64()),
+                             "key": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64())})
         starts = offs[:-1][nz]
         sig = np.empty((nz.size, self.num_hashes), np.uint64)
@@ -286,7 +290,8 @@ class _MinHashBatch:
         return pa.table({
             "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32),
                                      nz.size), pa.int32()),
-            "key": pa.array(keys.reshape(-1), pa.uint64()),
+            # int64 bit view: equality-only groupby key (see dedup_exact)
+            "key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
             "doc_id": pa.array(np.repeat(docs, self.bands), pa.int64()),
         })
 
