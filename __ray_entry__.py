@@ -15,7 +15,10 @@ golden parity vs the reference transcripts stays in tests/.
 ``nested_conv_search``, ``ann_bucketed`` and ``ann_ivf`` are exact too
 (the nested first-matching-instance score in SQL; deterministic
 Rademacher LSH planes inlined as SQL literals; deterministic
-corpus-sample IVF centroids).  The ONE remaining rows-only entry is
+corpus-sample IVF centroids).  The duplicate-cluster entries wrap their
+pair SQL in recursive-CTE transitive closures; ``kmeans_embeddings``
+replicates the Lloyd rounds as chained CTEs.  The ONE remaining
+rows-only entry is
 ``flagship_proximity``: the reference's DistanceFilter carries round-robin
 iterator state ACROSS documents, so even its matched set has no closed
 form (verified empirically) — covered by property tests instead.

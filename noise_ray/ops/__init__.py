@@ -1,3 +1,4 @@
-from . import dedup, multimodal, relational, similarity, text
+from . import cluster, dedup, multimodal, relational, similarity, text
 
-__all__ = ["dedup", "multimodal", "relational", "similarity", "text"]
+__all__ = ["cluster", "dedup", "multimodal", "relational", "similarity",
+           "text"]
