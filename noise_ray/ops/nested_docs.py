@@ -182,10 +182,10 @@ def nested_transcripts_index(sf_dir: str, paths: list[str] | None = None):
 
     from ..build.json_pipeline import build_json_index
 
-    # conversation docs hold ~10 turns each: size ingest tasks in DOCS so
-    # per-task turn counts match the flat build's granularity
-    build_json_index(shard_paths, idx_dir, local=False,
-                     docs_per_ingest_task=1024)
+    # ingest-task sizing is adaptive in build_json_index: the task count
+    # bounds the sort-input block count, whose shuffle overhead was the
+    # 22M-scale wall when it tracked the fixed 1024-doc shard size
+    build_json_index(shard_paths, idx_dir, local=False)
     return JsonIndexReader(idx_dir)
 
 
