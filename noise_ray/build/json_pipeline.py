@@ -546,20 +546,17 @@ def build_json_index(
     num_docs = off - doc_id_offset
 
     if docs_per_ingest_task is None:
-        # Adaptive: ingest-task count bounds the SORT-INPUT block count,
-        # and the groupby shuffle's constant overhead grows with
-        # map-blocks x reduce-partitions.  Measured at 22M turns /
-        # 2M docs / 32 CPUs: 2048 fixed-size tasks -> 1313 s build,
-        # 245 adaptive tasks -> 236 s — identical output, 5.6x.  Target
-        # ~8 tasks per core (balance + stragglers) with a floor so tiny
-        # corpora don't collapse to one task per doc batch.
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 32))
-        except Exception:
-            cpus = 32
-        target_tasks = max(64, 8 * cpus)
-        docs_per_ingest_task = max(1024,
-                                   -(-max(num_docs, 1) // target_tasks))
+        # Adaptive, INPUT-ONLY sizing: the ingest-task count bounds the
+        # SORT-INPUT block count, and the groupby shuffle's constant
+        # overhead grows with map-blocks x reduce-partitions.  Measured
+        # at 22M turns / 2M docs / 32 CPUs: 2048 fixed-size tasks ->
+        # 1313 s build (shred itself only 136 s), ~250 adaptive tasks ->
+        # 236 s — identical output, 5.6x.  The target is a fixed 256
+        # tasks (not CPU-proportional: the same input must produce the
+        # same tasks at every parallelism so the two-cluster-size
+        # scaling measurement isolates scheduling), with a floor so
+        # small corpora keep data-proportional granularity.
+        docs_per_ingest_task = max(1024, -(-max(num_docs, 1) // 256))
     if docs_per_range is None:
         docs_per_range = 250_000
     num_ranges = max(1, min(64, -(-max(num_docs, 1) // docs_per_range)))

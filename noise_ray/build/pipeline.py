@@ -439,7 +439,7 @@ def build_index(
     tokenize_batch_size: int | None = None,
     tokenize_concurrency: tuple | int | None = None,
     doc_id_offset: int = 0,
-    docs_per_ingest_task: int = 16384,
+    docs_per_ingest_task: int | None = None,
 ) -> dict[str, Any]:
     """Build (or resume) an index at ``index_dir``; returns the manifest.
 
@@ -507,6 +507,13 @@ def build_index(
     # (the two-cluster-size scaling criterion measures pure scheduling).
     # Each task owns a contiguous RUN of files — doc_id ranges stay
     # contiguous, which the run-merge in the segment writer relies on.
+    # Above ~4.2M docs the per-task size grows so the task count caps at
+    # a fixed 256 (input-only, cluster-agnostic): the shuffle's constant
+    # overhead grows with map-blocks x reduce-partitions, measured at 22M
+    # turns as 172 s with 1343 blocks vs 112 s with 245 (1.53x, same
+    # output).
+    if docs_per_ingest_task is None:
+        docs_per_ingest_task = max(16384, -(-max(num_docs, 1) // 256))
     num_tasks = max(1, min(len(plans),
                            -(-num_docs // docs_per_ingest_task)))
 
