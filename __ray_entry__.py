@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": text.top_terms,
         "grouped_topk": text.grouped_topk,
         "char_percentiles": text.char_percentiles,
+        "sample_stratified": text.sample_stratified,
         # --- multimodal plumbing
         "payload_metadata": multimodal.payload_metadata,
         "payload_features": multimodal.payload_features_flat,
@@ -534,4 +535,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(CASE WHEN 100*rn >= 99*n THEN n_chars END)
                     AS BIGINT) AS p99
         FROM r GROUP BY lang ORDER BY lang"""
+    # deterministic hash sample: the same splitmix64(doc_id) < 10% of
+    # hash space, inlined as HUGEINT mod-2**64 SQL
+    _sm = _sqlgen()._sm
+    sqls["sample_stratified"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_sm("CAST(doc_id AS UBIGINT)")}
+              < CAST({(2**64 // 100) * 10} AS UBIGINT)
+        ORDER BY doc_id"""
     return sqls

@@ -246,3 +246,27 @@ def char_percentiles(sf_dir: str):
         .map_groups(finalize, batch_format="pyarrow")
         .sort("lang")
     )
+
+
+def sample_stratified(sf_dir: str, pct: int = 10):
+    """Deterministic, reproducible stratified sample: keep every doc
+    whose splitmix64(doc_id) lands in the lowest ``pct`` percent of hash
+    space, with per-lang counts attached — the subsampling primitive of
+    a training-data pipeline (same rows on every run, every cluster
+    size, any partitioning; no RNG state to coordinate).  Pure
+    map_batches filter plus a tiny per-lang count groupby; the SQL
+    oracle inlines the identical splitmix64 arithmetic."""
+    from .hashing import splitmix64
+
+    threshold = np.uint64((2**64 // 100) * pct)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.uint64)
+        keep = splitmix64(ids) < threshold
+        return t.filter(pa.array(keep))
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(pick, batch_format="pyarrow")
+        .sort("doc_id")
+    )

@@ -91,3 +91,18 @@ def test_char_percentiles_matches_numpy(ray_session):
     got = [(r["lang"], r["p50"], r["p90"], r["p99"])
            for r in char_percentiles(SF).take_all()]
     assert got == want
+
+
+def test_sample_stratified_deterministic(ray_session):
+    from noise_ray.ops.hashing import splitmix64
+    from noise_ray.ops.text import sample_stratified
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = t.column("doc_id").to_numpy().astype(np.uint64)
+    want = sorted(int(i) for i in ids[
+        splitmix64(ids) < np.uint64((2**64 // 100) * 10)])
+    got1 = [r["doc_id"] for r in sample_stratified(SF).take_all()]
+    got2 = [r["doc_id"] for r in sample_stratified(SF).take_all()]
+    assert got1 == want
+    assert got2 == want  # reproducible across runs
+    assert 0 < len(want) < len(ids)
