@@ -114,8 +114,13 @@ def _live_doc_ids(reader) -> np.ndarray:
             outs.append(t)
         return pa.concat_tables(outs)
 
+    # blocks capped: this feeds a groupby, whose shuffle overhead grows
+    # with map-blocks x reduce-partitions (the 22M compaction spent
+    # ~10 min in this aggregate when blocks tracked the 2048 docmap
+    # partitions; each load batch loops its paths, so fewer blocks just
+    # means more files per task)
     agg = (rd.from_items([{"path": p} for p in paths],
-                         override_num_blocks=len(paths))
+                         override_num_blocks=max(1, min(len(paths), 256)))
            .map_batches(load, batch_format="pyarrow")
            .groupby("_id")
            .aggregate(Max("doc_id", alias_name="doc_id"))
