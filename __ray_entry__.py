@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": text.grouped_topk,
         "char_percentiles": text.char_percentiles,
         "sample_stratified": text.sample_stratified,
+        "benchmark_contamination": text.benchmark_contamination,
         # --- multimodal plumbing
         "payload_metadata": multimodal.payload_metadata,
         "payload_features": multimodal.payload_features_flat,
@@ -543,4 +544,17 @@ def oracle_sql() -> dict[str, str]:
         WHERE {_sm("CAST(doc_id AS UBIGINT)")}
               < CAST({(2**64 // 100) * 10} AS UBIGINT)
         ORDER BY doc_id"""
+    # decontamination: corpus docs sharing any word 5-gram with the
+    # benchmark slice (doc_id < 20), counting DISTINCT shared 5-grams
+    sqls["benchmark_contamination"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        g AS (SELECT doc_id,
+                     ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]
+                          ||' '||ts[i+4] AS gram
+              FROM toks, UNNEST(generate_series(1, len(ts)-4)) AS s(i)
+              WHERE len(ts) >= 5),
+        b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+        SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
+        FROM g JOIN b USING (gram) WHERE g.doc_id >= 20
+        GROUP BY g.doc_id ORDER BY g.doc_id"""
     return sqls

@@ -270,3 +270,64 @@ def sample_stratified(sf_dir: str, pct: int = 10):
         .map_batches(pick, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def benchmark_contamination(sf_dir: str, n: int = 5,
+                            bench_max_doc: int = 20):
+    """Benchmark-contamination detection: corpus docs sharing any word
+    ``n``-gram with a held-out benchmark set (here: ``doc_id <
+    bench_max_doc``), with the count of DISTINCT shared n-grams per doc
+    — the decontamination primitive of a training-data pipeline (strip
+    eval-set overlap before training).
+
+    Scale shape: the benchmark side is tiny by construction (eval sets
+    are MBs, the corpus is TBs), so its distinct n-gram hash set is
+    computed once and broadcast via ``ray.put``; the corpus side is one
+    streaming ``map_batches`` pass — vectorized rolling window hashes
+    (ops/dedup._window_hashes), a searchsorted membership mask against
+    the broadcast set, and a sort-diff distinct count per doc (same
+    kernel as token_stats).  Output is sparse (contaminated docs only).
+    64-bit n-gram hashes stand in for the strings; a cross-gram
+    collision is the only way the count can differ from the exact-string
+    oracle (vanishingly unlikely, same argument as token_stats)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..nputil import sorted_member_mask
+    from .dedup import _window_hashes
+
+    bench = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", bench_max_doc)])
+    bh, _ = _window_hashes(bench.column("text"), n)
+    bench_ref = ray.put(np.unique(bh))
+
+    def scan(t: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        wh, offs = _window_hashes(t.column("text"), n)
+        n_docs = offs.size - 1
+        row_ids = np.repeat(np.arange(n_docs, dtype=np.int64),
+                            offs[1:] - offs[:-1])
+        hit = sorted_member_mask(bset, wh)
+        sh, sr = wh[hit], row_ids[hit]
+        order = np.lexsort((sh, sr))
+        sh, sr = sh[order], sr[order]
+        new = np.ones(sh.size, dtype=np.int64)
+        if sh.size > 1:
+            new[1:] = (sh[1:] != sh[:-1]) | (sr[1:] != sr[:-1])
+        n_shared = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_shared, sr, new)
+        rows = np.flatnonzero(n_shared)
+        return pa.table({
+            "doc_id": t.column("doc_id").take(pa.array(rows)),
+            "n_shared": pa.array(n_shared[rows], pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+            filter=(pq.filters_to_expression(
+                [("doc_id", ">=", bench_max_doc)])))
+        .map_batches(scan, batch_format="pyarrow")
+        .sort("doc_id")
+    )

@@ -106,3 +106,36 @@ def test_sample_stratified_deterministic(ray_session):
     assert got1 == want
     assert got2 == want  # reproducible across runs
     assert 0 < len(want) < len(ids)
+
+
+def test_benchmark_contamination_matches_reference(ray_session):
+    """Pure-Python 5-gram set reference on the sf0.001 fixture; the
+    oracle gate re-checks the identical semantics against exact-string
+    DuckDB SQL at sf0.01."""
+    from noise_ray.ops.text import benchmark_contamination
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def grams(txt):
+        toks = _WORD.findall(txt.lower())
+        return {" ".join(toks[i : i + 5])
+                for i in range(len(toks) - 4)}
+
+    docs = dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()))
+    bench = set()
+    for did, txt in docs.items():
+        if did < 20:
+            bench |= grams(txt)
+    want = []
+    for did in sorted(docs):
+        if did < 20:
+            continue
+        n = len(grams(docs[did]) & bench)
+        if n:
+            want.append((did, n))
+    got = [(r["doc_id"], r["n_shared"])
+           for r in benchmark_contamination(SF).take_all()]
+    assert got == want
+    assert want, "fixture should contain at least one contaminated doc"
