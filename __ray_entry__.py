@@ -174,8 +174,8 @@ def _write_turns(dirpath, rows):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from noise_ray.ops import (
-        cluster, dedup, multimodal, nested_docs, relational, similarity,
-        text,
+        cluster, dedup, mixing, multimodal, nested_docs, relational,
+        similarity, text,
     )
 
     return {
@@ -261,6 +261,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_percentiles": text.char_percentiles,
         "sample_stratified": text.sample_stratified,
         "benchmark_contamination": text.benchmark_contamination,
+        "regex_redact": text.regex_redact,
+        "pii_redact": text.pii_redact,
+        "repetition_stats": text.repetition_stats,
+        # --- corpus assembly: packing, mixing, splits
+        "pack_sequences": mixing.pack_sequences,
+        "domain_mix_split": mixing.domain_mix_split,
         # --- multimodal plumbing
         "payload_metadata": multimodal.payload_metadata,
         "payload_features": multimodal.payload_features_flat,
@@ -557,4 +563,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
         FROM g JOIN b USING (gram) WHERE g.doc_id >= 20
         GROUP BY g.doc_id ORDER BY g.doc_id"""
+    # regex redaction: DuckDB's regexp_* and pyarrow's string kernels are
+    # both re2, so the full redacted strings compare byte-exactly
+    sqls["regex_redact"] = r"""
+        SELECT doc_id,
+               regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g')
+                   AS redacted,
+               CAST(len(regexp_extract_all(text, '\bcustomer\b'))
+                    AS BIGINT) AS n_hits
+        FROM documents ORDER BY doc_id"""
+    from noise_ray.ops.text import PII_PATTERNS
+    _pii = "|".join(f"(?:{p})" for p in PII_PATTERNS.values())
+    sqls["pii_redact"] = f"""
+        SELECT doc_id,
+               regexp_replace(text, '{_pii}', '[PII]', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '{_pii}'))
+                    AS BIGINT) AS n_hits
+        FROM documents ORDER BY doc_id"""
+    sqls["repetition_stats"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        g AS (SELECT doc_id, ts[i]||' '||ts[i+1] AS gram
+              FROM toks, UNNEST(generate_series(1, len(ts)-1)) AS s(i)
+              WHERE len(ts) >= 2),
+        c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+               CAST(max(c) AS BIGINT) AS top_bigram_count
+        FROM c GROUP BY doc_id ORDER BY doc_id"""
+    sqls["pack_sequences"] = f"""
+        WITH t AS (SELECT doc_id,
+                          coalesce(len({_TOK}), 0) AS n FROM documents),
+        s AS (SELECT doc_id, n,
+                     coalesce(sum(n) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cb
+              FROM t)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(cb // 256 AS BIGINT) AS pack_id
+        FROM s ORDER BY doc_id"""
+    from noise_ray.ops.mixing import _SPLIT_SALT, default_domain_rates
+    _rates = default_domain_rates([f"src{i}" for i in range(20)])
+    _u = 2**64 // 100
+    _cases = " ".join(
+        f"WHEN '{s}' THEN CAST({_u * p} AS UBIGINT)"
+        for s, p in sorted(_rates.items()))
+    _h2 = _sm(f"CAST(doc_id + {int(_SPLIT_SALT)} AS UBIGINT)")
+    sqls["domain_mix_split"] = f"""
+        SELECT doc_id, source,
+               CAST(CASE WHEN {_h2} < CAST({_u * 98} AS UBIGINT) THEN 0
+                         WHEN {_h2} < CAST({_u * 99} AS UBIGINT) THEN 1
+                         ELSE 2 END AS BIGINT) AS split
+        FROM documents
+        WHERE {_sm("CAST(doc_id AS UBIGINT)")}
+              < CASE source {_cases} END
+        ORDER BY doc_id"""
     return sqls

@@ -1,4 +1,5 @@
-from . import cluster, dedup, multimodal, relational, similarity, text
+from . import (cluster, dedup, mixing, multimodal, relational, similarity,
+               text)
 
-__all__ = ["cluster", "dedup", "multimodal", "relational", "similarity",
-           "text"]
+__all__ = ["cluster", "dedup", "mixing", "multimodal", "relational",
+           "similarity", "text"]

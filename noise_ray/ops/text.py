@@ -272,6 +272,98 @@ def sample_stratified(sf_dir: str, pct: int = 10):
     )
 
 
+# PII presets: RE2 syntax, which BOTH pyarrow.compute's re2-backed
+# kernels and DuckDB's regexp_* functions share — the same pattern
+# string gives byte-identical replacement on either engine.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,14}\d",
+}
+
+
+def regex_redact(sf_dir: str, pattern: str = r"\bcustomer\b",
+                 replacement: str = "[REDACTED]"):
+    """Regex redaction over the corpus — the PII-scrubbing primitive of
+    a training-data pipeline: replace every match with a placeholder and
+    count the hits per doc.  Pure zero-copy Arrow: one streaming
+    ``map_batches`` of `pc.replace_substring_regex` +
+    `pc.count_substring_regex` (both re2, the same engine DuckDB's
+    `regexp_replace(..., 'g')` uses, so the oracle compares the full
+    redacted strings exactly).  The default pattern hits the synthetic
+    corpus; real PII presets are in ``PII_PATTERNS`` (unioned by
+    ``pii_redact``) and unit-tested on strings that contain PII."""
+    import pyarrow.compute as pc
+
+    def redact(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "redacted": pc.replace_substring_regex(
+                txt, pattern, replacement),
+            "n_hits": pc.cast(
+                pc.count_substring_regex(txt, pattern), pa.int64()),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        redact, batch_format="pyarrow")
+
+
+def pii_redact(sf_dir: str):
+    """All PII presets unioned into one redaction pass (see
+    ``regex_redact``).  The synthetic corpus is PII-free so this is a
+    verified no-op there; the presets themselves are exercised in
+    tests/test_ops_analytics.py on strings with real-shaped PII."""
+    union = "|".join(f"(?:{p})" for p in PII_PATTERNS.values())
+    return regex_redact(sf_dir, pattern=union, replacement="[PII]")
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style within-document repetition signals: per doc the
+    total word-bigram count, the distinct-bigram count, and the
+    most-frequent bigram's occurrence count (all int64 — exact oracle
+    comparison; the duplicate- and top-fraction quality filters are
+    ratios of these).  Docs with < 2 tokens emit no row (no bigrams),
+    matching the oracle's UNNEST semantics.
+
+    Vectorized: rolling 64-bit bigram hashes (ops/dedup._window_hashes),
+    one lexsort per batch, run-length segmented reduce for distinct and
+    max counts — the same kernel family as token_stats, same
+    cross-gram-collision caveat."""
+    from .dedup import _window_hashes
+
+    def stats(t: pa.Table) -> pa.Table:
+        wh, offs = _window_hashes(t.column("text"), 2)
+        counts = offs[1:] - offs[:-1]
+        n_docs = counts.size
+        row_ids = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        order = np.lexsort((wh, row_ids))
+        sh, sr = wh[order], row_ids[order]
+        new = np.ones(sh.size, dtype=bool)
+        if sh.size > 1:
+            new[1:] = (sh[1:] != sh[:-1]) | (sr[1:] != sr[:-1])
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, sh.size))
+        run_row = sr[starts]
+        n_dis = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_dis, run_row, 1)
+        top = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(top, run_row, run_len)
+        keep = np.flatnonzero(counts > 0)
+        return pa.table({
+            "doc_id": t.column("doc_id").take(pa.array(keep)),
+            "n_bigrams": pa.array(counts[keep], pa.int64()),
+            "n_distinct_bigrams": pa.array(n_dis[keep], pa.int64()),
+            "top_bigram_count": pa.array(top[keep], pa.int64()),
+        })
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(stats, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def benchmark_contamination(sf_dir: str, n: int = 5,
                             bench_max_doc: int = 20):
     """Benchmark-contamination detection: corpus docs sharing any word

@@ -139,3 +139,87 @@ def test_benchmark_contamination_matches_reference(ray_session):
            for r in benchmark_contamination(SF).take_all()]
     assert got == want
     assert want, "fixture should contain at least one contaminated doc"
+
+
+def test_pii_presets_catch_real_shaped_pii(ray_session):
+    """The synthetic corpus is PII-free, so the presets are exercised
+    here on strings with real-shaped PII, against Python re (re2 and re
+    agree on these patterns — no backrefs/lookarounds)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from noise_ray.ops.text import PII_PATTERNS
+
+    samples = [
+        "mail me at jane.doe+spam@example.co.uk today",
+        "server 10.0.255.3 and 192.168.1.1 are up",
+        "call +1 555-123-4567 or 020 7946 0958 now",
+        "no pii here at all",
+        "mixed: bob@x.io from 8.8.8.8 dial 5551234567",
+    ]
+    union = "|".join(f"(?:{p})" for p in PII_PATTERNS.values())
+    got = pc.replace_substring_regex(
+        pa.array(samples), union, "[PII]").to_pylist()
+    want = [re.sub(union, "[PII]", s) for s in samples]
+    assert got == want
+    assert got[0] == "mail me at [PII] today"
+    assert got[1] == "server [PII] and [PII] are up"
+    assert got[2] == "call [PII] or [PII] now"
+    assert got[3] == samples[3]
+
+
+def test_repetition_stats_matches_reference(ray_session):
+    from noise_ray.ops.text import repetition_stats
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    want = []
+    for did, txt in sorted(zip(t.column("doc_id").to_pylist(),
+                               t.column("text").to_pylist())):
+        toks = _WORD.findall(txt.lower())
+        if len(toks) < 2:
+            continue
+        c = collections.Counter(zip(toks, toks[1:]))
+        want.append((did, sum(c.values()), len(c), max(c.values())))
+    got = [(r["doc_id"], r["n_bigrams"], r["n_distinct_bigrams"],
+            r["top_bigram_count"])
+           for r in repetition_stats(SF).take_all()]
+    assert got == want
+
+
+def test_pack_sequences_matches_prefix_sum(ray_session):
+    from noise_ray.ops.mixing import pack_sequences
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    budget = 64
+    want, cum = [], 0
+    for did, txt in sorted(zip(t.column("doc_id").to_pylist(),
+                               t.column("text").to_pylist())):
+        n = len(_WORD.findall(txt.lower()))
+        want.append((did, n, cum // budget))
+        cum += n
+    # tiny bucket size forces multiple buckets through the two-level
+    # prefix sum even on the 50-doc fixture
+    got = [(r["doc_id"], r["n_tokens"], r["pack_id"])
+           for r in pack_sequences(SF, budget=budget,
+                                   bucket_docs=8).take_all()]
+    assert got == want
+    assert want[-1][2] > 0, "fixture should span multiple packs"
+
+
+def test_domain_mix_split_deterministic(ray_session):
+    from noise_ray.ops.mixing import domain_mix_split
+
+    got1 = [(r["doc_id"], r["source"], r["split"])
+            for r in domain_mix_split(SF).take_all()]
+    got2 = [(r["doc_id"], r["source"], r["split"])
+            for r in domain_mix_split(SF).take_all()]
+    assert got1 == got2
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert 0 < len(got1) < t.num_rows
+    assert {s for _, _, s in got1} <= {0, 1, 2}
+    # keep-everything rates reproduce the full table
+    full = domain_mix_split(
+        SF, rates={f"src{i}": 100 for i in range(20)}).take_all()
+    assert len(full) == t.num_rows
