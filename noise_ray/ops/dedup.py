@@ -228,6 +228,41 @@ def _verified_bucket_pairs(n: int, pair_mask_fn):
     return np.concatenate(out_i), np.concatenate(out_j)
 
 
+def _prune_singleton_buckets(sigs, key_col: str = "key"):
+    """Drop signature rows whose bucket has a single member before the
+    grouped pair-emission stage.
+
+    ``groupby().map_groups`` invokes Python once per GROUP, and in an
+    LSH banding almost every bucket is a singleton (at 200k docs the
+    pair stage burned 183 s of CPU making ~3M empty per-group calls;
+    a Count aggregate is no better — Ray's aggregate finalize also
+    walks the ~3M distinct keys in Python).  Instead: one distributed
+    SORT on the key (vectorized range shuffle), then a block-local
+    vectorized run-length filter keeps only rows whose key repeats
+    within the block — plus the block's first/last key runs, which
+    could continue in a neighboring block and must survive for the
+    grouped stage to reunite.  Output is bounded by the corpus's real
+    duplicate structure + 2 keys per block; the groupby after it only
+    shuffles candidates.  Band keys are band-tagged 64-bit mixed
+    hashes, so multiplicity is detected on the key alone; a size-1
+    group reaching the pair stage emits no pairs, so edge
+    false-positives are harmless."""
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy()
+        if k.size == 0:
+            return t
+        new = np.ones(k.size, dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, k.size))
+        keep_run = run_len >= 2
+        keep_run[0] = keep_run[-1] = True  # block-edge keys: may continue
+        return t.filter(pa.array(np.repeat(keep_run, run_len)))
+
+    return sigs.sort(key_col).map_batches(
+        keep_candidates, batch_format="pyarrow")
+
+
 def _bucket_pairs(group: pa.Table) -> pa.Table:
     docs = np.sort(group.column("doc_id").to_numpy())
     ii, jj = _bucket_index_pairs(docs.size)
@@ -301,11 +336,17 @@ def minhash_lsh_pairs(sf_dir: str, num_hashes: int = 64, bands: int = 16):
     an actor-pool map_batches, ONE groupby on (band, key) for candidate
     generation, then a distributed distinct over the pair set.  Nothing
     corpus-sized ever reaches the driver; returns the (a_id, b_id) Dataset."""
-    pairs = (
+    sigs = (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(_MinHashBatch, batch_format="pyarrow",
                      fn_constructor_kwargs={"num_hashes": num_hashes, "bands": bands},
-                     concurrency=(1, 4))
+                     # autoscaling actor pool: stays at 1 actor on small
+                     # fixtures, grows toward the core count when the
+                     # signature stage backlogs at corpus scale
+                     concurrency=(1, 16))
+    )
+    pairs = (
+        _prune_singleton_buckets(sigs)
         .groupby(["band", "key"])
         .map_groups(_bucket_pairs, batch_format="pyarrow")
     )

@@ -1,5 +1,6 @@
+from .documents import documents_corpus_at, generate_documents
 from .jsonl import csv_to_parquet, jsonl_to_parquet
 from .transcripts import generate_transcripts, FIXTURE_TEXTS
 
-__all__ = ["csv_to_parquet", "generate_transcripts", "jsonl_to_parquet",
-           "FIXTURE_TEXTS"]
+__all__ = ["csv_to_parquet", "documents_corpus_at", "generate_documents",
+           "generate_transcripts", "jsonl_to_parquet", "FIXTURE_TEXTS"]
