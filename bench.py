@@ -150,6 +150,22 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     out["dedup_keep_first_sec"] = round(kf_best, 3)
     out["dedup_survivors"] = int(survivors)
 
+    # corpus-assembly suite over the documents table: PII redaction,
+    # token-budget packing (two-level prefix sum), repetition stats
+    from noise_ray.ops import mixing as _mixing
+    from noise_ray.ops import text as _text
+
+    for key, fn in (("pii_redact_sec", _text.pii_redact),
+                    ("pack_sequences_sec", _mixing.pack_sequences),
+                    ("repetition_stats_sec", _text.repetition_stats)):
+        best = None
+        for _ in range(2):  # best-of-2, same host-contention rationale
+            t0 = time.perf_counter()
+            fn(SF_DIR).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[key] = round(best, 3)
+
     # nested engine: same corpus packed as nested conversation docs
     # (turns array), nested build + array-context query latency
     from noise_ray.ops.nested_docs import nested_transcripts_index
