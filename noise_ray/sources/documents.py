@@ -140,3 +140,95 @@ def documents_corpus_at(num_docs: int, seed: int = 42,
         with open(marker, "w") as f:
             f.write("ok")
     return out
+
+
+# ------------------------------------------------------------ embeddings
+
+_EMB_DIM = 64
+_EMB_LABELS = 10
+
+
+def _gen_emb_range(seed: int, lo: int, hi: int) -> pa.Table:
+    """Vectors = unit-ish cluster centroid (by label) + seeded noise —
+    same schema as the testdata embeddings table, with real cluster
+    structure so ANN / k-means / cosine-dedup have meaningful targets.
+    Pure function of (seed, vec_id): splitmix64 draws → Box-Muller."""
+    ids = np.arange(lo, hi, dtype=np.int64)
+    labels = (splitmix64(ids.astype(np.uint64) * np.uint64(5)
+                         + np.uint64(seed))
+              % np.uint64(_EMB_LABELS)).astype(np.int32)
+
+    def normals(tag: int, rows: np.ndarray) -> np.ndarray:
+        base = rows[:, None].astype(np.uint64) * np.uint64(_EMB_DIM * 2) \
+            + np.arange(_EMB_DIM, dtype=np.uint64)[None, :]
+        u1 = splitmix64(base * np.uint64(2) + np.uint64(tag)) \
+            .astype(np.float64) / 2.0**64
+        u2 = splitmix64(base * np.uint64(2) + np.uint64(tag + 1)) \
+            .astype(np.float64) / 2.0**64
+        u1 = np.maximum(u1, 1e-12)
+        return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+    centers = normals(7, np.arange(_EMB_LABELS, dtype=np.int64)
+                      + np.int64(seed))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # 0.15/dim over 64 dims → noise norm ≈ 1.2 vs unit centroids:
+    # same-label cosine ≈ 0.4, cross-label ≈ 0 — clustered but not trivial
+    noise = normals(101, ids) * 0.15
+    vecs = (centers[labels] + noise).astype(np.float32)
+    flat = pa.array(vecs.reshape(-1), pa.float32())
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(ids.size + 1, dtype=np.int32) * _EMB_DIM),
+        flat)
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": emb,
+        "label": pa.array(labels, pa.int32()),
+    })
+
+
+def _write_emb_file(ds_dir: str, f: int, seed: int, lo: int, hi: int) -> str:
+    path = os.path.join(ds_dir, f"part-{f:05d}.parquet")
+    tmp = f"{path}.tmp"
+    pq.write_table(_gen_emb_range(seed, lo, hi), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def generate_embeddings(out_root: str, num_vecs: int, seed: int = 42,
+                        num_files: int = 8) -> str:
+    """Write ``<out_root>/embeddings.parquet/part-*``; return out_root.
+    Content depends only on (num_vecs, seed)."""
+    ds_dir = os.path.join(out_root, "embeddings.parquet")
+    os.makedirs(ds_dir, exist_ok=True)
+    bounds = np.linspace(0, num_vecs, num_files + 1).astype(int)
+    jobs = [(f, int(bounds[f]), int(bounds[f + 1]))
+            for f in range(num_files) if bounds[f + 1] > bounds[f]]
+    use_ray = num_vecs >= 65536
+    if use_ray:
+        import ray
+
+        use_ray = ray.is_initialized()
+    if use_ray:
+        import ray
+
+        gen = ray.remote(_write_emb_file)
+        ray.get([gen.remote(ds_dir, f, seed, lo, hi) for f, lo, hi in jobs])
+    else:
+        for f, lo, hi in jobs:
+            _write_emb_file(ds_dir, f, seed, lo, hi)
+    return out_root
+
+
+def embeddings_corpus_at(num_vecs: int, seed: int = 42,
+                         cache_root: str | None = None) -> str:
+    """Cached large embeddings corpus; returns an sf_dir-shaped root."""
+    root = cache_root or os.environ.get("NOISE_RAY_CACHE",
+                                        "/tmp/noise_ray_cache")
+    num_files = max(8, min(256, num_vecs // 32768))
+    out = os.path.join(root, f"embeddings-synth-v1-{num_vecs}-{num_files}")
+    marker = os.path.join(out, ".done")
+    if not os.path.exists(marker):
+        generate_embeddings(out, num_vecs, seed=seed, num_files=num_files)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out

@@ -43,3 +43,27 @@ def test_duplicate_structure(tmp_path):
     # langs/sources drawn from the testdata's value sets
     assert set(t.column("lang").to_pylist()) <= {"en", "de", "fr", "es", "zh"}
     assert {s[:3] for s in t.column("source").to_pylist()} == {"src"}
+
+
+def test_embeddings_generator(tmp_path):
+    import numpy as np
+
+    from noise_ray.sources import generate_embeddings
+
+    a = generate_embeddings(str(tmp_path / "a"), 200, num_files=2)
+    b = generate_embeddings(str(tmp_path / "b"), 200, num_files=5)
+    ta = pq.read_table(f"{a}/embeddings.parquet").sort_by("vec_id")
+    tb = pq.read_table(f"{b}/embeddings.parquet").sort_by("vec_id")
+    assert ta.equals(tb)
+    want = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    assert ta.schema.names == want.schema.names
+    assert [f.type for f in ta.schema] == [want.schema.field(n).type
+                                           for n in ta.schema.names]
+    # cluster structure: same-label vectors are closer than cross-label
+    vecs = np.array(ta.column("embedding").to_pylist(), dtype=np.float32)
+    labels = np.array(ta.column("label").to_pylist())
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    same = sims[labels[:, None] == labels[None, :]].mean()
+    diff = sims[labels[:, None] != labels[None, :]].mean()
+    assert same > diff + 0.3
