@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bucketed": similarity.ann_bucketed,
         "ann_ivf": similarity.ann_ivf,
         "kmeans_embeddings": similarity.kmeans_embeddings,
+        "semdedup": similarity.semdedup,
         # --- text analysis
         "token_stats": text.token_stats,
         "fingerprint": text.fingerprint,
@@ -504,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["dedup_keep_first"] = _sqlgen().keep_first_sql(
         sqls["minhash_lsh_pairs"])
     sqls["kmeans_embeddings"] = _sqlgen().kmeans_sql()
+    sqls["semdedup"] = _sqlgen().semdedup_sql()
     # substring dedup: star edges (doc, per-window min) over the literal
     # 12-token window strings, then the same recursive closure
     sqls["substring_dup_clusters"] = _sqlgen().closure_sql(f"""

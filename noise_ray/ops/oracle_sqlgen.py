@@ -387,3 +387,25 @@ def kmeans_sql(n_clusters: int = 8, iters: int = 3) -> str:
         FROM e, c{iters} c) WHERE rn = 1
     ORDER BY vec_id
     """
+
+
+def semdedup_sql(n_clusters: int = 8, iters: int = 3,
+                 threshold: float = 0.45) -> str:
+    """Exact oracle for ops.similarity.semdedup: the kmeans_sql CTE chain
+    for cluster assignment, then an anti-join dropping every vec that has
+    a smaller-id same-cluster neighbor with cosine >= threshold."""
+    return f"""
+    WITH km AS (SELECT * FROM ({kmeans_sql(n_clusters, iters)}) kmq),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM km a JOIN km b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(ea.emb, eb.emb) >= {threshold}
+    )
+    SELECT vec_id, cluster FROM km
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    ORDER BY vec_id
+    """

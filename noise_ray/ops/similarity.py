@@ -312,31 +312,22 @@ def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
                      "vec_id": pa.array(out_v, pa.int64())})
 
 
-def kmeans_embeddings(sf_dir: str, n_clusters: int = 8, iters: int = 3):
-    """Lloyd k-means over the embedding column: (vec_id, cluster) after
-    ``iters`` full assign+update rounds plus a final assignment pass.
+def _kmeans_assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    # squared L2 via the expansion; argmin ties pick the first
+    # (smallest cluster id), matching the oracle's rank tie-break
+    d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None]
+    return np.argmin(d2, axis=1)
 
-    The canonical iterative Ray Data shape: centroids (k x dim — tiny)
-    are broadcast per round with ``ray.put``; each ``map_batches`` task
-    reduces its batch to per-cluster partial sums + counts (k rows), so
-    each round streams the corpus once and ships only k*dim floats per
-    task; the centroid update folds those partials on the driver.  Init
-    is DETERMINISTIC (the first ``n_clusters`` corpus vectors) and ties
-    go to the smaller cluster id, so the whole pipeline replicates as an
-    exact DuckDB oracle (ops/oracle_sqlgen.kmeans_sql: the same rounds as
-    chained CTEs).  An empty cluster keeps its previous centroid."""
+
+def _kmeans_centroids(sf_dir: str, n_clusters: int, iters: int) -> np.ndarray:
+    """Run the Lloyd rounds of :func:`kmeans_embeddings` and return the
+    final (k, dim) centroid matrix (shared with :func:`semdedup`)."""
     import pyarrow.parquet as pq
 
     ct = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", n_clusters)])
     cen = embed_matrix(ct.column("embedding"))  # (k, dim) float64
-
-    def _assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
-        # squared L2 via the expansion; argmin ties pick the first
-        # (smallest cluster id), matching the oracle's rank tie-break
-        d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None]
-        return np.argmin(d2, axis=1)
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
@@ -346,7 +337,7 @@ def kmeans_embeddings(sf_dir: str, n_clusters: int = 8, iters: int = 3):
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(ref)
             m = embed_matrix(batch.column("embedding"))
-            a = _assign(m, c)
+            a = _kmeans_assign(m, c)
             sums = np.zeros_like(c)
             np.add.at(sums, a, m)
             counts = np.bincount(a, minlength=c.shape[0])
@@ -369,7 +360,23 @@ def kmeans_embeddings(sf_dir: str, n_clusters: int = 8, iters: int = 3):
         nonempty = tot_n > 0
         cen = cen.copy()
         cen[nonempty] = tot_s[nonempty] / tot_n[nonempty, None]
+    return cen
 
+
+def kmeans_embeddings(sf_dir: str, n_clusters: int = 8, iters: int = 3):
+    """Lloyd k-means over the embedding column: (vec_id, cluster) after
+    ``iters`` full assign+update rounds plus a final assignment pass.
+
+    The canonical iterative Ray Data shape: centroids (k x dim — tiny)
+    are broadcast per round with ``ray.put``; each ``map_batches`` task
+    reduces its batch to per-cluster partial sums + counts (k rows), so
+    each round streams the corpus once and ships only k*dim floats per
+    task; the centroid update folds those partials on the driver.  Init
+    is DETERMINISTIC (the first ``n_clusters`` corpus vectors) and ties
+    go to the smaller cluster id, so the whole pipeline replicates as an
+    exact DuckDB oracle (ops/oracle_sqlgen.kmeans_sql: the same rounds as
+    chained CTEs).  An empty cluster keeps its previous centroid."""
+    cen = _kmeans_centroids(sf_dir, n_clusters, iters)
     fref = ray.put(cen)
 
     def final(batch: pa.Table) -> pa.Table:
@@ -377,7 +384,65 @@ def kmeans_embeddings(sf_dir: str, n_clusters: int = 8, iters: int = 3):
         m = embed_matrix(batch.column("embedding"))
         return pa.table({
             "vec_id": batch.column("vec_id"),
-            "cluster": pa.array(_assign(m, c), pa.int64()),
+            "cluster": pa.array(_kmeans_assign(m, c), pa.int64()),
         })
 
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
     return ds.map_batches(final, batch_format="pyarrow").sort("vec_id")
+
+
+def semdedup(sf_dir: str, n_clusters: int = 8, iters: int = 3,
+             threshold: float = 0.45):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    the embedding space, then deduplicate WITHIN each cluster only — a
+    vec is dropped when a smaller-id vec in the same cluster has cosine
+    similarity >= ``threshold``.  Returns the surviving (vec_id, cluster)
+    rows.
+
+    The clustering is what makes the quadratic affordable at scale: the
+    pairwise cosine never crosses cluster boundaries, so per-group work
+    is bounded by cluster size (pick n_clusters ~ corpus_size/10k to cap
+    it), and the only corpus-wide moves are the k-means partials (k*dim
+    floats per task) and ONE groupby(cluster) shuffle into the per-group
+    dedup.  Deterministic end to end — first-k centroid init, pairwise
+    drop rule — so the whole pipeline has an exact DuckDB oracle
+    (ops/oracle_sqlgen.semdedup_sql: the k-means CTE chain plus a
+    within-cluster anti-join).  The drop rule is pairwise by id — j is
+    dropped when ANY smaller-id same-cluster vec is within threshold
+    (dropped vecs included, so a chain a~b~c keeps only a) — the
+    keep-one-representative-per-neighborhood semantics of the paper,
+    in the closed form that joins cleanly in SQL."""
+    cen = _kmeans_centroids(sf_dir, n_clusters, iters)
+    fref = ray.put(cen)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(fref)
+        m = embed_matrix(batch.column("embedding"))
+        return batch.append_column(
+            "cluster", pa.array(_kmeans_assign(m, c), pa.int64()))
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = embed_matrix(g.column("embedding"))[order]
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ mn.T
+        # drop j when any i<j has sims[i, j] >= threshold
+        drop = (np.triu(sims >= threshold, k=1)).any(axis=0)
+        return pa.table({
+            "vec_id": pa.array(ids[~drop], pa.int64()),
+            "cluster": pa.array(
+                np.full(int((~drop).sum()), g.column("cluster")[0].as_py()),
+                pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_group, batch_format="pyarrow")
+        .sort("vec_id")
+    )

@@ -61,3 +61,27 @@ def test_ann_ivf_recall_and_exhaustive_limit(ray_session):
     assert np.mean(rec) >= 0.3, rec
     full = similarity.ann_ivf(SF, n_centroids=8, nprobe=8).to_pandas()
     assert full.equals(exact)
+
+
+def test_semdedup_within_cluster_rule(ray_session):
+    """Survivor set == brute-force application of the pairwise drop rule:
+    j is dropped iff some i<j in the SAME cluster has cosine >= t."""
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops import similarity
+
+    out = similarity.semdedup(SF, threshold=0.45).to_pandas()
+    clusters = similarity.kmeans_embeddings(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    m = np.stack(t.embedding.to_numpy())
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    sims = mn @ mn.T
+    cl = clusters.set_index("vec_id").cluster
+    keep = [j for j in sorted(t.vec_id)
+            if not any(sims[i, j] >= 0.45 and cl[i] == cl[j]
+                       for i in range(j))]
+    assert sorted(out.vec_id) == keep
+    # survivors keep their cluster assignment
+    assert (out.set_index("vec_id").cluster
+            == cl[out.vec_id].values).all()
