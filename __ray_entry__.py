@@ -265,6 +265,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_redact": text.regex_redact,
         "pii_redact": text.pii_redact,
         "repetition_stats": text.repetition_stats,
+        "bpe_pair_counts": text.bpe_pair_counts,
+        "quality_filter_gopher": text.quality_filter_gopher,
+        "tfidf_keywords": text.tfidf_keywords,
+        "vocab_growth": text.vocab_growth,
         # --- corpus assembly: packing, mixing, splits
         "pack_sequences": mixing.pack_sequences,
         "domain_mix_split": mixing.domain_mix_split,
@@ -592,6 +596,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
                CAST(max(c) AS BIGINT) AS top_bigram_count
         FROM c GROUP BY doc_id ORDER BY doc_id"""
+    # BPE-trainer statistic: adjacent byte pairs inside [a-z0-9]+ tokens
+    sqls["bpe_pair_counts"] = f"""
+        WITH tok AS (SELECT unnest({_TOK}) AS t FROM documents),
+        p AS (SELECT substr(t, CAST(i AS INT), 2) AS pair
+              FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+              WHERE len(t) >= 2)
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""
+    from noise_ray.ops.text import _GOPHER_STOPWORDS
+    _stop_sql = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    sqls["quality_filter_gopher"] = f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        u AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+        a AS (SELECT doc_id, count(*) AS nt, sum(len(tok)) AS nc,
+                     sum(CASE WHEN regexp_matches(tok, '[a-z]')
+                              THEN 1 ELSE 0 END) AS na,
+                     sum(CASE WHEN tok IN ({_stop_sql})
+                              THEN 1 ELSE 0 END) AS ns
+              FROM u GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(coalesce(nt, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(nc, 0) AS BIGINT) AS n_tok_chars,
+               CAST(coalesce(na, 0) AS BIGINT) AS n_alpha,
+               CAST(coalesce(ns, 0) AS BIGINT) AS n_stop,
+               CAST((coalesce(nt, 0) BETWEEN 5 AND 10000
+                     AND 2 * coalesce(nt, 0) <= coalesce(nc, 0)
+                     AND coalesce(nc, 0) <= 12 * coalesce(nt, 0)
+                     AND 10 * coalesce(na, 0) >= 7 * coalesce(nt, 0)
+                     AND coalesce(ns, 0) >= 2)::INT AS BIGINT) AS keep
+        FROM t LEFT JOIN a USING (doc_id)"""
+    # identical IEEE double tf/df on both sides; ties break on term
+    sqls["tfidf_keywords"] = f"""
+        WITH t AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
+               GROUP BY term),
+        s AS (SELECT doc_id, term, tf, df,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY CAST(tf AS DOUBLE) / df DESC, term)
+                         AS rank
+              FROM tf JOIN df USING (term))
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        FROM s WHERE rank <= 5 ORDER BY doc_id, rank"""
+    sqls["vocab_growth"] = f"""
+        WITH t AS (SELECT source, unnest({_TOK}) AS term FROM documents),
+        c AS (SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2)
+        SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum((n = 1)::INT) AS BIGINT) AS n_hapax
+        FROM c GROUP BY source ORDER BY source"""
     sqls["pack_sequences"] = f"""
         WITH t AS (SELECT doc_id,
                           coalesce(len({_TOK}), 0) AS n FROM documents),

@@ -85,17 +85,17 @@ def hash_string_array(arr: pa.Array) -> np.ndarray:
     return splitmix64(h)
 
 
-def tokenize_hashes(texts: "pa.Array | pa.ChunkedArray") -> tuple[np.ndarray, np.ndarray]:
-    """Tokenize a batch of texts into ``[a-z0-9]+`` runs and hash each token.
-
-    Returns ``(tok_hash[uint64], doc_offsets[int64, len(texts)+1])`` —
-    token hashes for all docs concatenated, with per-doc boundaries.
-    """
+def tokenize_values(texts: "pa.Array | pa.ChunkedArray") -> tuple[pa.Array, np.ndarray]:
+    """Tokenize a batch of texts into ``[a-z0-9]+`` runs, keeping the
+    token STRINGS: ``(values[StringArray, empties removed],
+    doc_offsets[int64, len(texts)+1])`` — all docs' tokens concatenated,
+    with per-doc boundaries.  Shared tokenizer of the text-analysis ops;
+    :func:`tokenize_hashes` is this plus the vectorized hash."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n_docs = len(texts)
     if n_docs == 0:
-        return np.zeros(0, np.uint64), np.zeros(1, np.int64)
+        return pa.array([], pa.string()), np.zeros(1, np.int64)
     toks = pc.split_pattern_regex(pc.utf8_lower(texts), "[^a-z0-9]+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -115,8 +115,17 @@ def tokenize_hashes(texts: "pa.Array | pa.ChunkedArray") -> tuple[np.ndarray, np
     keep_csum = np.zeros(len(values) + 1, np.int64)
     np.cumsum(nonempty, out=keep_csum[1:])
     doc_offsets = keep_csum[list_offs]
-    all_h = hash_string_array(values)
-    return all_h[nonempty], doc_offsets
+    return values.filter(pa.array(nonempty)), doc_offsets
+
+
+def tokenize_hashes(texts: "pa.Array | pa.ChunkedArray") -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a batch of texts into ``[a-z0-9]+`` runs and hash each token.
+
+    Returns ``(tok_hash[uint64], doc_offsets[int64, len(texts)+1])`` —
+    token hashes for all docs concatenated, with per-doc boundaries.
+    """
+    values, doc_offsets = tokenize_values(texts)
+    return hash_string_array(values), doc_offsets
 
 
 _B2 = np.uint64(0x9E3779B97F4A7C15 | 1)   # second independent odd base

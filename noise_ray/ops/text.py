@@ -423,3 +423,299 @@ def benchmark_contamination(sf_dir: str, n: int = 5,
         .map_batches(scan, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def bpe_pair_counts(sf_dir: str, k: int = 20):
+    """Adjacent symbol-pair frequencies within tokens — the statistic a
+    byte-pair-encoding tokenizer trainer computes at every merge step
+    (the top pair IS the next merge rule).
+
+    Fully vectorized: one numpy pass over the flat token byte buffer
+    counts all 2-byte windows that do not cross a token boundary via a
+    single ``bincount`` over the 65536 possible pairs, so each batch
+    collapses to at most 65536 (pair, n) partials — a map-side combiner
+    bounded by the symbol-pair domain, never the token stream — and the
+    one groupby shuffles those tiny partials.  Iterating merges (apply
+    top pair, recount) re-runs this operator on the rewritten corpus;
+    the single-step statistics are what the oracle pins."""
+    from .hashing import _string_offsets_data, tokenize_values
+
+    empty = pa.table({"pair": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        values, _ = tokenize_values(batch.column("text"))
+        if len(values) == 0:
+            return empty
+        offs, data = _string_offsets_data(values)
+        lo, hi = int(offs[0]), int(offs[-1])
+        data = data[lo:hi]
+        offs = offs - lo
+        if data.size < 2:
+            return empty
+        pairs = data[:-1].astype(np.uint32) * 256 + data[1:]
+        # a window starting at a token's last byte crosses the boundary;
+        # token ends are offs[1:]-1 (all tokens non-empty post-filter)
+        valid = np.ones(pairs.size, bool)
+        ends = offs[1:] - 1
+        valid[ends[ends < pairs.size]] = False
+        counts = np.bincount(pairs[valid], minlength=65536)
+        nz = np.flatnonzero(counts)
+        chars = np.stack([nz // 256, nz % 256], axis=1).astype(np.uint8)
+        return pa.table({
+            "pair": pa.array([bytes(c).decode("ascii") for c in chars],
+                             pa.string()),
+            "n": pa.array(counts[nz], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# Gopher-style quality rules (Rae et al. 2021 §A1.1, reduced to
+# integer-exact predicates over the [a-z0-9]+ tokenization):
+#   R1  5 <= n_tokens <= 10000
+#   R2  mean token length in [2, 12]   (2*n <= chars <= 12*n)
+#   R3  >= 70% of tokens contain an alphabetic character
+#   R4  at least 2 stopword occurrences
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def quality_filter_gopher(sf_dir: str):
+    """Per-document Gopher-style quality rule evaluation: the four rule
+    counters plus the combined keep flag, all integers so the DuckDB
+    comparison is exact.  One streaming ``map_batches`` pass — counters
+    come from the flat token byte buffer (lengths from offsets,
+    alphabetic flags from one byte-range mask, stopword hits from an
+    8-entry hash membership), per-doc sums via cumsum diffs at doc
+    boundaries; no shuffle at all."""
+    from .hashing import (_string_offsets_data, hash_string_array,
+                          tokenize_values)
+
+    stop_h = np.sort(hash_string_array(
+        pa.array(list(_GOPHER_STOPWORDS), pa.string())))
+
+    def rules(batch: pa.Table) -> pa.Table:
+        values, doc_offs = tokenize_values(batch.column("text"))
+        n_docs = doc_offs.size - 1
+        n_tokens = np.diff(doc_offs)
+        if len(values) == 0:
+            z = pa.array(np.zeros(n_docs, np.int64))
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "n_tokens": z, "n_tok_chars": z, "n_alpha": z,
+                             "n_stop": z, "keep": z})
+        offs, data = _string_offsets_data(values)
+        lo = int(offs[0])
+        offs = offs - lo
+        tok_len = np.diff(offs)
+        is_alpha = ((data >= 0x61) & (data <= 0x7A))[lo:]
+        acs = np.zeros(is_alpha.size + 1, np.int64)
+        np.cumsum(is_alpha, out=acs[1:])
+        has_alpha = (acs[offs[1:]] > acs[offs[:-1]]).astype(np.int64)
+        is_stop = np.isin(hash_string_array(values), stop_h).astype(np.int64)
+
+        def per_doc(x):
+            cs = np.zeros(x.size + 1, np.int64)
+            np.cumsum(x, out=cs[1:])
+            return cs[doc_offs[1:]] - cs[doc_offs[:-1]]
+
+        n_chars = per_doc(tok_len)
+        n_alpha = per_doc(has_alpha)
+        n_stop = per_doc(is_stop)
+        keep = ((n_tokens >= 5) & (n_tokens <= 10000)
+                & (2 * n_tokens <= n_chars) & (n_chars <= 12 * n_tokens)
+                & (10 * n_alpha >= 7 * n_tokens)
+                & (n_stop >= 2)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_tok_chars": pa.array(n_chars, pa.int64()),
+            "n_alpha": pa.array(n_alpha, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "keep": pa.array(keep, pa.int64()),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rules, batch_format="pyarrow")
+
+
+def tfidf_keywords(sf_dir: str, k: int = 5):
+    """Per-document keyword extraction: the top ``k`` terms of every doc
+    by tf/df weight (rarer-in-corpus terms win at equal tf — the
+    monotone core of tf-idf, kept as one exact IEEE division so the
+    DuckDB oracle ranks identically; ties break on the term string).
+
+    Two corpus passes, both streaming: (1) document frequencies — each
+    batch emits its per-term distinct-doc partials (vocabulary-bounded,
+    a map-side combiner) into one ``groupby(term)`` fold, and the
+    resulting vocabulary-sized (hash, df) table is broadcast once with
+    ``ray.put``; (2) per-doc (term, tf) runs from one lexsort, df lookup
+    by searchsorted into the broadcast, then a vectorized per-doc top-k
+    (global lexsort on (doc, -score, term-rank) + run-length rank) —
+    no per-row Python, no second shuffle.  At 100 TB the broadcast is
+    bounded by vocabulary, not corpus; shard the df table by hash range
+    if vocabulary itself outgrows a worker heap."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .hashing import hash_string_array, tokenize_values
+
+    df_empty = pa.table({"h": pa.array([], pa.int64()),
+                         "df": pa.array([], pa.int64())})
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        values, doc_offs = tokenize_values(batch.column("text"))
+        # int64 bit view: Ray groupby keys round-trip through Python ints
+        h = hash_string_array(values).view(np.int64)
+        if h.size == 0:
+            return df_empty
+        n_docs = doc_offs.size - 1
+        row_ids = np.repeat(np.arange(n_docs, dtype=np.int64),
+                            np.diff(doc_offs))
+        # distinct (term, doc) runs, then per-term run counts — one lexsort
+        so = np.lexsort((row_ids, h))
+        sh, sr = h[so], row_ids[so]
+        firsts = np.r_[True, (sh[1:] != sh[:-1]) | (sr[1:] != sr[:-1])]
+        sh_f = sh[firsts]
+        starts = np.flatnonzero(np.r_[True, sh_f[1:] != sh_f[:-1]])
+        return pa.table({
+            "h": pa.array(sh_f[starts], pa.int64()),
+            "df": pa.array(np.diff(np.r_[starts, sh_f.size]), pa.int64()),
+        })
+
+    df_t = pa.concat_tables(ray.get(
+        _read_docs(sf_dir, ["text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_arrow_refs()))
+    dfh = df_t.column("h").to_numpy()
+    dfv = df_t.column("df").to_numpy()
+    order = np.argsort(dfh)
+    df_ref = ray.put((dfh[order], dfv[order]))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        dfh, dfv = ray.get(df_ref)
+        values, doc_offs = tokenize_values(batch.column("text"))
+        h = hash_string_array(values).view(np.int64)
+        if h.size == 0:
+            return pa.table({
+                "doc_id": batch.column("doc_id").slice(0, 0),
+                "rank": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64())})
+        n_docs = doc_offs.size - 1
+        row_ids = np.repeat(np.arange(n_docs, dtype=np.int64),
+                            np.diff(doc_offs))
+        # per-(doc, term) tf from one lexsort + run lengths
+        so = np.lexsort((h, row_ids))
+        sh, sr = h[so], row_ids[so]
+        starts = np.flatnonzero(
+            np.r_[True, (sh[1:] != sh[:-1]) | (sr[1:] != sr[:-1])])
+        tf = np.diff(np.r_[starts, sh.size])
+        gh, gr = sh[starts], sr[starts]
+        first_idx = so[starts]  # a representative token index per run
+        df = dfv[np.searchsorted(dfh, gh)]
+        score = tf.astype(np.float64) / df
+        # term tie-break rank via one Arrow string sort of the uniques
+        terms = values.take(pa.array(first_idx))
+        trank = np.empty(len(terms), np.int64)
+        trank[pc.sort_indices(terms).to_numpy()] = np.arange(len(terms))
+        oo = np.lexsort((trank, -score, gr))
+        rr = gr[oo]
+        rstarts = np.flatnonzero(np.r_[True, rr[1:] != rr[:-1]])
+        rank = np.arange(rr.size) - np.repeat(
+            rstarts, np.diff(np.r_[rstarts, rr.size]))
+        kept = rank < k
+        oo = oo[kept]
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(pa.array(gr[oo])),
+            "rank": pa.array(rank[kept] + 1, pa.int64()),
+            "term": terms.take(pa.array(oo)),
+            "tf": pa.array(tf[oo], pa.int64()),
+            "df": pa.array(df[oo], pa.int64()),
+        })
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(topk, batch_format="pyarrow")
+        .sort(["doc_id", "rank"])
+    )
+
+
+def vocab_growth(sf_dir: str):
+    """Vocabulary statistics per source: token occurrences, distinct
+    terms, and hapax legomena (terms seen exactly once in that source) —
+    the Heaps-law counters a corpus survey reports.
+
+    Scale shape: batches collapse to (source, term-hash, n) partials,
+    ONE groupby folds them to true per-(source, term) counts, and a
+    second vocabulary-sized aggregation reduces to the per-source
+    triple.  Nothing token-stream-sized ever shuffles."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .hashing import tokenize_hashes
+
+    vg_empty = pa.table({"source": pa.array([], pa.string()),
+                         "h": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, doc_offs = tokenize_hashes(batch.column("text"))
+        h = h.view(np.int64)  # Ray groupby keys round-trip as Python ints
+        if h.size == 0:
+            return vg_empty
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        u_src, src_code = np.unique(src, return_inverse=True)
+        row_code = np.repeat(src_code.astype(np.int64), np.diff(doc_offs))
+        # distinct (source, term) runs via one lexsort over the token stream
+        so = np.lexsort((h, row_code))
+        sh, sc = h[so], row_code[so]
+        starts = np.flatnonzero(
+            np.r_[True, (sh[1:] != sh[:-1]) | (sc[1:] != sc[:-1])])
+        counts = np.diff(np.r_[starts, sh.size])
+        return pa.table({
+            "source": pa.array(u_src[sc[starts]], pa.string()),
+            "h": pa.array(sh[starts], pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    def fold(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy()
+        u, inv = np.unique(src, return_inverse=True)
+        tok = np.zeros(u.size, np.int64)
+        np.add.at(tok, inv, n)
+        terms = np.bincount(inv, minlength=u.size)
+        hapax = np.zeros(u.size, np.int64)
+        np.add.at(hapax, inv, (n == 1).astype(np.int64))
+        return pa.table({
+            "source": pa.array(u, pa.string()),
+            "n_tokens": pa.array(tok, pa.int64()),
+            "n_terms": pa.array(terms, pa.int64()),
+            "n_hapax": pa.array(hapax, pa.int64()),
+        })
+
+    return (
+        _read_docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "h"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                   Sum("n_terms", alias_name="n_terms"),
+                   Sum("n_hapax", alias_name="n_hapax"))
+        .sort("source")
+    )

@@ -1,0 +1,89 @@
+"""Text-statistics operators (BPE pair counts, Gopher quality rules,
+tf-idf keywords, vocabulary growth): semantics pinned against plain-Python
+references on the sf0.001 fixture — the oracle gate re-checks them against
+DuckDB SQL."""
+
+import collections
+import re
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+_WORD = re.compile(r"[a-z0-9]+")
+
+
+def _docs(columns):
+    return pq.read_table(f"{SF}/documents.parquet", columns=columns)
+
+
+def test_bpe_pair_counts_matches_counter(ray_session):
+    from noise_ray.ops.text import bpe_pair_counts
+
+    counts = collections.Counter()
+    for txt in _docs(["text"]).column("text").to_pylist():
+        for tok in _WORD.findall(txt.lower()):
+            counts.update(tok[i:i + 2] for i in range(len(tok) - 1))
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["pair"], r["n"]) for r in bpe_pair_counts(SF).take_all()]
+    assert got == want
+
+
+def test_quality_filter_gopher_matches_reference(ray_session):
+    from noise_ray.ops.text import _GOPHER_STOPWORDS, quality_filter_gopher
+
+    t = _docs(["doc_id", "text"])
+    want = {}
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        toks = _WORD.findall(txt.lower())
+        nt = len(toks)
+        nc = sum(len(w) for w in toks)
+        na = sum(1 for w in toks if any(c.isalpha() for c in w))
+        ns = sum(1 for w in toks if w in _GOPHER_STOPWORDS)
+        keep = int(5 <= nt <= 10000 and 2 * nt <= nc <= 12 * nt
+                   and 10 * na >= 7 * nt and ns >= 2)
+        want[did] = (nt, nc, na, ns, keep)
+    out = quality_filter_gopher(SF).take_all()
+    assert len(out) == len(want)
+    for r in out:
+        assert want[r["doc_id"]] == (r["n_tokens"], r["n_tok_chars"],
+                                     r["n_alpha"], r["n_stop"], r["keep"])
+    assert 0 < sum(v[4] for v in want.values()) < len(want)  # both outcomes
+
+
+def test_tfidf_keywords_matches_reference(ray_session):
+    from noise_ray.ops.text import tfidf_keywords
+
+    t = _docs(["doc_id", "text"])
+    df = collections.Counter()
+    tfs = {}
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        tf = collections.Counter(_WORD.findall(txt.lower()))
+        tfs[did] = tf
+        df.update(tf.keys())
+    want = []
+    for did in sorted(tfs):
+        ranked = sorted(tfs[did].items(),
+                        key=lambda kv: (-(kv[1] / df[kv[0]]), kv[0]))[:5]
+        for i, (term, tf) in enumerate(ranked):
+            want.append((did, i + 1, term, tf, df[term]))
+    got = [(r["doc_id"], r["rank"], r["term"], r["tf"], r["df"])
+           for r in tfidf_keywords(SF).take_all()]
+    assert got == want
+
+
+def test_vocab_growth_matches_reference(ray_session):
+    from noise_ray.ops.text import vocab_growth
+
+    t = _docs(["source", "text"])
+    per_src = collections.defaultdict(collections.Counter)
+    for src, txt in zip(t.column("source").to_pylist(),
+                        t.column("text").to_pylist()):
+        per_src[src].update(_WORD.findall(txt.lower()))
+    want = [(s, sum(c.values()), len(c),
+             sum(1 for n in c.values() if n == 1))
+            for s, c in sorted(per_src.items())]
+    got = [(r["source"], r["n_tokens"], r["n_terms"], r["n_hapax"])
+           for r in vocab_growth(SF).take_all()]
+    assert got == want
