@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "asof_latest_order": relational.asof_latest_order,
         "prev_event": relational.prev_event,
+        "sliding_window_stats": relational.sliding_window_stats,
         # --- dedup suite
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -267,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": text.repetition_stats,
         "bpe_pair_counts": text.bpe_pair_counts,
         "quality_filter_gopher": text.quality_filter_gopher,
+        "quality_filter_c4": text.quality_filter_c4,
+        "surprising_bigrams": text.surprising_bigrams,
         "tfidf_keywords": text.tfidf_keywords,
         "vocab_growth": text.vocab_growth,
         # --- corpus assembly: packing, mixing, splits
@@ -640,6 +643,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
                CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
         FROM s WHERE rank <= 5 ORDER BY doc_id, rank"""
+    sqls["sliding_window_stats"] = """
+        WITH e AS (SELECT event_id, user_id, ts,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events)
+        SELECT event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_window,
+               CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_window
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY event_id"""
+    sqls["quality_filter_c4"] = r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+                   AS n_sentences,
+               CAST(contains(text, '{')::INT AS BIGINT) AS has_brace,
+               CAST(contains(lower(text), 'lorem ipsum')::INT AS BIGINT)
+                   AS has_lorem,
+               CAST(regexp_matches(text, '[.!?"][ \t\r\n]*$')::INT
+                    AS BIGINT) AS ends_punct,
+               CAST((len(regexp_extract_all(text, '[.!?]')) >= 3
+                     AND NOT contains(text, '{')
+                     AND NOT contains(lower(text), 'lorem ipsum')
+                     AND regexp_matches(text, '[.!?"][ \t\r\n]*$'))::INT
+                    AS BIGINT) AS keep
+        FROM documents"""
+    sqls["surprising_bigrams"] = f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        g AS (SELECT doc_id, ts[CAST(i AS INT)] AS w1,
+                     ts[CAST(i AS INT) + 1] AS w2
+              FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+              WHERE len(ts) >= 2),
+        bc AS (SELECT w1, w2, count(*) AS cb FROM g GROUP BY 1, 2),
+        uc AS (SELECT w1, sum(cb) AS cp FROM bc GROUP BY w1),
+        dg AS (SELECT DISTINCT doc_id, w1, w2 FROM g),
+        s AS (SELECT doc_id, w1 || ' ' || w2 AS bigram, cb, cp,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY CAST(cb AS DOUBLE) / cp ASC,
+                                  w1 || ' ' || w2) AS rank
+              FROM dg JOIN bc USING (w1, w2) JOIN uc USING (w1))
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, bigram,
+               CAST(cb AS BIGINT) AS c_bigram, CAST(cp AS BIGINT) AS c_prefix
+        FROM s WHERE rank <= 3 ORDER BY doc_id, rank"""
     sqls["vocab_growth"] = f"""
         WITH t AS (SELECT source, unnest({_TOK}) AS term FROM documents),
         c AS (SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2)

@@ -157,7 +157,10 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
 
     for key, fn in (("pii_redact_sec", _text.pii_redact),
                     ("pack_sequences_sec", _mixing.pack_sequences),
-                    ("repetition_stats_sec", _text.repetition_stats)):
+                    ("repetition_stats_sec", _text.repetition_stats),
+                    ("quality_gopher_sec", _text.quality_filter_gopher),
+                    ("tfidf_keywords_sec", _text.tfidf_keywords),
+                    ("vocab_growth_sec", _text.vocab_growth)):
         best = None
         for _ in range(2):  # best-of-2, same host-contention rationale
             t0 = time.perf_counter()

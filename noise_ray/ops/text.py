@@ -592,12 +592,13 @@ def tfidf_keywords(sf_dir: str, k: int = 5):
             "df": pa.array(np.diff(np.r_[starts, sh_f.size]), pa.int64()),
         })
 
-    df_t = pa.concat_tables(ray.get(
+    blocks = [t.select(["h", "df"]) for t in ray.get(
         _read_docs(sf_dir, ["text"])
         .map_batches(df_partial, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Sum("df", alias_name="df"))
-        .to_arrow_refs()))
+        .to_arrow_refs()) if t.num_rows]  # skip odd-schema empty blocks
+    df_t = pa.concat_tables(blocks) if blocks else df_empty
     dfh = df_t.column("h").to_numpy()
     dfv = df_t.column("df").to_numpy()
     order = np.argsort(dfh)
@@ -718,4 +719,170 @@ def vocab_growth(sf_dir: str):
                    Sum("n_terms", alias_name="n_terms"),
                    Sum("n_hapax", alias_name="n_hapax"))
         .sort("source")
+    )
+
+
+def quality_filter_c4(sf_dir: str):
+    """C4-style heuristic quality flags (Raffel et al. 2020 §2.2,
+    reduced to document-level integer-exact predicates):
+      R1  at least 3 sentence terminators ``[.!?]``
+      R2  no ``{`` (code smell)
+      R3  no "lorem ipsum" placeholder text
+      R4  document ends with terminal punctuation (``. ! ? "``,
+          trailing whitespace allowed)
+    One streaming ``map_batches`` pass of four re2 kernels over the raw
+    text — DuckDB's regexp_* is re2 too, so every flag compares exactly.
+    No shuffle at all."""
+    import pyarrow.compute as pc
+
+    def rules(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_sent = pc.cast(pc.count_substring_regex(text, "[.!?]"), pa.int64())
+        has_brace = pc.cast(pc.match_substring(text, "{"), pa.int64())
+        has_lorem = pc.cast(
+            pc.match_substring(pc.utf8_lower(text), "lorem ipsum"),
+            pa.int64())
+        ends_punct = pc.cast(
+            pc.match_substring_regex(text, '[.!?"][ \t\r\n]*$'), pa.int64())
+        keep = pc.cast(
+            pc.and_(pc.and_(pc.greater_equal(n_sent, 3),
+                            pc.equal(has_brace, 0)),
+                    pc.and_(pc.equal(has_lorem, 0),
+                            pc.equal(ends_punct, 1))), pa.int64())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_sentences": n_sent,
+            "has_brace": has_brace,
+            "has_lorem": has_lorem,
+            "ends_punct": ends_punct,
+            "keep": keep,
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rules, batch_format="pyarrow")
+
+
+def surprising_bigrams(sf_dir: str, k: int = 3):
+    """Bigram-LM surprise scoring: each document's ``k`` most surprising
+    word bigrams under the corpus's own maximum-likelihood bigram model
+    — surprise = conditional probability c(w1 w2) / c(w1 ·), the lower
+    the more anomalous.  The statistic behind n-gram-LM quality filters,
+    kept as one exact IEEE division so DuckDB ranks identically (ties
+    break on the bigram string; the space separator sorts below
+    ``[a-z0-9]`` so string order equals (w1, w2) pair order).
+
+    Scale shape mirrors :func:`tfidf_keywords`: pass 1 folds per-batch
+    bigram-count partials in ONE groupby (keys are 64-bit mixed hashes,
+    int64 bit views), derives prefix counts from the folded table, and
+    broadcasts both with ``ray.put``; pass 2 ranks per-doc distinct
+    bigrams with a vectorized top-k (lexsort + run-length rank).  The
+    broadcast is bounded by bigram vocabulary, not corpus; shard it by
+    hash range if vocabulary outgrows a worker heap."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .hashing import _B2, hash_string_array, splitmix64, tokenize_values
+
+    def _mix(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return splitmix64(h1 * _B2 + h2)
+
+    bg_empty = pa.table({"hb": pa.array([], pa.int64()),
+                         "h1": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+
+    def _doc_bigrams(batch: pa.Table):
+        """(token values, first-token index of each bigram, hb, h1,
+        per-token doc row ids)."""
+        values, doc_offs = tokenize_values(batch.column("text"))
+        h = hash_string_array(values)
+        if h.size < 2:
+            return values, None, None, None, None
+        n_docs = doc_offs.size - 1
+        row_ids = np.repeat(np.arange(n_docs, dtype=np.int64),
+                            np.diff(doc_offs))
+        j = np.flatnonzero(row_ids[:-1] == row_ids[1:])  # within-doc pairs
+        if j.size == 0:
+            return values, None, None, None, None
+        hb = _mix(h[j], h[j + 1]).view(np.int64)
+        return values, j, hb, h[j].view(np.int64), row_ids
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        values, j, hb, h1, _ = _doc_bigrams(batch)
+        if j is None:
+            return bg_empty
+        so = np.argsort(hb, kind="stable")
+        sh = hb[so]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        return pa.table({
+            "hb": pa.array(sh[starts], pa.int64()),
+            "h1": pa.array(h1[so][starts], pa.int64()),
+            "n": pa.array(np.diff(np.r_[starts, sh.size]), pa.int64()),
+        })
+
+    blocks = [t.select(["hb", "h1", "n"]) for t in ray.get(
+        _read_docs(sf_dir, ["text"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["hb", "h1"])  # h1 is functionally dependent on hb
+        .aggregate(Sum("n", alias_name="n"))
+        .to_arrow_refs()) if t.num_rows]
+    bg_t = pa.concat_tables(blocks) if blocks else bg_empty
+    hb_all = bg_t.column("hb").to_numpy()
+    h1_all = bg_t.column("h1").to_numpy()
+    n_all = bg_t.column("n").to_numpy()
+    bo = np.argsort(hb_all)
+    # prefix counts: fold the (already vocabulary-sized) bigram table
+    u1, inv1 = np.unique(h1_all, return_inverse=True)
+    cp1 = np.zeros(u1.size, np.int64)
+    np.add.at(cp1, inv1, n_all)
+    model_ref = ray.put((hb_all[bo], n_all[bo], u1, cp1))
+
+    out_empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "bigram": pa.array([], pa.string()),
+        "c_bigram": pa.array([], pa.int64()),
+        "c_prefix": pa.array([], pa.int64())})
+
+    def topk(batch: pa.Table) -> pa.Table:
+        hb_s, cb_s, u1_s, cp_s = ray.get(model_ref)
+        values, j, hb, h1, row_ids = _doc_bigrams(batch)
+        if j is None:
+            return out_empty
+        gr_all = row_ids[j]
+        # per-doc DISTINCT bigrams: runs of (doc, hb)
+        so = np.lexsort((hb, gr_all))
+        sh, sr = hb[so], gr_all[so]
+        starts = np.flatnonzero(
+            np.r_[True, (sh[1:] != sh[:-1]) | (sr[1:] != sr[:-1])])
+        gh, gr = sh[starts], sr[starts]
+        first_j = j[so[starts]]
+        cb = cb_s[np.searchsorted(hb_s, gh)]
+        cp = cp_s[np.searchsorted(u1_s, h1[so[starts]])]
+        score = cb.astype(np.float64) / cp
+        bigrams = pc.binary_join_element_wise(
+            values.take(pa.array(first_j)),
+            values.take(pa.array(first_j + 1)), " ")
+        trank = np.empty(len(bigrams), np.int64)
+        trank[pc.sort_indices(bigrams).to_numpy()] = np.arange(len(bigrams))
+        oo = np.lexsort((trank, score, gr))  # surprise ASC
+        rr = gr[oo]
+        rstarts = np.flatnonzero(np.r_[True, rr[1:] != rr[:-1]])
+        rank = np.arange(rr.size) - np.repeat(
+            rstarts, np.diff(np.r_[rstarts, rr.size]))
+        kept = rank < k
+        oo = oo[kept]
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(pa.array(gr[oo])),
+            "rank": pa.array(rank[kept] + 1, pa.int64()),
+            "bigram": bigrams.take(pa.array(oo)),
+            "c_bigram": pa.array(cb[oo], pa.int64()),
+            "c_prefix": pa.array(cp[oo], pa.int64()),
+        })
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(topk, batch_format="pyarrow")
+        .sort(["doc_id", "rank"])
     )

@@ -87,3 +87,79 @@ def test_vocab_growth_matches_reference(ray_session):
     got = [(r["source"], r["n_tokens"], r["n_terms"], r["n_hapax"])
            for r in vocab_growth(SF).take_all()]
     assert got == want
+
+
+def test_quality_filter_c4_matches_reference(ray_session):
+    from noise_ray.ops.text import quality_filter_c4
+
+    t = _docs(["doc_id", "text"])
+    want = {}
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        ns = sum(txt.count(c) for c in ".!?")
+        hb = int("{" in txt)
+        hl = int("lorem ipsum" in txt.lower())
+        ep = int(bool(re.search(r'[.!?"][ \t\r\n]*$', txt)))
+        keep = int(ns >= 3 and not hb and not hl and ep)
+        want[did] = (ns, hb, hl, ep, keep)
+    out = quality_filter_c4(SF).take_all()
+    assert len(out) == len(want)
+    for r in out:
+        assert want[r["doc_id"]] == (r["n_sentences"], r["has_brace"],
+                                     r["has_lorem"], r["ends_punct"],
+                                     r["keep"])
+
+
+def test_surprising_bigrams_matches_reference(ray_session):
+    from noise_ray.ops.text import surprising_bigrams
+
+    t = _docs(["doc_id", "text"])
+    bc = collections.Counter()
+    per_doc = {}
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        toks = _WORD.findall(txt.lower())
+        bgs = list(zip(toks, toks[1:]))
+        per_doc[did] = set(bgs)
+        bc.update(bgs)
+    cp = collections.Counter()
+    for (w1, _), n in bc.items():
+        cp[w1] += n
+    want = []
+    for did in sorted(per_doc):
+        ranked = sorted(per_doc[did],
+                        key=lambda b: (bc[b] / cp[b[0]], f"{b[0]} {b[1]}"))
+        for i, b in enumerate(ranked[:3]):
+            want.append((did, i + 1, f"{b[0]} {b[1]}", bc[b], cp[b[0]]))
+    got = [(r["doc_id"], r["rank"], r["bigram"], r["c_bigram"], r["c_prefix"])
+           for r in surprising_bigrams(SF).take_all()]
+    assert got == want
+
+
+def test_sliding_window_stats_matches_reference(ray_session):
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops.relational import sliding_window_stats
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "ts", "user_id", "value"])
+    import math
+    rows = list(zip(t.column("event_id").to_pylist(),
+                    t.column("ts").to_pylist(),
+                    t.column("user_id").to_pylist(),
+                    t.column("value").to_pylist()))
+    want = {}
+    by_user = collections.defaultdict(list)
+    for ev, ts, uid, val in rows:
+        by_user[uid].append((ts, ev, int(math.floor(val * 100 + 0.5))))
+    for uid, evs in by_user.items():
+        for ts, ev, _ in evs:
+            in_win = [(c,) for t2, _, c in evs
+                      if ts - t2 <= __import__("datetime").timedelta(hours=1)
+                      and t2 <= ts]
+            want[ev] = (len(in_win), sum(c for (c,) in in_win))
+    out = sliding_window_stats(SF).take_all()
+    assert len(out) == len(want)
+    for r in out:
+        assert want[r["event_id"]] == (r["n_window"], r["sum_cents_window"])
+    assert any(r["n_window"] > 1 for r in out)  # windows really overlap
