@@ -174,7 +174,7 @@ def _write_turns(dirpath, rows):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from noise_ray.ops import (
-        cluster, dedup, mixing, multimodal, nested_docs, relational,
+        bpe, cluster, dedup, mixing, multimodal, nested_docs, relational,
         similarity, text,
     )
 
@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": text.pii_redact,
         "repetition_stats": text.repetition_stats,
         "bpe_pair_counts": text.bpe_pair_counts,
+        "bpe_train": bpe.bpe_train,
         "quality_filter_gopher": text.quality_filter_gopher,
         "quality_filter_c4": text.quality_filter_c4,
         "surprising_bigrams": text.surprising_bigrams,
@@ -643,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
                CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
         FROM s WHERE rank <= 5 ORDER BY doc_id, rank"""
+    sqls["bpe_train"] = _sqlgen().bpe_train_sql()
     sqls["sliding_window_stats"] = """
         WITH e AS (SELECT event_id, user_id, ts,
                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -1,5 +1,5 @@
-from . import (cluster, dedup, mixing, multimodal, relational, similarity,
-               text)
+from . import (bpe, cluster, dedup, mixing, multimodal, relational,
+               similarity, text)
 
-__all__ = ["cluster", "dedup", "mixing", "multimodal", "relational",
+__all__ = ["bpe", "cluster", "dedup", "mixing", "multimodal", "relational",
            "similarity", "text"]

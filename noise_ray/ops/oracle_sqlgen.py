@@ -409,3 +409,39 @@ def semdedup_sql(n_clusters: int = 8, iters: int = 3,
     WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
     ORDER BY vec_id
     """
+
+
+def bpe_train_sql(n_merges: int = 6) -> str:
+    """Exact oracle for ops.bpe.bpe_train: the BPE trainer loop as
+    chained CTEs.  r0 is the word-frequency table with each word spelled
+    as a space-separated symbol string; round k counts weighted adjacent
+    pairs from r{k-1}, picks the top pair (count desc, pair asc), and
+    rewrites with a global re2 ``\\bx y\\b`` replace — the zero-width
+    boundaries make the replacement leftmost-non-overlapping, identical
+    to the trainer's run-parity merge."""
+    ctes = ["""w0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS word FROM documents)
+        GROUP BY word),
+    r0 AS (SELECT array_to_string(regexp_extract_all(word, '.'), ' ') AS s,
+                  n FROM w0)"""]
+    selects = []
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""p{k} AS (
+        SELECT ss[CAST(i AS INT)] || ' ' || ss[CAST(i AS INT) + 1] AS pair,
+               sum(n) AS cnt
+        FROM (SELECT string_split(s, ' ') AS ss, n FROM r{k - 1}),
+             UNNEST(generate_series(1, len(ss) - 1)) AS u(i)
+        GROUP BY 1),
+    t{k} AS (SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair LIMIT 1),
+    r{k} AS (
+        SELECT regexp_replace(s,
+                   '\\b' || (SELECT pair FROM t{k}) || '\\b',
+                   replace((SELECT pair FROM t{k}), ' ', ''), 'g') AS s,
+               n FROM r{k - 1})""")
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS step, pair,"
+            f" CAST(cnt AS BIGINT) AS n FROM t{k}")
+    return ("WITH " + ",\n    ".join(ctes) + "\n    "
+            + "\n    UNION ALL ".join(selects) + "\n    ORDER BY step")
