@@ -268,11 +268,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": text.repetition_stats,
         "bpe_pair_counts": text.bpe_pair_counts,
         "bpe_train": bpe.bpe_train,
+        "bpe_encode_counts": bpe.bpe_encode_counts,
         "quality_filter_gopher": text.quality_filter_gopher,
         "quality_filter_c4": text.quality_filter_c4,
         "surprising_bigrams": text.surprising_bigrams,
         "tfidf_keywords": text.tfidf_keywords,
         "vocab_growth": text.vocab_growth,
+        "kmv_distinct": text.kmv_distinct,
         # --- corpus assembly: packing, mixing, splits
         "pack_sequences": mixing.pack_sequences,
         "domain_mix_split": mixing.domain_mix_split,
@@ -645,6 +647,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
         FROM s WHERE rank <= 5 ORDER BY doc_id, rank"""
     sqls["bpe_train"] = _sqlgen().bpe_train_sql()
+    sqls["bpe_encode_counts"] = _sqlgen().bpe_encode_counts_sql()
+    sqls["kmv_distinct"] = _sqlgen().kmv_distinct_sql()
     sqls["sliding_window_stats"] = """
         WITH e AS (SELECT event_id, user_id, ts,
                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -60,9 +60,9 @@ def _word_counts(sf_dir: str) -> tuple[list[str], np.ndarray]:
     return t.column("word").to_pylist(), t.column("n").to_numpy()
 
 
-def bpe_train(sf_dir: str, n_merges: int = 6):
-    """Learn the first ``n_merges`` BPE merge rules; returns
-    (step, pair, n) — the rule sequence a tokenizer trainer emits."""
+def learn_merges(sf_dir: str, n_merges: int = 6) -> list[tuple[str, int]]:
+    """The trainer loop: returns the ``[(pair, weighted_count), ...]``
+    merge-rule sequence.  One corpus pass, then vocabulary-local."""
     words, counts = _word_counts(sf_dir)
 
     # flat symbol array over the vocabulary: word i owns
@@ -73,7 +73,7 @@ def bpe_train(sf_dir: str, n_merges: int = 6):
     np.cumsum(lens, out=offs[1:])
     word_of = np.repeat(np.arange(len(words), dtype=np.int64), lens)
 
-    steps, pairs, ns = [], [], []
+    merges: list[tuple[str, int]] = []
     for step in range(1, n_merges + 1):
         if syms.size < 2:
             break
@@ -91,10 +91,7 @@ def bpe_train(sf_dir: str, n_merges: int = 6):
         tied = np.flatnonzero(wsum == wsum.max())
         top_pair = min(u[tied].tolist())
         best = tied[u[tied].tolist().index(top_pair)]
-        top_n = int(wsum[best])
-        steps.append(step)
-        pairs.append(top_pair)
-        ns.append(top_n)
+        merges.append((top_pair, int(wsum[best])))
         # leftmost-non-overlapping merge: among candidate positions,
         # keep even offsets within each run of consecutive candidates
         cand = j[inv == best]
@@ -110,8 +107,83 @@ def bpe_train(sf_dir: str, n_merges: int = 6):
             syms = syms[dead]
             word_of = word_of[dead]
 
+    return merges
+
+
+def bpe_train(sf_dir: str, n_merges: int = 6):
+    """Learn the first ``n_merges`` BPE merge rules; returns
+    (step, pair, n) — the rule sequence a tokenizer trainer emits."""
+    merges = learn_merges(sf_dir, n_merges)
     return ray.data.from_arrow(pa.table({
-        "step": pa.array(steps, pa.int64()),
-        "pair": pa.array(pairs, pa.string()),
-        "n": pa.array(ns, pa.int64()),
+        "step": pa.array(range(1, len(merges) + 1), pa.int64()),
+        "pair": pa.array([p for p, _ in merges], pa.string()),
+        "n": pa.array([n for _, n in merges], pa.int64()),
     }))
+
+
+def _apply_merges(word: str, rules: list[tuple[str, str]]) -> int:
+    """Segment length of one word under the rule sequence (leftmost
+    non-overlapping, textbook order)."""
+    syms = list(word)
+    for a, b in rules:
+        if len(syms) < 2:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def bpe_encode_counts(sf_dir: str, n_merges: int = 6):
+    """Apply the learned merges back over the corpus: per-document word
+    and BPE-token counts — the tokenize-and-count stage a training-data
+    budget estimate runs after training a tokenizer.
+
+    Scale shape: the rule list is broadcast once with ``ray.put``; each
+    batch dictionary-encodes its tokens so the (Python) merge walk runs
+    once per DISTINCT word in the batch — bounded by batch vocabulary,
+    not token count — and per-doc sums come from one cumsum.  The
+    DuckDB oracle reuses the trainer's CTE chain with the word column
+    carried through, so the final segmentation is joined back by word
+    (``oracle_sqlgen.bpe_encode_counts_sql``)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .hashing import tokenize_values
+
+    rules_ref = ray.put([tuple(p.split(" "))
+                         for p, _ in learn_merges(sf_dir, n_merges)])
+
+    def enc(batch: pa.Table) -> pa.Table:
+        rules = ray.get(rules_ref)
+        values, doc_offs = tokenize_values(batch.column("text"))
+        n_words = np.diff(doc_offs)
+        if len(values) == 0:
+            z = pa.array(np.zeros(n_words.size, np.int64))
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "n_words": pa.array(n_words, pa.int64()),
+                             "n_bpe_tokens": z})
+        d = pc.dictionary_encode(values)
+        idx = d.indices.to_numpy()
+        uniq = d.dictionary.to_pylist()
+        ulen = np.fromiter((_apply_merges(w, rules) for w in uniq),
+                           np.int64, len(uniq))
+        tok_lens = ulen[idx]
+        csum = np.zeros(tok_lens.size + 1, np.int64)
+        np.cumsum(tok_lens, out=csum[1:])
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bpe_tokens": pa.array(csum[doc_offs[1:]] - csum[doc_offs[:-1]],
+                                     pa.int64()),
+        })
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]).map_batches(
+        enc, batch_format="pyarrow")

@@ -419,12 +419,21 @@ def bpe_train_sql(n_merges: int = 6) -> str:
     rewrites with a global re2 ``\\bx y\\b`` replace — the zero-width
     boundaries make the replacement leftmost-non-overlapping, identical
     to the trainer's run-parity merge."""
+    ctes, selects = _bpe_chain(n_merges)
+    return ("WITH " + ",\n    ".join(ctes) + "\n    "
+            + "\n    UNION ALL ".join(selects) + "\n    ORDER BY step")
+
+
+def _bpe_chain(n_merges: int) -> tuple[list[str], list[str]]:
+    """The shared trainer CTE chain (word column carried through so the
+    final segmentation can be joined back by word)."""
     ctes = ["""w0 AS (
         SELECT word, CAST(count(*) AS BIGINT) AS n
         FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                   AS word FROM documents)
         GROUP BY word),
-    r0 AS (SELECT array_to_string(regexp_extract_all(word, '.'), ' ') AS s,
+    r0 AS (SELECT word,
+                  array_to_string(regexp_extract_all(word, '.'), ' ') AS s,
                   n FROM w0)"""]
     selects = []
     for k in range(1, n_merges + 1):
@@ -436,12 +445,61 @@ def bpe_train_sql(n_merges: int = 6) -> str:
         GROUP BY 1),
     t{k} AS (SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair LIMIT 1),
     r{k} AS (
-        SELECT regexp_replace(s,
+        SELECT word, regexp_replace(s,
                    '\\b' || (SELECT pair FROM t{k}) || '\\b',
                    replace((SELECT pair FROM t{k}), ' ', ''), 'g') AS s,
                n FROM r{k - 1})""")
         selects.append(
             f"SELECT CAST({k} AS BIGINT) AS step, pair,"
             f" CAST(cnt AS BIGINT) AS n FROM t{k}")
-    return ("WITH " + ",\n    ".join(ctes) + "\n    "
-            + "\n    UNION ALL ".join(selects) + "\n    ORDER BY step")
+    return ctes, selects
+
+
+def bpe_encode_counts_sql(n_merges: int = 6) -> str:
+    """Exact oracle for ops.bpe.bpe_encode_counts: the trainer chain's
+    final segmentation r{n}, joined back to the corpus token stream by
+    word; per-doc word and BPE-token counts (docs with no tokens keep
+    zero counts via the left join)."""
+    ctes, _ = _bpe_chain(n_merges)
+    return ("WITH " + ",\n    ".join(ctes) + f""",
+    tok AS (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS word FROM documents),
+    seg AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS k
+            FROM r{n_merges}),
+    agg AS (SELECT doc_id, count(*) AS nw, sum(k) AS nt
+            FROM tok JOIN seg USING (word) GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(nt, 0) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
+    """)
+
+
+def kmv_distinct_sql(k: int = 16) -> str:
+    """Exact oracle for ops.text.kmv_distinct: the same splitmix64 token
+    hashes (shared _TOKEN_HASH_CTES), per-source k smallest DISTINCT
+    values, int64 bit view for the sketch rows, and the (k-1)/max_kmv
+    estimate as one double division of those integers."""
+    half = 1 << 63
+    return f"""
+    WITH RECURSIVE
+    {_TOKEN_HASH_CTES},
+    sh AS (SELECT DISTINCT d.source, th.h
+           FROM th JOIN documents d USING (doc_id)),
+    r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rank
+          FROM sh),
+    kept AS (SELECT source, h, rank FROM r WHERE rank <= {k}),
+    st AS (SELECT source, max(h) AS hk, count(*) AS cnt
+           FROM kept GROUP BY source)
+    SELECT kept.source, CAST(rank AS BIGINT) AS rank,
+           CAST(CASE WHEN kept.h >= {half}
+                     THEN CAST(kept.h AS HUGEINT) - {_M64}
+                     ELSE CAST(kept.h AS HUGEINT) END AS BIGINT) AS h,
+           CASE WHEN st.cnt = {k}
+                THEN CAST({k - 1} AS DOUBLE)
+                     / (CAST(st.hk AS DOUBLE) / 18446744073709551616.0)
+                ELSE CAST(st.cnt AS DOUBLE) END AS est_distinct
+    FROM kept JOIN st USING (source)
+    ORDER BY source, rank
+    """

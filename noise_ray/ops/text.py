@@ -886,3 +886,63 @@ def surprising_bigrams(sf_dir: str, k: int = 3):
         .map_batches(topk, batch_format="pyarrow")
         .sort(["doc_id", "rank"])
     )
+
+
+def kmv_distinct(sf_dir: str, k: int = 16):
+    """KMV (k-minimum-values) distinct-words sketch per source: the k
+    smallest distinct 64-bit token hashes of each source, plus the
+    classic estimate (k-1)/max_kmv normalized to the hash space.  The
+    mergeable sketch behind approximate COUNT DISTINCT at corpus scale —
+    unions of sketches are just re-minimized k-sets, so per-batch
+    partials combine associatively.
+
+    Scale shape: each batch collapses to its local k-min set per source
+    (a few k×sources rows — a map-side combiner), ONE groupby(source)
+    re-minimizes, and nothing vocabulary- or corpus-sized shuffles.  The
+    sketch rows are integers, so the DuckDB oracle (same splitmix64
+    inlined as HUGEINT SQL) compares exactly; the estimate column is one
+    IEEE division of those integers."""
+    import ray
+    from ray.data.aggregate import AggregateFn  # noqa: F401 (doc pointer)
+
+    from .hashing import tokenize_hashes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, doc_offs = tokenize_hashes(batch.column("text"))
+        if h.size == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64())})
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        u_src, src_code = np.unique(src, return_inverse=True)
+        row_code = np.repeat(src_code.astype(np.int64), np.diff(doc_offs))
+        so = np.lexsort((h, row_code))
+        sh, sc = h[so], row_code[so]
+        firsts = np.r_[True, (sh[1:] != sh[:-1]) | (sc[1:] != sc[:-1])]
+        sh, sc = sh[firsts], sc[firsts]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        rank = np.arange(sc.size) - np.repeat(
+            starts, np.diff(np.r_[starts, sc.size]))
+        keep = rank < k  # per-source local k-min (sh ascending within src)
+        return pa.table({
+            "source": pa.array(u_src[sc[keep]], pa.string()),
+            "h": pa.array(sh[keep], pa.uint64()),
+        })
+
+    def finalize(group: pa.Table) -> pa.Table:
+        h = np.unique(group.column("h").to_numpy())[:k]
+        est = (k - 1) / (h[-1] / np.float64(2**64)) if h.size == k else float(h.size)
+        src = group.column("source")[0].as_py()
+        return pa.table({
+            "source": pa.array([src] * h.size, pa.string()),
+            "rank": pa.array(np.arange(1, h.size + 1), pa.int64()),
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "est_distinct": pa.array(np.full(h.size, est), pa.float64()),
+        })
+
+    return (
+        _read_docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finalize, batch_format="pyarrow")
+        .sort(["source", "rank"])
+    )

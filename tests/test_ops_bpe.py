@@ -79,3 +79,41 @@ def test_bpe_train_overlap_runs(ray_session, tmp_path):
            for r in bpe_train(str(d), n_merges=4).take_all()]
     assert got == want
     assert want[0][1] == "a a"
+
+
+def test_bpe_encode_counts_matches_reference(ray_session):
+    from noise_ray.ops.bpe import bpe_encode_counts
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = t.column("text").to_pylist()
+    wc = collections.Counter()
+    for txt in texts:
+        wc.update(_WORD.findall(txt.lower()))
+    merges = _ref_bpe(wc, 6)
+
+    def seg_len(word):
+        syms = list(word)
+        for p, _ in merges:
+            a, b = p.split(" ")
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want = {}
+    for did, txt in zip(t.column("doc_id").to_pylist(), texts):
+        ws = _WORD.findall(txt.lower())
+        want[did] = (len(ws), sum(seg_len(w) for w in ws))
+    out = bpe_encode_counts(SF, n_merges=6).take_all()
+    assert len(out) == len(want)
+    for r in out:
+        assert want[r["doc_id"]] == (r["n_words"], r["n_bpe_tokens"])
+    # merges must actually shorten something
+    assert all(r["n_bpe_tokens"] < sum(map(len, _WORD.findall(t.lower())))
+               for r, t in [(out[0], texts[0])])

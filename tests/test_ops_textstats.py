@@ -163,3 +163,35 @@ def test_sliding_window_stats_matches_reference(ray_session):
     for r in out:
         assert want[r["event_id"]] == (r["n_window"], r["sum_cents_window"])
     assert any(r["n_window"] > 1 for r in out)  # windows really overlap
+
+
+def test_kmv_distinct_matches_reference(ray_session):
+    from noise_ray.ops.hashing import hash_string_array
+    from noise_ray.ops.text import kmv_distinct
+
+    import pyarrow as pa
+
+    t = _docs(["source", "text"])
+    per_src = collections.defaultdict(set)
+    for src, txt in zip(t.column("source").to_pylist(),
+                        t.column("text").to_pylist()):
+        per_src[src].update(_WORD.findall(txt.lower()))
+    want = []
+    k = 16
+    for src in sorted(per_src):
+        hs = sorted(hash_string_array(
+            pa.array(sorted(per_src[src]), pa.string())).tolist())[:k]
+        est = ((k - 1) / (hs[-1] / float(2**64)) if len(hs) == k
+               else float(len(hs)))
+        import numpy as np
+        for i, h in enumerate(hs):
+            want.append((src, i + 1, int(np.uint64(h).astype(np.int64)),
+                         est))
+    got = [(r["source"], r["rank"], r["h"], r["est_distinct"])
+           for r in kmv_distinct(SF).take_all()]
+    assert got == want
+    # the estimate should land near the true distinct count
+    for src in per_src:
+        true = len(per_src[src])
+        est = dict((s, e) for s, _, _, e in got)[src]
+        assert 0.3 * true <= est <= 3 * true
