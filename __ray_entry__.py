@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_order": relational.asof_latest_order,
         "prev_event": relational.prev_event,
         "sliding_window_stats": relational.sliding_window_stats,
+        "hopping_window_stats": relational.hopping_window_stats,
         # --- dedup suite
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -661,6 +662,19 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
         ORDER BY event_id"""
+    sqls["hopping_window_stats"] = """
+        WITH e AS (SELECT ts, event_type,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        w AS (SELECT make_timestamp(
+                         (epoch_us(ts) // 900000000) * 900000000
+                         - CAST(i AS BIGINT) * 900000000) AS window_start,
+                     event_type, cents
+              FROM e, UNNEST(generate_series(0, 3)) AS u(i))
+        SELECT window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM w GROUP BY 1, 2 ORDER BY window_start, event_type"""
     sqls["quality_filter_c4"] = r"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)

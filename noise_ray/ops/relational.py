@@ -305,3 +305,48 @@ def sliding_window_stats(sf_dir: str, window_seconds: int = 3600):
         .map_groups(win_group, batch_format="pyarrow")
         .sort("event_id")
     )
+
+
+def hopping_window_stats(sf_dir: str, window_seconds: int = 3600,
+                         hop_seconds: int = 900):
+    """Hopping-window aggregate over the event stream: count and
+    cents-sum per (window_start, event_type) for 1-hour windows hopping
+    every 15 minutes (each event belongs to window/hop = 4 overlapping
+    windows).
+
+    The streaming-system shape: a stateless ``map_batches`` explodes
+    each event into its covering window starts — a bounded ×4 fan-out,
+    vectorized with one ``np.repeat`` — and ONE groupby aggregates;
+    no per-group sort, no window state.  Empty windows are absent (as
+    in every streaming engine); sums are integer cents so the DuckDB
+    comparison is exact."""
+    n_win = window_seconds // hop_seconds
+    win_us = np.int64(window_seconds * 1_000_000)
+    hop_us = np.int64(hop_seconds * 1_000_000)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("value"), 100.0), 0.5)),
+            pa.int64()).to_numpy()
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        # covering window starts: the n_win hops ending at the event's hop
+        last = (ts // hop_us) * hop_us          # latest window containing ts
+        first = last - win_us + hop_us
+        starts = (np.repeat(first, n_win)
+                  + np.tile(np.arange(n_win, dtype=np.int64) * hop_us,
+                            ts.size))
+        return pa.table({
+            "window_start": pa.array(starts.astype("datetime64[us]")),
+            "event_type": pa.array(np.repeat(et, n_win), pa.string()),
+            "cents": pa.array(np.repeat(cents, n_win), pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("cents", alias_name="sum_cents"))
+        .sort(["window_start", "event_type"])
+    )

@@ -821,11 +821,13 @@ def surprising_bigrams(sf_dir: str, k: int = 3):
             "n": pa.array(np.diff(np.r_[starts, sh.size]), pa.int64()),
         })
 
+    from ray.data.aggregate import Min
+
     blocks = [t.select(["hb", "h1", "n"]) for t in ray.get(
         _read_docs(sf_dir, ["text"])
         .map_batches(count_partial, batch_format="pyarrow")
-        .groupby(["hb", "h1"])  # h1 is functionally dependent on hb
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("hb")  # h1 is functionally dependent on hb: Min = the value
+        .aggregate(Min("h1", alias_name="h1"), Sum("n", alias_name="n"))
         .to_arrow_refs()) if t.num_rows]
     bg_t = pa.concat_tables(blocks) if blocks else bg_empty
     hb_all = bg_t.column("hb").to_numpy()
@@ -902,9 +904,6 @@ def kmv_distinct(sf_dir: str, k: int = 16):
     sketch rows are integers, so the DuckDB oracle (same splitmix64
     inlined as HUGEINT SQL) compares exactly; the estimate column is one
     IEEE division of those integers."""
-    import ray
-    from ray.data.aggregate import AggregateFn  # noqa: F401 (doc pointer)
-
     from .hashing import tokenize_hashes
 
     def partial(batch: pa.Table) -> pa.Table:

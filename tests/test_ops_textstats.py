@@ -195,3 +195,34 @@ def test_kmv_distinct_matches_reference(ray_session):
         true = len(per_src[src])
         est = dict((s, e) for s, _, _, e in got)[src]
         assert 0.3 * true <= est <= 3 * true
+
+
+def test_hopping_window_stats_matches_reference(ray_session):
+    import datetime
+    import math
+
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops.relational import hopping_window_stats
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["ts", "event_type", "value"])
+    want = collections.defaultdict(lambda: [0, 0])
+    hop = datetime.timedelta(seconds=900)
+    epoch = datetime.datetime(1970, 1, 1)
+    for ts, et, val in zip(t.column("ts").to_pylist(),
+                           t.column("event_type").to_pylist(),
+                           t.column("value").to_pylist()):
+        cents = int(math.floor(val * 100 + 0.5))
+        last = epoch + ((ts - epoch) // hop) * hop
+        for i in range(4):
+            w = want[(last - i * hop, et)]
+            w[0] += 1
+            w[1] += cents
+    out = hopping_window_stats(SF).take_all()
+    assert len(out) == len(want)
+    for r in out:
+        k = (r["window_start"], r["event_type"])
+        assert want[k] == [r["n_events"], r["sum_cents"]]
+    # overlapping windows: total exploded rows = 4x events
+    assert sum(r["n_events"] for r in out) == 4 * t.num_rows
