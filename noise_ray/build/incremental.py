@@ -161,7 +161,8 @@ def shadowed_doc_ids(docmap_parts, new_keys: pa.Table,
     hits = (rd.from_items([{"path": p} for p in parts],
                           override_num_blocks=len(parts))
             .map_batches(scan, batch_format="pyarrow"))
-    tables = ray.get(hits.to_arrow_refs())
+    # materialize first: to_arrow_refs on a lazy ds re-executes for schema
+    tables = ray.get(hits.materialize().to_arrow_refs())
     if not tables:
         return []
     t = pa.concat_tables(tables)

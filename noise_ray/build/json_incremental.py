@@ -125,7 +125,9 @@ def _live_doc_ids(reader) -> np.ndarray:
            .groupby("_id")
            .aggregate(Max("doc_id", alias_name="doc_id"))
            .select_columns(["doc_id"]))
-    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    # materialize first: to_arrow_refs on a lazy ds re-executes for schema
+    tables = [t for t in ray.get(agg.materialize().to_arrow_refs())
+              if t.num_rows]
     if not tables:
         return np.zeros(0, dtype=np.int64)
     t = pa.concat_tables(tables)

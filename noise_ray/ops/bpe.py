@@ -47,16 +47,17 @@ def _word_counts(sf_dir: str) -> tuple[list[str], np.ndarray]:
         return pa.table({"word": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
-    empty = pa.table({"word": pa.array([], pa.string()),
-                      "n": pa.array([], pa.int64())})
-    blocks = [t.select(["word", "n"]) for t in ray.get(
+    from .collect import collect_table
+
+    t = collect_table(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                               columns=["text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_arrow_refs()) if t.num_rows]
-    t = pa.concat_tables(blocks) if blocks else empty
+        .aggregate(Sum("n", alias_name="n")), ["word", "n"])
+    if t is None:
+        t = pa.table({"word": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
     return t.column("word").to_pylist(), t.column("n").to_numpy()
 
 

@@ -73,11 +73,13 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, max_doc: int = 300)
 
     # filter pushed into the parquet read: only the bounded doc block
     # (row-group pruned) is ever materialized, however large the corpus
-    t = pa.concat_tables(ray.get(
+    from .collect import arrow_blocks
+
+    t = pa.concat_tables(arrow_blocks(
         ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
             filter=pads.field("doc_id") < max_doc,
-        ).to_arrow_refs()))
+        )))
     t = t.filter(pc.less(t.column("doc_id"), max_doc))  # exact residue
     ids = np.asarray(t.column("doc_id").to_numpy())
     texts = t.column("text").to_pylist()
@@ -437,9 +439,11 @@ def simhash_pairs(sf_dir: str, hamming: int = 3):
 
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45):
     """Embedding-cosine near-dup pairs (brute force, oracle-checkable)."""
-    t = pa.concat_tables(ray.get(
+    from .collect import arrow_blocks
+
+    t = pa.concat_tables(arrow_blocks(
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                              columns=["vec_id", "embedding"]).to_arrow_refs()))
+                              columns=["vec_id", "embedding"])))
     ids = t.column("vec_id").to_numpy()
     from .similarity import embed_matrix
     m = embed_matrix(t.column("embedding"))

@@ -67,9 +67,10 @@ def orders_topk(sf_dir: str, k: int = 10):
 def region_nations_concat(sf_dir: str):
     """noise's concat() aggregate: nation names per region, ordered."""
     nation = _read(sf_dir, "nation", ["n_name", "n_regionkey"])
+    from .collect import arrow_blocks
+
     region_t = pa.concat_tables(
-        ray.get(_read(sf_dir, "region", ["r_regionkey", "r_name"]).to_arrow_refs())
-    )
+        arrow_blocks(_read(sf_dir, "region", ["r_regionkey", "r_name"])))
     rmap = dict(zip(region_t.column("r_regionkey").to_pylist(),
                     region_t.column("r_name").to_pylist()))
     rmap_ref = ray.put(rmap)
@@ -120,9 +121,10 @@ def events_hourly(sf_dir: str):
 def orders_by_segment(sf_dir: str):
     """Broadcast join: customer (small) is ray.put once and looked up inside
     map_batches over orders — no shuffle of the fact table."""
+    from .collect import arrow_blocks
+
     cust = pa.concat_tables(
-        ray.get(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_arrow_refs())
-    )
+        arrow_blocks(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])))
     # broadcast the Arrow table itself (zero-copy in the object store) and
     # hash-join each batch against it in C++ — no Python per-row lookups
     cust_ref = ray.put(cust)

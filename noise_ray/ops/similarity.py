@@ -14,6 +14,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .collect import arrow_blocks
+
 
 def embed_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     """Zero-copy-ish (n, dim) float64 matrix from a fixed-width list column
@@ -71,7 +73,7 @@ def ann_topk_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
                               columns=["vec_id", "embedding"])
         .map_batches(partial_topk, batch_format="pyarrow", batch_size=4096)
     )
-    t = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+    t = pa.concat_tables(arrow_blocks(parts))
     # driver-side final merge: tiny (n_queries × k per input block)
     out_q, out_r, out_v = [], [], []
     tq = t.column("query_id").to_numpy()
@@ -204,7 +206,7 @@ def ann_bucketed(sf_dir: str, n_queries: int = 5, k: int = 10,
                               columns=["vec_id", "embedding"])
         .map_batches(partial_topk, batch_format="pyarrow", batch_size=4096)
     )
-    t = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+    t = pa.concat_tables(arrow_blocks(parts))
     out_q, out_r, out_v = [], [], []
     tq = t.column("query_id").to_numpy()
     tv = t.column("vec_id").to_numpy()
@@ -294,7 +296,7 @@ def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
                               columns=["vec_id", "embedding"])
         .map_batches(partial_topk, batch_format="pyarrow", batch_size=4096)
     )
-    t = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+    t = pa.concat_tables(arrow_blocks(parts))
     out_q, out_r, out_v = [], [], []
     tq = t.column("query_id").to_numpy()
     tv = t.column("vec_id").to_numpy()
@@ -347,8 +349,8 @@ def _kmeans_centroids(sf_dir: str, n_clusters: int, iters: int) -> np.ndarray:
                 "s": pa.array(list(sums), pa.list_(pa.float64())),
             })
 
-        parts = pa.concat_tables(ray.get(
-            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()))
+        parts = pa.concat_tables(arrow_blocks(
+            ds.map_batches(partial, batch_format="pyarrow")))
         cids = parts.column("cid").to_numpy()
         ns = parts.column("n").to_numpy()
         svs = embed_matrix(parts.column("s"))

@@ -592,13 +592,15 @@ def tfidf_keywords(sf_dir: str, k: int = 5):
             "df": pa.array(np.diff(np.r_[starts, sh_f.size]), pa.int64()),
         })
 
-    blocks = [t.select(["h", "df"]) for t in ray.get(
+    from .collect import collect_table
+
+    df_t = collect_table(
         _read_docs(sf_dir, ["text"])
         .map_batches(df_partial, batch_format="pyarrow")
         .groupby("h")
-        .aggregate(Sum("df", alias_name="df"))
-        .to_arrow_refs()) if t.num_rows]  # skip odd-schema empty blocks
-    df_t = pa.concat_tables(blocks) if blocks else df_empty
+        .aggregate(Sum("df", alias_name="df")), ["h", "df"])
+    if df_t is None:
+        df_t = df_empty
     dfh = df_t.column("h").to_numpy()
     dfv = df_t.column("df").to_numpy()
     order = np.argsort(dfh)
@@ -823,13 +825,16 @@ def surprising_bigrams(sf_dir: str, k: int = 3):
 
     from ray.data.aggregate import Min
 
-    blocks = [t.select(["hb", "h1", "n"]) for t in ray.get(
+    from .collect import collect_table
+
+    bg_t = collect_table(
         _read_docs(sf_dir, ["text"])
         .map_batches(count_partial, batch_format="pyarrow")
         .groupby("hb")  # h1 is functionally dependent on hb: Min = the value
-        .aggregate(Min("h1", alias_name="h1"), Sum("n", alias_name="n"))
-        .to_arrow_refs()) if t.num_rows]
-    bg_t = pa.concat_tables(blocks) if blocks else bg_empty
+        .aggregate(Min("h1", alias_name="h1"), Sum("n", alias_name="n")),
+        ["hb", "h1", "n"])
+    if bg_t is None:
+        bg_t = bg_empty
     hb_all = bg_t.column("hb").to_numpy()
     h1_all = bg_t.column("h1").to_numpy()
     n_all = bg_t.column("n").to_numpy()
