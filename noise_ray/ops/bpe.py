@@ -52,7 +52,7 @@ def _word_counts(sf_dir: str) -> tuple[list[str], np.ndarray]:
     t = collect_table(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                               columns=["text"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
         .groupby("word")
         .aggregate(Sum("n", alias_name="n")), ["word", "n"])
     if t is None:

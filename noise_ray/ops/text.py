@@ -160,7 +160,7 @@ def top_terms(sf_dir: str, k: int = 25):
 
     return (
         _read_docs(sf_dir, ["text"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
         .groupby("term")
         .aggregate(Sum("n", alias_name="n"))
         .sort(["n", "term"], descending=[True, False])
@@ -596,7 +596,8 @@ def tfidf_keywords(sf_dir: str, k: int = 5):
 
     df_t = collect_table(
         _read_docs(sf_dir, ["text"])
-        .map_batches(df_partial, batch_format="pyarrow")
+        .map_batches(df_partial, batch_format="pyarrow",
+                     batch_size=16384)
         .groupby("h")
         .aggregate(Sum("df", alias_name="df")), ["h", "df"])
     if df_t is None:
@@ -712,7 +713,7 @@ def vocab_growth(sf_dir: str):
 
     return (
         _read_docs(sf_dir, ["source", "text"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
         .groupby(["source", "h"])
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(fold, batch_format="pyarrow")
@@ -829,7 +830,10 @@ def surprising_bigrams(sf_dir: str, k: int = 3):
 
     bg_t = collect_table(
         _read_docs(sf_dir, ["text"])
-        .map_batches(count_partial, batch_format="pyarrow")
+        # big batches: bigram partials dedupe ~quadratically better with
+        # batch size, shrinking what the fold shuffles
+        .map_batches(count_partial, batch_format="pyarrow",
+                     batch_size=16384)
         .groupby("hb")  # h1 is functionally dependent on hb: Min = the value
         .aggregate(Min("h1", alias_name="h1"), Sum("n", alias_name="n")),
         ["hb", "h1", "n"])
@@ -945,7 +949,7 @@ def kmv_distinct(sf_dir: str, k: int = 16):
 
     return (
         _read_docs(sf_dir, ["source", "text"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
         .groupby("source")
         .map_groups(finalize, batch_format="pyarrow")
         .sort(["source", "rank"])
