@@ -29,30 +29,46 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
 
 
 def pricing_summary(sf_dir: str):
-    """TPC-H Q1-flavoured groupby; integer-cents sums for exact parity."""
+    """TPC-H Q1-flavoured groupby; integer-cents sums for exact parity.
+    Map-side combined: each batch collapses to its (returnflag,
+    linestatus) partials — 6 keys — so the fold shuffles a handful of
+    rows per batch, never the lineitem stream."""
     def cents(batch: pa.Table) -> pa.Table:
         # floor(x*100 + 0.5): identical double math to the DuckDB oracle
         # (avoids round-half-to-even vs half-away-from-zero mismatches)
-        qty = pc.cast(pc.floor(pc.add(batch.column("l_quantity"), 0.5)), pa.int64())
+        qty = pc.cast(pc.floor(pc.add(batch.column("l_quantity"), 0.5)),
+                      pa.int64()).to_numpy()
         price_c = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch.column("l_extendedprice"), 100.0), 0.5)),
-            pa.int64())
+            pc.floor(pc.add(pc.multiply(batch.column("l_extendedprice"),
+                                        100.0), 0.5)),
+            pa.int64()).to_numpy()
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        ls = batch.column("l_linestatus").to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(rf.astype(str), "|"), ls.astype(str))
+        u, inv = np.unique(key, return_inverse=True)
+        sq = np.zeros(u.size, np.int64)
+        np.add.at(sq, inv, qty)
+        sp = np.zeros(u.size, np.int64)
+        np.add.at(sp, inv, price_c)
+        n = np.bincount(inv, minlength=u.size)
+        parts = np.char.partition(u, "|")
         return pa.table({
-            "l_returnflag": batch.column("l_returnflag"),
-            "l_linestatus": batch.column("l_linestatus"),
-            "qty": qty,
-            "price_cents": price_c,
+            "l_returnflag": pa.array(parts[:, 0], pa.string()),
+            "l_linestatus": pa.array(parts[:, 2], pa.string()),
+            "qty": pa.array(sq, pa.int64()),
+            "price_cents": pa.array(sp, pa.int64()),
+            "n": pa.array(n, pa.int64()),
         })
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
     return (
-        ds.map_batches(cents, batch_format="pyarrow")
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=16384)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("qty", alias_name="sum_qty"),
             Sum("price_cents", alias_name="sum_price_cents"),
-            Count(alias_name="count_order"),
+            Sum("n", alias_name="count_order"),
         )
     )
 
@@ -94,26 +110,52 @@ def region_nations_concat(sf_dir: str):
     )
 
 
+def _window_combine(keys_us: np.ndarray, et: np.ndarray,
+                    cents: np.ndarray) -> pa.Table:
+    """Map-side combiner shared by the window aggregates: per-batch
+    (window, event_type) counts + cents sums from one lexsort, so the
+    groupby shuffles window-cardinality partials instead of event rows."""
+    u_et, et_code = np.unique(et, return_inverse=True)
+    order = np.lexsort((et_code, keys_us))
+    k_s, e_s, c_s = keys_us[order], et_code[order], cents[order]
+    starts = np.flatnonzero(
+        np.r_[True, (k_s[1:] != k_s[:-1]) | (e_s[1:] != e_s[:-1])])
+    counts = np.diff(np.r_[starts, k_s.size])
+    csum = np.zeros(k_s.size + 1, np.int64)
+    np.cumsum(c_s, out=csum[1:])
+    ends = np.r_[starts[1:], k_s.size]
+    return pa.table({
+        "w": pa.array(k_s[starts].astype("datetime64[us]")),
+        "event_type": pa.array(u_et[e_s[starts]], pa.string()),
+        "n": pa.array(counts, pa.int64()),
+        "cents": pa.array(csum[ends] - csum[starts], pa.int64()),
+    })
+
+
 def events_hourly(sf_dir: str):
-    """Windowed (hourly-bucket) aggregate over the event stream."""
+    """Windowed (hourly-bucket) aggregate over the event stream:
+    per-batch (hour, event_type) partials via the shared combiner, one
+    groupby folds them — window-cardinality rows shuffle, never the
+    event stream."""
+    hour_us = np.int64(3600) * 1_000_000
+
     def bucket(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        ts = batch.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
         cents = pc.cast(
             pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
-            pa.int64())
-        return pa.table({
-            "hour": hour,
-            "event_type": batch.column("event_type"),
-            "value_cents": cents,
-        })
+            pa.int64()).to_numpy()
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        t = _window_combine((ts // hour_us) * hour_us, et, cents)
+        return t.rename_columns(["hour", "event_type", "n", "cents"])
 
     return (
         _read(sf_dir, "events", ["ts", "event_type", "value"])
-        .map_batches(bucket, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow", batch_size=16384)
         .groupby(["hour", "event_type"])
         .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_cents", alias_name="sum_value_cents"),
+            Sum("n", alias_name="n_events"),
+            Sum("cents", alias_name="sum_value_cents"),
         )
     )
 
@@ -154,7 +196,16 @@ def shipdate_range_counts(sf_dir: str):
         columns=["l_returnflag", "l_shipdate"],
         filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
     )
-    return ds.groupby("l_returnflag").aggregate(Count(alias_name="n_rows"))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("l_returnflag").combine_chunks())
+        return pa.table({"l_returnflag": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    return (ds.map_batches(combine, batch_format="pyarrow",
+                           batch_size=16384)
+            .groupby("l_returnflag")
+            .aggregate(Sum("n", alias_name="n_rows")))
 
 
 def sessionize(sf_dir: str, gap_seconds: int = 1800):
@@ -338,17 +389,15 @@ def hopping_window_stats(sf_dir: str, window_seconds: int = 3600,
         starts = (np.repeat(first, n_win)
                   + np.tile(np.arange(n_win, dtype=np.int64) * hop_us,
                             ts.size))
-        return pa.table({
-            "window_start": pa.array(starts.astype("datetime64[us]")),
-            "event_type": pa.array(np.repeat(et, n_win), pa.string()),
-            "cents": pa.array(np.repeat(cents, n_win), pa.int64()),
-        })
+        t = _window_combine(starts, np.repeat(et, n_win),
+                            np.repeat(cents, n_win))
+        return t.rename_columns(["window_start", "event_type", "n", "cents"])
 
     return (
         _read(sf_dir, "events", ["ts", "event_type", "value"])
-        .map_batches(explode, batch_format="pyarrow")
+        .map_batches(explode, batch_format="pyarrow", batch_size=16384)
         .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n_events"),
+        .aggregate(Sum("n", alias_name="n_events"),
                    Sum("cents", alias_name="sum_cents"))
         .sort(["window_start", "event_type"])
     )
