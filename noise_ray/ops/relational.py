@@ -74,10 +74,22 @@ def pricing_summary(sf_dir: str):
 
 
 def orders_topk(sf_dir: str, k: int = 10):
-    """Top-k by total price; deterministic tie-break on the key column."""
+    """Top-k by total price; deterministic tie-break on the key column.
+    Per-batch partial top-k first (exact: a row outside its batch's
+    top-k can never enter the global top-k), so the final sort ranks
+    k×n_batches rows instead of the table."""
+    def local_topk(b: pa.Table) -> pa.Table:
+        tp = b.column("o_totalprice").to_numpy()
+        ok = b.column("o_orderkey").to_numpy()
+        order = np.lexsort((ok, -tp))[:k]
+        return pa.table({"o_orderkey": pa.array(ok[order], pa.int64()),
+                         "o_totalprice": pa.array(tp[order])})
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"],
-                   descending=[True, False]).limit(k)
+    return (ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=16384)
+            .sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(k))
 
 
 def region_nations_concat(sf_dir: str):
