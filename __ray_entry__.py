@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prev_event": relational.prev_event,
         "sliding_window_stats": relational.sliding_window_stats,
         "hopping_window_stats": relational.hopping_window_stats,
+        "order_priority_revenue": relational.order_priority_revenue,
         # --- dedup suite
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -662,6 +663,15 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
         ORDER BY event_id"""
+    sqls["order_priority_revenue"] = """
+        WITH l AS (SELECT l_orderkey,
+                          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                              AS cents
+                   FROM lineitem)
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM l JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
     sqls["hopping_window_stats"] = """
         WITH e AS (SELECT ts, event_type,
                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -413,3 +413,55 @@ def hopping_window_stats(sf_dir: str, window_seconds: int = 3600,
                    Sum("cents", alias_name="sum_cents"))
         .sort(["window_start", "event_type"])
     )
+
+
+def order_priority_revenue(sf_dir: str, num_partitions: int = 32):
+    """Large×large equi-join: lineitem ⋈ orders on orderkey, revenue
+    cents per order priority — the join shape where neither side fits a
+    broadcast, exercising Ray Data's native partitioned hash join.
+
+    Scale hygiene around the join: lineitem first collapses per batch
+    to (orderkey, n, cents) partials (same-order items in a batch merge),
+    so the join's probe side carries one row per distinct orderkey per
+    batch; after the join another map-side combine reduces each block to
+    priority-cardinality partials before the final 5-key groupby.
+    ``num_partitions`` sizes the hash join's parallelism — at 100 TB set
+    it so a partition of both sides fits a worker's heap."""
+    def combine_line(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy()
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("l_extendedprice"), 100.0),
+                            0.5)), pa.int64()).to_numpy()
+        u, inv = np.unique(ok, return_inverse=True)
+        sc = np.zeros(u.size, np.int64)
+        np.add.at(sc, inv, cents)
+        n = np.bincount(inv, minlength=u.size)
+        return pa.table({"l_orderkey": pa.array(u, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "cents": pa.array(sc, pa.int64())})
+
+    def combine_priority(b: pa.Table) -> pa.Table:
+        pr = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(pr, return_inverse=True)
+        sn = np.zeros(u.size, np.int64)
+        np.add.at(sn, inv, b.column("n").to_numpy())
+        sc = np.zeros(u.size, np.int64)
+        np.add.at(sc, inv, b.column("cents").to_numpy())
+        return pa.table({"o_orderpriority": pa.array(u, pa.string()),
+                         "n": pa.array(sn, pa.int64()),
+                         "cents": pa.array(sc, pa.int64())})
+
+    line = (_read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+            .map_batches(combine_line, batch_format="pyarrow",
+                         batch_size=16384))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    return (
+        line.join(orders, "inner", num_partitions,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+        .map_batches(combine_priority, batch_format="pyarrow",
+                     batch_size=16384)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_items"),
+                   Sum("cents", alias_name="revenue_cents"))
+        .sort("o_orderpriority")
+    )
