@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus assembly: packing, mixing, splits
         "pack_sequences": mixing.pack_sequences,
         "domain_mix_split": mixing.domain_mix_split,
+        "corpus_prep": mixing.corpus_prep,
         # --- multimodal plumbing
         "payload_metadata": multimodal.payload_metadata,
         "payload_features": multimodal.payload_features_flat,
@@ -724,6 +725,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_terms,
                CAST(sum((n = 1)::INT) AS BIGINT) AS n_hapax
         FROM c GROUP BY source ORDER BY source"""
+    # composite corpus-prep: gopher keep -> PII redact -> exact
+    # keep-first dedup on the redacted text (md5 groups == the Ray
+    # side's 128-bit hash groups) -> prefix-sum packing of survivors
+    sqls["corpus_prep"] = f"""
+        WITH gop AS ({sqls['quality_filter_gopher']}),
+        red AS (SELECT d.doc_id,
+                       regexp_replace(d.text, '{_pii}', '[PII]', 'g')
+                           AS rtext
+                FROM documents d JOIN gop USING (doc_id)
+                WHERE gop.keep = 1),
+        m AS (SELECT md5(rtext) AS h, min(doc_id) AS mn
+              FROM red GROUP BY 1),
+        kept AS (SELECT r.doc_id, r.rtext FROM red r
+                 JOIN m ON md5(r.rtext) = m.h AND r.doc_id = m.mn),
+        t AS (SELECT doc_id,
+                     coalesce(len(regexp_extract_all(lower(rtext),
+                                                     '[a-z0-9]+')), 0) AS n
+              FROM kept),
+        s AS (SELECT doc_id, n,
+                     coalesce(sum(n) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cb
+              FROM t)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(cb // 256 AS BIGINT) AS pack_id
+        FROM s ORDER BY doc_id"""
     sqls["pack_sequences"] = f"""
         WITH t AS (SELECT doc_id,
                           coalesce(len({_TOK}), 0) AS n FROM documents),

@@ -64,7 +64,13 @@ def pack_sequences(sf_dir: str, budget: int = 256,
         .map_batches(counts, batch_format="pyarrow")
         .materialize()
     )
+    return _assign_packs(per_doc, budget)
 
+
+def _assign_packs(per_doc: "ray.data.Dataset", budget: int):
+    """The two-level prefix-sum pack assignment over a materialized
+    (doc_id, n_tokens, bucket) counts dataset — shared by
+    :func:`pack_sequences` and :func:`corpus_prep`."""
     from ray.data.aggregate import Sum
 
     bucket_rows = per_doc.groupby("bucket").aggregate(
@@ -139,3 +145,72 @@ def domain_mix_split(sf_dir: str, rates: dict[str, int] | None = None):
         .map_batches(pick, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def corpus_prep(sf_dir: str, budget: int = 256, bucket_docs: int = 1 << 14):
+    """END-TO-END corpus preparation — the composite pipeline a
+    training-data team actually runs, as one Ray Data program:
+
+      1. Gopher quality filter on the raw text (drop failing docs),
+      2. PII redaction of the survivors,
+      3. exact keep-first dedup on the REDACTED text (hash-partitioned
+         ``groupby((h1, h2))`` + vectorized Min aggregates — n_tokens is
+         identical within a group because the text is, so no join-back),
+      4. token-budget sequence packing of the deduped survivors via the
+         shared two-level prefix sum.
+
+    Output: (doc_id, n_tokens, pack_id) for every surviving document,
+    doc_id-ordered.  Scale shape: steps 1–2 fuse into ONE streaming
+    map_batches pass that also hashes and token-counts, so the text is
+    read and tokenized exactly once; the only corpus-wide shuffles are
+    the dedup groupby (24 B/doc of hashes + 2 ints) and the pack
+    bucket-counts fold.  Everything is a pure function of (doc_id,
+    text), so a resumed run reproduces identical packs."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from .hashing import hash_string_array_128, tokenize_values
+    from .text import PII_PATTERNS, gopher_counters
+
+    pii = "|".join(f"(?:{p})" for p in PII_PATTERNS.values())
+    a_empty = pa.table({"h1": pa.array([], pa.int64()),
+                        "h2": pa.array([], pa.int64()),
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_tokens": pa.array([], pa.int64())})
+
+    def stage_a(b: pa.Table) -> pa.Table:
+        *_, keep = gopher_counters(b.column("text"))
+        t = b.filter(pa.array(keep.astype(bool)))
+        if t.num_rows == 0:
+            return a_empty
+        red = pc.replace_substring_regex(
+            t.column("text").combine_chunks()
+            if isinstance(t.column("text"), pa.ChunkedArray)
+            else t.column("text"), pii, "[PII]")
+        h1, h2 = hash_string_array_128(red)
+        _, offs = tokenize_values(red)
+        return pa.table({
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(np.diff(offs), pa.int64()),
+        })
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": b.column("n_tokens"),
+            "bucket": pa.array(ids // bucket_docs, pa.int64()),
+        })
+
+    per_doc = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(stage_a, batch_format="pyarrow", batch_size=16384)
+        .groupby(["h1", "h2"])
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Min("n_tokens", alias_name="n_tokens"))
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    return _assign_packs(per_doc, budget)

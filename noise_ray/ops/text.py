@@ -489,6 +489,47 @@ def bpe_pair_counts(sf_dir: str, k: int = 20):
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def gopher_counters(texts) -> tuple[np.ndarray, ...]:
+    """The Gopher rule counters for a batch of texts:
+    (n_tokens, n_chars, n_alpha, n_stop, keep) int64 arrays — shared by
+    :func:`quality_filter_gopher` and the composite corpus-prep
+    pipeline.  Vectorized over the flat token byte buffer."""
+    from .hashing import (_string_offsets_data, hash_string_array,
+                          tokenize_values)
+
+    stop_h = np.sort(hash_string_array(
+        pa.array(list(_GOPHER_STOPWORDS), pa.string())))
+    values, doc_offs = tokenize_values(texts)
+    n_docs = doc_offs.size - 1
+    n_tokens = np.diff(doc_offs)
+    if len(values) == 0:
+        z = np.zeros(n_docs, np.int64)
+        return n_tokens, z, z, z, z
+    offs, data = _string_offsets_data(values)
+    lo = int(offs[0])
+    offs = offs - lo
+    tok_len = np.diff(offs)
+    is_alpha = ((data >= 0x61) & (data <= 0x7A))[lo:]
+    acs = np.zeros(is_alpha.size + 1, np.int64)
+    np.cumsum(is_alpha, out=acs[1:])
+    has_alpha = (acs[offs[1:]] > acs[offs[:-1]]).astype(np.int64)
+    is_stop = np.isin(hash_string_array(values), stop_h).astype(np.int64)
+
+    def per_doc(x):
+        cs = np.zeros(x.size + 1, np.int64)
+        np.cumsum(x, out=cs[1:])
+        return cs[doc_offs[1:]] - cs[doc_offs[:-1]]
+
+    n_chars = per_doc(tok_len)
+    n_alpha = per_doc(has_alpha)
+    n_stop = per_doc(is_stop)
+    keep = ((n_tokens >= 5) & (n_tokens <= 10000)
+            & (2 * n_tokens <= n_chars) & (n_chars <= 12 * n_tokens)
+            & (10 * n_alpha >= 7 * n_tokens)
+            & (n_stop >= 2)).astype(np.int64)
+    return n_tokens, n_chars, n_alpha, n_stop, keep
+
+
 def quality_filter_gopher(sf_dir: str):
     """Per-document Gopher-style quality rule evaluation: the four rule
     counters plus the combined keep flag, all integers so the DuckDB
@@ -497,43 +538,9 @@ def quality_filter_gopher(sf_dir: str):
     alphabetic flags from one byte-range mask, stopword hits from an
     8-entry hash membership), per-doc sums via cumsum diffs at doc
     boundaries; no shuffle at all."""
-    from .hashing import (_string_offsets_data, hash_string_array,
-                          tokenize_values)
-
-    stop_h = np.sort(hash_string_array(
-        pa.array(list(_GOPHER_STOPWORDS), pa.string())))
-
     def rules(batch: pa.Table) -> pa.Table:
-        values, doc_offs = tokenize_values(batch.column("text"))
-        n_docs = doc_offs.size - 1
-        n_tokens = np.diff(doc_offs)
-        if len(values) == 0:
-            z = pa.array(np.zeros(n_docs, np.int64))
-            return pa.table({"doc_id": batch.column("doc_id"),
-                             "n_tokens": z, "n_tok_chars": z, "n_alpha": z,
-                             "n_stop": z, "keep": z})
-        offs, data = _string_offsets_data(values)
-        lo = int(offs[0])
-        offs = offs - lo
-        tok_len = np.diff(offs)
-        is_alpha = ((data >= 0x61) & (data <= 0x7A))[lo:]
-        acs = np.zeros(is_alpha.size + 1, np.int64)
-        np.cumsum(is_alpha, out=acs[1:])
-        has_alpha = (acs[offs[1:]] > acs[offs[:-1]]).astype(np.int64)
-        is_stop = np.isin(hash_string_array(values), stop_h).astype(np.int64)
-
-        def per_doc(x):
-            cs = np.zeros(x.size + 1, np.int64)
-            np.cumsum(x, out=cs[1:])
-            return cs[doc_offs[1:]] - cs[doc_offs[:-1]]
-
-        n_chars = per_doc(tok_len)
-        n_alpha = per_doc(has_alpha)
-        n_stop = per_doc(is_stop)
-        keep = ((n_tokens >= 5) & (n_tokens <= 10000)
-                & (2 * n_tokens <= n_chars) & (n_chars <= 12 * n_tokens)
-                & (10 * n_alpha >= 7 * n_tokens)
-                & (n_stop >= 2)).astype(np.int64)
+        n_tokens, n_chars, n_alpha, n_stop, keep = gopher_counters(
+            batch.column("text"))
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "n_tokens": pa.array(n_tokens, pa.int64()),
