@@ -160,7 +160,8 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
                     ("repetition_stats_sec", _text.repetition_stats),
                     ("quality_gopher_sec", _text.quality_filter_gopher),
                     ("tfidf_keywords_sec", _text.tfidf_keywords),
-                    ("vocab_growth_sec", _text.vocab_growth)):
+                    ("vocab_growth_sec", _text.vocab_growth),
+                    ("corpus_prep_sec", _mixing.corpus_prep)):
         best = None
         for _ in range(2):  # best-of-2, same host-contention rationale
             t0 = time.perf_counter()
