@@ -415,7 +415,7 @@ def hopping_window_stats(sf_dir: str, window_seconds: int = 3600,
     )
 
 
-def order_priority_revenue(sf_dir: str, num_partitions: int = 32):
+def order_priority_revenue(sf_dir: str, num_partitions: int | None = None):
     """Large×large equi-join: lineitem ⋈ orders on orderkey, revenue
     cents per order priority — the join shape where neither side fits a
     broadcast, exercising Ray Data's native partitioned hash join.
@@ -426,7 +426,13 @@ def order_priority_revenue(sf_dir: str, num_partitions: int = 32):
     batch; after the join another map-side combine reduces each block to
     priority-cardinality partials before the final 5-key groupby.
     ``num_partitions`` sizes the hash join's parallelism — at 100 TB set
-    it so a partition of both sides fits a worker's heap."""
+    it so a partition of both sides fits a worker's heap.  Default is
+    half the cluster's CPUs: the join spawns that many aggregator
+    ACTORS, and asking for more actors than free CPU slots deadlocks a
+    small cluster (observed under the 4-CPU test session)."""
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources()
+                                    .get("CPU", 8)) // 2)
     def combine_line(b: pa.Table) -> pa.Table:
         ok = b.column("l_orderkey").to_numpy()
         cents = pc.cast(
