@@ -220,25 +220,52 @@ def shipdate_range_counts(sf_dir: str):
             .aggregate(Sum("n", alias_name="n_rows")))
 
 
+_N_USER_BUCKETS = 4096
+
+
+def _add_ubucket(b: pa.Table) -> pa.Table:
+    """Coarse per-user shuffle key.  Grouping by the raw user_id makes
+    Ray call Python once per USER — millions of tiny group calls at
+    corpus scale; grouping by ``user_id % 4096`` bounds the group count
+    and the group body vectorizes over all of its users at once (lexsort
+    + run boundaries).  Same co-location guarantee: every row of a user
+    lands in exactly one group."""
+    u = b.column("user_id").to_numpy()
+    return b.append_column(
+        "ubucket", pa.array(u % _N_USER_BUCKETS, pa.int64()))
+
+
 def sessionize(sf_dir: str, gap_seconds: int = 1800):
     """Stateful gap-based sessionization per user (the kind of streaming
-    window op the reference lacks entirely — SURVEY §1.3): shuffle by
-    user, per-group sort by ts, count gap breaks."""
+    window op the reference lacks entirely — SURVEY §1.3): ONE shuffle by
+    the coarse user bucket, then each group sessionizes ALL of its users
+    vectorized — lexsort by (user, ts), a session starts at a user
+    change or a gap > ``gap_seconds``, per-user session counts from
+    cumsum diffs at user run boundaries."""
+    gap_us = gap_seconds * 1_000_000
+
     def sessions(group: pa.Table) -> pa.Table:
-        ts = np.sort(group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64))
-        if ts.size == 0:
-            n = 0
-        else:
-            gaps = np.diff(ts) > gap_seconds * 1_000_000
-            n = int(gaps.sum()) + 1
+        u = group.column("user_id").to_numpy()
+        ts = group.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, u))
+        u_s, ts_s = u[order], ts[order]
+        new_user = np.r_[True, u_s[1:] != u_s[:-1]]
+        start = new_user | np.r_[False, np.diff(ts_s) > gap_us]
+        cs = np.zeros(start.size + 1, np.int64)
+        np.cumsum(start, out=cs[1:])
+        ub = np.flatnonzero(new_user)
+        ue = np.r_[ub[1:], u_s.size]
         return pa.table({
-            "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
-            "n_sessions": pa.array([n], pa.int64()),
+            "user_id": pa.array(u_s[ub], pa.int64()),
+            "n_sessions": pa.array(cs[ue] - cs[ub], pa.int64()),
         })
 
     return (
         _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
+        .map_batches(_add_ubucket, batch_format="pyarrow",
+                     batch_size=16384)
+        .groupby("ubucket")
         .map_groups(sessions, batch_format="pyarrow")
     )
 
@@ -301,21 +328,28 @@ def asof_latest_order(sf_dir: str):
 
 def prev_event(sf_dir: str):
     """Windowed as-of within one stream: each event's predecessor in its
-    user's timeline (lag over (user_id, ts) — groupby + per-group sort)."""
+    user's timeline (lag over (user_id, ts)).  One coarse-bucket shuffle;
+    the group body lexsorts (user, ts, event_id) and shifts — user-run
+    first rows get -1."""
     def lag_group(g: pa.Table) -> pa.Table:
-        ts = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        u = g.column("user_id").to_numpy()
+        ts = g.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
         ev = g.column("event_id").to_numpy()
-        order = np.lexsort((ev, ts))
-        ev_sorted = ev[order]
-        prev = np.empty_like(ev_sorted)
+        order = np.lexsort((ev, ts, u))
+        u_s, ev_s = u[order], ev[order]
+        prev = np.empty_like(ev_s)
         prev[0] = -1
-        prev[1:] = ev_sorted[:-1]
-        return pa.table({"event_id": pa.array(ev_sorted, pa.int64()),
+        prev[1:] = ev_s[:-1]
+        prev[np.r_[True, u_s[1:] != u_s[:-1]]] = -1
+        return pa.table({"event_id": pa.array(ev_s, pa.int64()),
                          "prev_event_id": pa.array(prev, pa.int64())})
 
     return (
         _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-        .groupby("user_id")
+        .map_batches(_add_ubucket, batch_format="pyarrow",
+                     batch_size=16384)
+        .groupby("ubucket")
         .map_groups(lag_group, batch_format="pyarrow")
         .sort("event_id")
     )
