@@ -174,8 +174,8 @@ def _write_turns(dirpath, rows):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from noise_ray.ops import (
-        bpe, cluster, dedup, mixing, multimodal, nested_docs, relational,
-        similarity, text,
+        bpe, cluster, dedup, mixing, multimodal, nested_docs, pca,
+        relational, similarity, text,
     )
 
     return {
@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": similarity.ann_ivf,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "semdedup": similarity.semdedup,
+        "pca_project": pca.pca_project,
         # --- text analysis
         "token_stats": text.token_stats,
         "fingerprint": text.fingerprint,
@@ -519,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         sqls["minhash_lsh_pairs"])
     sqls["kmeans_embeddings"] = _sqlgen().kmeans_sql()
     sqls["semdedup"] = _sqlgen().semdedup_sql()
+    sqls["pca_project"] = _sqlgen().pca_project_sql()
     # substring dedup: star edges (doc, per-window min) over the literal
     # 12-token window strings, then the same recursive closure
     sqls["substring_dup_clusters"] = _sqlgen().closure_sql(f"""

@@ -503,3 +503,69 @@ def kmv_distinct_sql(k: int = 16) -> str:
     FROM kept JOIN st USING (source)
     ORDER BY source, rank
     """
+
+
+def pca_project_sql(n_components: int = 2, iters: int = 6) -> str:
+    """Exact oracle for ops.pca.pca_project: the (dim x dim) Gram matrix
+    as a parallel-unnest self-join, then each fixed power-iteration
+    round and the rank-1 deflation between components as chained CTEs,
+    finishing with the per-vector projections.  Deterministic because
+    both sides run the SAME fixed round count from the same
+    all-ones/sqrt(dim) start — convergence is irrelevant to equality.
+
+    Every CTE is MATERIALIZED: the chain references each g/v repeatedly
+    and plain-CTE inlining expands the plan (and its parquet scans)
+    exponentially in the iteration count — the materialized results are
+    at most dim**2 rows each."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings)",
+        "dim AS (SELECT array_length(emb) AS d FROM e LIMIT 1)",
+        "flat AS (SELECT vec_id, unnest(emb) AS x, "
+        "unnest(range(1, array_length(emb) + 1)) AS i FROM e)",
+        "g0 AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS g "
+        "FROM flat a JOIN flat b USING (vec_id) GROUP BY a.i, b.i)",
+    ]
+    for c in range(1, n_components + 1):
+        gp = f"g{c - 1}"
+        # fixed start vector 1/sqrt(dim) in every coordinate
+        ctes.append(
+            f"v{c}_0 AS (SELECT u.i AS i, "
+            f"1.0 / sqrt((SELECT d FROM dim)) AS val "
+            f"FROM (SELECT unnest(range(1, (SELECT d FROM dim) + 1)) "
+            f"AS i) u)")
+        for t in range(1, iters + 1):
+            ctes += [
+                f"w{c}_{t} AS (SELECT g.i AS i, SUM(g.g * v.val) AS s "
+                f"FROM {gp} g JOIN v{c}_{t - 1} v ON g.j = v.i "
+                f"GROUP BY g.i)",
+                f"v{c}_{t} AS (SELECT i, s / (SELECT sqrt(SUM(s * s)) "
+                f"FROM w{c}_{t}) AS val FROM w{c}_{t})",
+            ]
+        if c < n_components:
+            # deflate: g_c = g_{c-1} - lam * v v^T
+            ctes += [
+                f"lam{c} AS (SELECT SUM(g.g * va.val * vb.val) AS l "
+                f"FROM {gp} g JOIN v{c}_{iters} va ON g.i = va.i "
+                f"JOIN v{c}_{iters} vb ON g.j = vb.i)",
+                f"g{c} AS (SELECT g.i, g.j, "
+                f"g.g - (SELECT l FROM lam{c}) * va.val * vb.val AS g "
+                f"FROM {gp} g JOIN v{c}_{iters} va ON g.i = va.i "
+                f"JOIN v{c}_{iters} vb ON g.j = vb.i)",
+            ]
+    projs = ", ".join(
+        f"p{c}.proj AS proj{c}" for c in range(1, n_components + 1))
+    joins = "\n    ".join(
+        f"JOIN (SELECT f.vec_id, SUM(f.x * v.val) AS proj "
+        f"FROM flat f JOIN v{c}_{iters} v USING (i) GROUP BY f.vec_id) "
+        f"p{c} USING (vec_id)"
+        for c in range(1, n_components + 1))
+    body = ",\n    ".join(
+        c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes)
+    return f"""
+    WITH {body}
+    SELECT e.vec_id, {projs}
+    FROM e
+    {joins}
+    ORDER BY e.vec_id
+    """
