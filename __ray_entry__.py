@@ -175,7 +175,7 @@ def _write_turns(dirpath, rows):
 def queries() -> dict[str, Callable[[str], Any]]:
     from noise_ray.ops import (
         bpe, cluster, dedup, mixing, multimodal, nested_docs, pca,
-        relational, similarity, text,
+        relational, similarity, sketch, text,
     )
 
     return {
@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": text.tfidf_keywords,
         "vocab_growth": text.vocab_growth,
         "kmv_distinct": text.kmv_distinct,
+        "countmin_heavy": sketch.countmin_heavy,
         # --- corpus assembly: packing, mixing, splits
         "pack_sequences": mixing.pack_sequences,
         "domain_mix_split": mixing.domain_mix_split,
@@ -521,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["kmeans_embeddings"] = _sqlgen().kmeans_sql()
     sqls["semdedup"] = _sqlgen().semdedup_sql()
     sqls["pca_project"] = _sqlgen().pca_project_sql()
+    sqls["countmin_heavy"] = _sqlgen().countmin_heavy_sql()
     # substring dedup: star edges (doc, per-window min) over the literal
     # 12-token window strings, then the same recursive closure
     sqls["substring_dup_clusters"] = _sqlgen().closure_sql(f"""

@@ -569,3 +569,43 @@ def pca_project_sql(n_components: int = 2, iters: int = 6) -> str:
     {joins}
     ORDER BY e.vec_id
     """
+
+
+def countmin_heavy_sql(k: int = 20, w: int = 1024, d: int = 4) -> str:
+    """Exact oracle for ops.sketch.countmin_heavy: the shared token-hash
+    CTEs, per-term counts, every (row, cell) counter as a GROUP BY over
+    term x seed, and the min-over-rows point estimate for the exact
+    top-k terms.  Pure integer arithmetic end to end."""
+    import numpy as np
+
+    from .hashing import splitmix64
+
+    seeds = splitmix64(np.arange(1, d + 1, dtype=np.uint64))
+    seed_rows = ", ".join(
+        f"({r}, CAST(CAST('{int(s)}' AS HUGEINT) AS UBIGINT))"
+        for r, s in enumerate(seeds))
+    cell = _sm("xor(tc.h, s.seed)")
+    return f"""
+    WITH RECURSIVE
+    {_TOKEN_HASH_CTES},
+    tc AS MATERIALIZED (
+        SELECT t.tok AS term, th.h, count(*) AS n
+        FROM th JOIN tok t USING (doc_id, ti)
+        GROUP BY t.tok, th.h),
+    cells AS MATERIALIZED (
+        SELECT tc.term, tc.n, s.r,
+               CAST(({cell}) % {w} AS BIGINT) AS c
+        FROM tc, (VALUES {seed_rows}) s(r, seed)),
+    sketch AS MATERIALIZED (
+        SELECT r, c, SUM(n) AS v FROM cells GROUP BY r, c),
+    est AS (
+        SELECT cells.term, CAST(MIN(sk.v) AS BIGINT) AS est_n
+        FROM cells JOIN sketch sk USING (r, c)
+        GROUP BY cells.term),
+    top AS (
+        SELECT term, CAST(n AS BIGINT) AS n FROM tc
+        ORDER BY n DESC, term LIMIT {k})
+    SELECT top.term, top.n, est.est_n
+    FROM top JOIN est USING (term)
+    ORDER BY top.n DESC, top.term
+    """
