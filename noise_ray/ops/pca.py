@@ -36,7 +36,10 @@ from .similarity import embed_matrix
 
 def _gram(sf_dir: str) -> np.ndarray:
     """(dim, dim) float64 Gram matrix X^T X of the embedding table in
-    one streaming pass (per-batch partials, driver fold)."""
+    one streaming pass: per-batch partials, a distributed combine level
+    (so the driver folds ~#batches/1024 grids, not one per batch — at
+    corpus scale the raw partial stream would be GBs), then a tiny
+    elementwise driver fold."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["embedding"])
 
@@ -46,8 +49,16 @@ def _gram(sf_dir: str) -> np.ndarray:
         return pa.table({"g": pa.array([g.ravel()], pa.list_(pa.float64())),
                          "d": pa.array([g.shape[0]], pa.int64())})
 
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array([embed_matrix(t.column("g")).sum(axis=0)],
+                          pa.list_(pa.float64())),
+            "d": t.select(["d"]).slice(0, 1).column("d"),
+        })
+
     parts = pa.concat_tables(arrow_blocks(
-        ds.map_batches(partial, batch_format="pyarrow")))
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=1024)))
     dim = int(parts.column("d")[0].as_py())
     flat = embed_matrix(parts.column("g"))
     return flat.sum(axis=0).reshape(dim, dim)

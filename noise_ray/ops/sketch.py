@@ -41,9 +41,20 @@ def _cells(hashes: np.ndarray, w: int = _W) -> np.ndarray:
         for s in _SEEDS])
 
 
+def _fold_grids(t: pa.Table, col: str = "sk") -> np.ndarray:
+    """Elementwise sum of a table of equal-length list-column grids."""
+    import pyarrow.compute as pc
+
+    flat = np.asarray(pc.list_flatten(t.column(col)).combine_chunks(),
+                      dtype=np.int64)
+    return flat.reshape(t.num_rows, -1).sum(axis=0)
+
+
 def _sketch(sf_dir: str, w: int = _W) -> np.ndarray:
     """(d, w) int64 count-min sketch of the corpus token stream: per-batch
-    partial grids, elementwise driver fold."""
+    partial grids, a distributed combine level (so the driver folds
+    ~#batches/1024 grids, not one per batch — at corpus scale the raw
+    partial stream would be GBs), then a tiny elementwise driver fold."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["text"])
 
@@ -54,12 +65,17 @@ def _sketch(sf_dir: str, w: int = _W) -> np.ndarray:
             sk[r] += np.bincount(cells, minlength=w)
         return pa.table({"sk": pa.array([sk.ravel()], pa.list_(pa.int64()))})
 
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"sk": pa.array([_fold_grids(t)], pa.list_(pa.int64()))})
+
     parts = arrow_blocks(
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384))
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .map_batches(combine, batch_format="pyarrow", batch_size=1024))
     total = np.zeros(_D * w, np.int64)
     for t in parts:
-        for row in t.column("sk").to_pylist():
-            total += np.asarray(row, np.int64)
+        if t.num_rows:
+            total += _fold_grids(t)
     return total.reshape(_D, w)
 
 
