@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": text.vocab_growth,
         "kmv_distinct": text.kmv_distinct,
         "countmin_heavy": sketch.countmin_heavy,
+        "hll_distinct": sketch.hll_distinct,
         # --- corpus assembly: packing, mixing, splits
         "pack_sequences": mixing.pack_sequences,
         "domain_mix_split": mixing.domain_mix_split,
@@ -523,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["semdedup"] = _sqlgen().semdedup_sql()
     sqls["pca_project"] = _sqlgen().pca_project_sql()
     sqls["countmin_heavy"] = _sqlgen().countmin_heavy_sql()
+    sqls["hll_distinct"] = _sqlgen().hll_distinct_sql()
     # substring dedup: star edges (doc, per-window min) over the literal
     # 12-token window strings, then the same recursive closure
     sqls["substring_dup_clusters"] = _sqlgen().closure_sql(f"""

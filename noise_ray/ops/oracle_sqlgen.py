@@ -609,3 +609,53 @@ def countmin_heavy_sql(k: int = 20, w: int = 1024, d: int = 4) -> str:
     FROM top JOIN est USING (term)
     ORDER BY top.n DESC, top.term
     """
+
+
+def hll_distinct_sql(p: int = 9) -> str:
+    """Exact oracle for ops.sketch.hll_distinct: the shared token-hash
+    CTEs, register = top p bits, rho from length(bin(low bits)) — an
+    integer-exact bit_length, mirroring the numpy frexp-halves trick —
+    per-(source, register) MAX, and the same alpha/linear-counting
+    estimate formula."""
+    m = 1 << p
+    low = 64 - p
+    mask = (1 << low) - 1
+    return f"""
+    WITH RECURSIVE
+    {_TOKEN_HASH_CTES},
+    sh AS (
+        SELECT d.source, th.h
+        FROM th JOIN documents d USING (doc_id)),
+    reg AS (
+        SELECT source,
+               CAST(h >> {low} AS BIGINT) AS register,
+               CASE WHEN (h & CAST(CAST('{mask}' AS HUGEINT) AS UBIGINT))
+                         = CAST(0 AS UBIGINT)
+                    THEN {low + 1}
+                    ELSE {low} + 1
+                         - length(bin(h & CAST(CAST('{mask}' AS HUGEINT)
+                                               AS UBIGINT)))
+               END AS rho
+        FROM sh),
+    mx AS (
+        SELECT source, register, CAST(MAX(rho) AS BIGINT) AS rho
+        FROM reg GROUP BY source, register),
+    st AS (
+        SELECT source,
+               SUM(power(2.0, -rho)) AS s,
+               COUNT(*) AS nz
+        FROM mx GROUP BY source),
+    est AS (
+        SELECT source,
+               CASE WHEN raw <= 2.5 * {m} AND v > 0
+                    THEN {m} * ln({m} / v)
+                    ELSE raw END AS est_distinct
+        FROM (SELECT source,
+                     (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m}
+                     / (s + ({m} - nz)) AS raw,
+                     CAST({m} - nz AS DOUBLE) AS v
+              FROM st))
+    SELECT mx.source, mx.register, mx.rho, est.est_distinct
+    FROM mx JOIN est USING (source)
+    ORDER BY mx.source, mx.register
+    """

@@ -101,3 +101,95 @@ def countmin_heavy(sf_dir: str, k: int = 20, w: int = _W) -> pa.Table:
         "n": tt.column("n").cast(pa.int64()),
         "est_n": pa.array(est, pa.int64()),
     })
+
+
+# ------------------------------------------------------------ HyperLogLog
+
+_HLL_P = 9                     # 2**9 = 512 registers per source
+_HLL_M = 1 << _HLL_P
+_HLL_LOW = 64 - _HLL_P         # bits feeding the rank
+_HLL_MASK = np.uint64((1 << _HLL_LOW) - 1)
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length of uint64 values: two 32-bit halves
+    through np.frexp (every half is exact in float64, so the exponent IS
+    the bit length — no log2 rounding hazard)."""
+    hi = (w >> np.uint64(32)).astype(np.float64)
+    lo = (w & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    _, ehi = np.frexp(hi)
+    _, elo = np.frexp(lo)
+    return np.where(hi > 0, ehi + 32, elo).astype(np.int64)
+
+
+def _hll_rho(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rho) of every token hash: register = top p bits, rho =
+    1 + leading zeros of the remaining 64-p bits (capped at 64-p+1)."""
+    reg = (hashes >> np.uint64(_HLL_LOW)).astype(np.int64)
+    w = hashes & _HLL_MASK
+    rho = _HLL_LOW + 1 - _bit_length_u64(w)
+    rho[w == 0] = _HLL_LOW + 1
+    return reg, rho
+
+
+def hll_distinct(sf_dir: str):
+    """(source, register, rho, est_distinct): per-source HyperLogLog
+    distinct-token sketch — the 512 max-rank registers that are nonzero,
+    plus the standard bias-corrected estimate (linear counting in the
+    small range).  The third mergeable sketch alongside KMV (distinct)
+    and count-min (frequency): registers combine by elementwise MAX, so
+    the pipeline is per-batch scatter-max partials → one
+    register-bounded groupby MAX → a per-source finalize over 512 rows.
+    Pure integer registers (exact bit_length on both sides — no libm
+    log2 on 64-bit values), so the DuckDB oracle
+    (ops/oracle_sqlgen.hll_distinct_sql, via length(bin(w))) matches the
+    register rows bit-for-bit and the estimate to float64 noise."""
+    from ray.data.aggregate import Max
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hs, offs = tokenize_hashes(batch.column("text"))
+        src = np.asarray(batch.column("source").to_numpy(
+            zero_copy_only=False))
+        doc_of_tok = np.repeat(np.arange(len(src)), np.diff(offs))
+        reg, rho = _hll_rho(hs)
+        usrc, sidx = np.unique(src, return_inverse=True)
+        grid = np.zeros((usrc.size, _HLL_M), np.int64)
+        np.maximum.at(grid, (sidx[doc_of_tok], reg), rho)
+        si, rj = np.nonzero(grid)
+        return pa.table({
+            "source": pa.array(usrc[si], pa.string()),
+            "register": pa.array(rj, pa.int64()),
+            "rho": pa.array(grid[si, rj], pa.int64()),
+        })
+
+    def finalize(g: pa.Table) -> pa.Table:
+        reg = g.column("register").to_numpy()
+        rho = g.column("rho").to_numpy().astype(np.float64)
+        m = float(_HLL_M)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        v = m - reg.size                      # empty registers
+        s = v + np.sum(2.0 ** (-rho))
+        est = alpha * m * m / s
+        if est <= 2.5 * m and v > 0:
+            est = m * np.log(m / v)
+        order = np.argsort(reg)
+        n = reg.size
+        return pa.table({
+            "source": pa.array(
+                [g.column("source")[0].as_py()] * n, pa.string()),
+            "register": pa.array(reg[order], pa.int64()),
+            "rho": pa.array(rho[order].astype(np.int64), pa.int64()),
+            "est_distinct": pa.array(np.full(n, est), pa.float64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["source", "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .groupby("source")
+        .map_groups(finalize, batch_format="pyarrow")
+        .sort(["source", "register"])
+    )
