@@ -81,12 +81,52 @@ def _sketch(sf_dir: str, w: int = _W) -> np.ndarray:
 
 def countmin_heavy(sf_dir: str, k: int = 20, w: int = _W) -> pa.Table:
     """(term, n, est_n) for the k most frequent tokens: exact counts from
-    the vocabulary-bounded top_terms pipeline, estimates from the
-    count-min sketch.  est_n >= n always."""
-    from .text import top_terms
+    the vocabulary-bounded top_terms shape, estimates from the count-min
+    sketch.  est_n >= n always.
 
-    sk = _sketch(sf_dir, w)
-    top = top_terms(sf_dir, k)
+    Tokenizes the corpus ONCE: the per-batch (term, n) value-count
+    partials are materialized and consumed twice — summed into the grid
+    (a cell's count is the same whether folded per occurrence or per
+    (term, n) partial) and shuffled into the exact top-k groupby.  The
+    standalone :func:`_sketch` stays the pure no-shuffle primitive."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z0-9]+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(
+            toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+            else toks)
+        return pa.table({"term": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    vc = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["text"])
+          .map_batches(vc_partial, batch_format="pyarrow",
+                       batch_size=16384)
+          .materialize())
+
+    def grid_partial(t: pa.Table) -> pa.Table:
+        hs = hash_string_array(t.column("term").combine_chunks())
+        n = t.column("n").to_numpy()
+        sk = np.zeros((_D, w), np.int64)
+        for r, cells in enumerate(_cells(hs, w)):
+            np.add.at(sk[r], cells, n)
+        return pa.table({"sk": pa.array([sk.ravel()], pa.list_(pa.int64()))})
+
+    parts = arrow_blocks(vc.map_batches(grid_partial, batch_format="pyarrow",
+                                        batch_size=65536))
+    sk = np.zeros(_D * w, np.int64)
+    for t in parts:
+        if t.num_rows:
+            sk += _fold_grids(t)
+    sk = sk.reshape(_D, w)
+
+    top = (vc.groupby("term").aggregate(Sum("n", alias_name="n"))
+           .sort(["n", "term"], descending=[True, False]).limit(k))
     tt = pa.concat_tables(
         [t.select(["term", "n"]) for t in arrow_blocks(top) if t.num_rows])
     tt = tt.sort_by([("n", "descending"), ("term", "ascending")])

@@ -33,7 +33,8 @@ def main() -> None:
     from noise_ray.ops import pca, sketch
 
     fn = {"pca_project": pca.pca_project,
-          "countmin_heavy": sketch.countmin_heavy}[op]
+          "countmin_heavy": sketch.countmin_heavy,
+          "hll_distinct": sketch.hll_distinct}[op]
     t0 = time.perf_counter()
     out = fn(sf_dir)
     n = out.count() if hasattr(out, "count") else out.num_rows
