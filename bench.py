@@ -170,6 +170,23 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
             best = dt if best is None else min(best, dt)
         out[key] = round(best, 3)
 
+    # sketch family + PCA (countmin_heavy returns an in-memory table)
+    from noise_ray.ops import pca as _pca
+    from noise_ray.ops import sketch as _sketch
+
+    for key, fn in (("countmin_heavy_sec", _sketch.countmin_heavy),
+                    ("hll_distinct_sec", _sketch.hll_distinct),
+                    ("pca_project_sec", _pca.pca_project)):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = fn(SF_DIR)
+            if hasattr(r, "count"):
+                r.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[key] = round(best, 3)
+
     # nested engine: same corpus packed as nested conversation docs
     # (turns array), nested build + array-context query latency
     from noise_ray.ops.nested_docs import nested_transcripts_index
