@@ -65,6 +65,12 @@ def _round4(t, cols=("score",)):
     return t
 
 
+def _search_highlight(sf_dir: str):
+    from noise_ray.ops.highlight import search_highlight
+
+    return search_highlight(sf_dir)
+
+
 def _search_documents(query: str, columns=("doc_id",), round_score=False):
     def run(sf_dir: str):
         from noise_ray.pipelines import documents_index, search
@@ -199,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     formula replicated in SQL, score rounded to 4dp on both sides
         #     — noise_ray/ops/score_oracle.py; raw-f32 golden parity stays
         #     in tests/)
+        "search_highlight": _search_highlight,
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
             "return score() limit 20 ;",
@@ -357,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
         "nested_conv_search": _score_oracle().nested_conv_phrase_sql(
             w1="of", w2="your"),
         "flagship_or_topk": _score_oracle().flagship_or_topk_sql(),
+        "search_highlight": _score_oracle().term_highlight_sql("merge", 10),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),
         "search_phrase_topk": _score_oracle().phrase_topk_sql(
             "row", "scan", 20),

@@ -287,3 +287,33 @@ SELECT tf.conv_id, CAST(tf.turn_idx AS INTEGER) AS turn_idx,
 FROM tf JOIN lens USING (conv_id, turn_idx)
 ORDER BY sqrt(tf.tf / CAST(lens.len AS DOUBLE)) DESC, tf.conv_id, tf.turn_idx
 LIMIT {limit}"""
+
+
+def term_highlight_sql(term: str, limit: int, ctx: int = 2, *,
+                       src: str = "documents", key: str = "doc_id") -> str:
+    """Exact oracle for ops.highlight.search_highlight: the term_topk
+    score CTE, one row per occurrence of ``term`` in each winning doc
+    (pos = 0-based kept-token index), snippet = the +-ctx token window
+    joined with spaces.  Ranked on the ROUNDED score + doc_id — the
+    op's deterministic cutoff (see ops/highlight.py: the engine's f32
+    kernels order mathematically-equal scores by rounding noise)."""
+    return f"""
+WITH {_toks(src, key)},
+tf AS (SELECT {key}, count(*) AS tf FROM toks
+       WHERE tok = '{term}' GROUP BY {key}),
+top AS (SELECT tf.{key},
+               ROUND(sqrt(tf.tf / CAST(lens.len AS DOUBLE)), 4) AS score
+        FROM tf JOIN lens USING ({key})
+        ORDER BY ROUND(sqrt(tf.tf / CAST(lens.len AS DOUBLE)), 4) DESC,
+                 tf.{key}
+        LIMIT {limit}),
+hits AS (SELECT t.{key}, t.ord - 1 AS pos FROM toks t
+         WHERE t.tok = '{term}'
+           AND t.{key} IN (SELECT {key} FROM top))
+SELECT top.{key}, top.score, hits.pos,
+       (SELECT string_agg(t2.tok, ' ' ORDER BY t2.ord) FROM toks t2
+        WHERE t2.{key} = hits.{key}
+          AND t2.ord BETWEEN hits.pos + 1 - {ctx}
+                         AND hits.pos + 1 + {ctx}) AS snippet
+FROM top JOIN hits USING ({key})
+ORDER BY top.{key}, hits.pos"""
