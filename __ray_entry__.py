@@ -71,6 +71,12 @@ def _search_highlight(sf_dir: str):
     return search_highlight(sf_dir)
 
 
+def _more_like_this(sf_dir: str):
+    from noise_ray.ops.related import more_like_this
+
+    return more_like_this(sf_dir)
+
+
 def _search_documents(query: str, columns=("doc_id",), round_score=False):
     def run(sf_dir: str):
         from noise_ray.pipelines import documents_index, search
@@ -206,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     — noise_ray/ops/score_oracle.py; raw-f32 golden parity stays
         #     in tests/)
         "search_highlight": _search_highlight,
+        "more_like_this": _more_like_this,
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
             "return score() limit 20 ;",
@@ -365,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
             w1="of", w2="your"),
         "flagship_or_topk": _score_oracle().flagship_or_topk_sql(),
         "search_highlight": _score_oracle().term_highlight_sql("merge", 10),
+        "more_like_this": _score_oracle().more_like_this_sql(0, 10),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),
         "search_phrase_topk": _score_oracle().phrase_topk_sql(
             "row", "scan", 20),

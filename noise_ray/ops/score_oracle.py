@@ -317,3 +317,38 @@ SELECT top.{key}, top.score, hits.pos,
                          AND hits.pos + 1 + {ctx}) AS snippet
 FROM top JOIN hits USING ({key})
 ORDER BY top.{key}, hits.pos"""
+
+
+def more_like_this_sql(seed_doc: int, limit: int, *,
+                       src: str = "documents", key: str = "doc_id") -> str:
+    """Exact oracle for ops.related.more_like_this: seed terms, per-term
+    idf, and the reference OR score (contributions / query-norm x
+    matched / num_slots) computed relationally with DYNAMIC terms —
+    joins against the seed-term set instead of per-term inline columns
+    (contrast flagship_or_topk_sql's fixed-term form).  Ranked on the
+    ROUNDED score + doc_id, the op's deterministic cutoff."""
+    return f"""
+WITH {_toks(src, key)},
+seed AS (SELECT DISTINCT tok FROM toks WHERE {key} = {seed_doc}),
+nterms AS (SELECT count(*) AS n FROM seed),
+corpus_k AS (SELECT count(*) AS k
+             FROM (SELECT DISTINCT {key}, tok FROM toks)),
+cnt AS (SELECT seed.tok, count(*) AS c
+        FROM toks JOIN seed USING (tok) GROUP BY seed.tok),
+idf AS (SELECT tok, 1.0 + ln(k / (c + 1.0)) AS i FROM cnt, corpus_k),
+nrm AS (SELECT SUM(i * i) AS nr FROM idf),
+tfs AS (SELECT t.{key}, t.tok, count(*) AS tf
+        FROM toks t JOIN seed USING (tok) GROUP BY t.{key}, t.tok),
+contrib AS (SELECT tfs.{key},
+                   SUM(idf.i * idf.i
+                       * sqrt(tfs.tf / CAST(lens.len AS DOUBLE))) AS co,
+                   count(*) AS matched
+            FROM tfs JOIN idf USING (tok) JOIN lens USING ({key})
+            GROUP BY tfs.{key}),
+raw AS (SELECT {key},
+               co / nr * matched / CAST(n AS DOUBLE) AS score
+        FROM contrib, nrm, nterms
+        WHERE {key} != {seed_doc})
+SELECT {key}, ROUND(score, 4) AS score FROM raw
+ORDER BY ROUND(score, 4) DESC, {key}
+LIMIT {limit}"""

@@ -45,3 +45,42 @@ def test_scores_match_term_topk(ray_session):
         assert sc == want[did]
     # every top doc appears, with tf occurrences each
     assert (out.groupby("doc_id").size() >= 1).all()
+
+
+def test_more_like_this_brute_force(ray_session):
+    """MLT result equals a brute-force TF-IDF OR evaluation of the seed
+    doc's term set over the corpus."""
+    import re
+
+    import duckdb
+
+    from noise_ray.ops.related import more_like_this
+
+    out = more_like_this(SF, seed_doc=0, k=10).to_pandas()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    tok = {r.doc_id: re.findall(r"[a-z0-9]+", r.text.lower())
+           for r in docs.itertuples()}
+    seed = sorted(set(tok[0]))
+    k_total = sum(len(set(ts)) for ts in tok.values())
+    c = {t: sum(ts.count(t) for ts in tok.values()) for t in seed}
+    idf = {t: 1.0 + np.log(k_total / (c[t] + 1.0)) for t in seed}
+    norm = sum(v * v for v in idf.values())
+    scores = {}
+    for did, ts in tok.items():
+        if did == 0:
+            continue
+        contrib, matched = 0.0, 0
+        for t in seed:
+            tf = ts.count(t)
+            if tf:
+                matched += 1
+                contrib += idf[t] ** 2 * np.sqrt(tf / len(ts))
+        if matched:
+            scores[did] = contrib / norm * matched / len(seed)
+    want = sorted(scores.items(),
+                  key=lambda kv: (-round(kv[1], 4), kv[0]))[:10]
+    assert list(out.doc_id) == [d for d, _ in want]
+    np.testing.assert_allclose(
+        out.score, [round(s, 4) for _, s in want], atol=1e-9)
