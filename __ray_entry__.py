@@ -77,6 +77,17 @@ def _more_like_this(sf_dir: str):
     return more_like_this(sf_dir)
 
 
+def _termdict(name: str):
+    """Dictionary-expanded search surfaces (prefix / fuzzy / did-you-mean,
+    noise_ray/ops/termdict.py) at their default fixtures."""
+    def run(sf_dir: str):
+        from noise_ray.ops import termdict
+
+        return getattr(termdict, name)(sf_dir)
+
+    return run
+
+
 def _search_documents(query: str, columns=("doc_id",), round_score=False):
     def run(sf_dir: str):
         from noise_ray.pipelines import documents_index, search
@@ -213,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     in tests/)
         "search_highlight": _search_highlight,
         "more_like_this": _more_like_this,
+        "search_prefix": _termdict("search_prefix"),
+        "search_fuzzy": _termdict("search_fuzzy"),
+        "did_you_mean": _termdict("did_you_mean"),
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
             "return score() limit 20 ;",
@@ -373,6 +387,9 @@ def oracle_sql() -> dict[str, str]:
         "flagship_or_topk": _score_oracle().flagship_or_topk_sql(),
         "search_highlight": _score_oracle().term_highlight_sql("merge", 10),
         "more_like_this": _score_oracle().more_like_this_sql(0, 10),
+        "search_prefix": _score_oracle().prefix_topk_sql("s", 10),
+        "search_fuzzy": _score_oracle().fuzzy_topk_sql("sart", 1, 10),
+        "did_you_mean": _score_oracle().did_you_mean_sql("qery", 2, 5),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),
         "search_phrase_topk": _score_oracle().phrase_topk_sql(
             "row", "scan", 20),

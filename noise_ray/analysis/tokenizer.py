@@ -100,6 +100,55 @@ def tokenize(text: str) -> list[tuple[int, str]]:
     return out
 
 
+@lru_cache(maxsize=262144)
+def _norm_lower_raw(seg: str) -> str | None:
+    """The RAW (pre-stem) form of a kept token: NFKC → first-char-alphabetic
+    gate → lowercase; None if the segment is dropped.  Pairs with
+    :func:`_norm_lower_stem` — ``stem(_norm_lower_raw(s)) ==
+    _norm_lower_stem(s)`` whenever both are non-None."""
+    normalized = unicodedata.normalize("NFKC", seg)
+    if not normalized or not normalized[0].isalpha():
+        return None
+    return normalized.lower()
+
+
+@lru_cache(maxsize=65536)
+def raw_grouped(text: str) -> tuple[list[str], list[str], list[int]]:
+    """Group a field's tokens by RAW (pre-stem) surface form.
+
+    Returns ``(raws, stems, counts)`` — first-occurrence order, one entry
+    per distinct raw form, ``stems[i] == porter2(raws[i])`` and
+    ``counts[i]`` its occurrence count.  This is the term-DICTIONARY view
+    of a document (build/dictionary.py): the index itself stores only
+    stems, so wildcard / fuzzy / did-you-mean surfaces need the raw forms
+    recorded at build time.  Mirrors :func:`tokenize`'s segmentation and
+    keep-gate exactly, including the no-alphabetic-token fallback (whose
+    "raw" form IS the indexed term).  Cached per text; callers must treat
+    the returned lists as READ-ONLY.
+    """
+    raws: list[str] = []
+    stems: list[str] = []
+    counts: list[int] = []
+    index: dict[str, int] = {}
+    pat = _ASCII_SEG_RE if text.isascii() else _SEG_RE
+    for seg in pat.findall(text):
+        raw = _norm_lower_raw(seg)
+        if raw is None:
+            continue
+        i = index.get(raw)
+        if i is None:
+            index[raw] = len(raws)
+            raws.append(raw)
+            stems.append(_porter2_stem(raw))
+            counts.append(1)
+        else:
+            counts[i] += 1
+    if not raws:
+        fb = unicodedata.normalize("NFKC", text)
+        return [fb], [fb], [1]
+    return raws, stems, counts
+
+
 @lru_cache(maxsize=65536)
 def tokenize_grouped(text: str) -> tuple[list[str], list[list[int]], int]:
     """Tokenize and group by stem, as the index build needs.

@@ -319,17 +319,19 @@ FROM top JOIN hits USING ({key})
 ORDER BY top.{key}, hits.pos"""
 
 
-def more_like_this_sql(seed_doc: int, limit: int, *,
-                       src: str = "documents", key: str = "doc_id") -> str:
-    """Exact oracle for ops.related.more_like_this: seed terms, per-term
-    idf, and the reference OR score (contributions / query-norm x
-    matched / num_slots) computed relationally with DYNAMIC terms —
-    joins against the seed-term set instead of per-term inline columns
-    (contrast flagship_or_topk_sql's fixed-term form).  Ranked on the
-    ROUNDED score + doc_id, the op's deterministic cutoff."""
+def dynamic_or_topk_sql(seed_sql: str, limit: int, *,
+                        src: str = "documents", key: str = "doc_id",
+                        exclude: str = "TRUE") -> str:
+    """Shared dynamic-term scored-OR oracle: per-term idf and the
+    reference OR score (contributions / query-norm x matched /
+    num_slots) computed relationally against an arbitrary seed-term CTE
+    ``seed_sql`` (must select a ``tok`` column from ``toks``), ranked on
+    the ROUNDED score + key — the deterministic cutoff every
+    dictionary-expanded op uses (ops/related.py rationale).  Backs
+    more_like_this / prefix / fuzzy top-k."""
     return f"""
 WITH {_toks(src, key)},
-seed AS (SELECT DISTINCT tok FROM toks WHERE {key} = {seed_doc}),
+seed AS ({seed_sql}),
 nterms AS (SELECT count(*) AS n FROM seed),
 corpus_k AS (SELECT count(*) AS k
              FROM (SELECT DISTINCT {key}, tok FROM toks)),
@@ -348,7 +350,52 @@ contrib AS (SELECT tfs.{key},
 raw AS (SELECT {key},
                co / nr * matched / CAST(n AS DOUBLE) AS score
         FROM contrib, nrm, nterms
-        WHERE {key} != {seed_doc})
+        WHERE {exclude})
 SELECT {key}, ROUND(score, 4) AS score FROM raw
 ORDER BY ROUND(score, 4) DESC, {key}
+LIMIT {limit}"""
+
+
+def more_like_this_sql(seed_doc: int, limit: int, *,
+                       src: str = "documents", key: str = "doc_id") -> str:
+    """Exact oracle for ops.related.more_like_this: seed terms = the seed
+    doc's distinct tokens, seed doc excluded from the ranking."""
+    return dynamic_or_topk_sql(
+        f"SELECT DISTINCT tok FROM toks WHERE {key} = {seed_doc}",
+        limit, src=src, key=key, exclude=f"{key} != {seed_doc}")
+
+
+def prefix_topk_sql(prefix: str, limit: int, *, src: str = "documents",
+                    key: str = "doc_id") -> str:
+    """Exact oracle for ops.termdict.search_prefix: seed terms = every
+    corpus token starting with ``prefix``."""
+    return dynamic_or_topk_sql(
+        f"SELECT DISTINCT tok FROM toks WHERE tok LIKE '{prefix}%'",
+        limit, src=src, key=key)
+
+
+def fuzzy_topk_sql(word: str, max_dist: int, limit: int, *,
+                   src: str = "documents", key: str = "doc_id") -> str:
+    """Exact oracle for ops.termdict.search_fuzzy: seed terms = every
+    corpus token within ``max_dist`` edits of ``word`` (DuckDB
+    ``levenshtein`` == build/dictionary.levenshtein_batch)."""
+    return dynamic_or_topk_sql(
+        f"SELECT DISTINCT tok FROM toks "
+        f"WHERE levenshtein(tok, '{word}') <= {max_dist}",
+        limit, src=src, key=key)
+
+
+def did_you_mean_sql(word: str, max_dist: int, limit: int, *,
+                     src: str = "documents", key: str = "doc_id") -> str:
+    """Exact oracle for ops.termdict.did_you_mean: (token, dist, cf)
+    ranked closest-first, then collection frequency, then token."""
+    return f"""
+WITH {_toks(src, key)},
+cand AS (SELECT tok AS token,
+                levenshtein(tok, '{word}') AS dist,
+                count(*) AS cf
+         FROM toks GROUP BY tok)
+SELECT token, CAST(dist AS BIGINT) AS dist, CAST(cf AS BIGINT) AS cf
+FROM cand WHERE dist <= {max_dist}
+ORDER BY dist, cf DESC, token
 LIMIT {limit}"""

@@ -1,0 +1,105 @@
+"""Dictionary-expanded search: prefix (wildcard) queries, fuzzy
+(edit-distance) queries, and did-you-mean suggestions.
+
+Classic IR surfaces the reference engine lacks (its grammar stops at
+exact/stemmed/phrase/range — /root/reference/src/parser.rs:665-1307):
+expand the user's pattern against the term DICTIONARY
+(build/dictionary.py: raw pre-stem surface forms with df/cf), then run
+the expansion as one multi-slot scored OR through the engine's own
+TF-IDF kernels — so corpus cost is that of any scored OR query and the
+expansion cost is vocabulary-bounded (a pruned dictionary lookup),
+never a corpus scan.
+
+Expanded terms are fed to the query parser as RAW tokens (the parser
+stems them exactly as the build did), which keeps engine/SQL parity
+without assuming stems are Porter2 fixed points.  The top-k cutoff
+ranks on the 4dp-rounded score with doc_id tiebreak, same rationale as
+ops/related.py: the engine's f32 kernels order mathematically-tied
+scores by rounding noise no f64 oracle can reproduce.  DuckDB oracles:
+ops/score_oracle.prefix_topk_sql / fuzzy_topk_sql / did_you_mean_sql
+(LIKE- and levenshtein()-expanded dynamic-term OR scoring).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..build.dictionary import (build_term_dictionary, fuzzy_terms,
+                                prefix_terms)
+
+
+def _reader_and_dict(sf_dir: str):
+    """The documents index plus its (lazily built) term dictionary."""
+    from ..pipelines import documents_index
+
+    reader = documents_index(sf_dir)
+    ddir = os.path.join(reader.index_dir, "dictionary")
+    build_term_dictionary([f"{sf_dir}/documents.parquet"], ddir,
+                          fields=tuple(reader.fields))
+    return reader, ddir
+
+
+def _scored_or_topk(reader, raw_terms: list[str], k: int) -> pa.Table:
+    """One scored OR over the expanded raw terms, reranked on the rounded
+    score (fetch a safety margin past k, exactly like ops/related.py)."""
+    if not raw_terms:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    from ..pipelines import search
+
+    clause = " || ".join(f'{{text: ~="{t}"}}' for t in sorted(set(raw_terms)))
+    fetch = max(4 * k, k + 32)
+    top = search(
+        reader,
+        f"find {clause} order score() desc, .doc_id asc "
+        f"return score() limit {fetch} ;")
+    doc_ids = top.column("doc_id").to_numpy()
+    scores = np.round(top.column("score").to_numpy().astype(np.float64), 4)
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return pa.table({
+        "doc_id": pa.array(doc_ids[order], pa.int64()),
+        "score": pa.array(scores[order], pa.float64()),
+    })
+
+
+def search_prefix(sf_dir: str, prefix: str = "s", k: int = 10,
+                  field: str = "text") -> pa.Table:
+    """(doc_id, score): top-k docs under the engine's TF-IDF OR scoring
+    of every dictionary term starting with ``prefix`` — the wildcard
+    query ``text: ~="<prefix>*"``.  Expansion is a footer-pruned
+    dictionary read (build/dictionary.prefix_terms)."""
+    reader, ddir = _reader_and_dict(sf_dir)
+    terms = prefix_terms(ddir, reader.field_id[field], prefix)
+    return _scored_or_topk(reader, terms.column("token").to_pylist(), k)
+
+
+def search_fuzzy(sf_dir: str, word: str = "sart", max_dist: int = 1,
+                 k: int = 10, field: str = "text") -> pa.Table:
+    """(doc_id, score): top-k docs matching any dictionary term within
+    Levenshtein distance ``max_dist`` of ``word`` (fuzzy query
+    ``text: ~="<word>"~1`` in Lucene terms), scored as one OR."""
+    reader, ddir = _reader_and_dict(sf_dir)
+    terms = fuzzy_terms(ddir, reader.field_id[field], word, max_dist)
+    return _scored_or_topk(reader, terms.column("token").to_pylist(), k)
+
+
+def did_you_mean(sf_dir: str, word: str = "qery", max_dist: int = 2,
+                 k: int = 5, field: str = "text") -> pa.Table:
+    """(token, dist, cf): spell-correction candidates — dictionary terms
+    within ``max_dist`` edits of ``word``, ranked closest-first then by
+    collection frequency (the standard did-you-mean ranking)."""
+    reader, ddir = _reader_and_dict(sf_dir)
+    t = fuzzy_terms(ddir, reader.field_id[field], word, max_dist)
+    toks = t.column("token").to_pylist()
+    dist = t.column("dist").to_numpy()
+    cf = t.column("cf").to_numpy()
+    tok_arr = np.array(toks) if toks else np.array([], dtype=str)
+    order = np.lexsort((tok_arr, -cf, dist))[:k]
+    return pa.table({
+        "token": pa.array([toks[i] for i in order], pa.string()),
+        "dist": pa.array(dist[order], pa.int64()),
+        "cf": pa.array(cf[order], pa.int64()),
+    })
