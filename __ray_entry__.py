@@ -226,7 +226,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": _more_like_this,
         "search_prefix": _termdict("search_prefix"),
         "search_fuzzy": _termdict("search_fuzzy"),
+        "search_regex": _termdict("search_regex"),
         "did_you_mean": _termdict("did_you_mean"),
+        # faceted search: full-text match -> per-facet doc counts, all
+        # through the engine's own grouped-aggregate return clause
+        "search_facets": _search_documents(
+            'find {text: ~="merge"} '
+            "return {src: group(.source), n: count()} ;",
+            columns=("src", "n")),
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
             "return score() limit 20 ;",
@@ -389,7 +396,17 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this": _score_oracle().more_like_this_sql(0, 10),
         "search_prefix": _score_oracle().prefix_topk_sql("s", 10),
         "search_fuzzy": _score_oracle().fuzzy_topk_sql("sart", 1, 10),
+        "search_regex": _score_oracle().regex_topk_sql("[a-z]{3}", 10),
         "did_you_mean": _score_oracle().did_you_mean_sql("qery", 2, 5),
+        "search_facets": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS tok
+              FROM documents),
+            m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge')
+            SELECT source AS src, CAST(count(*) AS DOUBLE) AS n
+            FROM documents JOIN m USING (doc_id) GROUP BY source""",
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),
         "search_phrase_topk": _score_oracle().phrase_topk_sql(
             "row", "scan", 20),

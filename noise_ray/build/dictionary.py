@@ -176,6 +176,39 @@ def levenshtein_batch(tokens: list[str], word: str) -> np.ndarray:
     return dp[np.arange(n), lens]
 
 
+def regex_terms(dict_dir: str, field_id: int, pattern: str) -> pa.Table:
+    """Dictionary entries of ``field_id`` whose RAW token fully matches
+    ``pattern`` — Lucene's RegexpQuery shape.  Distributed Ray scan with a
+    vectorized RE2 filter per batch (pyarrow and DuckDB both compile RE2,
+    so the ``regexp_full_match`` oracle is engine-identical); only the
+    vocabulary-bounded matches are collected."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+
+    from ..ops.collect import arrow_blocks
+
+    anchored = f"^(?:{pattern})$"
+
+    def match(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("field"), field_id))
+        keep = pc.match_substring_regex(batch.column("token"), anchored)
+        return batch.filter(keep)
+
+    ds = (
+        ray.data.read_parquet(dict_dir, columns=["field"] + _COLS,
+                              filter=pads.field("field") == field_id)
+        .map_batches(match, batch_format="pyarrow")
+    )
+    blocks = [b for b in arrow_blocks(ds) if b.num_rows]
+    if not blocks:
+        return pa.table({c: pa.array([], pa.string() if c in ("token", "stem")
+                                     else pa.int64())
+                         for c in _COLS})
+    return pa.concat_tables(
+        [b.select(_COLS) for b in blocks]).sort_by("token")
+
+
 def fuzzy_terms(dict_dir: str, field_id: int, word: str,
                 max_dist: int) -> pa.Table:
     """Dictionary entries of ``field_id`` within Levenshtein distance

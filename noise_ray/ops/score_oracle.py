@@ -385,6 +385,16 @@ def fuzzy_topk_sql(word: str, max_dist: int, limit: int, *,
         limit, src=src, key=key)
 
 
+def regex_topk_sql(pattern: str, limit: int, *, src: str = "documents",
+                   key: str = "doc_id") -> str:
+    """Exact oracle for ops.termdict.search_regex: seed terms = every
+    corpus token fully matching ``pattern`` (RE2 on both engines)."""
+    return dynamic_or_topk_sql(
+        f"SELECT DISTINCT tok FROM toks "
+        f"WHERE regexp_full_match(tok, '{pattern}')",
+        limit, src=src, key=key)
+
+
 def did_you_mean_sql(word: str, max_dist: int, limit: int, *,
                      src: str = "documents", key: str = "doc_id") -> str:
     """Exact oracle for ops.termdict.did_you_mean: (token, dist, cf)

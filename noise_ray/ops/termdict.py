@@ -86,6 +86,19 @@ def search_fuzzy(sf_dir: str, word: str = "sart", max_dist: int = 1,
     return _scored_or_topk(reader, terms.column("token").to_pylist(), k)
 
 
+def search_regex(sf_dir: str, pattern: str = "[a-z]{3}", k: int = 10,
+                 field: str = "text") -> pa.Table:
+    """(doc_id, score): top-k docs matching any dictionary term that
+    FULLY matches ``pattern`` (Lucene RegexpQuery), scored as one OR.
+    RE2 on both sides: pyarrow's match_substring_regex anchored, DuckDB's
+    regexp_full_match."""
+    from ..build.dictionary import regex_terms
+
+    reader, ddir = _reader_and_dict(sf_dir)
+    terms = regex_terms(ddir, reader.field_id[field], pattern)
+    return _scored_or_topk(reader, terms.column("token").to_pylist(), k)
+
+
 def did_you_mean(sf_dir: str, word: str = "qery", max_dist: int = 2,
                  k: int = 5, field: str = "text") -> pa.Table:
     """(token, dist, cf): spell-correction candidates — dictionary terms

@@ -139,10 +139,23 @@ def test_prefix_and_fuzzy_expansion(ray_session):
     assert f.column("dist").to_pylist() == [1, 1]
 
 
+def test_regex_expansion(ray_session):
+    from noise_ray.build.dictionary import regex_terms
+    from noise_ray.ops.termdict import _reader_and_dict
+
+    reader, ddir = _reader_and_dict(SF)
+    fid = reader.field_id["text"]
+    t = regex_terms(ddir, fid, "[a-z]{3}")
+    assert t.column("token").to_pylist() == [
+        "agg", "big", "dup", "key", "row", "the"]
+    assert regex_terms(ddir, fid, "zz+").num_rows == 0
+
+
 # --------------------------------------------------- end-to-end vs oracle
 
 @pytest.mark.parametrize(
-    "name", ["search_prefix", "search_fuzzy", "did_you_mean"])
+    "name", ["search_prefix", "search_fuzzy", "search_regex",
+             "did_you_mean", "search_facets"])
 def test_termdict_ops_match_oracle(ray_session, name):
     import __ray_entry__ as entry
 
