@@ -2,7 +2,7 @@
 synthetic corpora (cached under /tmp/noise_ray_cache).
 
 Usage: python tools/scale_run.py <op> [rows]
-  op in {pca_project, countmin_heavy}
+  op in {pca_project, countmin_heavy, hll_distinct, term_dictionary}
 
 Owns its Ray session (never run concurrently with another cluster).
 """
@@ -29,6 +29,37 @@ def main() -> None:
         sf_dir = embeddings_corpus_at(rows)
     else:
         sf_dir = documents_corpus_at(rows)
+
+    if op == "term_dictionary":
+        import glob
+        import shutil
+
+        from noise_ray.build.dictionary import (build_term_dictionary,
+                                                fuzzy_terms, prefix_terms,
+                                                regex_terms)
+
+        paths = sorted(glob.glob(f"{sf_dir}/*.parquet"))
+        ddir = f"/tmp/noise_ray_scale_dict_{rows}"
+        shutil.rmtree(ddir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_term_dictionary(paths, ddir, fields=("text",))
+        build_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np_ = prefix_terms(ddir, 0, "s").num_rows
+        prefix_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nf = fuzzy_terms(ddir, 0, "sart", 1).num_rows
+        fuzzy_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nr = regex_terms(ddir, 0, "[a-z]{3}").num_rows
+        regex_s = time.perf_counter() - t0
+        print(f"term_dictionary: {rows} docs -> build {build_s:.1f} s "
+              f"({rows / build_s:,.0f} docs/s); prefix {np_} terms "
+              f"{prefix_s * 1000:.0f} ms; fuzzy {nf} terms "
+              f"{fuzzy_s * 1000:.0f} ms; regex {nr} terms "
+              f"{regex_s * 1000:.0f} ms")
+        ray.shutdown()
+        return
 
     from noise_ray.ops import pca, sketch
 
