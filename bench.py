@@ -187,6 +187,29 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
             best = dt if best is None else min(best, dt)
         out[key] = round(best, 3)
 
+    # dictionary-expanded search: raw-form dictionary build (fresh dir,
+    # cache-independent) + fuzzy query end-to-end latency
+    from noise_ray.build.dictionary import build_term_dictionary
+    from noise_ray.ops import termdict as _termdict
+
+    ddir = "/tmp/noise_ray_bench_dict"
+    best = None
+    for _ in range(2):
+        shutil.rmtree(ddir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_term_dictionary([f"{SF_DIR}/documents.parquet"], ddir,
+                              fields=("text", "lang", "source"))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out["dict_build_sec"] = round(best, 3)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _termdict.search_fuzzy(SF_DIR)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out["fuzzy_query_sec"] = round(best, 3)
+
     # nested engine: same corpus packed as nested conversation docs
     # (turns array), nested build + array-context query latency
     from noise_ray.ops.nested_docs import nested_transcripts_index
