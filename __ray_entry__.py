@@ -175,6 +175,58 @@ def _lifecycle_compact(sf_dir: str):
     return _round4(t.select(["conv_id", "turn_idx", "score"]))
 
 
+def _search_export(sf_dir: str):
+    """Streaming query->Dataset export (noise_ray/query/scan.py
+    index_scan): the FULL matched set of a filter-only query leaves the
+    index as a lazy Ray Dataset — one map task per doc range, stored
+    fields fetched worker-side, nothing corpus-sized on the driver
+    (export_matches chains write_parquet for the query->parquet sink).
+    Collected + sorted here only because the oracle compare needs a
+    deterministic table."""
+    import pyarrow as pa
+
+    from noise_ray.ops.collect import arrow_blocks
+    from noise_ray.pipelines import documents_index
+    from noise_ray.query import index_scan
+
+    r = documents_index(sf_dir)
+    ds = index_scan(r.index_dir, 'find {lang: =="en", n_chars: > 300} ;',
+                    columns=["doc_id", "lang", "source", "n_chars"])
+    t = pa.concat_tables(arrow_blocks(ds))
+    return t.sort_by("doc_id")
+
+
+def _delete_by_query(sf_dir: str):
+    """Query-addressed delete (SURVEY §2.0 extension of Index::delete):
+    build a tiny fixed index, ``delete_by_query`` every doc matching
+    ``fox``, compact (the documented mass-delete path — segments and
+    corpus stats shrink to the live set), then run a scored term query.
+    Oracle scores the post-delete live corpus inlined as VALUES
+    (ops/score_oracle.py); exactness tests in tests/test_scan.py."""
+    import os
+    import tempfile
+
+    from noise_ray.build import build_index, compact_index, delete_by_query
+    from noise_ray.query import IndexReader, run_query
+
+    root = tempfile.mkdtemp(prefix="noise_ray_dbq_")
+    base = _write_turns(os.path.join(root, "in0"), [
+        ("a", 0, "user", "the quick brown fox"),
+        ("a", 1, "assistant", "dogs sleep all day"),
+        ("b", 0, "user", "fox hunting season"),
+        ("c", 0, "user", "cats sleep and the fox waits"),
+        ("d", 0, "user", "birds sing and cats sleep"),
+    ])
+    idx = os.path.join(root, "idx")
+    build_index([base], idx, num_buckets=4)
+    delete_by_query(idx, 'find {text: ~="fox"} ;')
+    compact_index(idx)
+    t = run_query(
+        IndexReader(idx),
+        'find {text: ~="sleep"} order score() desc return score() limit 10 ;')
+    return _round4(t.select(["conv_id", "turn_idx", "score"]))
+
+
 def _write_turns(dirpath, rows):
     import os
 
@@ -327,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- lifecycle: incremental add + upsert epochs; compaction
         "incremental_upsert": _incremental_upsert,
         "lifecycle_compact": _lifecycle_compact,
+        "delete_by_query": _delete_by_query,
+        "search_export": _search_export,
     }
 
 
@@ -421,6 +475,13 @@ def oracle_sql() -> dict[str, str]:
             ("b", 0, "fox hunting season"),
             ("c", 0, "quick quick fox"),
         ], "fox", 10),
+        "delete_by_query": _score_oracle().values_corpus_term_sql([
+            ("a", 1, "dogs sleep all day"),
+            ("d", 0, "birds sing and cats sleep"),
+        ], "sleep", 10),
+        "search_export": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars > 300 ORDER BY doc_id""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -167,3 +167,64 @@ def shadowed_doc_ids(docmap_parts, new_keys: pa.Table,
         return []
     t = pa.concat_tables(tables)
     return sorted(t.column("doc_id").to_pylist())
+
+
+def delete_by_query(index_dir: str, query: str,
+                    params: dict | None = None) -> int:
+    """Tombstone every doc matching a filter-only ``query`` — the natural
+    extension of the reference's id-list delete (src/index.rs
+    ``Index::delete``; the reference has no query-addressed delete, its
+    REPL deletes one _id at a time).  Returns the number of NEWLY deleted
+    docs.
+
+    The matched set is evaluated with the distributed range fan-out above
+    ~5M docs (same worker pool and per-doc-independence exactness argument
+    as run_query_distributed) and folded into the tombstone sidecar, which
+    every cached reader picks up via its mtime-keyed cache.  The sidecar
+    holds an id list, so a MASS delete (a large corpus fraction) should be
+    followed by ``compact_index()``: compaction rewrites segments without
+    the tombstoned docs and clears the sidecar, restoring O(live) state.
+    """
+    from ..query import IndexReader
+    from ..query.parser import parse_query, ret_leaves
+    from ..query import ast as qast
+
+    q = parse_query(query, params)
+    if q.order or q.limit is not None:
+        raise ValueError("delete_by_query takes a filter-only query "
+                         "(no order/limit)")
+    from ..query import executor as _ex
+
+    if isinstance(q.returns, _ex._TREE_TYPES):
+        if any(isinstance(l, qast.RetAgg) for l in ret_leaves(q.returns)):
+            raise ValueError("delete_by_query takes a filter-only query "
+                             "(no aggregate return clause)")
+
+    reader = IndexReader(index_dir)
+    if reader.num_docs >= 5_000_000:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n = max(1, min(cpus, reader.num_docs // 10_000 + 1))
+        span = max(1, -(-reader.num_docs // n))
+        pool = worker_pool()
+        parts = ray.get([
+            pool[i % len(pool)].flat_eval.remote(
+                index_dir, query, params, lo,
+                min(lo + span, reader.num_docs), None)
+            for i, lo in enumerate(range(0, reader.num_docs, span))
+        ])
+        import numpy as np
+
+        docs = (np.concatenate([d for d, _ in parts]) if parts
+                else np.zeros(0, np.int64))
+    else:
+        from ..query.engine import CompiledQuery
+
+        docs = CompiledQuery(reader, q.filter).evaluate().docs
+    before = reader.tombstones.size
+    if docs.size:
+        reader.add_tombstones(docs.tolist())
+    return int(reader.tombstones.size - before)
