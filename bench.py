@@ -114,6 +114,24 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     out["queries"] = queries
     out["query_p50_ms"] = round(statistics.median(lat_ms), 2)
 
+    # streaming full-result export (query/scan.py): matched set -> parquet
+    # without driver materialization; docs/s over the matched count
+    from noise_ray.query.scan import export_matches
+
+    exp_dir = "/tmp/noise_ray_bench_export"
+    best = n_exp = None
+    for _ in range(2):
+        shutil.rmtree(exp_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        n_exp = export_matches(idx_dir, 'find {role: =="user"} ;', exp_dir,
+                               columns=["doc_id", "conv_id", "turn_idx",
+                                        "text"])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    shutil.rmtree(exp_dir, ignore_errors=True)
+    out["export_sec"] = round(best, 3)
+    out["export_docs_per_sec"] = round(n_exp / best, 1)
+
     # dedup signature throughput over the documents table (vectorized
     # MinHash stage, then the full LSH pipeline incl. banding + distinct)
     import pyarrow.parquet as pq

@@ -1,11 +1,13 @@
 from .compact import compact_index
 from .incremental import add_documents, delete_by_query, total_docs
-from .json_incremental import add_json_documents, compact_json_index
+from .json_incremental import (add_json_documents, compact_json_index,
+                               delete_json_by_query)
 from .json_pipeline import build_json_index, docs_to_parquet
 from .pipeline import build_index, term_bucket, DEFAULT_FIELDS, MANIFEST_NAME
 from .shred import shred
 
 __all__ = ["add_documents", "add_json_documents", "build_index",
            "build_json_index", "compact_index", "compact_json_index",
-           "delete_by_query", "docs_to_parquet", "shred", "term_bucket",
+           "delete_by_query", "delete_json_by_query", "docs_to_parquet",
+           "shred", "term_bucket",
            "total_docs", "DEFAULT_FIELDS", "MANIFEST_NAME"]

@@ -197,3 +197,48 @@ def compact_json_index(index_dir: str) -> dict:
     os.replace(tmp, index_dir)
     shutil.rmtree(old, ignore_errors=True)
     return manifest
+
+
+def delete_json_by_query(index_dir: str, query: str,
+                         params: dict | None = None) -> int:
+    """Tombstone every nested doc matching a filter-only ``query`` — the
+    nested twin of ``incremental.delete_by_query`` (the reference's
+    ``Index::delete`` takes one _id at a time, src/index.rs).  Returns the
+    number of NEWLY deleted docs; follow a mass delete with
+    ``compact_json_index`` to shrink segments and stats to the live set.
+
+    Above the distributed threshold the matched set is evaluated with the
+    same actor-pool range fan-out as run_json_query (per-doc independence
+    makes the union over disjoint ranges exact)."""
+    from ..query import ast as qast
+    from ..query.json_reader import JsonIndexReader
+    from ..query.noise_parser import parse_noise_query
+    from ..query.parser import ret_leaves
+
+    q = parse_noise_query(query, params)
+    if q.order or q.limit is not None:
+        raise ValueError("delete_json_by_query takes a filter-only query "
+                         "(no order/limit)")
+    if any(isinstance(l, qast.RetAgg) for l in ret_leaves(q.returns)):
+        raise ValueError("delete_json_by_query takes a filter-only query "
+                         "(no aggregate return clause)")
+
+    reader = JsonIndexReader(index_dir)
+    if reader.num_docs >= 2_000_000:
+        from ..query.json_engine import _check_double_not, _is_all_not
+        from ..query.json_executor import _evaluate_distributed
+
+        _check_double_not(q.filter, False)
+        if _is_all_not(q.filter):
+            raise ValueError(
+                "query cannot be made up of only logical not. Must have "
+                "at least one match clause not negated.")
+        docs, _, _ = _evaluate_distributed(reader, q.filter)
+    else:
+        from ..query.json_engine import CompiledJsonQuery
+
+        docs = CompiledJsonQuery(reader, q.filter).evaluate().docs
+    before = reader.tombstones.size
+    if docs.size:
+        reader.add_tombstones(docs.tolist())
+    return int(reader.tombstones.size - before)

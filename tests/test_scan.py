@@ -127,3 +127,32 @@ def test_delete_by_query_then_scan(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         delete_by_query(idx, 'find {text: ~="fox"} limit 1 ;')
+
+
+def test_delete_json_by_query(ray_session, tmp_path):
+    from noise_ray.build import delete_json_by_query
+    from noise_ray.build.json_pipeline import build_json_index, docs_to_parquet
+    from noise_ray.query.json_executor import run_json_query
+    from noise_ray.query.json_reader import JsonIndexReader
+
+    docs = [
+        {"_id": "a", "msgs": [{"t": "quick brown fox"}], "n": 1},
+        {"_id": "b", "msgs": [{"t": "lazy dog"}], "n": 2},
+        {"_id": "c", "msgs": [{"t": "fox season"}], "n": 3},
+        {"_id": "d", "msgs": [{"t": "dog and fox"}], "n": 4},
+    ]
+    p = docs_to_parquet(docs, os.path.join(tmp_path, "in.parquet"))
+    idx = os.path.join(tmp_path, "idx")
+    build_json_index([p], idx, num_buckets=8)
+
+    n = delete_json_by_query(idx, 'find {msgs: [{t: ~="fox"}]} ;')
+    assert n == 3
+    assert delete_json_by_query(idx, 'find {msgs: [{t: ~="fox"}]} ;') == 0
+
+    r = JsonIndexReader(idx)
+    assert run_json_query(r, 'find {msgs: [{t: ~="fox"}]} return ._id ;') == []
+    assert run_json_query(r, 'find {msgs: [{t: ~="dog"}]} return ._id ;') == ["b"]
+    assert run_json_query(r, 'find {n: > 0} return ._id ;') == ["b"]
+
+    with pytest.raises(ValueError):
+        delete_json_by_query(idx, 'find {n: > 0} limit 1 ;')
