@@ -179,3 +179,86 @@ def _parquet_files(out_dir: str) -> list[str]:
     import os
 
     return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
+# ------------------------------------------------------- nested engine
+
+_JSON_SCAN_SCHEMA = pa.schema([("_id", pa.string()), ("doc", pa.string())])
+
+
+def _json_scan_range_batches(batch: pa.Table, *, index_dir: str,
+                             qtext: str, params, batch_rows: int):
+    from .distributed import _cached_reader
+    from .json_engine import CompiledJsonQuery
+    from .json_reader import JsonIndexReader
+    from .noise_parser import parse_noise_query
+
+    reader = _cached_reader(index_dir, JsonIndexReader)
+    q = parse_noise_query(qtext, params)
+    emitted = False
+    for lo, hi in zip(batch.column("lo").to_pylist(),
+                      batch.column("hi").to_pylist()):
+        cq = CompiledJsonQuery(reader, q.filter, doc_range=(int(lo), int(hi)))
+        docs = cq.evaluate().docs
+        for s in range(0, int(docs.size), batch_rows):
+            sub = docs[s:s + batch_rows]
+            emitted = True
+            yield pa.table({
+                "_id": pa.array(reader.doc_id_strs(sub), pa.string()),
+                "doc": pa.array(reader.doc_json(sub), pa.string()),
+            })
+    if not emitted:
+        yield _JSON_SCAN_SCHEMA.empty_table()
+
+
+def json_index_scan(index_dir: str, query: str,
+                    params: dict | None = None, *,
+                    docs_per_task: int = _DOCS_PER_TASK,
+                    batch_rows: int = _BATCH_ROWS):
+    """Nested-engine twin of ``index_scan``: evaluate a filter-only noise
+    query and return every matching document as a streaming
+    ``ray.data.Dataset`` of ``(_id, doc)`` rows, ``doc`` being the stored
+    raw JSON string (the whole-doc fetch behind the reference's bare
+    ``find`` result stream).  Same range-task structure, per-worker
+    cached readers and completion-order caveat as the flat scan."""
+    import ray.data
+
+    from .json_reader import JsonIndexReader
+    from .noise_parser import parse_noise_query
+    from .parser import ret_leaves
+
+    q = parse_noise_query(query, params)
+    if q.order or q.limit is not None:
+        raise ValueError(
+            "json_index_scan exports the unordered matched set; use "
+            "run_json_query for ordered top-k queries")
+    if any(isinstance(l, ast.RetAgg) for l in ret_leaves(q.returns)):
+        raise ValueError("json_index_scan exports whole docs; aggregate "
+                         "return clauses go through run_json_query")
+    # validate on the driver so an all-not query raises the reference's
+    # plain error, not a RayTaskError from every range task
+    from .json_engine import _check_double_not, _is_all_not
+
+    _check_double_not(q.filter, False)
+    if _is_all_not(q.filter):
+        raise ValueError(
+            "query cannot be made up of only logical not. Must have "
+            "at least one match clause not negated.")
+
+    reader = JsonIndexReader(index_dir)
+    ranges = [{"lo": lo, "hi": min(lo + docs_per_task, reader.num_docs)}
+              for lo in range(0, reader.num_docs, docs_per_task)]
+    if not ranges:
+        ranges = [{"lo": 0, "hi": 0}]
+    ds = ray.data.from_items(ranges, override_num_blocks=len(ranges))
+    return ds.map_batches(
+        _json_scan_range_batches,
+        batch_format="pyarrow",
+        batch_size=None,
+        fn_kwargs={
+            "index_dir": index_dir,
+            "qtext": query,
+            "params": params,
+            "batch_rows": batch_rows,
+        },
+    )

@@ -156,3 +156,41 @@ def test_delete_json_by_query(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         delete_json_by_query(idx, 'find {n: > 0} limit 1 ;')
+
+
+def test_json_index_scan(ray_session, tmp_path):
+    import json
+
+    from noise_ray.build.json_pipeline import build_json_index, docs_to_parquet
+    from noise_ray.query.json_executor import run_json_query
+    from noise_ray.query.json_reader import JsonIndexReader
+    from noise_ray.query.scan import json_index_scan
+
+    docs = [
+        {"_id": "a", "msgs": [{"t": "quick brown fox"}], "n": 1},
+        {"_id": "b", "msgs": [{"t": "lazy dog"}], "n": 2},
+        {"_id": "c", "msgs": [{"t": "fox season"}], "n": 3},
+        {"_id": "d", "msgs": [{"t": "dog and fox"}], "n": 4},
+    ]
+    p = docs_to_parquet(docs, os.path.join(tmp_path, "in.parquet"))
+    idx = os.path.join(tmp_path, "idx")
+    build_json_index([p], idx, num_buckets=8)
+
+    q = 'find {msgs: [{t: ~="fox"}]} ;'
+    expect = set(run_json_query(JsonIndexReader(idx),
+                                'find {msgs: [{t: ~="fox"}]} return ._id ;'))
+    got = json_index_scan(idx, q, docs_per_task=2).take_all()
+    assert {r["_id"] for r in got} == expect == {"a", "c", "d"}
+    for r in got:  # stored JSON round-trips to the source doc
+        src = next(d for d in docs if d["_id"] == r["_id"])
+        assert json.loads(r["doc"]) == src
+
+    empty = json_index_scan(idx, 'find {msgs: [{t: ~="zebra"}]} ;',
+                            docs_per_task=2)
+    assert empty.take_all() == []
+    assert [f.name for f in empty.schema().base_schema] == ["_id", "doc"]
+
+    with pytest.raises(ValueError):
+        json_index_scan(idx, 'find {n: > 0} limit 1 ;')
+    with pytest.raises(ValueError):
+        json_index_scan(idx, 'find !{n: > 0} ;')
