@@ -227,6 +227,36 @@ def _delete_by_query(sf_dir: str):
     return _round4(t.select(["conv_id", "turn_idx", "score"]))
 
 
+def _nested_delete_by_query(sf_dir: str):
+    """Nested query-addressed delete (delete_json_by_query): build a tiny
+    nested index, tombstone every doc whose turns match ``fox``, and list
+    the surviving _ids.  Exactness tests in tests/test_scan.py."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from noise_ray.build import delete_json_by_query
+    from noise_ray.build.json_pipeline import build_json_index, docs_to_parquet
+    from noise_ray.query.json_executor import run_json_query
+    from noise_ray.query.json_reader import JsonIndexReader
+
+    docs = [
+        {"_id": "a", "msgs": [{"t": "quick brown fox"}], "n": 1},
+        {"_id": "b", "msgs": [{"t": "lazy dog"}], "n": 2},
+        {"_id": "c", "msgs": [{"t": "fox season"}], "n": 3},
+        {"_id": "d", "msgs": [{"t": "dog and fox"}], "n": 4},
+    ]
+    root = tempfile.mkdtemp(prefix="noise_ray_jdbq_")
+    p = docs_to_parquet(docs, os.path.join(root, "in.parquet"))
+    idx = os.path.join(root, "idx")
+    build_json_index([p], idx, num_buckets=8)
+    delete_json_by_query(idx, 'find {msgs: [{t: ~="fox"}]} ;')
+    ids = run_json_query(JsonIndexReader(idx),
+                         'find {n: > 0} return ._id ;')
+    return pa.table({"_id": pa.array(ids, pa.string())})
+
+
 def _write_turns(dirpath, rows):
     import os
 
@@ -380,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_upsert": _incremental_upsert,
         "lifecycle_compact": _lifecycle_compact,
         "delete_by_query": _delete_by_query,
+        "nested_delete_by_query": _nested_delete_by_query,
         "search_export": _search_export,
     }
 
@@ -479,6 +510,8 @@ def oracle_sql() -> dict[str, str]:
             ("a", 1, "dogs sleep all day"),
             ("d", 0, "birds sing and cats sleep"),
         ], "sleep", 10),
+        "nested_delete_by_query": """
+            SELECT * FROM (VALUES ('b')) AS t(_id)""",
         "search_export": """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE lang = 'en' AND n_chars > 300 ORDER BY doc_id""",
