@@ -175,6 +175,15 @@ def _lifecycle_compact(sf_dir: str):
     return _round4(t.select(["conv_id", "turn_idx", "score"]))
 
 
+def _hybrid_search(sf_dir: str):
+    """BM25-style term top-k + embedding-cosine top-k fused by
+    reciprocal-rank fusion (ops/hybrid.py); exact SQL oracle because RRF
+    uses only ranks, never the incomparable raw scores."""
+    from noise_ray.ops.hybrid import hybrid_search
+
+    return hybrid_search(sf_dir)
+
+
 def _search_export(sf_dir: str):
     """Streaming query->Dataset export (noise_ray/query/scan.py
     index_scan): the FULL matched set of a filter-only query leaves the
@@ -316,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             'find {text: ~="merge"} '
             "return {src: group(.source), n: count()} ;",
             columns=("src", "n")),
+        "hybrid_search": _hybrid_search,
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
             "return score() limit 20 ;",
@@ -492,6 +502,8 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge')
             SELECT source AS src, CAST(count(*) AS DOUBLE) AS n
             FROM documents JOIN m USING (doc_id) GROUP BY source""",
+        "hybrid_search": _score_oracle().hybrid_rrf_sql(
+            "merge", 0, 50, 60, 10),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),
         "search_phrase_topk": _score_oracle().phrase_topk_sql(
             "row", "scan", 20),

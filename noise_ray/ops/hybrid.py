@@ -1,0 +1,107 @@
+"""Hybrid retrieval: lexical top-k fused with embedding top-k by
+reciprocal-rank fusion (RRF, Cormack/Clarke/Buettcher, SIGIR 2009).
+
+The two sides are the engine's existing scale paths — the scored
+inverted-index query (distributed range fan-out above 5M docs,
+pipelines.search) and the broadcast-query cosine top-k over the
+embeddings table (per-batch partial top-k, driver merges only
+``k × blocks`` rows, ops/similarity.py).  Fusion itself touches at most
+``2k`` (doc, rank) pairs, so it is driver-side by construction: RRF uses
+only the RANKS, never the incomparable raw scores, which is exactly why
+it is the standard fusion for BM25 + vector search.
+
+Determinism: both sides break score ties by ascending id, and the fused
+score ``1/(K+r_text) + 1/(K+r_vec)`` is a fixed-order two-term IEEE sum
+of exact rationals — reproducible across engines, which is what makes
+the DuckDB oracle (__ray_entry__) an exact rank-and-value check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .collect import arrow_blocks
+from .similarity import embed_matrix
+
+RRF_K = 60  # the paper's (and industry-default) rank damping constant
+
+
+def _vector_topk(sf_dir: str, query_vec_id: int, k: int) -> list[int]:
+    """Cosine top-k vec_ids against one broadcast query vector (the
+    corpus embedding of ``query_vec_id``; the query itself excluded)."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", query_vec_id)])
+    q = embed_matrix(qt.column("embedding"))[0]
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    q_ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy()
+        keep = ids != query_vec_id
+        ids = ids[keep]
+        if not ids.size:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        m = embed_matrix(batch.column("embedding"))[keep]
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ qv
+        kk = min(k, ids.size)
+        top = np.argpartition(-sims, kk - 1)[:kk]
+        return pa.table({"vec_id": pa.array(ids[top], pa.int64()),
+                         "sim": pa.array(sims[top], pa.float64())})
+
+    parts = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+             .map_batches(partial, batch_format="pyarrow", batch_size=4096))
+    t = pa.concat_tables(arrow_blocks(parts))
+    v = t.column("vec_id").to_numpy()
+    s = t.column("sim").to_numpy()
+    order = np.lexsort((v, -s))[:k]  # sim desc, vec_id asc
+    return [int(x) for x in v[order]]
+
+
+def hybrid_search(sf_dir: str, term: str = "merge",
+                  query_vec_id: int = 0, k: int = 50,
+                  rrf_k: int = RRF_K, topn: int = 10) -> pa.Table:
+    """Fuse the term query's top-``k`` (relevance-ordered, ties by
+    doc_id) with the cosine top-``k`` around ``query_vec_id``'s
+    embedding; return the RRF top-``topn`` as (doc_id, rrf)."""
+    from ..pipelines import documents_index, search
+
+    # over-fetch 2k by engine order, then rank on the 4dp-ROUNDED score
+    # with doc_id tie-break: the engine scores in f32, SQL in f64, and
+    # inside a rounded-tie group their ULP-level orderings differ — the
+    # rounded rank is the cross-engine-deterministic one (same contract
+    # as every oracled scored entry; exact as long as no tie group spans
+    # more than k positions, which vectors of distinct (tf, len) don't)
+    t = search(
+        documents_index(sf_dir),
+        f'find {{text: ~="{term}"}} order score() desc, .doc_id asc '
+        f"return score() limit {2 * k} ;")
+    pairs = sorted(
+        ((-round(float(s), 4), int(d))
+         for d, s in zip(t.column("doc_id").to_pylist(),
+                         t.column("score").to_pylist())))
+    text_rank = {d: r for r, (_, d) in enumerate(pairs[:k], 1)}
+    vec_rank = {d: r for r, d in
+                enumerate(_vector_topk(sf_dir, query_vec_id, k), 1)}
+
+    fused = []
+    for d in set(text_rank) | set(vec_rank):
+        tr, vr = text_rank.get(d), vec_rank.get(d)
+        rrf = ((1.0 / (rrf_k + tr) if tr else 0.0)
+               + (1.0 / (rrf_k + vr) if vr else 0.0))
+        fused.append((d, rrf))
+    fused.sort(key=lambda p: (-p[1], p[0]))
+    fused = fused[:topn]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+        "rrf": pa.array([round(s, 6) for _, s in fused], pa.float64()),
+    })

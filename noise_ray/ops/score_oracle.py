@@ -409,3 +409,38 @@ SELECT token, CAST(dist AS BIGINT) AS dist, CAST(cf AS BIGINT) AS cf
 FROM cand WHERE dist <= {max_dist}
 ORDER BY dist, cf DESC, token
 LIMIT {limit}"""
+
+
+def hybrid_rrf_sql(term: str, query_vec_id: int, k: int, rrf_k: int,
+                   topn: int, *, src: str = "documents",
+                   key: str = "doc_id") -> str:
+    """RRF fusion oracle (ops/hybrid.py): lexical rank = the single-term
+    4dp-ROUNDED score order (ties by id — ULP-level f32/f64 orderings
+    inside a tie group differ, the rounded rank is the deterministic
+    one), vector rank = cosine order around
+    ``query_vec_id``'s embedding (ties by id), fused score a fixed-order
+    two-term sum rounded to 6dp on both sides."""
+    return f"""
+WITH {_toks(src, key)},
+tf AS (SELECT {key}, count(*) AS tf FROM toks
+       WHERE tok = '{term}' GROUP BY {key}),
+tr AS (SELECT {key} AS doc_id, r FROM (
+         SELECT tf.{key},
+                row_number() OVER (
+                  ORDER BY ROUND(sqrt(tf.tf / CAST(lens.len AS DOUBLE)),
+                                 4) DESC,
+                           tf.{key}) AS r
+         FROM tf JOIN lens USING ({key})) WHERE r <= {k}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
+ar AS (SELECT vec_id AS doc_id, r FROM (
+         SELECT vec_id,
+                row_number() OVER (
+                  ORDER BY list_cosine_similarity(qe, embedding) DESC,
+                           vec_id) AS r
+         FROM embeddings, q WHERE vec_id != {query_vec_id}) WHERE r <= {k}),
+f AS (SELECT coalesce(tr.doc_id, ar.doc_id) AS doc_id,
+             coalesce(1.0/({rrf_k}+tr.r), 0)
+             + coalesce(1.0/({rrf_k}+ar.r), 0) AS rrf
+      FROM tr FULL OUTER JOIN ar ON tr.doc_id = ar.doc_id)
+SELECT doc_id, ROUND(rrf, 6) AS rrf FROM f
+ORDER BY f.rrf DESC, doc_id LIMIT {topn}"""
