@@ -69,10 +69,16 @@ def _vector_topk(sf_dir: str, query_vec_id: int, k: int) -> list[int]:
 
 def hybrid_search(sf_dir: str, term: str = "merge",
                   query_vec_id: int = 0, k: int = 50,
-                  rrf_k: int = RRF_K, topn: int = 10) -> pa.Table:
+                  rrf_k: int = RRF_K, topn: int = 10, *,
+                  emb_dir: str | None = None,
+                  index_dir: str | None = None) -> pa.Table:
     """Fuse the term query's top-``k`` (relevance-ordered, ties by
     doc_id) with the cosine top-``k`` around ``query_vec_id``'s
-    embedding; return the RRF top-``topn`` as (doc_id, rrf)."""
+    embedding; return the RRF top-``topn`` as (doc_id, rrf).
+
+    ``emb_dir`` / ``index_dir`` override the table and index locations
+    for scale runs over the synthetic corpora (tools/scale_run.py);
+    defaults read both from ``sf_dir``."""
     from ..pipelines import documents_index, search
 
     # over-fetch 2k by engine order, then rank on the 4dp-ROUNDED score
@@ -81,8 +87,14 @@ def hybrid_search(sf_dir: str, term: str = "merge",
     # rounded rank is the cross-engine-deterministic one (same contract
     # as every oracled scored entry; exact as long as no tie group spans
     # more than k positions, which vectors of distinct (tf, len) don't)
+    if index_dir is not None:
+        from ..query import IndexReader
+
+        reader = IndexReader(index_dir)
+    else:
+        reader = documents_index(sf_dir)
     t = search(
-        documents_index(sf_dir),
+        reader,
         f'find {{text: ~="{term}"}} order score() desc, .doc_id asc '
         f"return score() limit {2 * k} ;")
     pairs = sorted(
@@ -91,7 +103,8 @@ def hybrid_search(sf_dir: str, term: str = "merge",
                          t.column("score").to_pylist())))
     text_rank = {d: r for r, (_, d) in enumerate(pairs[:k], 1)}
     vec_rank = {d: r for r, d in
-                enumerate(_vector_topk(sf_dir, query_vec_id, k), 1)}
+                enumerate(_vector_topk(emb_dir or sf_dir,
+                                       query_vec_id, k), 1)}
 
     fused = []
     for d in set(text_rank) | set(vec_rank):
