@@ -175,6 +175,15 @@ def _lifecycle_compact(sf_dir: str):
     return _round4(t.select(["conv_id", "turn_idx", "score"]))
 
 
+def _ann_ivf_indexed(sf_dir: str):
+    """ann_ivf through the PERSISTENT IVF-partitioned vector index
+    (build once, query reads only probed lists — build/vector_index.py);
+    bit-identical to ann_ivf, so it shares ann_ivf_sql."""
+    from noise_ray.build.vector_index import ann_ivf_indexed
+
+    return ann_ivf_indexed(sf_dir)
+
+
 def _hybrid_search(sf_dir: str):
     """BM25-style term top-k + embedding-cosine top-k fused by
     reciprocal-rank fusion (ops/hybrid.py); exact SQL oracle because RRF
@@ -380,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk_bruteforce,
         "ann_bucketed": similarity.ann_bucketed,
         "ann_ivf": similarity.ann_ivf,
+        "ann_ivf_indexed": _ann_ivf_indexed,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "semdedup": similarity.semdedup,
         "pca_project": pca.pca_project,
@@ -618,6 +628,10 @@ def oracle_sql() -> dict[str, str]:
         "langid": _sqlgen().langid_sql(),
         "ann_bucketed": _sqlgen().ann_bucketed_sql(),
         "ann_ivf": _sqlgen().ann_ivf_sql(),
+        # the persistent-index path reproduces ann_ivf exactly, so it
+        # shares the oracle (build/vector_index.py; pruning proven in
+        # tests/test_vector_index.py by deleting unprobed lists)
+        "ann_ivf_indexed": _sqlgen().ann_ivf_sql(),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
             c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),

@@ -29,28 +29,57 @@ from .similarity import embed_matrix
 RRF_K = 60  # the paper's (and industry-default) rank damping constant
 
 
-def _vector_topk(sf_dir: str, query_vec_id: int, k: int) -> list[int]:
+def _vector_topk(sf_dir: str, query_vec_id: int, k: int, *,
+                 bucketed: bool = False, n_planes: int = 6,
+                 n_tables: int = 4, seed: int = 777) -> list[int]:
     """Cosine top-k vec_ids against one broadcast query vector (the
-    corpus embedding of ``query_vec_id``; the query itself excluded)."""
+    corpus embedding of ``query_vec_id``; the query itself excluded).
+
+    ``bucketed=True`` routes through the same hamming<=1 hyperplane-LSH
+    multiprobe plan as ops/similarity.ann_bucketed — each task scores
+    only the corpus vectors sharing a probed bucket with the query in
+    some table, the 100 TB scale path for the vector side."""
     import pyarrow.parquet as pq
+
+    from .similarity import hyperplane_keys, rademacher_tables
 
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
                        columns=["vec_id", "embedding"],
                        filters=[("vec_id", "==", query_vec_id)])
     q = embed_matrix(qt.column("embedding"))[0]
     qn = q / max(np.linalg.norm(q), 1e-30)
-    q_ref = ray.put(qn)
+    tables = None
+    probe: set | None = None
+    if bucketed:
+        tables = rademacher_tables(n_tables, n_planes, qn.size, seed)
+        probe = set()
+        for ti, planes in enumerate(tables):
+            key = int(hyperplane_keys(qn[None, :], planes)[0])
+            probe.add((ti, key))
+            probe.update((ti, key ^ (1 << p)) for p in range(n_planes))
+    q_ref = ray.put((qn, tables, probe))
 
     def partial(batch: pa.Table) -> pa.Table:
-        qv = ray.get(q_ref)
+        qv, tables, probe = ray.get(q_ref)
         ids = batch.column("vec_id").to_numpy()
         keep = ids != query_vec_id
         ids = ids[keep]
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
         if not ids.size:
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
+            return empty
         m = embed_matrix(batch.column("embedding"))[keep]
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        if tables is not None:
+            cand = np.zeros(ids.size, bool)
+            for ti, planes in enumerate(tables):
+                keys = hyperplane_keys(mn, planes)
+                for b in np.unique(keys):
+                    if (ti, int(b)) in probe:
+                        cand |= keys == b
+            if not cand.any():
+                return empty
+            ids, mn = ids[cand], mn[cand]
         sims = mn @ qv
         kk = min(k, ids.size)
         top = np.argpartition(-sims, kk - 1)[:kk]
@@ -71,14 +100,17 @@ def hybrid_search(sf_dir: str, term: str = "merge",
                   query_vec_id: int = 0, k: int = 50,
                   rrf_k: int = RRF_K, topn: int = 10, *,
                   emb_dir: str | None = None,
-                  index_dir: str | None = None) -> pa.Table:
+                  index_dir: str | None = None,
+                  vector: str = "brute") -> pa.Table:
     """Fuse the term query's top-``k`` (relevance-ordered, ties by
     doc_id) with the cosine top-``k`` around ``query_vec_id``'s
     embedding; return the RRF top-``topn`` as (doc_id, rrf).
 
     ``emb_dir`` / ``index_dir`` override the table and index locations
     for scale runs over the synthetic corpora (tools/scale_run.py);
-    defaults read both from ``sf_dir``."""
+    defaults read both from ``sf_dir``.  ``vector="bucketed"`` swaps the
+    vector side's exact scan for the LSH multiprobe plan (approximate —
+    lossy where the fused list depends on vectors the probe misses)."""
     from ..pipelines import documents_index, search
 
     # over-fetch 2k by engine order, then rank on the 4dp-ROUNDED score
@@ -103,8 +135,8 @@ def hybrid_search(sf_dir: str, term: str = "merge",
                          t.column("score").to_pylist())))
     text_rank = {d: r for r, (_, d) in enumerate(pairs[:k], 1)}
     vec_rank = {d: r for r, d in
-                enumerate(_vector_topk(emb_dir or sf_dir,
-                                       query_vec_id, k), 1)}
+                enumerate(_vector_topk(emb_dir or sf_dir, query_vec_id, k,
+                                       bucketed=vector == "bucketed"), 1)}
 
     fused = []
     for d in set(text_rank) | set(vec_rank):

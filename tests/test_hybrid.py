@@ -67,3 +67,18 @@ def test_hybrid_candidate_set_is_union_of_sides(ray_session):
     full = _reference_rrf(topn=10_000)
     assert got.num_rows == len(full) <= 100  # <= 2k candidates
     assert got.column("doc_id").to_pylist() == [d for d, _ in full]
+
+
+def test_hybrid_bucketed_overlaps_brute(ray_session):
+    """The LSH-routed vector side is approximate; the fused top-10 must
+    still share most members with the exact hybrid (the lexical side is
+    identical, so divergence is bounded by vector-side recall)."""
+    from noise_ray.ops.hybrid import hybrid_search
+
+    exact = set(hybrid_search(SF).column("doc_id").to_pylist())
+    approx_t = hybrid_search(SF, vector="bucketed")
+    approx = set(approx_t.column("doc_id").to_pylist())
+    assert len(approx_t) == len(approx) == 10
+    # near-uniform synthetic vectors are the LSH worst case; >= 0.5
+    # overlap matches the pinned ann_bucketed recall on this fixture
+    assert len(exact & approx) >= 5, (sorted(exact), sorted(approx))

@@ -1,0 +1,87 @@
+"""IVF-partitioned vector index (build/vector_index.py): the indexed
+query path must reproduce ops/similarity.ann_ivf exactly, degrade to
+brute force at nprobe == n_centroids, and read ONLY probed lists."""
+
+import glob
+import os
+import shutil
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vec_index(ray_session, tmp_path_factory):
+    from noise_ray.build.vector_index import build_vector_index
+
+    d = str(tmp_path_factory.mktemp("vecidx"))
+    build_vector_index(f"{SF}/embeddings.parquet", d,
+                       n_centroids=32, reserve=5)
+    return d
+
+
+def test_indexed_equals_compute_pruned(ray_session, vec_index):
+    from noise_ray.build.vector_index import ann_ivf_indexed
+    from noise_ray.ops.similarity import ann_ivf
+
+    a = ann_ivf(SF).to_pandas()
+    b = ann_ivf_indexed(SF, index_dir=vec_index).to_pandas()
+    assert a.equals(b)
+
+
+def test_full_probe_equals_bruteforce(ray_session, vec_index):
+    from noise_ray.build.vector_index import ann_ivf_indexed
+    from noise_ray.ops.similarity import ann_topk_bruteforce
+
+    a = ann_topk_bruteforce(SF).to_pandas()
+    b = ann_ivf_indexed(SF, nprobe=32, index_dir=vec_index).to_pandas()
+    assert a.equals(b)
+
+
+def test_partition_layout_and_coverage(vec_index):
+    import json
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(vec_index, "vector_manifest.json")) as f:
+        man = json.load(f)
+    files = sorted(glob.glob(os.path.join(vec_index, "lists/*.parquet")))
+    assert len(files) == len(man["lists"]) > 1
+    total = sum(pq.read_metadata(p).num_rows for p in files)
+    src = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert total == src  # every vector landed in exactly one list
+    assert sum(d["rows"] for d in man["lists"]) == total
+
+
+def test_query_reads_only_probed_lists(ray_session, vec_index, tmp_path):
+    """Delete every list file a query does NOT probe; the result must be
+    unchanged — proof the read is pruned to the probe set."""
+    import json
+
+    import numpy as np
+
+    from noise_ray.build.vector_index import ann_ivf_indexed, ivf_query
+    from noise_ray.ops.similarity import _load_queries
+
+    before = ann_ivf_indexed(SF, index_dir=vec_index).to_pandas()
+
+    work = str(tmp_path / "pruned")
+    shutil.copytree(vec_index, work)
+    with open(os.path.join(work, "vector_manifest.json")) as f:
+        man = json.load(f)
+    cn = np.asarray(man["centroids"])
+    qids, qn = _load_queries(SF, 5)
+    csims = qn @ cn.T
+    probed = set()
+    for qi in range(qn.shape[0]):
+        probed.update(int(x) for x in
+                      np.lexsort((np.arange(cn.shape[0]), -csims[qi]))[:4])
+    removed = 0
+    for d in man["lists"]:
+        if d["list"] not in probed:
+            os.remove(os.path.join(work, d["path"]))
+            removed += 1
+    assert removed > 0  # the probe sets must not cover everything
+    after = ann_ivf_indexed(SF, index_dir=work).to_pandas()
+    assert before.equals(after)
