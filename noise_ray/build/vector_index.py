@@ -104,7 +104,8 @@ def build_vector_index(emb_path: str, out_dir: str, *,
 
 def ivf_query(index_dir: str, queries: np.ndarray, qids: np.ndarray,
               k: int = 10, nprobe: int = 4,
-              exclude_below: int = 0) -> pa.Table:
+              exclude_below: int = 0,
+              exclude_id: int | None = None) -> pa.Table:
     """Cosine top-k per (normalized) query row, reading ONLY the
     ``nprobe`` probed lists' files per query.  Output (query_id, rank,
     vec_id) — identical to ``ops/similarity.ann_ivf`` for the same
@@ -129,6 +130,8 @@ def ivf_query(index_dir: str, queries: np.ndarray, qids: np.ndarray,
         qn, probes = ray.get(plan_ref)
         ids = batch.column("vec_id").to_numpy()
         keep = ids >= exclude_below
+        if exclude_id is not None:
+            keep &= ids != exclude_id
         empty = pa.table({"query_id": pa.array([], pa.int64()),
                           "vec_id": pa.array([], pa.int64()),
                           "sim": pa.array([], pa.float64())})

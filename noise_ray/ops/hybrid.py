@@ -96,12 +96,42 @@ def _vector_topk(sf_dir: str, query_vec_id: int, k: int, *,
     return [int(x) for x in v[order]]
 
 
+def _vector_topk_ivf(emb_dir: str, query_vec_id: int, k: int,
+                     vec_index_dir: str | None,
+                     n_centroids: int = 32, nprobe: int = 4) -> list[int]:
+    """Vector side through the persistent IVF index: only the probed
+    lists' files are opened (build/vector_index.py)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..build.vector_index import (MANIFEST, build_vector_index,
+                                      ivf_query)
+
+    if vec_index_dir is None:
+        base = os.environ.get("NOISE_RAY_CACHE", "/tmp/noise_ray_cache")
+        tag = os.path.basename(os.path.normpath(emb_dir))
+        vec_index_dir = os.path.join(base, f"vecidx-{tag}-{n_centroids}-0")
+    if not os.path.exists(os.path.join(vec_index_dir, MANIFEST)):
+        build_vector_index(f"{emb_dir}/embeddings.parquet", vec_index_dir,
+                           n_centroids=n_centroids)
+    qt = pq.read_table(f"{emb_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", query_vec_id)])
+    q = embed_matrix(qt.column("embedding"))
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    t = ivf_query(vec_index_dir, qn, np.asarray([query_vec_id]), k=k,
+                  nprobe=nprobe, exclude_id=query_vec_id)
+    return [int(v) for v in t.column("vec_id").to_pylist()]
+
+
 def hybrid_search(sf_dir: str, term: str = "merge",
                   query_vec_id: int = 0, k: int = 50,
                   rrf_k: int = RRF_K, topn: int = 10, *,
                   emb_dir: str | None = None,
                   index_dir: str | None = None,
-                  vector: str = "brute") -> pa.Table:
+                  vector: str = "brute",
+                  vec_index_dir: str | None = None) -> pa.Table:
     """Fuse the term query's top-``k`` (relevance-ordered, ties by
     doc_id) with the cosine top-``k`` around ``query_vec_id``'s
     embedding; return the RRF top-``topn`` as (doc_id, rrf).
@@ -110,7 +140,12 @@ def hybrid_search(sf_dir: str, term: str = "merge",
     for scale runs over the synthetic corpora (tools/scale_run.py);
     defaults read both from ``sf_dir``.  ``vector="bucketed"`` swaps the
     vector side's exact scan for the LSH multiprobe plan (approximate —
-    lossy where the fused list depends on vectors the probe misses)."""
+    lossy where the fused list depends on vectors the probe misses);
+    ``vector="ivf"`` routes it through the PERSISTENT IVF-partitioned
+    vector index (build/vector_index.py — reads only the ``nprobe``
+    probed lists off disk, the repeat-query scale path;
+    ``vec_index_dir`` reuses an existing index, else one is built and
+    cached per (corpus, n_centroids))."""
     from ..pipelines import documents_index, search
 
     # over-fetch 2k by engine order, then rank on the 4dp-ROUNDED score
@@ -134,9 +169,13 @@ def hybrid_search(sf_dir: str, term: str = "merge",
          for d, s in zip(t.column("doc_id").to_pylist(),
                          t.column("score").to_pylist())))
     text_rank = {d: r for r, (_, d) in enumerate(pairs[:k], 1)}
-    vec_rank = {d: r for r, d in
-                enumerate(_vector_topk(emb_dir or sf_dir, query_vec_id, k,
-                                       bucketed=vector == "bucketed"), 1)}
+    if vector == "ivf":
+        vec_ids = _vector_topk_ivf(emb_dir or sf_dir, query_vec_id, k,
+                                   vec_index_dir)
+    else:
+        vec_ids = _vector_topk(emb_dir or sf_dir, query_vec_id, k,
+                               bucketed=vector == "bucketed")
+    vec_rank = {d: r for r, d in enumerate(vec_ids, 1)}
 
     fused = []
     for d in set(text_rank) | set(vec_rank):

@@ -82,3 +82,16 @@ def test_hybrid_bucketed_overlaps_brute(ray_session):
     # near-uniform synthetic vectors are the LSH worst case; >= 0.5
     # overlap matches the pinned ann_bucketed recall on this fixture
     assert len(exact & approx) >= 5, (sorted(exact), sorted(approx))
+
+
+def test_hybrid_ivf_overlaps_brute(ray_session, tmp_path):
+    """IVF-routed vector side: nprobe < n_centroids is approximate, so
+    pin overlap with the exact hybrid like the bucketed variant."""
+    from noise_ray.ops.hybrid import hybrid_search
+
+    exact = set(hybrid_search(SF).column("doc_id").to_pylist())
+    approx = set(hybrid_search(
+        SF, vector="ivf",
+        vec_index_dir=str(tmp_path / "vecidx")).column("doc_id").to_pylist())
+    assert len(approx) == 10
+    assert len(exact & approx) >= 5, (sorted(exact), sorted(approx))
