@@ -102,6 +102,76 @@ def build_vector_index(emb_path: str, out_dir: str, *,
     return manifest
 
 
+def add_vectors(index_dir: str, emb_path: str) -> dict:
+    """Append new vectors to an existing IVF index as an EPOCH: each new
+    vector is assigned with the INDEX'S OWN centroids (frozen at build —
+    the IVF invariant that keeps old lists valid), and every touched list
+    gains one epoch file next to its base file.  Queries read all files
+    of a probed list, so appended vectors are visible immediately; no
+    existing file is rewritten.  Mirrors the text index's epoch adds
+    (build/incremental.py) minus upsert semantics — vec_ids are assumed
+    append-only, like doc_ids."""
+    from ..ops.similarity import embed_matrix
+
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        man = json.load(f)
+    cn = np.asarray(man["centroids"], np.float64)
+    cn_ref = ray.put(cn)
+    epoch = int(man.get("epochs", 0)) + 1
+    lists_dir = os.path.join(index_dir, "lists")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cn_ref)
+        m = embed_matrix(batch.column("embedding"))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return batch.append_column(
+            "list", pa.array(_assign(mn, c).astype(np.int64), pa.int64()))
+
+    def write_epoch_list(group: pa.Table) -> pa.Table:
+        li = int(group.column("list")[0].as_py())
+        path = os.path.join(lists_dir,
+                            f"list-{li:05d}-epoch{epoch:04d}.parquet")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(group.sort_by("vec_id"), tmp, row_group_size=65536)
+        os.replace(tmp, path)
+        return pa.table({"list": pa.array([li], pa.int64()),
+                         "rows": pa.array([group.num_rows], pa.int64())})
+
+    stats = (ray.data.read_parquet(emb_path,
+                                   columns=["vec_id", "embedding"])
+             .map_batches(assign, batch_format="pyarrow")
+             .groupby("list")
+             .map_groups(write_epoch_list, batch_format="pyarrow")
+             .take_all())
+    by_list = {d["list"]: d for d in man["lists"]}
+    for r in stats:
+        li = int(r["list"])
+        entry = by_list.get(li)
+        if entry is None:
+            entry = by_list[li] = {"list": li, "rows": 0, "path": None,
+                                   "epoch_paths": []}
+            man["lists"].append(entry)
+        entry.setdefault("epoch_paths", []).append(
+            f"lists/list-{li:05d}-epoch{epoch:04d}.parquet")
+        entry["rows"] = int(entry["rows"]) + int(r["rows"])
+    man["lists"].sort(key=lambda d: d["list"])
+    man["epochs"] = epoch
+    tmp = os.path.join(index_dir, f"{MANIFEST}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST))
+    return man
+
+
+def _list_paths(index_dir: str, entry: dict) -> list[str]:
+    paths = []
+    if entry.get("path"):
+        paths.append(os.path.join(index_dir, entry["path"]))
+    paths.extend(os.path.join(index_dir, p)
+                 for p in entry.get("epoch_paths", []))
+    return paths
+
+
 def ivf_query(index_dir: str, queries: np.ndarray, qids: np.ndarray,
               k: int = 10, nprobe: int = 4,
               exclude_below: int = 0,
@@ -118,9 +188,9 @@ def ivf_query(index_dir: str, queries: np.ndarray, qids: np.ndarray,
         np.lexsort((np.arange(cn.shape[0]), -csims[qi]))[:nprobe]
         for qi in range(queries.shape[0])])
     needed = sorted({int(li) for row in probes for li in row})
-    by_list = {d["list"]: d["path"] for d in man["lists"]}
-    paths = [os.path.join(index_dir, by_list[li])
-             for li in needed if li in by_list]
+    by_list = {d["list"]: d for d in man["lists"]}
+    paths = [p for li in needed if li in by_list
+             for p in _list_paths(index_dir, by_list[li])]
     plan_ref = ray.put((queries, probes))
 
     from ..ops.collect import arrow_blocks

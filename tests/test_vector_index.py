@@ -85,3 +85,42 @@ def test_query_reads_only_probed_lists(ray_session, vec_index, tmp_path):
     assert removed > 0  # the probe sets must not cover everything
     after = ann_ivf_indexed(SF, index_dir=work).to_pandas()
     assert before.equals(after)
+
+
+def test_add_vectors_epoch_visible_and_equal_to_rebuild(ray_session,
+                                                        tmp_path):
+    """Epoch-append new vectors, then compare the probed query against a
+    fresh index built over the concatenated corpus — same centroids
+    (frozen at the base build) must give identical results."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from noise_ray.build.vector_index import (add_vectors,
+                                              build_vector_index, ivf_query)
+    from noise_ray.ops.similarity import _load_queries
+
+    base_t = pq.read_table(f"{SF}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    half = base_t.num_rows // 2
+    p0 = str(tmp_path / "base.parquet")
+    p1 = str(tmp_path / "delta.parquet")
+    pq.write_table(base_t.slice(0, half), p0)
+    pq.write_table(base_t.slice(half), p1)
+
+    inc = str(tmp_path / "inc")
+    build_vector_index(p0, inc, n_centroids=16, reserve=5)
+    man = add_vectors(inc, p1)
+    assert man["epochs"] == 1
+    assert sum(d["rows"] for d in man["lists"]) == base_t.num_rows
+
+    full = str(tmp_path / "full")
+    build_vector_index(f"{SF}/embeddings.parquet", full,
+                       n_centroids=16, reserve=5)
+
+    qids, qn = _load_queries(SF, 5)
+    a = ivf_query(inc, qn, qids, k=10, nprobe=3,
+                  exclude_below=5).to_pandas()
+    b = ivf_query(full, qn, qids, k=10, nprobe=3,
+                  exclude_below=5).to_pandas()
+    assert a.equals(b) and len(a) == 50
