@@ -163,6 +163,59 @@ def add_vectors(index_dir: str, emb_path: str) -> dict:
     return man
 
 
+def compact_vector_index(index_dir: str) -> dict:
+    """Fold every list's epoch files back into its base file (one map
+    task per touched list — reads that list's files, rewrites one sorted
+    file, atomic rename; untouched lists are left alone).  Query results
+    are unchanged by construction (same rows, same assignment); the
+    epoch counter resets."""
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        man = json.load(f)
+    touched = [d for d in man["lists"] if d.get("epoch_paths")]
+    if not touched:
+        return man
+    lists_dir = os.path.join(index_dir, "lists")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        out = []
+        for li in batch.column("list").to_pylist():
+            li = int(li)
+            entry = next(d for d in man["lists"] if d["list"] == li)
+            parts = [pq.read_table(p)
+                     for p in _list_paths(index_dir, entry)]
+            merged = pa.concat_tables(parts).sort_by("vec_id")
+            path = os.path.join(lists_dir, f"list-{li:05d}.parquet")
+            tmp = f"{path}.tmp-{os.getpid()}"
+            pq.write_table(merged, tmp, row_group_size=65536)
+            os.replace(tmp, path)
+            out.append((li, merged.num_rows))
+        return pa.table({"list": pa.array([l for l, _ in out], pa.int64()),
+                         "rows": pa.array([n for _, n in out], pa.int64())})
+
+    stats = (ray.data.from_items([{"list": d["list"]} for d in touched],
+                                 override_num_blocks=len(touched))
+             .map_batches(fold, batch_format="pyarrow")
+             .take_all())
+    rows_by_list = {int(r["list"]): int(r["rows"]) for r in stats}
+    for d in man["lists"]:
+        if d["list"] in rows_by_list:
+            stale = d.get("epoch_paths", [])
+            d["path"] = f"lists/list-{d['list']:05d}.parquet"
+            d["rows"] = rows_by_list[d["list"]]
+            d["epoch_paths"] = []
+            for p in stale:  # GC only after the base rewrite landed
+                try:
+                    os.remove(os.path.join(index_dir, p))
+                except FileNotFoundError:
+                    pass
+    man["epochs"] = 0
+    tmp = os.path.join(index_dir, f"{MANIFEST}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST))
+    return man
+
+
 def _list_paths(index_dir: str, entry: dict) -> list[str]:
     paths = []
     if entry.get("path"):

@@ -124,3 +124,37 @@ def test_add_vectors_epoch_visible_and_equal_to_rebuild(ray_session,
     b = ivf_query(full, qn, qids, k=10, nprobe=3,
                   exclude_below=5).to_pandas()
     assert a.equals(b) and len(a) == 50
+
+
+def test_compact_vector_index(ray_session, tmp_path):
+    """After epoch-append + compaction: one file per list again, epoch
+    files gone, query results unchanged."""
+    import pyarrow.parquet as pq
+
+    from noise_ray.build.vector_index import (add_vectors,
+                                              build_vector_index,
+                                              compact_vector_index,
+                                              ivf_query)
+    from noise_ray.ops.similarity import _load_queries
+
+    base_t = pq.read_table(f"{SF}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    half = base_t.num_rows // 2
+    p0 = str(tmp_path / "base.parquet")
+    p1 = str(tmp_path / "delta.parquet")
+    pq.write_table(base_t.slice(0, half), p0)
+    pq.write_table(base_t.slice(half), p1)
+    idx = str(tmp_path / "idx")
+    build_vector_index(p0, idx, n_centroids=16, reserve=5)
+    add_vectors(idx, p1)
+
+    qids, qn = _load_queries(SF, 5)
+    before = ivf_query(idx, qn, qids, k=10, nprobe=3,
+                       exclude_below=5).to_pandas()
+    man = compact_vector_index(idx)
+    assert man["epochs"] == 0
+    assert not glob.glob(os.path.join(idx, "lists/*epoch*"))
+    assert all(not d["epoch_paths"] for d in man["lists"])
+    after = ivf_query(idx, qn, qids, k=10, nprobe=3,
+                      exclude_below=5).to_pandas()
+    assert before.equals(after)
