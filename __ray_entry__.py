@@ -184,6 +184,15 @@ def _ann_ivf_indexed(sf_dir: str):
     return ann_ivf_indexed(sf_dir)
 
 
+def _bm25_topk(sf_dir: str):
+    """Okapi BM25 top-k straight off the inverted index (ops/bm25.py):
+    per-posting tf + field length, manifest corpus stats, no extra
+    corpus pass; exact 4dp oracle (ops/score_oracle.bm25_topk_sql)."""
+    from noise_ray.ops.bm25 import bm25_topk
+
+    return bm25_topk(sf_dir)
+
+
 def _hybrid_search(sf_dir: str):
     """BM25-style term top-k + embedding-cosine top-k fused by
     reciprocal-rank fusion (ops/hybrid.py); exact SQL oracle because RRF
@@ -335,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "return {src: group(.source), n: count()} ;",
             columns=("src", "n")),
         "hybrid_search": _hybrid_search,
+        "bm25_topk": _bm25_topk,
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
             "return score() limit 20 ;",
@@ -514,6 +524,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents JOIN m USING (doc_id) GROUP BY source""",
         "hybrid_search": _score_oracle().hybrid_rrf_sql(
             "merge", 0, 50, 60, 10),
+        "bm25_topk": _score_oracle().bm25_topk_sql(
+            ("merge", "scan"), 20, 1.2, 0.75),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),
         "search_phrase_topk": _score_oracle().phrase_topk_sql(
             "row", "scan", 20),

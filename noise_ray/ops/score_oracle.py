@@ -444,3 +444,31 @@ f AS (SELECT coalesce(tr.doc_id, ar.doc_id) AS doc_id,
       FROM tr FULL OUTER JOIN ar ON tr.doc_id = ar.doc_id)
 SELECT doc_id, ROUND(rrf, 6) AS rrf FROM f
 ORDER BY f.rrf DESC, doc_id LIMIT {topn}"""
+
+
+def bm25_topk_sql(terms: tuple[str, ...], k: int, k1: float, b: float, *,
+                  src: str = "documents", key: str = "doc_id") -> str:
+    """Okapi BM25 oracle (ops/bm25.py): Lucene-style non-negative idf,
+    avgdl = total tokens / total docs (ALL docs, matching the engine's
+    manifest field_k / num_docs), score rounded to 4dp and ordered by
+    (rounded score desc, id) on both sides."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+tf AS (SELECT {key}, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({toks_in}) GROUP BY {key}, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+s AS (SELECT tf.{key},
+             sum(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                                    + {b} * lens.len / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf JOIN df USING (tok) JOIN lens USING ({key})
+      GROUP BY tf.{key})
+SELECT {key}, ROUND(score, 4) AS score FROM s
+ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
