@@ -219,6 +219,18 @@ class _RangeWorker:
 
         return _json_agg_range_impl(index_dir, q, lo, hi)
 
+    def bm25_df(self, index_dir, field, stemmed, lo, hi):
+        from ..ops.bm25 import bm25_df_range
+
+        return bm25_df_range(index_dir, field, stemmed, lo, hi)
+
+    def bm25_score(self, index_dir, field, stemmed, dfs, n_docs, avgdl,
+                   k1, b, k, lo, hi):
+        from ..ops.bm25 import bm25_score_range
+
+        return bm25_score_range(index_dir, field, stemmed, dfs, n_docs,
+                                avgdl, k1, b, k, lo, hi)
+
 
 _pool: list = []
 
