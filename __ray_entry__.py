@@ -193,6 +193,16 @@ def _bm25_topk(sf_dir: str):
     return bm25_topk(sf_dir)
 
 
+def _rerank_topk(sf_dir: str):
+    """Retrieve-then-rerank (ops/rerank.py): BM25 top-100 candidates off
+    the index, then a deterministic lexical-feature second stage (the
+    cross-encoder pipeline shape, honestly stubbed like the multimodal
+    decode); exact oracle (ops/score_oracle.rerank_topk_sql)."""
+    from noise_ray.ops.rerank import rerank_topk
+
+    return rerank_topk(sf_dir)
+
+
 def _hybrid_search(sf_dir: str):
     """BM25-style term top-k + embedding-cosine top-k fused by
     reciprocal-rank fusion (ops/hybrid.py); exact SQL oracle because RRF
@@ -345,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=("src", "n")),
         "hybrid_search": _hybrid_search,
         "bm25_topk": _bm25_topk,
+        "rerank_topk": _rerank_topk,
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
             "return score() limit 20 ;",
@@ -526,6 +537,8 @@ def oracle_sql() -> dict[str, str]:
             "merge", 0, 50, 60, 10),
         "bm25_topk": _score_oracle().bm25_topk_sql(
             ("merge", "scan"), 20, 1.2, 0.75),
+        "rerank_topk": _score_oracle().rerank_topk_sql(
+            ("merge", "scan"), 100, 10),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),
         "search_phrase_topk": _score_oracle().phrase_topk_sql(
             "row", "scan", 20),

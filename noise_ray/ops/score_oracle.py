@@ -472,3 +472,39 @@ s AS (SELECT tf.{key},
       GROUP BY tf.{key})
 SELECT {key}, ROUND(score, 4) AS score FROM s
 ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
+
+
+def rerank_topk_sql(terms: tuple[str, ...], k_retrieve: int, k_final: int,
+                    k1: float = 1.2, b: float = 0.75, *,
+                    src: str = "documents", key: str = "doc_id") -> str:
+    """Retrieve-then-rerank oracle (ops/rerank.py): the bm25_topk_sql
+    candidate cut, then the lexical feature rerank
+    (coverage*10 + tf_sum/len, 6dp) ordered (rerank desc, id)."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+tf AS (SELECT {key}, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({toks_in}) GROUP BY {key}, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+s AS (SELECT tf.{key},
+             sum(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                                    + {b} * lens.len / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf JOIN df USING (tok) JOIN lens USING ({key})
+      GROUP BY tf.{key}),
+cand AS (SELECT {key} FROM s
+         ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k_retrieve}),
+cov AS (SELECT {key}, count(DISTINCT tok) AS cov, count(*) AS tfsum
+        FROM toks WHERE tok IN ({toks_in}) GROUP BY {key}),
+r AS (SELECT cand.{key},
+             ROUND(coalesce(cov.cov, 0) * 10.0
+                   + coalesce(cov.tfsum, 0)
+                     / CAST(lens.len AS DOUBLE), 6) AS rerank
+      FROM cand LEFT JOIN cov USING ({key}) JOIN lens USING ({key}))
+SELECT {key}, rerank FROM r ORDER BY rerank DESC, {key} LIMIT {k_final}"""

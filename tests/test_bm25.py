@@ -67,3 +67,28 @@ def test_bm25_b_zero_removes_length_normalization(ray_session):
         by_score.setdefault(s, set()).add(cnt[d])
     for tf_set in by_score.values():
         assert len(tf_set) == 1  # equal score <=> equal tf
+
+
+def test_rerank_topk_two_stage(ray_session):
+    """Final docs must come from the BM25 candidate set, ordered by the
+    rerank feature (coverage-dominant), recomputed independently."""
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.ops.rerank import _rerank_score, rerank_topk
+
+    terms = ("merge", "scan")
+    cand = set(bm25_topk(SF, terms=terms,
+                         k=100).column("doc_id").to_pylist())
+    got = rerank_topk(SF, terms=terms, k_retrieve=100, k_final=10)
+    ids = got.column("doc_id").to_pylist()
+    scores = got.column("rerank").to_pylist()
+    assert set(ids) <= cand and len(ids) == 10
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(),
+                     t.column("text").to_pylist()))
+    expect = sorted(((d, round(_rerank_score(texts[d], terms), 6))
+                     for d in cand), key=lambda p: (-p[1], p[0]))[:10]
+    assert list(zip(ids, scores)) == expect
+    # coverage dominates: any doc with both terms outranks any with one
+    both = [s for s in scores if s >= 20.0]
+    assert both == scores[:len(both)]
