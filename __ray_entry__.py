@@ -193,6 +193,15 @@ def _bm25_topk(sf_dir: str):
     return bm25_topk(sf_dir)
 
 
+def _bm25_filtered(sf_dir: str):
+    """Filtered BM25 (the bool-query shape): the engine's own filter
+    machinery computes the allowed set, BM25 ranks inside it with
+    corpus-wide idf/avgdl (ops/bm25.py filter_query)."""
+    from noise_ray.ops.bm25 import bm25_topk
+
+    return bm25_topk(sf_dir, filter_query='find {lang: =="en"} ;')
+
+
 def _rerank_topk(sf_dir: str):
     """Retrieve-then-rerank (ops/rerank.py): BM25 top-100 candidates off
     the index, then a deterministic lexical-feature second stage (the
@@ -355,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=("src", "n")),
         "hybrid_search": _hybrid_search,
         "bm25_topk": _bm25_topk,
+        "bm25_filtered": _bm25_filtered,
         "rerank_topk": _rerank_topk,
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
@@ -537,6 +547,8 @@ def oracle_sql() -> dict[str, str]:
             "merge", 0, 50, 60, 10),
         "bm25_topk": _score_oracle().bm25_topk_sql(
             ("merge", "scan"), 20, 1.2, 0.75),
+        "bm25_filtered": _score_oracle().bm25_topk_sql(
+            ("merge", "scan"), 20, 1.2, 0.75, where="lang = 'en'"),
         "rerank_topk": _score_oracle().rerank_topk_sql(
             ("merge", "scan"), 100, 10),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),

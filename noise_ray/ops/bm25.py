@@ -56,12 +56,19 @@ def _field_total_tokens(reader, fid: int) -> float:
 def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
               k: int = 20, k1: float = 1.2, b: float = 0.75,
               field: str = "text", *,
-              index_dir: str | None = None) -> pa.Table:
+              index_dir: str | None = None,
+              filter_query: str | None = None) -> pa.Table:
     """BM25 top-``k`` over the documents index for a bag of ``terms``
     (terms must be their own stem on this corpus, like every term-oracle
     entry).  Returns (doc_id, score) with score rounded to 4dp.
     ``index_dir`` points at any flat index (e.g. the 22M transcript one)
-    instead of the per-sf documents index."""
+    instead of the per-sf documents index.  ``filter_query`` is a
+    filter-only noise query (e.g. ``'find {lang: =="en"} ;'``) narrowing
+    the scored set — the filter+relevance "bool query" shape; the
+    engine's own filter machinery (postings, zone maps, tombstones)
+    computes the allowed set, BM25 ranks only inside it.  IDF statistics
+    stay CORPUS-wide (the standard filtered-search semantics: a filter
+    narrows candidates, it does not re-weight terms)."""
     from ..query.engine import _stem_one
     from ..pipelines import documents_index
 
@@ -80,7 +87,7 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
     stemmed = [_stem_one(t) for t in terms]
     if index_dir is not None and reader.num_docs >= 5_000_000:
         return _bm25_distributed(index_dir, reader, stemmed, field,
-                                 k, k1, b, n_docs, avgdl)
+                                 k, k1, b, n_docs, avgdl, filter_query)
 
     dfs = {}
     pls = {}
@@ -92,9 +99,25 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
     uniq, r4 = _fold_scores(
         [(pls[t].docs, pls[t].tfs, pls[t].lens, dfs[t]) for t in pls],
         n_docs, avgdl, k1, b, reader.tombstones)
+    if filter_query is not None:
+        allowed = _allowed_docs(reader, filter_query, None)
+        m = np.isin(uniq, allowed)
+        uniq, r4 = uniq[m], r4[m]
     top = np.lexsort((uniq, -r4))[:k]  # rounded score desc, doc_id asc
     return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
                      "score": pa.array(r4[top], pa.float64())})
+
+
+def _allowed_docs(reader, filter_query: str, doc_range):
+    """Matched doc set of a filter-only noise query (the engine's own
+    filter machinery: postings, zone maps, tombstones)."""
+    from ..query.engine import CompiledQuery
+    from ..query.parser import parse_query
+
+    q = parse_query(filter_query)
+    if q.order or q.limit is not None:
+        raise ValueError("bm25 filter_query must be filter-only")
+    return CompiledQuery(reader, q.filter, doc_range=doc_range).evaluate().docs
 
 
 def _fold_scores(term_parts, n_docs, avgdl, k1, b, tomb):
@@ -148,7 +171,8 @@ def bm25_df_range(index_dir: str, field: str, stemmed: list[str],
 
 def bm25_score_range(index_dir: str, field: str, stemmed: list[str],
                      dfs: list[float], n_docs: float, avgdl: float,
-                     k1: float, b: float, k: int, lo: int, hi: int):
+                     k1: float, b: float, k: int, lo: int, hi: int,
+                     filter_query: str | None = None):
     """Phase-2 worker body: score one doc range, return its local top-k
     by (rounded score desc, doc_id asc) — a doc outside its range's
     top-k is beaten by >= k docs of that range alone, so the union of
@@ -167,13 +191,18 @@ def bm25_score_range(index_dir: str, field: str, stemmed: list[str],
             parts.append((pl.docs[m], pl.tfs[m], pl.lens[m], df))
     uniq, r4 = _fold_scores(parts, n_docs, avgdl, k1, b,
                             reader.tombstones)
+    if filter_query is not None:
+        allowed = _allowed_docs(reader, filter_query, (lo, hi))
+        m = np.isin(uniq, allowed)
+        uniq, r4 = uniq[m], r4[m]
     top = np.lexsort((uniq, -r4))[:k]
     return uniq[top], r4[top]
 
 
 def _bm25_distributed(index_dir: str, reader, stemmed: list[str],
                       field: str, k: int, k1: float, b: float,
-                      n_docs: float, avgdl: float) -> pa.Table:
+                      n_docs: float, avgdl: float,
+                      filter_query: str | None = None) -> pa.Table:
     import ray
 
     from ..query.distributed import worker_pool
@@ -193,7 +222,7 @@ def _bm25_distributed(index_dir: str, reader, stemmed: list[str],
     parts = ray.get([
         pool[i % len(pool)].bm25_score.remote(
             index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b, k,
-            lo, hi)
+            lo, hi, filter_query)
         for i, (lo, hi) in enumerate(ranges)])
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])

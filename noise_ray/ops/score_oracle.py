@@ -447,11 +447,17 @@ ORDER BY f.rrf DESC, doc_id LIMIT {topn}"""
 
 
 def bm25_topk_sql(terms: tuple[str, ...], k: int, k1: float, b: float, *,
-                  src: str = "documents", key: str = "doc_id") -> str:
+                  src: str = "documents", key: str = "doc_id",
+                  where: str | None = None) -> str:
     """Okapi BM25 oracle (ops/bm25.py): Lucene-style non-negative idf,
     avgdl = total tokens / total docs (ALL docs, matching the engine's
-    manifest field_k / num_docs), score rounded to 4dp and ordered by
-    (rounded score desc, id) on both sides."""
+    stats-sidecar total / num_docs), score rounded to 4dp and ordered by
+    (rounded score desc, id) on both sides.  ``where`` adds the filtered
+    "bool query" shape: candidates restricted to rows satisfying the
+    predicate, idf/avgdl stats staying corpus-wide like the engine."""
+    fil = (f",\nfil AS (SELECT {key} FROM {src} WHERE {where})"
+           if where else "")
+    fjoin = f"JOIN fil USING ({key})" if where else ""
     toks_in = ", ".join(f"'{t}'" for t in terms)
     return f"""
 WITH {_toks(src, key)},
@@ -470,7 +476,9 @@ s AS (SELECT tf.{key},
                  ) AS score
       FROM tf JOIN df USING (tok) JOIN lens USING ({key})
       GROUP BY tf.{key})
+{fil}
 SELECT {key}, ROUND(score, 4) AS score FROM s
+{fjoin}
 ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
 
 

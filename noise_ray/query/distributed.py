@@ -225,11 +225,11 @@ class _RangeWorker:
         return bm25_df_range(index_dir, field, stemmed, lo, hi)
 
     def bm25_score(self, index_dir, field, stemmed, dfs, n_docs, avgdl,
-                   k1, b, k, lo, hi):
+                   k1, b, k, lo, hi, filter_query=None):
         from ..ops.bm25 import bm25_score_range
 
         return bm25_score_range(index_dir, field, stemmed, dfs, n_docs,
-                                avgdl, k1, b, k, lo, hi)
+                                avgdl, k1, b, k, lo, hi, filter_query)
 
 
 _pool: list = []

