@@ -132,6 +132,23 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     out["export_sec"] = round(best, 3)
     out["export_docs_per_sec"] = round(n_exp / best, 1)
 
+    # retrieval stack over the documents/embeddings tables: Okapi BM25
+    # off the posting lists, retrieve-then-rerank, and RRF hybrid fusion
+    from noise_ray.ops.bm25 import bm25_topk as _bm25
+    from noise_ray.ops.hybrid import hybrid_search as _hybrid
+    from noise_ray.ops.rerank import rerank_topk as _rerank
+
+    for key, fn in (("bm25_query_sec", lambda: _bm25(SF_DIR)),
+                    ("rerank_query_sec", lambda: _rerank(SF_DIR)),
+                    ("hybrid_query_sec", lambda: _hybrid(SF_DIR))):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[key] = round(best, 3)
+
     # dedup signature throughput over the documents table (vectorized
     # MinHash stage, then the full LSH pipeline incl. banding + distinct)
     import pyarrow.parquet as pq
