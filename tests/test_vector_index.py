@@ -158,3 +158,28 @@ def test_compact_vector_index(ray_session, tmp_path):
     after = ivf_query(idx, qn, qids, k=10, nprobe=3,
                       exclude_below=5).to_pandas()
     assert before.equals(after)
+
+
+def test_build_resume_after_partial_failure(ray_session, tmp_path):
+    """Re-running build_vector_index after a simulated crash (manifest
+    missing, one list file gone) reproduces the same index and the same
+    query results — every write is tmp+rename idempotent and the
+    manifest publishes last."""
+    from noise_ray.build.vector_index import build_vector_index, ivf_query
+    from noise_ray.ops.similarity import _load_queries
+
+    idx = str(tmp_path / "idx")
+    build_vector_index(f"{SF}/embeddings.parquet", idx,
+                       n_centroids=16, reserve=5)
+    qids, qn = _load_queries(SF, 5)
+    before = ivf_query(idx, qn, qids, k=10, nprobe=3,
+                       exclude_below=5).to_pandas()
+
+    os.remove(os.path.join(idx, "vector_manifest.json"))
+    victim = sorted(glob.glob(os.path.join(idx, "lists/*.parquet")))[0]
+    os.remove(victim)
+    build_vector_index(f"{SF}/embeddings.parquet", idx,
+                       n_centroids=16, reserve=5)
+    after = ivf_query(idx, qn, qids, k=10, nprobe=3,
+                      exclude_below=5).to_pandas()
+    assert before.equals(after)
