@@ -202,6 +202,26 @@ def _bm25_filtered(sf_dir: str):
     return bm25_topk(sf_dir, filter_query='find {lang: =="en"} ;')
 
 
+def _bm25_and_topk(sf_dir: str):
+    """Conjunctive BM25 (posting-list INTERSECTION + block-max WAND, the
+    north rule's named access path): only docs matching every query term
+    rank; uncovered doc intervals are pruned without touching payload
+    bytes (ops/bm25.py mode="and")."""
+    from noise_ray.ops.bm25 import bm25_topk
+
+    return bm25_topk(sf_dir, mode="and")
+
+
+def _bm25_phrase(sf_dir: str):
+    """Phrase BM25 (the north rule reduces the reference suite to term
+    AND phrase BM25 queries): tf = exact phrase occurrence count via one
+    vectorized shifted-position set intersection over the positional
+    postings (ops/bm25.bm25_phrase_topk)."""
+    from noise_ray.ops.bm25 import bm25_phrase_topk
+
+    return bm25_phrase_topk(sf_dir, ("row", "scan"))
+
+
 def _rerank_topk(sf_dir: str):
     """Retrieve-then-rerank (ops/rerank.py): BM25 top-100 candidates off
     the index, then a deterministic lexical-feature second stage (the
@@ -365,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": _hybrid_search,
         "bm25_topk": _bm25_topk,
         "bm25_filtered": _bm25_filtered,
+        "bm25_and_topk": _bm25_and_topk,
+        "bm25_phrase": _bm25_phrase,
         "rerank_topk": _rerank_topk,
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
@@ -549,6 +571,10 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "scan"), 20, 1.2, 0.75),
         "bm25_filtered": _score_oracle().bm25_topk_sql(
             ("merge", "scan"), 20, 1.2, 0.75, where="lang = 'en'"),
+        "bm25_and_topk": _score_oracle().bm25_topk_sql(
+            ("merge", "scan"), 20, 1.2, 0.75, require_all=True),
+        "bm25_phrase": _score_oracle().bm25_phrase_topk_sql(
+            ("row", "scan"), 20),
         "rerank_topk": _score_oracle().rerank_topk_sql(
             ("merge", "scan"), 100, 10),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),

@@ -205,6 +205,7 @@ class TokenizeBatch:
                     e[3].extend(p)
         out = {k: [] for k in ("gkey", "field", "term", "min_doc", "max_doc",
                                "cnt", "c_block", "max_tf_norm",
+                               "max_tf", "min_len",
                                "docs", "tfs", "lens", "pos")}
         bsz = self.block_size
         for (fi, t), (docs, tfs, lens, pos) in acc.items():
@@ -245,6 +246,11 @@ class TokenizeBatch:
                     out["cnt"].append(hi - lo)
                     out["c_block"].append(int(p_hi - p_lo))
                     out["max_tf_norm"].append(float(tf_norm[lo:hi].max()))
+                    # BM25 block bounds: the kernel is increasing in tf and
+                    # decreasing in dl, so (max tf, min dl) upper-bounds any
+                    # posting's contribution (Lucene-impact-style skip data)
+                    out["max_tf"].append(int(tfs_np[lo:hi].max()))
+                    out["min_len"].append(int(lens_np[lo:hi].min()))
                     # pre-encode in the mapper: the wide shuffle moves varint
                     # bytes (~2B/posting), not int64 lists (~20B/posting)
                     out["docs"].append(encode_deltas(docs_np[lo:hi]))
@@ -263,6 +269,8 @@ class TokenizeBatch:
                 "cnt": pa.array(out["cnt"], pa.int32()),
                 "c_block": pa.array(out["c_block"], pa.int64()),
                 "max_tf_norm": pa.array(out["max_tf_norm"], pa.float32()),
+                "max_tf": pa.array(out["max_tf"], pa.int64()),
+                "min_len": pa.array(out["min_len"], pa.int64()),
                 "docs": pa.array(out["docs"], pa.binary()),
                 "tfs": pa.array(out["tfs"], pa.binary()),
                 "lens": pa.array(out["lens"], pa.binary()),
@@ -367,15 +375,19 @@ def _write_segment_group(group: pa.Table, seg_dir: str, stats_dir: str,
     })
 
     seg = ordered.select(["field", "term", "min_doc", "max_doc", "cnt",
-                          "c_block", "max_tf_norm", "docs", "tfs", "lens",
-                          "pos"]).rename_columns(
+                          "c_block", "max_tf_norm", "max_tf", "min_len",
+                          "docs", "tfs", "lens", "pos"]).rename_columns(
         ["field", "term", "min_doc", "max_doc", "cnt", "c_block",
-         "max_tf_norm", "docs", "tfs", "lens", "positions"])
+         "max_tf_norm", "max_tf", "min_len", "docs", "tfs", "lens",
+         "positions"])
     seg = seg.replace_schema_metadata(
         {"noise_gkey": str(gkey), "noise_postings": str(postings_total)})
     # commit order: stats first, segment last — segment presence ⇒ committed
     _atomic_write_table(stats, stats_path, row_group_size=8192)
-    _atomic_write_table(seg, out_path)
+    # small row groups: a block row is ~block_size×2B of payload, so 64
+    # rows ≈ 0.5 MB — per-block WAND payload fetches (min_doc filters)
+    # prune to one row group instead of re-reading the term's whole run
+    _atomic_write_table(seg, out_path, row_group_size=64)
     return _ack(gkey, out_path, stats_path, postings_total, field_k)
 
 

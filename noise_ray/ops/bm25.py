@@ -13,6 +13,26 @@ the corpus: scoring k terms touches k posting lists.
 non-negative variant) and
 ``score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
 
+Block-max WAND pruning (the north rule's access path): segment blocks
+carry ``(max_tf, min_len)`` skip metadata; because the BM25 kernel is
+increasing in tf and decreasing in dl, ``kernel(max_tf, min_len)``
+upper-bounds every posting in the block.  Doc space is cut into
+elementary intervals at the union of the query terms' block boundaries,
+each interval bounded by the sum of its covering blocks' bounds
+(conjunctive mode zeroes intervals missing any term — classic
+intersection pruning), and intervals are scored exactly in
+descending-bound order until the running k-th best rounded score
+exceeds every remaining bound.  Results are IDENTICAL to the exhaustive
+path: per-doc scoring is independent (a doc's every term contribution
+lands in its one covering interval), the same f64 kernels run over
+block slices in the same term order, and ties at the k-th rounded score
+are never pruned (SAFETY covers the 4dp rounding half-step).  Pruned
+term runs never even fetch their payload bytes (reader.LazyBlock
+lazy-loads per run) — at 10^12-doc scale this is the difference between
+decoding a stopword's whole posting list and touching the few blocks
+whose bound clears the threshold.  Pre-bounds segment files (older
+builds) fall back to exhaustive scoring automatically.
+
 Determinism: scores are f64, rounded to 4dp, ordered by (rounded score
 desc, doc_id asc) on BOTH sides — the same cross-engine contract as the
 other scored oracles (ops/score_oracle.py).
@@ -20,10 +40,23 @@ other scored oracles (ops/score_oracle.py).
 
 from __future__ import annotations
 
+import bisect
+import math
+
 import numpy as np
 import pyarrow as pa
 
 DEFAULT_TERMS = ("merge", "scan")
+
+_EMPTY_TOPK = None
+
+
+def _empty_topk() -> pa.Table:
+    global _EMPTY_TOPK
+    if _EMPTY_TOPK is None:
+        _EMPTY_TOPK = pa.table({"doc_id": pa.array([], pa.int64()),
+                                "score": pa.array([], pa.float64())})
+    return _EMPTY_TOPK
 
 
 def _field_total_tokens(reader, fid: int) -> float:
@@ -57,7 +90,10 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
               k: int = 20, k1: float = 1.2, b: float = 0.75,
               field: str = "text", *,
               index_dir: str | None = None,
-              filter_query: str | None = None) -> pa.Table:
+              filter_query: str | None = None,
+              mode: str = "or",
+              pruned: bool = True,
+              stats_out: dict | None = None) -> pa.Table:
     """BM25 top-``k`` over the documents index for a bag of ``terms``
     (terms must be their own stem on this corpus, like every term-oracle
     entry).  Returns (doc_id, score) with score rounded to 4dp.
@@ -68,10 +104,15 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
     engine's own filter machinery (postings, zone maps, tombstones)
     computes the allowed set, BM25 ranks only inside it.  IDF statistics
     stay CORPUS-wide (the standard filtered-search semantics: a filter
-    narrows candidates, it does not re-weight terms)."""
+    narrows candidates, it does not re-weight terms).  ``mode="and"``
+    keeps only docs matching EVERY query term (posting-list
+    intersection); scores are unchanged where defined.  ``pruned=False``
+    forces the exhaustive path (testing / older indexes)."""
     from ..query.engine import _stem_one
     from ..pipelines import documents_index
 
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if index_dir is not None:
         # version-keyed cache: repeat queries reuse the decoded stats
         # sidecar totals and posting caches instead of re-opening
@@ -84,10 +125,23 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
     fid = reader.field_id[field]
     avgdl = _field_total_tokens(reader, fid) / n_docs
 
-    stemmed = [_stem_one(t) for t in terms]
+    # dict.fromkeys: duplicate query terms collapse (a term scores once)
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
     if index_dir is not None and reader.num_docs >= 5_000_000:
         return _bm25_distributed(index_dir, reader, stemmed, field,
-                                 k, k1, b, n_docs, avgdl, filter_query)
+                                 k, k1, b, n_docs, avgdl, filter_query,
+                                 mode=mode)
+
+    allowed = (_allowed_docs(reader, filter_query, None)
+               if filter_query is not None else None)
+    if pruned:
+        res = _bm25_wand(reader, fid, stemmed, k, k1, b, n_docs, avgdl,
+                         allowed=allowed, mode=mode, stats_out=stats_out)
+        if res is not None:
+            uniq, r4 = res
+            top = np.lexsort((uniq, -r4))[:k]
+            return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
+                             "score": pa.array(r4[top], pa.float64())})
 
     dfs = {}
     pls = {}
@@ -96,11 +150,13 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
         if pl is not None and pl.docs.size:
             pls[t] = pl
             dfs[t] = float(pl.docs.size)
-    uniq, r4 = _fold_scores(
+    uniq, r4, cnts = _fold_scores(
         [(pls[t].docs, pls[t].tfs, pls[t].lens, dfs[t]) for t in pls],
         n_docs, avgdl, k1, b, reader.tombstones)
-    if filter_query is not None:
-        allowed = _allowed_docs(reader, filter_query, None)
+    if mode == "and":
+        m = cnts == len(stemmed)
+        uniq, r4 = uniq[m], r4[m]
+    if allowed is not None:
         m = np.isin(uniq, allowed)
         uniq, r4 = uniq[m], r4[m]
     top = np.lexsort((uniq, -r4))[:k]  # rounded score desc, doc_id asc
@@ -122,7 +178,8 @@ def _allowed_docs(reader, filter_query: str, doc_range):
 
 def _fold_scores(term_parts, n_docs, avgdl, k1, b, tomb):
     """Sum per-term BM25 contributions into per-doc 4dp scores.
-    ``term_parts`` = [(docs, tfs, lens, global_df)] in term order."""
+    ``term_parts`` = [(docs, tfs, lens, global_df)] in term order.
+    Returns (uniq_docs, rounded_scores, per-doc matched-term counts)."""
     all_docs, all_scores = [], []
     for docs_t, tfs, lens, df in term_parts:
         if not len(docs_t):
@@ -134,30 +191,237 @@ def _fold_scores(term_parts, n_docs, avgdl, k1, b, tomb):
         all_scores.append(idf * tf * (k1 + 1.0)
                           / (tf + k1 * (1.0 - b + b * dl / avgdl)))
     if not all_docs:
-        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        z = np.zeros(0, np.int64)
+        return z, np.zeros(0, np.float64), np.zeros(0, np.int64)
     docs = np.concatenate(all_docs)
     scores = np.concatenate(all_scores)
     order = np.argsort(docs, kind="stable")
     docs, scores = docs[order], scores[order]
     uniq, starts = np.unique(docs, return_index=True)
     summed = np.add.reduceat(scores, starts)
+    cnts = np.diff(np.append(starts, docs.size))
     if tomb is not None and tomb.size:
         live = ~np.isin(uniq, tomb)
-        uniq, summed = uniq[live], summed[live]
-    return uniq, np.round(summed, 4)
+        uniq, summed, cnts = uniq[live], summed[live], cnts[live]
+    return uniq, np.round(summed, 4), cnts
 
+
+# ------------------------------------------------------- block-max WAND
+
+# prune threshold slack: 4dp rounding half-step (5e-5) + f64 guard — a doc
+# ties into the final top-k only if round(score,4) >= kth rounded score,
+# i.e. score >= kth - 5e-5; bounds are f64 upper bounds of f64 scores
+_SAFETY = 5.0005e-5
+
+
+def _bm25_wand(reader, fid: int, stemmed: list[str], k: int,
+               k1: float, b: float, n_docs: float, avgdl: float, *,
+               dfs: list[float] | None = None,
+               allowed=None,
+               doc_range: tuple[int, int] | None = None,
+               mode: str = "or",
+               stats_out: dict | None = None):
+    """Block-max-pruned candidate set ``(docs, rounded_scores)`` provably
+    containing the global top-k under (score desc, doc asc), or ``None``
+    when any block predates the (max_tf, min_len) skip metadata (the
+    caller falls back to exhaustive scoring).  ``dfs`` must be the
+    CORPUS-wide doc frequencies when ``doc_range`` narrows the blocks
+    (distributed phase-2); with ``dfs=None`` they are taken from the
+    block metadata (Σ cnt — no payload read)."""
+    infos = []  # (blocks, min_doc array) per term
+    for t in stemmed:
+        blocks = reader.term_blocks(fid, t, doc_range=doc_range)
+        if any(bl.max_tf <= 0 or bl.min_len <= 0 for bl in blocks):
+            return None
+        infos.append((blocks, np.array([bl.min_doc for bl in blocks],
+                                       dtype=np.int64)))
+    if dfs is None:
+        if doc_range is not None:
+            raise ValueError("doc_range requires corpus-wide dfs")
+        dfs = [float(sum(bl.cnt for bl in blocks)) for blocks, _ in infos]
+    nt = len(stemmed)
+    idfs = [math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) if df > 0
+            else 0.0 for df in dfs]
+
+    # ---- elementary intervals at the union of block boundaries
+    pts: set[int] = set()
+    for blocks, _ in infos:
+        for bl in blocks:
+            pts.add(bl.min_doc)
+            pts.add(bl.max_doc + 1)
+    if not pts:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    if doc_range is not None:
+        lo_r, hi_r = doc_range
+        pts = {min(max(p, lo_r), hi_r) for p in pts} | {lo_r, hi_r}
+    spts = sorted(pts)
+    starts = np.asarray(spts[:-1], np.int64)
+    ends = np.asarray(spts[1:], np.int64)
+    nz = starts < ends
+    starts, ends = starts[nz], ends[nz]
+    if not starts.size:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+
+    bound = np.zeros(starts.size, np.float64)
+    cov = np.zeros((nt, starts.size), dtype=bool)
+    for ti, (blocks, _) in enumerate(infos):
+        idf = idfs[ti]
+        for bl in blocks:
+            s = int(np.searchsorted(starts, bl.min_doc, side="left"))
+            e = int(np.searchsorted(starts, bl.max_doc, side="right"))
+            tb = (idf * (k1 + 1.0) * bl.max_tf
+                  / (bl.max_tf + k1 * (1.0 - b + b * bl.min_len / avgdl)))
+            bound[s:e] += tb
+            cov[ti, s:e] = True
+    if mode == "and":
+        bound = np.where(cov.all(axis=0), bound, -1.0)
+
+    order = np.argsort(-bound, kind="stable")
+    cand_d: list[np.ndarray] = []
+    cand_s: list[np.ndarray] = []
+    topk = np.zeros(0, np.float64)
+    n_scored = 0
+    for oi in order:
+        if bound[oi] < 0.0:
+            break  # and-mode: every remaining interval misses a term
+        if topk.size >= k and bound[oi] < topk[-1] - _SAFETY:
+            break  # every remaining interval is bounded lower
+        lo, hi = int(starts[oi]), int(ends[oi])
+        parts = []
+        for ti, (blocks, mins) in enumerate(infos):
+            if not cov[ti, oi]:
+                continue
+            bl = blocks[int(np.searchsorted(mins, lo, side="right")) - 1]
+            docs, tfs, lens = bl.decode()
+            s = int(np.searchsorted(docs, lo, side="left"))
+            e = int(np.searchsorted(docs, hi, side="left"))
+            if e > s:
+                parts.append((docs[s:e], tfs[s:e], lens[s:e], dfs[ti]))
+        n_scored += 1
+        if not parts:
+            continue
+        uniq, r4, cnts = _fold_scores(parts, n_docs, avgdl, k1, b,
+                                      reader.tombstones)
+        if mode == "and":
+            m = cnts == nt
+            uniq, r4 = uniq[m], r4[m]
+        if allowed is not None:
+            m = np.isin(uniq, allowed)
+            uniq, r4 = uniq[m], r4[m]
+        if not uniq.size:
+            continue
+        cand_d.append(uniq)
+        cand_s.append(r4)
+        merged = np.concatenate([topk, r4])
+        merged.sort()
+        topk = merged[::-1][:k]
+    if stats_out is not None:
+        stats_out.update(
+            blocks_total=sum(len(blocks) for blocks, _ in infos),
+            blocks_fetched=sum(1 for blocks, _ in infos
+                               for bl in blocks if bl.fetched),
+            intervals_total=int(starts.size),
+            intervals_scored=n_scored,
+        )
+    if not cand_d:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    return np.concatenate(cand_d), np.concatenate(cand_s)
+
+
+# --------------------------------------------------------- phrase BM25
+
+def bm25_phrase_topk(sf_dir: str, phrase: tuple[str, ...] = ("row", "scan"),
+                     k: int = 20, k1: float = 1.2, b: float = 0.75,
+                     field: str = "text", *,
+                     index_dir: str | None = None) -> pa.Table:
+    """BM25 top-``k`` where the "term" is an exact phrase: tf = number of
+    phrase occurrences in the doc, df = number of docs containing the
+    phrase at least once (the north rule reduces the reference query
+    suite to term AND phrase BM25 queries).
+
+    Occurrence detection is one vectorized set intersection over the
+    positional postings: word i contributes keys (doc, pos - i); a phrase
+    occurrence exists exactly where all ``len(phrase)`` shifted sets
+    share a key (each shift contributes a key at most once, so a key
+    group of size n means all n words aligned — repeated words included,
+    their shifts differ).  No per-doc Python loop."""
+    from ..query.engine import _stem_one
+    from ..pipelines import documents_index
+
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        reader = _cached_reader(index_dir)
+    else:
+        reader = documents_index(sf_dir)
+    n_docs = float(reader.num_docs)
+    fid = reader.field_id[field]
+    avgdl = _field_total_tokens(reader, fid) / n_docs
+    stemmed = [_stem_one(w) for w in phrase]
+    n = len(stemmed)
+
+    pls = [reader.postings(fid, t, need_positions=True) for t in stemmed]
+    if any(pl.docs.size == 0 for pl in pls):
+        return _empty_topk()
+    parts_d, parts_p = [], []
+    for i, pl in enumerate(pls):
+        parts_d.append(np.repeat(pl.docs, pl.tfs))
+        parts_p.append(pl.pos_concat.astype(np.int64) - i)
+    D = np.concatenate(parts_d)
+    P = np.concatenate(parts_p)
+    order = np.lexsort((P, D))
+    D, P = D[order], P[order]
+    new = np.empty(D.size, dtype=bool)
+    new[0] = True
+    new[1:] = (D[1:] != D[:-1]) | (P[1:] != P[:-1])
+    kstarts = np.flatnonzero(new)
+    kcounts = np.diff(np.append(kstarts, D.size))
+    occ = kcounts == n
+    occ_docs = D[kstarts[occ]]  # one row per phrase occurrence, doc-sorted
+    if not occ_docs.size:
+        return _empty_topk()
+    uniq, u_starts = np.unique(occ_docs, return_index=True)
+    tf = np.diff(np.append(u_starts, occ_docs.size)).astype(np.float64)
+    df = float(uniq.size)
+    dl = pls[0].lens[np.searchsorted(pls[0].docs, uniq)].astype(np.float64)
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    score = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    r4 = np.round(score, 4)
+    tomb = reader.tombstones
+    if tomb is not None and tomb.size:
+        live = ~np.isin(uniq, tomb)
+        uniq, r4 = uniq[live], r4[live]
+    top = np.lexsort((uniq, -r4))[:k]
+    return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})
+
+
+# --------------------------------------------------- distributed fan-out
 
 def bm25_df_range(index_dir: str, field: str, stemmed: list[str],
                   lo: int, hi: int) -> list[int]:
-    """Phase-1 worker body: per-range doc frequency per term (postings
-    read with the range pushdown through the per-worker cached reader;
-    the decoded postings stay cached for phase 2)."""
+    """Phase-1 worker body: per-range doc frequency per term.  With BM25
+    block bounds present this is pure skip metadata (Σ block cnt, masked
+    to the range boundary blocks' decoded docs only when a block straddles
+    the range edge); pre-bounds indexes read+decode postings as before."""
     from ..query.distributed import _cached_reader
 
     reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
     out = []
     for t in stemmed:
-        pl = reader.postings(field, t, need_positions=False,
+        blocks = reader.term_blocks(fid, t, doc_range=(lo, hi))
+        if blocks and all(bl.max_tf > 0 for bl in blocks):
+            n = 0
+            for bl in blocks:
+                if bl.min_doc >= lo and bl.max_doc < hi:
+                    n += bl.cnt  # interior block: metadata only
+                else:
+                    d = bl.decode()[0]  # range-edge block: exact mask
+                    n += int(((d >= lo) & (d < hi)).sum())
+            out.append(n)
+            continue
+        pl = reader.postings(fid, t, need_positions=False,
                              doc_range=(lo, hi))
         if pl is None:
             out.append(0)
@@ -172,29 +436,41 @@ def bm25_df_range(index_dir: str, field: str, stemmed: list[str],
 def bm25_score_range(index_dir: str, field: str, stemmed: list[str],
                      dfs: list[float], n_docs: float, avgdl: float,
                      k1: float, b: float, k: int, lo: int, hi: int,
-                     filter_query: str | None = None):
+                     filter_query: str | None = None, mode: str = "or"):
     """Phase-2 worker body: score one doc range, return its local top-k
     by (rounded score desc, doc_id asc) — a doc outside its range's
     top-k is beaten by >= k docs of that range alone, so the union of
-    local top-ks contains the global top-k exactly."""
+    local top-ks contains the global top-k exactly.  Uses block-max WAND
+    within the range when the segment format carries the bounds."""
     from ..query.distributed import _cached_reader
 
     reader = _cached_reader(index_dir)
-    parts = []
-    for t, df in zip(stemmed, dfs):
-        pl = reader.postings(field, t, need_positions=False,
-                             doc_range=(lo, hi))
-        if pl is None or not pl.docs.size or not df:
-            continue
-        m = (pl.docs >= lo) & (pl.docs < hi)  # block-granular pushdown
-        if m.any():
-            parts.append((pl.docs[m], pl.tfs[m], pl.lens[m], df))
-    uniq, r4 = _fold_scores(parts, n_docs, avgdl, k1, b,
-                            reader.tombstones)
-    if filter_query is not None:
-        allowed = _allowed_docs(reader, filter_query, (lo, hi))
-        m = np.isin(uniq, allowed)
-        uniq, r4 = uniq[m], r4[m]
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    allowed = (_allowed_docs(reader, filter_query, (lo, hi))
+               if filter_query is not None else None)
+    res = _bm25_wand(reader, fid, stemmed, k, k1, b, n_docs, avgdl,
+                     dfs=dfs, allowed=allowed, doc_range=(lo, hi),
+                     mode=mode)
+    if res is not None:
+        uniq, r4 = res
+    else:
+        parts = []
+        for t, df in zip(stemmed, dfs):
+            pl = reader.postings(fid, t, need_positions=False,
+                                 doc_range=(lo, hi))
+            if pl is None or not pl.docs.size or not df:
+                continue
+            m = (pl.docs >= lo) & (pl.docs < hi)  # block-granular pushdown
+            if m.any():
+                parts.append((pl.docs[m], pl.tfs[m], pl.lens[m], df))
+        uniq, r4, cnts = _fold_scores(parts, n_docs, avgdl, k1, b,
+                                      reader.tombstones)
+        if mode == "and":
+            m = cnts == len(stemmed)
+            uniq, r4 = uniq[m], r4[m]
+        if allowed is not None:
+            m = np.isin(uniq, allowed)
+            uniq, r4 = uniq[m], r4[m]
     top = np.lexsort((uniq, -r4))[:k]
     return uniq[top], r4[top]
 
@@ -202,7 +478,8 @@ def bm25_score_range(index_dir: str, field: str, stemmed: list[str],
 def _bm25_distributed(index_dir: str, reader, stemmed: list[str],
                       field: str, k: int, k1: float, b: float,
                       n_docs: float, avgdl: float,
-                      filter_query: str | None = None) -> pa.Table:
+                      filter_query: str | None = None,
+                      mode: str = "or") -> pa.Table:
     import ray
 
     from ..query.distributed import worker_pool
@@ -222,7 +499,7 @@ def _bm25_distributed(index_dir: str, reader, stemmed: list[str],
     parts = ray.get([
         pool[i % len(pool)].bm25_score.remote(
             index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b, k,
-            lo, hi, filter_query)
+            lo, hi, filter_query, mode)
         for i, (lo, hi) in enumerate(ranges)])
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])

@@ -448,17 +448,22 @@ ORDER BY f.rrf DESC, doc_id LIMIT {topn}"""
 
 def bm25_topk_sql(terms: tuple[str, ...], k: int, k1: float, b: float, *,
                   src: str = "documents", key: str = "doc_id",
-                  where: str | None = None) -> str:
+                  where: str | None = None,
+                  require_all: bool = False) -> str:
     """Okapi BM25 oracle (ops/bm25.py): Lucene-style non-negative idf,
     avgdl = total tokens / total docs (ALL docs, matching the engine's
     stats-sidecar total / num_docs), score rounded to 4dp and ordered by
     (rounded score desc, id) on both sides.  ``where`` adds the filtered
     "bool query" shape: candidates restricted to rows satisfying the
-    predicate, idf/avgdl stats staying corpus-wide like the engine."""
+    predicate, idf/avgdl stats staying corpus-wide like the engine.
+    ``require_all`` is the conjunctive (posting-list intersection) mode:
+    only docs matching EVERY query term rank (mode="and")."""
     fil = (f",\nfil AS (SELECT {key} FROM {src} WHERE {where})"
            if where else "")
     fjoin = f"JOIN fil USING ({key})" if where else ""
     toks_in = ", ".join(f"'{t}'" for t in terms)
+    having = (f"\n      HAVING count(*) = {len(set(terms))}"
+              if require_all else "")
     return f"""
 WITH {_toks(src, key)},
 nn AS (SELECT count(*) AS n FROM {src}),
@@ -475,10 +480,46 @@ s AS (SELECT tf.{key},
                                     + {b} * lens.len / (SELECT a FROM ad)))
                  ) AS score
       FROM tf JOIN df USING (tok) JOIN lens USING ({key})
-      GROUP BY tf.{key})
+      GROUP BY tf.{key}{having})
 {fil}
 SELECT {key}, ROUND(score, 4) AS score FROM s
 {fjoin}
+ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
+
+
+def bm25_phrase_topk_sql(words: tuple[str, ...], k: int,
+                         k1: float = 1.2, b: float = 0.75, *,
+                         src: str = "documents",
+                         key: str = "doc_id") -> str:
+    """Phrase BM25 oracle (ops/bm25.bm25_phrase_topk): tf = number of
+    exact phrase occurrences (adjacent token ordinals), df = docs with
+    >= 1 occurrence, same Okapi kernel and 4dp/(score desc, id) contract
+    as bm25_topk_sql.  Words must be their own stems on this corpus."""
+    n = len(words)
+    joins = "\n       ".join(
+        f"JOIN toks t{i} ON t{i}.{key} = t0.{key} "
+        f"AND t{i}.ord = t0.ord + {i}" for i in range(1, n))
+    conds = " AND ".join(f"t{i}.tok = '{w}'" for i, w in enumerate(words))
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+ph AS (SELECT t0.{key} AS {key}, count(*) AS tf
+       FROM toks t0
+       {joins}
+       WHERE {conds}
+       GROUP BY t0.{key}),
+pdf AS (SELECT count(*) AS df FROM ph),
+s AS (SELECT ph.{key},
+             ln(1.0 + ((SELECT n FROM nn) - (SELECT df FROM pdf) + 0.5)
+                      / ((SELECT df FROM pdf) + 0.5))
+             * ph.tf * ({k1} + 1.0)
+             / (ph.tf + {k1} * (1.0 - {b}
+                                + {b} * lens.len / (SELECT a FROM ad)))
+               AS score
+      FROM ph JOIN lens USING ({key}))
+SELECT {key}, ROUND(score, 4) AS score FROM s
 ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
 
 

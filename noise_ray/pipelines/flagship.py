@@ -52,7 +52,9 @@ def transcripts_corpus(sf_dir: str) -> list[str]:
 
 def transcripts_index(sf_dir: str) -> IndexReader:
     paths = transcripts_corpus(sf_dir)
-    idx_dir = os.path.join(os.path.dirname(paths[0]), "index")
+    # -v3: segment blocks carry BM25 (max_tf, min_len) skip bounds; older
+    # cached indexes lack them (readers fall back to exhaustive BM25)
+    idx_dir = os.path.join(os.path.dirname(paths[0]), "index-v3")
     return _build_cached(
         paths, idx_dir,
         fields=("role", "text", "tool"),
@@ -64,7 +66,7 @@ def documents_index(sf_dir: str) -> IndexReader:
     """Index the provided documents table (fields text/lang/source;
     key = the existing dense doc_id)."""
     sf = _sf_of(sf_dir)
-    idx_dir = os.path.join(_CACHE_ROOT, f"documents-{sf}")
+    idx_dir = os.path.join(_CACHE_ROOT, f"documents-{sf}-v3")
     return _build_cached(
         [f"{sf_dir}/documents.parquet"], idx_dir,
         fields=("text", "lang", "source"),

@@ -225,11 +225,12 @@ class _RangeWorker:
         return bm25_df_range(index_dir, field, stemmed, lo, hi)
 
     def bm25_score(self, index_dir, field, stemmed, dfs, n_docs, avgdl,
-                   k1, b, k, lo, hi, filter_query=None):
+                   k1, b, k, lo, hi, filter_query=None, mode="or"):
         from ..ops.bm25 import bm25_score_range
 
         return bm25_score_range(index_dir, field, stemmed, dfs, n_docs,
-                                avgdl, k1, b, k, lo, hi, filter_query)
+                                avgdl, k1, b, k, lo, hi, filter_query,
+                                mode)
 
 
 _pool: list = []

@@ -70,24 +70,62 @@ class PostingList:
 
 @dataclass
 class LazyBlock:
-    """One posting block: skip metadata eager, payload decoded on demand."""
+    """One posting block: skip metadata eager, payload FETCHED and decoded
+    on demand.  ``max_tf``/``min_len`` are the BM25 block bounds written by
+    round-3 builds (0 = unknown: pre-upgrade segment file, BM25 pruning
+    falls back to exhaustive scoring).  ``_loader`` fetches the raw payload
+    bytes for this block's whole (segment file, field, term) run the first
+    time any of its blocks is decoded — a term whose every block is pruned
+    never reads its payload columns at all."""
     min_doc: int
     max_doc: int
     cnt: int
     max_tf_norm: float
-    _docs_raw: bytes
-    _tfs_raw: bytes
-    _lens_raw: bytes
+    _docs_raw: bytes | None
+    _tfs_raw: bytes | None
+    _lens_raw: bytes | None
     _decoded: tuple | None = None
+    max_tf: int = 0
+    min_len: int = 0
+    _loader: "object | None" = None
 
     def decode(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(docs, tfs, lens), doc-ascending."""
         if self._decoded is None:
+            if self._docs_raw is None:
+                self._loader(self)
             docs = decode_deltas(self._docs_raw, self.cnt)
             tfs = decode_varint(self._tfs_raw, self.cnt).astype(np.int64)
             lens = decode_varint(self._lens_raw, self.cnt).astype(np.int64)
             self._decoded = (docs, tfs, lens)
         return self._decoded
+
+    @property
+    def fetched(self) -> bool:
+        return self._docs_raw is not None
+
+
+class _RunLoader:
+    """Deferred PER-BLOCK payload fetch: reads the docs/tfs/lens binary
+    columns of one block row (the metadata filters plus a min_doc
+    equality; segment files are written with small row groups so the
+    read prunes to the block's row group, not the term's whole run).
+    A pruned block's payload bytes are never read at all."""
+
+    def __init__(self, path: str, filters: list):
+        self.path, self.filters = path, filters
+
+    def __call__(self, blk: "LazyBlock") -> None:
+        t = pq.read_table(
+            self.path, columns=["docs", "tfs", "lens"],
+            filters=self.filters + [("min_doc", "==", blk.min_doc)])
+        if t.num_rows != 1:  # blocks are doc-disjoint per (field, term)
+            raise AssertionError(
+                f"expected 1 block row at min_doc={blk.min_doc} "
+                f"in {self.path}, got {t.num_rows}")
+        blk._docs_raw = t.column("docs")[0].as_py()
+        blk._tfs_raw = t.column("tfs")[0].as_py()
+        blk._lens_raw = t.column("lens")[0].as_py()
 
 
 def _zone_value(v, arrow_type=None):
@@ -334,42 +372,77 @@ class IndexReader:
 
     # ------------------------------------------------- lazy posting blocks
 
-    def term_blocks(self, field: str | int, term: str) -> list["LazyBlock"]:
+    def _has_block_bounds(self) -> bool:
+        """Whether this index's segment files carry the BM25 block bounds
+        (max_tf/min_len — round-3 format; one schema read, cached)."""
+        v = getattr(self, "_block_bounds_flag", None)
+        if v is None:
+            v = False
+            for p in self._seg_by_gkey.values():
+                v = "max_tf" in pq.read_schema(p).names
+                break
+            self._block_bounds_flag = v
+        return v
+
+    def term_blocks(self, field: str | int, term: str,
+                    doc_range: tuple[int, int] | None = None
+                    ) -> list["LazyBlock"]:
         """Per-block view of a term's postings with skip metadata
-        (min_doc/max_doc/cnt/max_tf_norm) read eagerly and payloads decoded
-        on demand — the block-max WAND access path.  Blocks are doc-range
-        sorted and disjoint."""
+        (min_doc/max_doc/cnt/max_tf_norm + BM25 max_tf/min_len when the
+        segment format carries them) read eagerly; payload bytes are NOT
+        read until a block is decoded — the block-max WAND access path
+        never touches the payload of a pruned term run.  ``doc_range``
+        pushes block bounds into the metadata read (block-granular like
+        ``postings``).  Blocks are doc-range sorted and disjoint."""
         fid = field if isinstance(field, int) else self.field_id.get(field, -1)
         if fid < 0:
             return []
-        key = (fid, term)
+        key = (fid, term) if doc_range is None else (fid, term, doc_range)
         hit = self._block_cache.get(key)
         if hit is not None:
             return hit
+        if doc_range is not None:
+            full = self._block_cache.get((fid, term))
+            if full is not None:
+                # the cached full block list serves any range (block-granular)
+                sub = [b for b in full if b.max_doc >= doc_range[0]
+                       and b.min_doc < doc_range[1]]
+                if len(self._block_cache) < 4096:
+                    self._block_cache[key] = sub
+                return sub
         blocks: list[LazyBlock] = []
         bucket = term_bucket(term, self.num_buckets)
+        has_bounds = self._has_block_bounds()
+        cols = ["min_doc", "max_doc", "cnt", "max_tf_norm"]
+        if has_bounds:
+            cols += ["max_tf", "min_len"]
+        filters = [("field", "==", fid), ("term", "==", term)]
+        if doc_range is not None:
+            filters.append(("max_doc", ">=", doc_range[0]))
+            filters.append(("min_doc", "<", doc_range[1]))
         for rng in range(self.num_ranges):
             path = self._seg_by_gkey.get(bucket * self.num_ranges + rng)
             if path is None:
                 continue
-            t = pq.read_table(
-                path,
-                columns=["min_doc", "max_doc", "cnt", "max_tf_norm",
-                         "docs", "tfs", "lens"],
-                filters=[("field", "==", fid), ("term", "==", term)],
-            )
+            t = pq.read_table(path, columns=cols, filters=filters)
+            if not t.num_rows:
+                continue
+            loader = _RunLoader(path, filters)
             for row in range(t.num_rows):
                 blocks.append(LazyBlock(
                     min_doc=int(t.column("min_doc")[row].as_py()),
                     max_doc=int(t.column("max_doc")[row].as_py()),
                     cnt=int(t.column("cnt")[row].as_py()),
                     max_tf_norm=float(t.column("max_tf_norm")[row].as_py()),
-                    _docs_raw=t.column("docs")[row].as_py(),
-                    _tfs_raw=t.column("tfs")[row].as_py(),
-                    _lens_raw=t.column("lens")[row].as_py(),
+                    _docs_raw=None, _tfs_raw=None, _lens_raw=None,
+                    max_tf=(int(t.column("max_tf")[row].as_py())
+                            if has_bounds else 0),
+                    min_len=(int(t.column("min_len")[row].as_py())
+                             if has_bounds else 0),
+                    _loader=loader,
                 ))
         for e in self._epochs:
-            blocks.extend(e.term_blocks(fid, term))
+            blocks.extend(e.term_blocks(fid, term, doc_range))
         blocks.sort(key=lambda b: b.min_doc)
         if len(self._block_cache) < 4096:
             self._block_cache[key] = blocks

@@ -111,3 +111,273 @@ def test_bm25_filtered_subset_semantics(ray_session):
     for d, s in zip(ids, filt.column("score").to_pylist()):
         assert s == full[d]
     assert set(ids) == {d for d in full if lang[d] == "en"}
+
+# ---------------------------------------------------- block-max WAND
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _wand_vs_exhaustive(idx, terms, k=10, mode="or", filter_query=None,
+                        stats=None):
+    """(pruned table, exhaustive table) on a standalone index dir."""
+    from noise_ray.ops.bm25 import bm25_topk
+
+    # index_dir paths >= 5M docs go distributed; these test indexes are
+    # tiny, so route through the same in-process code both ways
+    a = bm25_topk("unused", terms=terms, k=k, mode=mode,
+                  filter_query=filter_query, index_dir=idx, pruned=True,
+                  stats_out=stats)
+    b = bm25_topk("unused", terms=terms, k=k, mode=mode,
+                  filter_query=filter_query, index_dir=idx, pruned=False)
+    return a, b
+
+
+@pytest.fixture(scope="module")
+def multiblock_index(ray_session, tmp_path_factory):
+    """A skewed corpus indexed with tiny blocks: the hot term 'zzz'
+    appears once in most docs and many times in a handful, so its
+    posting list spans many blocks of which only a few can reach the
+    top-k — the WAND pruning regime."""
+    root = tmp_path_factory.mktemp("bm25wand")
+    rng = np.random.default_rng(7)
+    rows = []
+    for d in range(1200):
+        words = ["pad"] * int(rng.integers(3, 40))
+        if d % 3 != 0:
+            words += ["zzz"]          # hot: most docs, tf 1
+        if d in (17, 411, 913, 1100):
+            words += ["zzz"] * 25     # rare high-impact docs
+        if d % 7 == 0:
+            words += ["qqq"] * int(rng.integers(1, 4))
+        rng.shuffle(words)
+        rows.append({"doc_id": d, "text": " ".join(words)})
+    src = str(root / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(root / "index")
+    from noise_ray.build import build_index
+
+    build_index([src], idx, fields=("text",), key_columns=("doc_id",),
+                num_buckets=4, block_size=32)
+    return idx
+
+
+@pytest.mark.parametrize("terms,mode,k", [
+    (("zzz",), "or", 5),
+    (("zzz",), "or", 50),
+    (("zzz", "qqq"), "or", 10),
+    (("zzz", "qqq"), "and", 10),
+    (("zzz", "pad", "qqq"), "or", 25),
+    (("zzz", "pad", "qqq"), "and", 25),
+    (("missingterm", "zzz"), "or", 5),
+    (("missingterm", "zzz"), "and", 5),
+])
+def test_bm25_wand_identical_to_exhaustive(multiblock_index, terms, mode, k):
+    got, want = _wand_vs_exhaustive(multiblock_index, terms, k=k, mode=mode)
+    assert got.equals(want)
+
+
+def test_bm25_wand_prunes_blocks(multiblock_index):
+    """The hot term's low-impact blocks must be skipped: fewer payloads
+    fetched than blocks exist, and the results still exact."""
+    from noise_ray.ops.bm25 import (_bm25_wand, _field_total_tokens,
+                                    bm25_topk)
+    from noise_ray.query.reader import IndexReader
+
+    # FRESH reader: the process-cached reader shared by the other tests
+    # has already fetched every block's payload
+    reader = IndexReader(multiblock_index)
+    n_docs = float(reader.num_docs)
+    avgdl = _field_total_tokens(reader, 0) / n_docs
+    stats = {}
+    # k=3 < the 4 tf=25 docs: the running threshold lands on a tf=25
+    # score, far above every tf=1 block's bound — those blocks must be
+    # skipped without fetching their payloads
+    uniq, r4 = _bm25_wand(reader, 0, ["zzz"], 3, 1.2, 0.75, n_docs, avgdl,
+                          stats_out=stats)
+    top = np.lexsort((uniq, -r4))[:3]
+    want = bm25_topk("unused", terms=("zzz",), k=3,
+                     index_dir=multiblock_index, pruned=False)
+    assert uniq[top].tolist() == want.column("doc_id").to_pylist()
+    assert r4[top].tolist() == want.column("score").to_pylist()
+    assert stats["blocks_total"] > 10  # block_size=32 really split the list
+    assert stats["blocks_fetched"] < stats["blocks_total"] // 2
+    assert stats["intervals_scored"] < stats["intervals_total"] // 2
+
+
+def test_bm25_and_mode_is_intersection(multiblock_index):
+    """mode='and' keeps exactly the docs matching every term, with the
+    same scores the OR ranking assigns them."""
+    from noise_ray.ops.bm25 import bm25_topk
+
+    both = bm25_topk("unused", terms=("zzz", "qqq"), k=2000, mode="and",
+                     index_dir=multiblock_index)
+    any_ = bm25_topk("unused", terms=("zzz", "qqq"), k=2000, mode="or",
+                     index_dir=multiblock_index)
+    t = pq.read_table(f"{multiblock_index}/docmap/docmap-00000.parquet",
+                      columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(),
+                     t.column("text").to_pylist()))
+    expect = {d for d, s in texts.items()
+              if "zzz" in s.split() and "qqq" in s.split()}
+    assert set(both.column("doc_id").to_pylist()) == expect
+    or_scores = dict(zip(any_.column("doc_id").to_pylist(),
+                         any_.column("score").to_pylist()))
+    for d, s in zip(both.column("doc_id").to_pylist(),
+                    both.column("score").to_pylist()):
+        assert s == or_scores[d]
+
+
+def test_bm25_wand_falls_back_on_pre_bounds_segments(multiblock_index,
+                                                     tmp_path):
+    """An index whose segment files predate the (max_tf, min_len) bounds
+    must still answer correctly via the exhaustive path."""
+    import shutil
+
+    from noise_ray.ops.bm25 import bm25_topk
+
+    old = str(tmp_path / "oldidx")
+    shutil.copytree(multiblock_index, old)
+    import glob
+
+    for seg in glob.glob(f"{old}/segments/*.parquet"):
+        t = pq.read_table(seg)
+        md = t.schema.metadata
+        t = t.drop_columns(["max_tf", "min_len"])
+        pq.write_table(t.replace_schema_metadata(md), seg)
+    stats = {}
+    got = bm25_topk("unused", terms=("zzz", "qqq"), k=10, index_dir=old,
+                    pruned=True, stats_out=stats)
+    want = bm25_topk("unused", terms=("zzz", "qqq"), k=10,
+                     index_dir=multiblock_index, pruned=False)
+    assert got.equals(want)
+    assert stats == {}  # WAND bailed out before touching anything
+
+
+def test_bm25_wand_with_epochs(multiblock_index, tmp_path, ray_session):
+    """Incremental epochs inherit the block-bound format; WAND stays
+    exact across base + epoch posting lists."""
+    import shutil
+
+    from noise_ray.build.incremental import add_documents
+
+    idx = str(tmp_path / "epochidx")
+    shutil.copytree(multiblock_index, idx)
+    extra = [{"doc_id": 10_000 + i,
+              "text": "zzz " * (30 if i == 0 else 1) + "qqq pad"}
+             for i in range(40)]
+    p = str(tmp_path / "extra.parquet")
+    pq.write_table(pa.Table.from_pylist(extra), p)
+    add_documents(idx, [p], update=False)  # fresh keys: no upsert scan
+    got, want = _wand_vs_exhaustive(idx, ("zzz", "qqq"), k=8)
+    assert got.equals(want)
+    # epoch docs (internal ids >= base num_docs = 1200) are visible and
+    # score identically on both paths
+    full, full_ex = _wand_vs_exhaustive(idx, ("zzz", "qqq"), k=5000)
+    assert full.equals(full_ex)
+    assert any(d >= 1200 for d in full.column("doc_id").to_pylist())
+
+
+def test_bm25_score_range_wand_matches_global(multiblock_index):
+    """Distributed phase-2 bodies (range-restricted WAND) fold to exactly
+    the in-process global top-k."""
+    from noise_ray.ops.bm25 import (_field_total_tokens, bm25_df_range,
+                                    bm25_score_range, bm25_topk)
+    from noise_ray.query.reader import IndexReader
+
+    reader = IndexReader(multiblock_index)
+    n_docs = float(reader.num_docs)
+    avgdl = _field_total_tokens(reader, 0) / n_docs
+    terms = ["zzz", "qqq"]
+    k = 10
+    mid = reader.num_docs // 2
+    ranges = [(0, mid), (mid, reader.num_docs)]
+    dfs_parts = [bm25_df_range(multiblock_index, "text", terms, lo, hi)
+                 for lo, hi in ranges]
+    dfs = [float(sum(p[j] for p in dfs_parts)) for j in range(len(terms))]
+    parts = [bm25_score_range(multiblock_index, "text", terms, dfs, n_docs,
+                              avgdl, 1.2, 0.75, k, lo, hi)
+             for lo, hi in ranges]
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:k]
+    want = bm25_topk("unused", terms=tuple(terms), k=k,
+                     index_dir=multiblock_index, pruned=False)
+    assert docs[top].tolist() == want.column("doc_id").to_pylist()
+    assert r4[top].tolist() == want.column("score").to_pylist()
+
+
+# ------------------------------------------------------- phrase BM25
+
+def test_bm25_phrase_matches_brute_force(ray_session):
+    """Phrase BM25 vs an independent Python recomputation: stem each
+    token (the index stores stemmed positions), count adjacent runs."""
+    from noise_ray.ops.bm25 import bm25_phrase_topk
+    from noise_ray.query.engine import _stem_one
+
+    phrase = ("row", "scan")
+    k1, b = 1.2, 0.75
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    seqs = [[_stem_one(w) for w in re.findall(r"[a-z0-9]+", s.lower())]
+            for s in t.column("text").to_pylist()]
+    n = len(ids)
+    avgdl = sum(len(x) for x in seqs) / n
+    target = [_stem_one(w) for w in phrase]
+    tf = {}
+    for d, x in zip(ids, seqs):
+        c = sum(1 for i in range(len(x) - 1)
+                if x[i] == target[0] and x[i + 1] == target[1])
+        if c:
+            tf[d] = c
+    df = len(tf)
+    assert df > 3  # the corpus really contains the phrase
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    scores = {d: round(idf * c * (k1 + 1.0)
+                       / (c + k1 * (1.0 - b + b * len(seqs[ids.index(d)])
+                                    / avgdl)), 4)
+              for d, c in tf.items()}
+    want = sorted(scores.items(), key=lambda p: (-p[1], p[0]))[:20]
+    got = bm25_phrase_topk(SF, phrase)
+    assert list(zip(got.column("doc_id").to_pylist(),
+                    got.column("score").to_pylist())) == want
+
+
+def test_bm25_phrase_repeated_word_overlapping(ray_session):
+    """A repeated-word phrase ('merge merge merge') exercises the
+    shifted-set intersection's repeated-term handling AND overlapping
+    occurrence counting (a 4-run contains 2 occurrences); brute-forced
+    against the raw corpus."""
+    from noise_ray.ops.bm25 import bm25_phrase_topk
+    from noise_ray.query.engine import _stem_one
+
+    phrase = ("merge", "merge", "merge")
+    k1, b = 1.2, 0.75
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    seqs = [[_stem_one(w) for w in re.findall(r"[a-z0-9]+", s.lower())]
+            for s in t.column("text").to_pylist()]
+    n = len(ids)
+    avgdl = sum(len(x) for x in seqs) / n
+    target = _stem_one("merge")
+    tf = {}
+    for d, x in zip(ids, seqs):
+        c = sum(1 for i in range(len(x) - 2)
+                if x[i] == x[i + 1] == x[i + 2] == target)
+        if c:
+            tf[d] = c
+    assert tf  # the corpus really contains the trigram
+    df = len(tf)
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    scores = {d: round(idf * c * (k1 + 1.0)
+                       / (c + k1 * (1.0 - b + b * len(seqs[ids.index(d)])
+                                    / avgdl)), 4)
+              for d, c in tf.items()}
+    want = sorted(scores.items(), key=lambda p: (-p[1], p[0]))[:20]
+    got = bm25_phrase_topk(SF, phrase)
+    assert list(zip(got.column("doc_id").to_pylist(),
+                    got.column("score").to_pylist())) == want
+    # an absent-word phrase returns empty
+    absent = bm25_phrase_topk(SF, ("merge", "qqqneverthere"))
+    assert absent.num_rows == 0
