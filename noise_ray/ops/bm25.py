@@ -263,6 +263,7 @@ def _bm25_wand(reader, fid: int, stemmed: list[str], k: int,
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
 
     bound = np.zeros(starts.size, np.float64)
+    ivl_cnt = np.zeros(starts.size, np.int64)  # posting-volume estimate
     cov = np.zeros((nt, starts.size), dtype=bool)
     for ti, (blocks, _) in enumerate(infos):
         idf = idfs[ti]
@@ -272,32 +273,68 @@ def _bm25_wand(reader, fid: int, stemmed: list[str], k: int,
             tb = (idf * (k1 + 1.0) * bl.max_tf
                   / (bl.max_tf + k1 * (1.0 - b + b * bl.min_len / avgdl)))
             bound[s:e] += tb
+            ivl_cnt[s:e] += bl.cnt
             cov[ti, s:e] = True
     if mode == "and":
         bound = np.where(cov.all(axis=0), bound, -1.0)
 
+    # Intervals are scored in descending-bound order, but in GEOMETRIC
+    # CHUNKS (first ~4k-doc-volume worth, then 4x per round): each chunk
+    # is one vectorized fold, so a query whose bounds are too flat to
+    # prune costs ~the exhaustive fold plus a couple of extra passes,
+    # while a skewed query stops after the first small chunk.  Within a
+    # doc, every term contribution lands in the doc's single covering
+    # interval, so per-chunk folds see complete docs — scores are
+    # bit-identical to the exhaustive path.
     order = np.argsort(-bound, kind="stable")
     cand_d: list[np.ndarray] = []
     cand_s: list[np.ndarray] = []
     topk = np.zeros(0, np.float64)
     n_scored = 0
-    for oi in order:
-        if bound[oi] < 0.0:
+    n_chunks = 0
+    target = max(4 * k, 256)
+    pos = 0
+    while pos < order.size:
+        oi0 = int(order[pos])
+        if bound[oi0] < 0.0:
             break  # and-mode: every remaining interval misses a term
-        if topk.size >= k and bound[oi] < topk[-1] - _SAFETY:
+        if topk.size >= k and bound[oi0] < topk[-1] - _SAFETY:
             break  # every remaining interval is bounded lower
-        lo, hi = int(starts[oi]), int(ends[oi])
+        chunk: list[int] = []
+        cum = 0
+        while pos < order.size and cum < target:
+            oi = int(order[pos])
+            if bound[oi] < 0.0:
+                break
+            if topk.size >= k and bound[oi] < topk[-1] - _SAFETY:
+                break
+            chunk.append(oi)
+            cum += int(ivl_cnt[oi])
+            pos += 1
+        if not chunk:
+            break
+        target *= 4
+        n_chunks += 1
+        n_scored += len(chunk)
         parts = []
         for ti, (blocks, mins) in enumerate(infos):
-            if not cov[ti, oi]:
-                continue
-            bl = blocks[int(np.searchsorted(mins, lo, side="right")) - 1]
-            docs, tfs, lens = bl.decode()
-            s = int(np.searchsorted(docs, lo, side="left"))
-            e = int(np.searchsorted(docs, hi, side="left"))
-            if e > s:
-                parts.append((docs[s:e], tfs[s:e], lens[s:e], dfs[ti]))
-        n_scored += 1
+            d_p, t_p, l_p = [], [], []
+            for oi in chunk:
+                if not cov[ti, oi]:
+                    continue
+                lo, hi = int(starts[oi]), int(ends[oi])
+                bl = blocks[int(np.searchsorted(mins, lo,
+                                                side="right")) - 1]
+                docs, tfs, lens = bl.decode()
+                s = int(np.searchsorted(docs, lo, side="left"))
+                e = int(np.searchsorted(docs, hi, side="left"))
+                if e > s:
+                    d_p.append(docs[s:e])
+                    t_p.append(tfs[s:e])
+                    l_p.append(lens[s:e])
+            if d_p:
+                parts.append((np.concatenate(d_p), np.concatenate(t_p),
+                              np.concatenate(l_p), dfs[ti]))
         if not parts:
             continue
         uniq, r4, cnts = _fold_scores(parts, n_docs, avgdl, k1, b,
@@ -318,10 +355,11 @@ def _bm25_wand(reader, fid: int, stemmed: list[str], k: int,
     if stats_out is not None:
         stats_out.update(
             blocks_total=sum(len(blocks) for blocks, _ in infos),
-            blocks_fetched=sum(1 for blocks, _ in infos
-                               for bl in blocks if bl.fetched),
+            blocks_decoded=sum(1 for blocks, _ in infos
+                               for bl in blocks if bl._decoded is not None),
             intervals_total=int(starts.size),
             intervals_scored=n_scored,
+            chunks=n_chunks,
         )
     if not cand_d:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)

@@ -73,10 +73,10 @@ class LazyBlock:
     """One posting block: skip metadata eager, payload FETCHED and decoded
     on demand.  ``max_tf``/``min_len`` are the BM25 block bounds written by
     round-3 builds (0 = unknown: pre-upgrade segment file, BM25 pruning
-    falls back to exhaustive scoring).  ``_loader`` fetches the raw payload
-    bytes for this block's whole (segment file, field, term) run the first
-    time any of its blocks is decoded — a term whose every block is pruned
-    never reads its payload columns at all."""
+    falls back to exhaustive scoring).  ``_loader`` fetches this block
+    row's raw payload bytes through its segment file's cached skip index
+    (one row-group read, footer parsed once per file) — pruned blocks
+    never read their payload columns at all."""
     min_doc: int
     max_doc: int
     cnt: int
@@ -105,27 +105,90 @@ class LazyBlock:
         return self._docs_raw is not None
 
 
-class _RunLoader:
-    """Deferred PER-BLOCK payload fetch: reads the docs/tfs/lens binary
-    columns of one block row (the metadata filters plus a min_doc
-    equality; segment files are written with small row groups so the
-    read prunes to the block's row group, not the term's whole run).
-    A pruned block's payload bytes are never read at all."""
+class _SegBlockIndex:
+    """In-memory skip index of ONE segment file: the small metadata
+    columns of every block row (field/term/min_doc/max_doc/cnt/
+    max_tf_norm and, in the round-3 format, max_tf/min_len), a
+    ``(field, term) -> row range`` lookup, and a footer-parsed
+    ``ParquetFile`` handle for per-row-group payload fetches.
 
-    def __init__(self, path: str, filters: list):
-        self.path, self.filters = path, filters
+    The footer and metadata columns are read ONCE per reader process and
+    serve every query; payload bytes (docs/tfs/lens, the heavy columns)
+    are fetched per ROW GROUP only when a block actually decodes —
+    repeated ``pq.read_table(filters=...)`` calls would re-parse the
+    footer and re-evaluate filters on every block fetch, which dominated
+    cold WAND latency at 22M docs."""
+
+    _PAYLOAD = ["docs", "tfs", "lens"]
+
+    def __init__(self, path: str):
+        self.path = path
+        self.pf = pq.ParquetFile(path)
+        names = self.pf.schema_arrow.names
+        self.has_bounds = "max_tf" in names
+        cols = ["field", "term", "min_doc", "max_doc", "cnt",
+                "max_tf_norm"]
+        if self.has_bounds:
+            cols += ["max_tf", "min_len"]
+        t = self.pf.read(columns=cols)
+        self.field = t.column("field").to_numpy()
+        self.min_doc = t.column("min_doc").to_numpy()
+        self.max_doc = t.column("max_doc").to_numpy()
+        self.cnt = t.column("cnt").to_numpy()
+        self.max_tf_norm = t.column("max_tf_norm").to_numpy()
+        if self.has_bounds:
+            self.max_tf = t.column("max_tf").to_numpy()
+            self.min_len = t.column("min_len").to_numpy()
+        else:
+            self.max_tf = np.zeros(t.num_rows, np.int64)
+            self.min_len = np.zeros(t.num_rows, np.int64)
+        # rows are (field, term, min_doc)-sorted: record each (field,
+        # term) run's [start, end) once, vectorized over change points
+        terms = t.column("term").to_pandas().to_numpy()
+        n = t.num_rows
+        self.runs: dict[tuple[int, str], tuple[int, int]] = {}
+        if n:
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = ((self.field[1:] != self.field[:-1])
+                       | (terms[1:] != terms[:-1]))
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                self.runs[(int(self.field[s]), terms[s])] = (s, e)
+        # uniform row groups (last may be short): ordinal -> group is a
+        # division, no per-group scan
+        self._rg_rows = (self.pf.metadata.row_group(0).num_rows
+                         if self.pf.metadata.num_row_groups else 1)
+        from collections import OrderedDict
+        self._rg_cache: OrderedDict[int, object] = OrderedDict()
+
+    def fetch(self, blk: "LazyBlock", row: int) -> None:
+        """Assign one block row's payload bytes from its row group
+        (footer already parsed; small LRU of recently read groups)."""
+        gid = row // self._rg_rows
+        tbl = self._rg_cache.get(gid)
+        if tbl is None:
+            tbl = self.pf.read_row_groups([gid], columns=self._PAYLOAD)
+            self._rg_cache[gid] = tbl
+            if len(self._rg_cache) > 8:
+                self._rg_cache.popitem(last=False)
+        off = row - gid * self._rg_rows
+        blk._docs_raw = tbl.column("docs")[off].as_py()
+        blk._tfs_raw = tbl.column("tfs")[off].as_py()
+        blk._lens_raw = tbl.column("lens")[off].as_py()
+
+
+class _BlockFetch:
+    """Bound (segment index, row ordinal) loader for one LazyBlock."""
+
+    __slots__ = ("seg", "row")
+
+    def __init__(self, seg: _SegBlockIndex, row: int):
+        self.seg, self.row = seg, row
 
     def __call__(self, blk: "LazyBlock") -> None:
-        t = pq.read_table(
-            self.path, columns=["docs", "tfs", "lens"],
-            filters=self.filters + [("min_doc", "==", blk.min_doc)])
-        if t.num_rows != 1:  # blocks are doc-disjoint per (field, term)
-            raise AssertionError(
-                f"expected 1 block row at min_doc={blk.min_doc} "
-                f"in {self.path}, got {t.num_rows}")
-        blk._docs_raw = t.column("docs")[0].as_py()
-        blk._tfs_raw = t.column("tfs")[0].as_py()
-        blk._lens_raw = t.column("lens")[0].as_py()
+        self.seg.fetch(blk, self.row)
 
 
 def _zone_value(v, arrow_type=None):
@@ -372,28 +435,29 @@ class IndexReader:
 
     # ------------------------------------------------- lazy posting blocks
 
-    def _has_block_bounds(self) -> bool:
-        """Whether this index's segment files carry the BM25 block bounds
-        (max_tf/min_len — round-3 format; one schema read, cached)."""
-        v = getattr(self, "_block_bounds_flag", None)
-        if v is None:
-            v = False
-            for p in self._seg_by_gkey.values():
-                v = "max_tf" in pq.read_schema(p).names
-                break
-            self._block_bounds_flag = v
-        return v
+    def _seg_index(self, path: str) -> "_SegBlockIndex":
+        """Per-segment-file skip index (footer + small metadata columns),
+        built once per reader and shared by every term lookup."""
+        cache = getattr(self, "_seg_index_cache", None)
+        if cache is None:
+            cache = self._seg_index_cache = {}
+        idx = cache.get(path)
+        if idx is None:
+            idx = cache[path] = _SegBlockIndex(path)
+        return idx
 
     def term_blocks(self, field: str | int, term: str,
                     doc_range: tuple[int, int] | None = None
                     ) -> list["LazyBlock"]:
         """Per-block view of a term's postings with skip metadata
         (min_doc/max_doc/cnt/max_tf_norm + BM25 max_tf/min_len when the
-        segment format carries them) read eagerly; payload bytes are NOT
-        read until a block is decoded — the block-max WAND access path
-        never touches the payload of a pruned term run.  ``doc_range``
-        pushes block bounds into the metadata read (block-granular like
-        ``postings``).  Blocks are doc-range sorted and disjoint."""
+        segment format carries them) served from the in-memory segment
+        skip index; payload bytes are NOT read until a block is decoded
+        (then one row-group read through the cached footer) — the
+        block-max WAND access path never touches the payload of pruned
+        blocks.  ``doc_range`` masks to overlapping blocks
+        (block-granular like ``postings``).  Blocks are doc-range sorted
+        and disjoint."""
         fid = field if isinstance(field, int) else self.field_id.get(field, -1)
         if fid < 0:
             return []
@@ -412,34 +476,34 @@ class IndexReader:
                 return sub
         blocks: list[LazyBlock] = []
         bucket = term_bucket(term, self.num_buckets)
-        has_bounds = self._has_block_bounds()
-        cols = ["min_doc", "max_doc", "cnt", "max_tf_norm"]
-        if has_bounds:
-            cols += ["max_tf", "min_len"]
-        filters = [("field", "==", fid), ("term", "==", term)]
-        if doc_range is not None:
-            filters.append(("max_doc", ">=", doc_range[0]))
-            filters.append(("min_doc", "<", doc_range[1]))
         for rng in range(self.num_ranges):
             path = self._seg_by_gkey.get(bucket * self.num_ranges + rng)
             if path is None:
                 continue
-            t = pq.read_table(path, columns=cols, filters=filters)
-            if not t.num_rows:
+            seg = self._seg_index(path)
+            run = seg.runs.get((fid, term))
+            if run is None:
                 continue
-            loader = _RunLoader(path, filters)
-            for row in range(t.num_rows):
+            s, e = run
+            if doc_range is not None:
+                # narrow to overlapping blocks (min_doc sorted in the run)
+                s = s + int(np.searchsorted(seg.min_doc[s:e], doc_range[0],
+                                            side="left"))
+                # max_doc is equally sorted (blocks are disjoint)
+                while s > run[0] and seg.max_doc[s - 1] >= doc_range[0]:
+                    s -= 1
+                e = run[0] + int(np.searchsorted(seg.min_doc[run[0]:run[1]],
+                                                 doc_range[1], side="left"))
+            for row in range(s, e):
                 blocks.append(LazyBlock(
-                    min_doc=int(t.column("min_doc")[row].as_py()),
-                    max_doc=int(t.column("max_doc")[row].as_py()),
-                    cnt=int(t.column("cnt")[row].as_py()),
-                    max_tf_norm=float(t.column("max_tf_norm")[row].as_py()),
+                    min_doc=int(seg.min_doc[row]),
+                    max_doc=int(seg.max_doc[row]),
+                    cnt=int(seg.cnt[row]),
+                    max_tf_norm=float(seg.max_tf_norm[row]),
                     _docs_raw=None, _tfs_raw=None, _lens_raw=None,
-                    max_tf=(int(t.column("max_tf")[row].as_py())
-                            if has_bounds else 0),
-                    min_len=(int(t.column("min_len")[row].as_py())
-                             if has_bounds else 0),
-                    _loader=loader,
+                    max_tf=int(seg.max_tf[row]),
+                    min_len=int(seg.min_len[row]),
+                    _loader=_BlockFetch(seg, row),
                 ))
         for e in self._epochs:
             blocks.extend(e.term_blocks(fid, term, doc_range))

@@ -202,7 +202,7 @@ def test_bm25_wand_prunes_blocks(multiblock_index):
     assert uniq[top].tolist() == want.column("doc_id").to_pylist()
     assert r4[top].tolist() == want.column("score").to_pylist()
     assert stats["blocks_total"] > 10  # block_size=32 really split the list
-    assert stats["blocks_fetched"] < stats["blocks_total"] // 2
+    assert stats["blocks_decoded"] < stats["blocks_total"] // 2
     assert stats["intervals_scored"] < stats["intervals_total"] // 2
 
 
