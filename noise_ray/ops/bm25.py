@@ -368,39 +368,27 @@ def _bm25_wand(reader, fid: int, stemmed: list[str], k: int,
 
 # --------------------------------------------------------- phrase BM25
 
-def bm25_phrase_topk(sf_dir: str, phrase: tuple[str, ...] = ("row", "scan"),
-                     k: int = 20, k1: float = 1.2, b: float = 0.75,
-                     field: str = "text", *,
-                     index_dir: str | None = None) -> pa.Table:
-    """BM25 top-``k`` where the "term" is an exact phrase: tf = number of
-    phrase occurrences in the doc, df = number of docs containing the
-    phrase at least once (the north rule reduces the reference query
-    suite to term AND phrase BM25 queries).
+def _phrase_occurrences(reader, fid: int, stemmed: list[str],
+                        doc_range: tuple[int, int] | None = None):
+    """(uniq_docs, tf, dl) of exact-phrase matches, doc-sorted; ``None``
+    when the phrase never occurs.  tf counts are NOT tombstone-filtered
+    (callers score first, then drop tombstoned docs — keeping df
+    identical between the in-process and per-range paths).
 
     Occurrence detection is one vectorized set intersection over the
     positional postings: word i contributes keys (doc, pos - i); a phrase
-    occurrence exists exactly where all ``len(phrase)`` shifted sets
+    occurrence exists exactly where all ``len(stemmed)`` shifted sets
     share a key (each shift contributes a key at most once, so a key
     group of size n means all n words aligned — repeated words included,
-    their shifts differ).  No per-doc Python loop."""
-    from ..query.engine import _stem_one
-    from ..pipelines import documents_index
-
-    if index_dir is not None:
-        from ..query.distributed import _cached_reader
-
-        reader = _cached_reader(index_dir)
-    else:
-        reader = documents_index(sf_dir)
-    n_docs = float(reader.num_docs)
-    fid = reader.field_id[field]
-    avgdl = _field_total_tokens(reader, fid) / n_docs
-    stemmed = [_stem_one(w) for w in phrase]
+    their shifts differ).  No per-doc Python loop.  ``doc_range`` pushes
+    block bounds into the posting reads and masks exactly (the pushdown
+    is block-granular; an unmasked boundary doc would double-count df
+    across ranges)."""
+    pls = [reader.postings(fid, t, need_positions=True,
+                           doc_range=doc_range) for t in stemmed]
+    if any(pl is None or pl.docs.size == 0 for pl in pls):
+        return None
     n = len(stemmed)
-
-    pls = [reader.postings(fid, t, need_positions=True) for t in stemmed]
-    if any(pl.docs.size == 0 for pl in pls):
-        return _empty_topk()
     parts_d, parts_p = [], []
     for i, pl in enumerate(pls):
         parts_d.append(np.repeat(pl.docs, pl.tfs))
@@ -416,19 +404,65 @@ def bm25_phrase_topk(sf_dir: str, phrase: tuple[str, ...] = ("row", "scan"),
     kcounts = np.diff(np.append(kstarts, D.size))
     occ = kcounts == n
     occ_docs = D[kstarts[occ]]  # one row per phrase occurrence, doc-sorted
+    if doc_range is not None and occ_docs.size:
+        lo, hi = doc_range
+        occ_docs = occ_docs[(occ_docs >= lo) & (occ_docs < hi)]
     if not occ_docs.size:
-        return _empty_topk()
+        return None
     uniq, u_starts = np.unique(occ_docs, return_index=True)
     tf = np.diff(np.append(u_starts, occ_docs.size)).astype(np.float64)
-    df = float(uniq.size)
     dl = pls[0].lens[np.searchsorted(pls[0].docs, uniq)].astype(np.float64)
+    return uniq, tf, dl
+
+
+def _phrase_score(uniq, tf, dl, df: float, n_docs: float, avgdl: float,
+                  k1: float, b: float, tomb):
+    """Score phrase matches with the shared BM25 kernel, round to 4dp,
+    drop tombstoned docs.  Returns (docs, r4)."""
     idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
     score = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
     r4 = np.round(score, 4)
-    tomb = reader.tombstones
     if tomb is not None and tomb.size:
         live = ~np.isin(uniq, tomb)
         uniq, r4 = uniq[live], r4[live]
+    return uniq, r4
+
+
+def bm25_phrase_topk(sf_dir: str, phrase: tuple[str, ...] = ("row", "scan"),
+                     k: int = 20, k1: float = 1.2, b: float = 0.75,
+                     field: str = "text", *,
+                     index_dir: str | None = None) -> pa.Table:
+    """BM25 top-``k`` where the "term" is an exact phrase: tf = number of
+    phrase occurrences in the doc, df = number of docs containing the
+    phrase at least once (the north rule reduces the reference query
+    suite to term AND phrase BM25 queries).  Large indexes (``index_dir``
+    with >= 5M docs) fan out per doc range like ``bm25_topk`` — the
+    positional decode of a hot word's postings happens inside the range
+    workers, never corpus-wide on the driver."""
+    from ..query.engine import _stem_one
+    from ..pipelines import documents_index
+
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        reader = _cached_reader(index_dir)
+    else:
+        reader = documents_index(sf_dir)
+    n_docs = float(reader.num_docs)
+    fid = reader.field_id[field]
+    avgdl = _field_total_tokens(reader, fid) / n_docs
+    stemmed = [_stem_one(w) for w in phrase]
+
+    if index_dir is not None and reader.num_docs >= 5_000_000:
+        return _bm25_phrase_distributed(index_dir, reader, stemmed, field,
+                                        k, k1, b, n_docs, avgdl)
+
+    res = _phrase_occurrences(reader, fid, stemmed)
+    if res is None:
+        return _empty_topk()
+    uniq, tf, dl = res
+    uniq, r4 = _phrase_score(uniq, tf, dl, float(uniq.size), n_docs,
+                             avgdl, k1, b, reader.tombstones)
     top = np.lexsort((uniq, -r4))[:k]
     return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
                      "score": pa.array(r4[top], pa.float64())})
@@ -511,6 +545,92 @@ def bm25_score_range(index_dir: str, field: str, stemmed: list[str],
             uniq, r4 = uniq[m], r4[m]
     top = np.lexsort((uniq, -r4))[:k]
     return uniq[top], r4[top]
+
+
+def bm25_phrase_df_range(index_dir: str, field: str, stemmed: list[str],
+                         lo: int, hi: int) -> int:
+    """Phase-1 worker body: number of docs in [lo, hi) containing the
+    exact phrase.  The (uniq, tf, dl) arrays are memoized ON the cached
+    reader (so their validity tracks the index version exactly like the
+    posting caches) for phase 2 to reuse — the positional set
+    intersection runs once per (phrase, range), not twice."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    memo = getattr(reader, "_phrase_memo", None)
+    if memo is None:
+        memo = reader._phrase_memo = {}
+    key = (fid, tuple(stemmed), lo, hi)
+    if key not in memo:
+        if len(memo) > 64:
+            memo.clear()
+        memo[key] = _phrase_occurrences(reader, fid, stemmed, (lo, hi))
+    res = memo[key]
+    return 0 if res is None else int(res[0].size)
+
+
+def bm25_phrase_score_range(index_dir: str, field: str,
+                            stemmed: list[str], df: float, n_docs: float,
+                            avgdl: float, k1: float, b: float, k: int,
+                            lo: int, hi: int):
+    """Phase-2 worker body: score this range's phrase matches with the
+    GLOBAL df, return the local top-k by (rounded score desc, doc_id
+    asc) — the union of local top-ks contains the global top-k exactly
+    (per-doc scoring is independent)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    memo = getattr(reader, "_phrase_memo", None) or {}
+    res = memo.get((fid, tuple(stemmed), lo, hi))
+    if res is None:  # actor restarted between phases: recompute
+        res = _phrase_occurrences(reader, fid, stemmed, (lo, hi))
+    if res is None:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    uniq, tf, dl = res
+    uniq, r4 = _phrase_score(uniq, tf, dl, df, n_docs, avgdl, k1, b,
+                             reader.tombstones)
+    top = np.lexsort((uniq, -r4))[:k]
+    return uniq[top], r4[top]
+
+
+def _bm25_phrase_distributed(index_dir: str, reader, stemmed: list[str],
+                             field: str, k: int, k1: float, b: float,
+                             n_docs: float, avgdl: float) -> pa.Table:
+    """Two-phase range fan-out for phrase BM25 (mirrors
+    ``_bm25_distributed``): per-range phrase df partials sum to the
+    global df, then each range scores its own matches and returns a
+    local top-k.  The hot word's positional postings are decoded inside
+    the range workers (block-bound pushdown), never corpus-wide on the
+    driver."""
+    import ray
+
+    from ..query.distributed import worker_pool
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n = max(1, min(cpus, reader.num_docs // 10_000 + 1))
+    span = max(1, -(-reader.num_docs // n))
+    ranges = [(lo, min(lo + span, reader.num_docs))
+              for lo in range(0, reader.num_docs, span)]
+    pool = worker_pool()
+    df_parts = ray.get([
+        pool[i % len(pool)].bm25_phrase_df.remote(index_dir, field,
+                                                  stemmed, lo, hi)
+        for i, (lo, hi) in enumerate(ranges)])
+    df = float(sum(df_parts))
+    if not df:
+        return _empty_topk()
+    parts = ray.get([
+        pool[i % len(pool)].bm25_phrase_score.remote(
+            index_dir, field, stemmed, df, n_docs, avgdl, k1, b, k,
+            lo, hi)
+        for i, (lo, hi) in enumerate(ranges)])
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:k]
+    return pa.table({"doc_id": pa.array(docs[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})
 
 
 def _bm25_distributed(index_dir: str, reader, stemmed: list[str],

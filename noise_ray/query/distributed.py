@@ -232,6 +232,18 @@ class _RangeWorker:
                                 avgdl, k1, b, k, lo, hi, filter_query,
                                 mode)
 
+    def bm25_phrase_df(self, index_dir, field, stemmed, lo, hi):
+        from ..ops.bm25 import bm25_phrase_df_range
+
+        return bm25_phrase_df_range(index_dir, field, stemmed, lo, hi)
+
+    def bm25_phrase_score(self, index_dir, field, stemmed, df, n_docs,
+                          avgdl, k1, b, k, lo, hi):
+        from ..ops.bm25 import bm25_phrase_score_range
+
+        return bm25_phrase_score_range(index_dir, field, stemmed, df,
+                                       n_docs, avgdl, k1, b, k, lo, hi)
+
 
 _pool: list = []
 

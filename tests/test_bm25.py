@@ -381,3 +381,53 @@ def test_bm25_phrase_repeated_word_overlapping(ray_session):
     # an absent-word phrase returns empty
     absent = bm25_phrase_topk(SF, ("merge", "qqqneverthere"))
     assert absent.num_rows == 0
+
+
+def test_bm25_phrase_range_fold_matches_global(tmp_path, ray_session):
+    """Distributed phrase bodies (per-range df partials + per-range
+    scoring with the global df) fold to exactly the in-process result —
+    including boundary docs, which the block-granular position pushdown
+    could double-count without the exact [lo, hi) mask."""
+    from noise_ray.build import build_index
+    from noise_ray.ops.bm25 import (_field_total_tokens,
+                                    bm25_phrase_df_range,
+                                    bm25_phrase_score_range,
+                                    bm25_phrase_topk)
+    from noise_ray.query.reader import IndexReader
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for d in range(900):
+        words = ["pad"] * int(rng.integers(3, 30))
+        rng.shuffle(words)
+        # phrase "alpha beta" with varying multiplicity in ~1/4 of docs
+        for _ in range(int(rng.integers(0, 4)) if d % 4 == 0 else 0):
+            at = int(rng.integers(0, len(words)))
+            words[at:at] = ["alpha", "beta"]
+        rows.append({"doc_id": d, "text": " ".join(words)})
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "index")
+    build_index([src], idx, fields=("text",), key_columns=("doc_id",),
+                num_buckets=4, block_size=32)
+
+    reader = IndexReader(idx)
+    n_docs = float(reader.num_docs)
+    avgdl = _field_total_tokens(reader, 0) / n_docs
+    stemmed = ["alpha", "beta"]
+    k = 15
+    ranges = [(0, 300), (300, 600), (600, 900)]
+    df = float(sum(bm25_phrase_df_range(idx, "text", stemmed, lo, hi)
+                   for lo, hi in ranges))
+    parts = [bm25_phrase_score_range(idx, "text", stemmed, df, n_docs,
+                                     avgdl, 1.2, 0.75, k, lo, hi)
+             for lo, hi in ranges]
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:k]
+    want = bm25_phrase_topk("unused", ("alpha", "beta"), k=k,
+                            index_dir=idx)
+    assert docs[top].tolist() == want.column("doc_id").to_pylist()
+    assert r4[top].tolist() == want.column("score").to_pylist()
+    # df really summed across ranges (the phrase exists in many docs)
+    assert df == want.num_rows or df >= k
