@@ -383,10 +383,66 @@ def _phrase_occurrences(reader, fid: int, stemmed: list[str],
     their shifts differ).  No per-doc Python loop.  ``doc_range`` pushes
     block bounds into the posting reads and masks exactly (the pushdown
     is block-granular; an unmasked boundary doc would double-count df
-    across ranges)."""
-    pls = [reader.postings(fid, t, need_positions=True,
-                           doc_range=doc_range) for t in stemmed]
-    if any(pl is None or pl.docs.size == 0 for pl in pls):
+    across ranges).
+
+    Access path: block METADATA alone (Σ cnt per term — no payload
+    read) picks the rarest word; its positional postings are read in
+    full (it is the cheap one) and its doc set becomes the candidate
+    superset — a superset of the true phrase docs is always sound
+    because the intersection kernel drops any doc missing a full n-way
+    aligned key group.  Every OTHER word then chooses per-term: plain
+    full read when candidates cover most of its list (two stopwords —
+    restriction can't prune anything); block-pruned positional fetch
+    when few of its blocks contain a candidate
+    (``reader.positions_for_docs`` — a rare word clustered in few
+    blocks never decodes a stopword partner's corpus-wide positions);
+    otherwise the bulk positional read masked to candidates
+    (``PostingList.restrict_to`` — candidates scattered across every
+    block can't prune IO but still shrink the kernel's input from the
+    stopword's full list to the candidate rows).  All paths feed the
+    identical kernel, so results are bit-identical."""
+    distinct = list(dict.fromkeys(stemmed))
+    est: dict[str, tuple[int, list]] = {}
+    for t in distinct:
+        blocks = reader.term_blocks(fid, t, doc_range)
+        if not blocks:
+            return None
+        est[t] = (sum(bl.cnt for bl in blocks), blocks)
+    rare = min(distinct, key=lambda t: est[t][0])
+    rare_pl = reader.postings(fid, rare, need_positions=True,
+                              doc_range=doc_range)
+    if not rare_pl.docs.size:
+        return None
+    cand = rare_pl.docs
+    if doc_range is not None:
+        lo, hi = doc_range
+        cand = cand[(cand >= lo) & (cand < hi)]
+        if not cand.size:
+            return None
+    by_term = {rare: rare_pl}
+    for t in distinct:
+        if t == rare:
+            continue
+        df_est, blocks = est[t]
+        if cand.size * 4 > df_est:
+            by_term[t] = reader.postings(fid, t, need_positions=True,
+                                         doc_range=doc_range)
+            continue
+        mins = np.array([bl.min_doc for bl in blocks], np.int64)
+        maxs = np.array([bl.max_doc for bl in blocks], np.int64)
+        idx = np.searchsorted(cand, mins)
+        ok = idx < cand.size
+        n_hit = int((cand[np.minimum(idx, cand.size - 1)][ok]
+                     <= maxs[ok]).sum())
+        if n_hit * 2 < len(blocks):
+            by_term[t] = reader.positions_for_docs(fid, t, cand,
+                                                   doc_range)
+        else:
+            by_term[t] = reader.postings(
+                fid, t, need_positions=True,
+                doc_range=doc_range).restrict_to(cand)
+    pls = [by_term[t] for t in stemmed]
+    if any(pl.docs.size == 0 for pl in pls):
         return None
     n = len(stemmed)
     parts_d, parts_p = [], []

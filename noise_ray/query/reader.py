@@ -67,6 +67,26 @@ class PostingList:
             pos_starts=self.pos_starts[s:e] - p0,
         )
 
+    def restrict_to(self, cand: np.ndarray) -> "PostingList":
+        """Postings restricted to the sorted candidate doc ids ``cand``
+        (positions gathered per kept posting) — the phrase kernel then
+        runs over candidate rows only, not the full posting list."""
+        idx = np.searchsorted(cand, self.docs)
+        idx[idx == cand.size] = 0  # out-of-range rows can't match
+        m = cand[idx] == self.docs
+        if m.all():
+            return self
+        docs, tfs, lens = self.docs[m], self.tfs[m], self.lens[m]
+        if self.pos_concat is None:
+            return PostingList(docs, tfs, lens, None, None)
+        total = int(tfs.sum())
+        out_starts = np.zeros(tfs.size, dtype=np.int64)
+        np.cumsum(tfs[:-1], out=out_starts[1:])
+        take = (np.repeat(self.pos_starts[m] - out_starts, tfs)
+                + np.arange(total, dtype=np.int64))
+        return PostingList(docs, tfs, lens, self.pos_concat[take],
+                           out_starts)
+
 
 @dataclass
 class LazyBlock:
@@ -88,6 +108,8 @@ class LazyBlock:
     max_tf: int = 0
     min_len: int = 0
     _loader: "object | None" = None
+    _pos_raw: bytes | None = None
+    _pos_decoded: np.ndarray | None = None
 
     def decode(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(docs, tfs, lens), doc-ascending."""
@@ -99,6 +121,19 @@ class LazyBlock:
             lens = decode_varint(self._lens_raw, self.cnt).astype(np.int64)
             self._decoded = (docs, tfs, lens)
         return self._decoded
+
+    def decode_with_positions(self):
+        """(docs, tfs, lens, pos_concat) — the candidate-driven phrase
+        path decodes positions for ONLY the blocks overlapping its
+        candidate docs; every other access path never touches the
+        positions payload of this block."""
+        if self._pos_decoded is None:
+            if self._pos_raw is None:
+                self._loader(self, True)
+            _, tfs, _ = self.decode()
+            self._pos_decoded = decode_position_lists(self._pos_raw, tfs)
+        docs, tfs, lens = self.decode()
+        return docs, tfs, lens, self._pos_decoded
 
     @property
     def fetched(self) -> bool:
@@ -163,20 +198,28 @@ class _SegBlockIndex:
         from collections import OrderedDict
         self._rg_cache: OrderedDict[int, object] = OrderedDict()
 
-    def fetch(self, blk: "LazyBlock", row: int) -> None:
+    def fetch(self, blk: "LazyBlock", row: int,
+              positions: bool = False) -> None:
         """Assign one block row's payload bytes from its row group
-        (footer already parsed; small LRU of recently read groups)."""
+        (footer already parsed; small LRU of recently read groups).
+        ``positions=True`` additionally loads the positions column —
+        cached separately so position-free access paths never pay for
+        the heaviest column."""
         gid = row // self._rg_rows
-        tbl = self._rg_cache.get(gid)
+        key = (gid, positions)
+        tbl = self._rg_cache.get(key)
         if tbl is None:
-            tbl = self.pf.read_row_groups([gid], columns=self._PAYLOAD)
-            self._rg_cache[gid] = tbl
+            cols = self._PAYLOAD + (["positions"] if positions else [])
+            tbl = self.pf.read_row_groups([gid], columns=cols)
+            self._rg_cache[key] = tbl
             if len(self._rg_cache) > 8:
                 self._rg_cache.popitem(last=False)
         off = row - gid * self._rg_rows
         blk._docs_raw = tbl.column("docs")[off].as_py()
         blk._tfs_raw = tbl.column("tfs")[off].as_py()
         blk._lens_raw = tbl.column("lens")[off].as_py()
+        if positions:
+            blk._pos_raw = tbl.column("positions")[off].as_py()
 
 
 class _BlockFetch:
@@ -187,8 +230,8 @@ class _BlockFetch:
     def __init__(self, seg: _SegBlockIndex, row: int):
         self.seg, self.row = seg, row
 
-    def __call__(self, blk: "LazyBlock") -> None:
-        self.seg.fetch(blk, self.row)
+    def __call__(self, blk: "LazyBlock", positions: bool = False) -> None:
+        self.seg.fetch(blk, self.row, positions)
 
 
 def _zone_value(v, arrow_type=None):
@@ -511,6 +554,53 @@ class IndexReader:
         if len(self._block_cache) < 4096:
             self._block_cache[key] = blocks
         return blocks
+
+    def positions_for_docs(self, field: str | int, term: str,
+                           cand: np.ndarray,
+                           doc_range: tuple[int, int] | None = None
+                           ) -> PostingList:
+        """Positional postings of one (field, term) restricted to the
+        sorted candidate doc ids ``cand`` — the phrase access path: the
+        doc-set intersection (position-free, cheap) picks candidates
+        first, then ONLY the blocks containing a candidate fetch and
+        decode their positions payload.  A phrase pairing a rare word
+        with a stopword decodes the stopword's positions for a handful
+        of blocks instead of the whole corpus."""
+        blocks = self.term_blocks(field, term, doc_range)
+        d_p, t_p, l_p, p_p = [], [], [], []
+        for bl in blocks:
+            i = int(np.searchsorted(cand, bl.min_doc, side="left"))
+            if i == cand.size or cand[i] > bl.max_doc:
+                continue  # no candidate in this block: positions unread
+            docs, tfs, lens, pos = bl.decode_with_positions()
+            idx = np.searchsorted(cand, docs)
+            idx[idx == cand.size] = 0  # out-of-range rows can't match
+            m = cand[idx] == docs
+            if not m.any():
+                continue
+            d_p.append(docs[m])
+            t_p.append(tfs[m])
+            l_p.append(lens[m])
+            # gather the kept postings' position segments
+            starts = np.zeros(tfs.size, dtype=np.int64)
+            np.cumsum(tfs[:-1], out=starts[1:])
+            keep_tfs = tfs[m]
+            total = int(keep_tfs.sum())
+            out_starts = np.zeros(keep_tfs.size, dtype=np.int64)
+            np.cumsum(keep_tfs[:-1], out=out_starts[1:])
+            take = (np.repeat(starts[m] - out_starts, keep_tfs)
+                    + np.arange(total, dtype=np.int64))
+            p_p.append(pos[take])
+        if not d_p:
+            return _empty_postings()
+        docs = np.concatenate(d_p)
+        tfs = np.concatenate(t_p)
+        pos_starts = np.zeros(tfs.size, dtype=np.int64)
+        np.cumsum(tfs[:-1], out=pos_starts[1:])
+        return PostingList(docs=docs, tfs=tfs,
+                           lens=np.concatenate(l_p),
+                           pos_concat=np.concatenate(p_p),
+                           pos_starts=pos_starts)
 
     # ------------------------------------------------------------- stats
 

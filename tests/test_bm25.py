@@ -431,3 +431,89 @@ def test_bm25_phrase_range_fold_matches_global(tmp_path, ray_session):
     assert r4[top].tolist() == want.column("score").to_pylist()
     # df really summed across ranges (the phrase exists in many docs)
     assert df == want.num_rows or df >= k
+
+
+def _rare_hot_index(tmp_path):
+    """2000 docs; 'hot' appears in every doc (many blocks), the phrase
+    'rareword hot' in exactly 6 known docs."""
+    from noise_ray.build import build_index
+
+    rng = np.random.default_rng(23)
+    rows = []
+    phrase_docs = {101, 502, 777, 1204, 1650, 1999}
+    for d in range(2000):
+        words = ["pad"] * int(rng.integers(3, 12)) + ["hot"] * int(
+            rng.integers(1, 4))
+        rng.shuffle(words)
+        if d in phrase_docs:
+            words += ["rareword", "hot"]
+        rows.append({"doc_id": d, "text": " ".join(words)})
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "index")
+    build_index([src], idx, fields=("text",), key_columns=("doc_id",),
+                num_buckets=4, block_size=32)
+    return idx, rows, phrase_docs
+
+
+def test_positions_for_docs_matches_full_and_prunes(tmp_path, ray_session):
+    """Candidate-restricted positional fetch returns exactly the full
+    posting list's rows for those docs, and leaves the positions payload
+    of candidate-free blocks undecoded."""
+    from noise_ray.query.reader import IndexReader
+
+    idx, _, phrase_docs = _rare_hot_index(tmp_path)
+    reader = IndexReader(idx)
+    cand = np.array(sorted(phrase_docs), np.int64)
+    sub = reader.positions_for_docs("text", "hot", cand)
+    blocks = reader.term_blocks("text", "hot")
+    decoded = sum(1 for bl in blocks if bl._pos_decoded is not None)
+    assert len(blocks) > 10  # block_size=32 really split the hot list
+    assert decoded <= len(cand)  # only candidate-bearing blocks decoded
+
+    full = reader.postings("text", "hot", need_positions=True)
+    want_rows = np.flatnonzero(np.isin(full.docs, cand))
+    assert sub.docs.tolist() == full.docs[want_rows].tolist()
+    assert sub.tfs.tolist() == full.tfs[want_rows].tolist()
+    assert sub.lens.tolist() == full.lens[want_rows].tolist()
+    for i, r in enumerate(want_rows):
+        assert sub.positions_of(i).tolist() == \
+            full.positions_of(int(r)).tolist()
+
+
+def test_bm25_phrase_rare_hot_candidate_path(tmp_path, ray_session):
+    """A rare+hot phrase routes through the candidate-driven positional
+    fetch; scores match an independent brute-force recomputation and the
+    hot word's positions decode for only a handful of blocks."""
+    from noise_ray.ops.bm25 import bm25_phrase_topk
+    from noise_ray.query.distributed import _cached_reader
+
+    idx, rows, phrase_docs = _rare_hot_index(tmp_path)
+    got = bm25_phrase_topk("unused", ("rareword", "hot"), k=20,
+                           index_dir=idx)
+    # brute force over the raw rows
+    k1, b = 1.2, 0.75
+    seqs = {r["doc_id"]: r["text"].split() for r in rows}
+    n = len(rows)
+    avgdl = sum(len(x) for x in seqs.values()) / n
+    tf = {}
+    for d, x in seqs.items():
+        c = sum(1 for i in range(len(x) - 1)
+                if x[i] == "rareword" and x[i + 1] == "hot")
+        if c:
+            tf[d] = c
+    assert set(tf) == phrase_docs
+    df = len(tf)
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    scores = {d: round(idf * c * (k1 + 1.0)
+                       / (c + k1 * (1.0 - b + b * len(seqs[d]) / avgdl)), 4)
+              for d, c in tf.items()}
+    want = sorted(scores.items(), key=lambda p: (-p[1], p[0]))[:20]
+    assert list(zip(got.column("doc_id").to_pylist(),
+                    got.column("score").to_pylist())) == want
+    # the hot word's positions were decoded for few blocks only
+    reader = _cached_reader(idx)
+    blocks = reader.term_blocks("text", "hot")
+    decoded = sum(1 for bl in blocks if bl._pos_decoded is not None)
+    assert decoded <= len(phrase_docs)
+    assert decoded < len(blocks) // 4
