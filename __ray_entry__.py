@@ -212,6 +212,32 @@ def _bm25_and_topk(sf_dir: str):
     return bm25_topk(sf_dir, mode="and")
 
 
+def _bm25_fields(sf_dir: str):
+    """Weighted multi-field BM25 (BM25F-style): score = sum over fields
+    of w_f * BM25_f(terms) with per-field df and avgdl — "merge" scores
+    through text, "src3"/"en" through the single-token source/lang
+    fields (ops/bm25.bm25_fields_topk; exact SQL oracle
+    bm25_fields_sql)."""
+    from noise_ray.ops.bm25 import bm25_fields_topk
+
+    return bm25_fields_topk(sf_dir)
+
+
+def _bm25_page2(sf_dir: str):
+    """Cursor pagination (search_after): page 2 of the bm25_topk
+    ranking — fetch page 1, use its last (rounded score, doc_id) row as
+    the cursor, return the next 20.  The (rounded score desc, doc_id
+    asc) ordering is total, so the page sequence equals OFFSET
+    semantics; deep paging never re-ships earlier pages (each worker
+    filters below the cursor before its local top-k)."""
+    from noise_ray.ops.bm25 import bm25_topk
+
+    p1 = bm25_topk(sf_dir)
+    cursor = (p1.column("score")[-1].as_py(),
+              p1.column("doc_id")[-1].as_py())
+    return bm25_topk(sf_dir, search_after=cursor)
+
+
 def _bm25_phrase(sf_dir: str):
     """Phrase BM25 (the north rule reduces the reference suite to term
     AND phrase BM25 queries): tf = exact phrase occurrence count via one
@@ -386,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _bm25_topk,
         "bm25_filtered": _bm25_filtered,
         "bm25_and_topk": _bm25_and_topk,
+        "bm25_fields": _bm25_fields,
+        "bm25_page2": _bm25_page2,
         "bm25_phrase": _bm25_phrase,
         "rerank_topk": _rerank_topk,
         "search_term_topk": _search_documents(
@@ -573,6 +601,11 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "scan"), 20, 1.2, 0.75, where="lang = 'en'"),
         "bm25_and_topk": _score_oracle().bm25_topk_sql(
             ("merge", "scan"), 20, 1.2, 0.75, require_all=True),
+        "bm25_fields": _score_oracle().bm25_fields_sql(
+            ("merge", "src3", "en"),
+            (("text", 1.0), ("source", 0.7), ("lang", 0.3)), 20),
+        "bm25_page2": _score_oracle().bm25_topk_sql(
+            ("merge", "scan"), 20, 1.2, 0.75, offset=20),
         "bm25_phrase": _score_oracle().bm25_phrase_topk_sql(
             ("row", "scan"), 20),
         "rerank_topk": _score_oracle().rerank_topk_sql(

@@ -92,6 +92,7 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
               index_dir: str | None = None,
               filter_query: str | None = None,
               mode: str = "or",
+              search_after: tuple[float, int] | None = None,
               pruned: bool = True,
               stats_out: dict | None = None) -> pa.Table:
     """BM25 top-``k`` over the documents index for a bag of ``terms``
@@ -106,8 +107,13 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
     stay CORPUS-wide (the standard filtered-search semantics: a filter
     narrows candidates, it does not re-weight terms).  ``mode="and"``
     keeps only docs matching EVERY query term (posting-list
-    intersection); scores are unchanged where defined.  ``pruned=False``
-    forces the exhaustive path (testing / older indexes)."""
+    intersection); scores are unchanged where defined.
+    ``search_after=(score, doc_id)`` is cursor pagination: return the
+    next ``k`` docs strictly after the cursor row in (rounded score
+    desc, doc_id asc) order — deep paging never re-ships earlier pages,
+    and because the ordering is total the page sequence is exactly
+    OFFSET semantics without the offset cost.  ``pruned=False`` forces
+    the exhaustive path (testing / older indexes)."""
     from ..query.engine import _stem_one
     from ..pipelines import documents_index
 
@@ -130,13 +136,14 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
     if index_dir is not None and reader.num_docs >= 5_000_000:
         return _bm25_distributed(index_dir, reader, stemmed, field,
                                  k, k1, b, n_docs, avgdl, filter_query,
-                                 mode=mode)
+                                 mode=mode, search_after=search_after)
 
     allowed = (_allowed_docs(reader, filter_query, None)
                if filter_query is not None else None)
     if pruned:
         res = _bm25_wand(reader, fid, stemmed, k, k1, b, n_docs, avgdl,
-                         allowed=allowed, mode=mode, stats_out=stats_out)
+                         allowed=allowed, mode=mode,
+                         search_after=search_after, stats_out=stats_out)
         if res is not None:
             uniq, r4 = res
             top = np.lexsort((uniq, -r4))[:k]
@@ -158,6 +165,10 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
         uniq, r4 = uniq[m], r4[m]
     if allowed is not None:
         m = np.isin(uniq, allowed)
+        uniq, r4 = uniq[m], r4[m]
+    if search_after is not None:
+        cs, cd = search_after
+        m = (r4 < cs) | ((r4 == cs) & (uniq > cd))
         uniq, r4 = uniq[m], r4[m]
     top = np.lexsort((uniq, -r4))[:k]  # rounded score desc, doc_id asc
     return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
@@ -220,6 +231,7 @@ def _bm25_wand(reader, fid: int, stemmed: list[str], k: int,
                allowed=None,
                doc_range: tuple[int, int] | None = None,
                mode: str = "or",
+               search_after: tuple[float, int] | None = None,
                stats_out: dict | None = None):
     """Block-max-pruned candidate set ``(docs, rounded_scores)`` provably
     containing the global top-k under (score desc, doc asc), or ``None``
@@ -345,6 +357,13 @@ def _bm25_wand(reader, fid: int, stemmed: list[str], k: int,
         if allowed is not None:
             m = np.isin(uniq, allowed)
             uniq, r4 = uniq[m], r4[m]
+        if search_after is not None and uniq.size:
+            # pagination cursor: keep docs strictly after (score, id) in
+            # (rounded score desc, id asc) order.  The exact == compare
+            # is sound: the cursor IS a previous page's rounded score.
+            cs, cd = search_after
+            m = (r4 < cs) | ((r4 == cs) & (uniq > cd))
+            uniq, r4 = uniq[m], r4[m]
         if not uniq.size:
             continue
         cand_d.append(uniq)
@@ -364,6 +383,182 @@ def _bm25_wand(reader, fid: int, stemmed: list[str], k: int,
     if not cand_d:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
     return np.concatenate(cand_d), np.concatenate(cand_s)
+
+
+def bm25_fields_topk(sf_dir: str,
+                     terms: tuple[str, ...] = ("merge", "src3", "en"),
+                     weights: tuple[tuple[str, float], ...] = (
+                         ("text", 1.0), ("source", 0.7), ("lang", 0.3)),
+                     k: int = 20, k1: float = 1.2, b: float = 0.75, *,
+                     index_dir: str | None = None) -> pa.Table:
+    """Weighted multi-field BM25 (the BM25F-style linear combination of
+    per-field Okapi scores): ``score(d) = Σ_f w_f · Σ_t bm25_f(t, d)``
+    with per-field df and per-field avgdl (each field's stats-sidecar
+    token total / N).  A term can match any field — e.g. "src3" scores
+    through the single-token ``source`` field while "merge" scores
+    through ``text``.  Combination order is field-major exactly like the
+    oracle SQL's ``w_text·s_text + w_source·s_source + ...`` expression
+    so the 4dp-rounded f64 sums agree.  Returns (doc_id, score) by
+    (rounded score desc, doc_id asc)."""
+    from ..pipelines import documents_index
+    from ..query.engine import _stem_one
+
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        reader = _cached_reader(index_dir)
+    else:
+        reader = documents_index(sf_dir)
+    n_docs = float(reader.num_docs)
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+
+    if index_dir is not None and reader.num_docs >= 5_000_000:
+        return _bm25_fields_distributed(index_dir, reader, stemmed,
+                                        weights, k, k1, b, n_docs)
+
+    field_d, field_s = [], []
+    for field, w in weights:
+        fid = reader.field_id.get(field, -1)
+        if fid < 0:
+            continue
+        avgdl = _field_total_tokens(reader, fid) / n_docs
+        parts = []
+        for t in stemmed:
+            pl = reader.postings(fid, t, need_positions=False)
+            if pl.docs.size:
+                parts.append((pl.docs, pl.tfs, pl.lens,
+                              float(pl.docs.size)))
+        if not parts:
+            continue
+        uniq_f, sums_f = _fold_scores_raw(parts, n_docs, avgdl, k1, b)
+        field_d.append(uniq_f)
+        field_s.append(w * sums_f)
+    if not field_d:
+        return _empty_topk()
+    docs = np.concatenate(field_d)
+    scores = np.concatenate(field_s)
+    order = np.argsort(docs, kind="stable")  # stable: field-major sums
+    docs, scores = docs[order], scores[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    summed = np.add.reduceat(scores, starts)
+    tomb = reader.tombstones
+    if tomb is not None and tomb.size:
+        live = ~np.isin(uniq, tomb)
+        uniq, summed = uniq[live], summed[live]
+    r4 = np.round(summed, 4)
+    top = np.lexsort((uniq, -r4))[:k]
+    return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})
+
+
+def _fold_scores_raw(term_parts, n_docs, avgdl, k1, b):
+    """Per-doc UNROUNDED per-field BM25 sums (the multi-field combiner
+    rounds once after the weighted cross-field sum, matching the SQL
+    oracle's expression shape).  ``term_parts`` as in ``_fold_scores``;
+    tombstones are the caller's job."""
+    all_docs, all_scores = [], []
+    for docs_t, tfs, lens, df in term_parts:
+        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        tf = np.asarray(tfs, np.float64)
+        dl = np.asarray(lens, np.float64)
+        all_docs.append(np.asarray(docs_t, np.int64))
+        all_scores.append(idf * tf * (k1 + 1.0)
+                          / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+    docs = np.concatenate(all_docs)
+    scores = np.concatenate(all_scores)
+    order = np.argsort(docs, kind="stable")
+    docs, scores = docs[order], scores[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    return uniq, np.add.reduceat(scores, starts)
+
+
+def bm25_fields_score_range(index_dir: str, weights, stemmed: list[str],
+                            dfs: dict, avgdls: dict, n_docs: float,
+                            k1: float, b: float, k: int,
+                            lo: int, hi: int):
+    """Phase-2 worker body for multi-field BM25: fold this range's
+    per-field contributions with the GLOBAL per-(field, term) dfs and
+    per-field avgdls, return the local top-k (same union-of-local-top-k
+    exactness argument as ``bm25_score_range``)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    field_d, field_s = [], []
+    for field, w in weights:
+        fid = reader.field_id.get(field, -1)
+        if fid < 0:
+            continue
+        parts = []
+        for t in stemmed:
+            df = dfs.get((field, t), 0.0)
+            if not df:
+                continue
+            pl = reader.postings(fid, t, need_positions=False,
+                                 doc_range=(lo, hi))
+            m = (pl.docs >= lo) & (pl.docs < hi)  # block-granular read
+            if m.any():
+                parts.append((pl.docs[m], pl.tfs[m], pl.lens[m], df))
+        if not parts:
+            continue
+        uniq_f, sums_f = _fold_scores_raw(parts, n_docs, avgdls[field],
+                                          k1, b)
+        field_d.append(uniq_f)
+        field_s.append(w * sums_f)
+    if not field_d:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    docs = np.concatenate(field_d)
+    scores = np.concatenate(field_s)
+    order = np.argsort(docs, kind="stable")
+    docs, scores = docs[order], scores[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    summed = np.add.reduceat(scores, starts)
+    tomb = reader.tombstones
+    if tomb is not None and tomb.size:
+        live = ~np.isin(uniq, tomb)
+        uniq, summed = uniq[live], summed[live]
+    r4 = np.round(summed, 4)
+    top = np.lexsort((uniq, -r4))[:k]
+    return uniq[top], r4[top]
+
+
+def _bm25_fields_distributed(index_dir: str, reader, stemmed: list[str],
+                             weights, k: int, k1: float, b: float,
+                             n_docs: float) -> pa.Table:
+    """Two-phase range fan-out for multi-field BM25: per-(field, term)
+    df partials per range, then per-range weighted scoring with local
+    top-k.  avgdls come off the stats sidecar (one read, not a pass)."""
+    import ray
+
+    from ..query.distributed import worker_pool
+
+    fields = [f for f, _ in weights if f in reader.field_id]
+    avgdls = {f: _field_total_tokens(reader, reader.field_id[f]) / n_docs
+              for f in fields}
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n = max(1, min(cpus, reader.num_docs // 10_000 + 1))
+    span = max(1, -(-reader.num_docs // n))
+    ranges = [(lo, min(lo + span, reader.num_docs))
+              for lo in range(0, reader.num_docs, span)]
+    pool = worker_pool()
+    refs = [(f, [pool[i % len(pool)].bm25_df.remote(index_dir, f,
+                                                    stemmed, lo, hi)
+                 for i, (lo, hi) in enumerate(ranges)])
+            for f in fields]
+    dfs = {}
+    for f, frefs in refs:
+        parts = ray.get(frefs)
+        for j, t in enumerate(stemmed):
+            dfs[(f, t)] = float(sum(p[j] for p in parts))
+    parts = ray.get([
+        pool[i % len(pool)].bm25_fields_score.remote(
+            index_dir, tuple(weights), stemmed, dfs, avgdls, n_docs,
+            k1, b, k, lo, hi)
+        for i, (lo, hi) in enumerate(ranges)])
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:k]
+    return pa.table({"doc_id": pa.array(docs[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})
 
 
 # --------------------------------------------------------- phrase BM25
@@ -564,7 +759,8 @@ def bm25_df_range(index_dir: str, field: str, stemmed: list[str],
 def bm25_score_range(index_dir: str, field: str, stemmed: list[str],
                      dfs: list[float], n_docs: float, avgdl: float,
                      k1: float, b: float, k: int, lo: int, hi: int,
-                     filter_query: str | None = None, mode: str = "or"):
+                     filter_query: str | None = None, mode: str = "or",
+                     search_after: tuple[float, int] | None = None):
     """Phase-2 worker body: score one doc range, return its local top-k
     by (rounded score desc, doc_id asc) — a doc outside its range's
     top-k is beaten by >= k docs of that range alone, so the union of
@@ -578,7 +774,7 @@ def bm25_score_range(index_dir: str, field: str, stemmed: list[str],
                if filter_query is not None else None)
     res = _bm25_wand(reader, fid, stemmed, k, k1, b, n_docs, avgdl,
                      dfs=dfs, allowed=allowed, doc_range=(lo, hi),
-                     mode=mode)
+                     mode=mode, search_after=search_after)
     if res is not None:
         uniq, r4 = res
     else:
@@ -598,6 +794,10 @@ def bm25_score_range(index_dir: str, field: str, stemmed: list[str],
             uniq, r4 = uniq[m], r4[m]
         if allowed is not None:
             m = np.isin(uniq, allowed)
+            uniq, r4 = uniq[m], r4[m]
+        if search_after is not None:
+            cs, cd = search_after
+            m = (r4 < cs) | ((r4 == cs) & (uniq > cd))
             uniq, r4 = uniq[m], r4[m]
     top = np.lexsort((uniq, -r4))[:k]
     return uniq[top], r4[top]
@@ -693,7 +893,9 @@ def _bm25_distributed(index_dir: str, reader, stemmed: list[str],
                       field: str, k: int, k1: float, b: float,
                       n_docs: float, avgdl: float,
                       filter_query: str | None = None,
-                      mode: str = "or") -> pa.Table:
+                      mode: str = "or",
+                      search_after: tuple[float, int] | None = None
+                      ) -> pa.Table:
     import ray
 
     from ..query.distributed import worker_pool
@@ -713,7 +915,7 @@ def _bm25_distributed(index_dir: str, reader, stemmed: list[str],
     parts = ray.get([
         pool[i % len(pool)].bm25_score.remote(
             index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b, k,
-            lo, hi, filter_query, mode)
+            lo, hi, filter_query, mode, search_after)
         for i, (lo, hi) in enumerate(ranges)])
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])

@@ -449,7 +449,8 @@ ORDER BY f.rrf DESC, doc_id LIMIT {topn}"""
 def bm25_topk_sql(terms: tuple[str, ...], k: int, k1: float, b: float, *,
                   src: str = "documents", key: str = "doc_id",
                   where: str | None = None,
-                  require_all: bool = False) -> str:
+                  require_all: bool = False,
+                  offset: int = 0) -> str:
     """Okapi BM25 oracle (ops/bm25.py): Lucene-style non-negative idf,
     avgdl = total tokens / total docs (ALL docs, matching the engine's
     stats-sidecar total / num_docs), score rounded to 4dp and ordered by
@@ -457,7 +458,11 @@ def bm25_topk_sql(terms: tuple[str, ...], k: int, k1: float, b: float, *,
     "bool query" shape: candidates restricted to rows satisfying the
     predicate, idf/avgdl stats staying corpus-wide like the engine.
     ``require_all`` is the conjunctive (posting-list intersection) mode:
-    only docs matching EVERY query term rank (mode="and")."""
+    only docs matching EVERY query term rank (mode="and").  ``offset``
+    oracles the engine's ``search_after`` cursor pagination: the
+    (rounded score desc, key asc) ordering is TOTAL, so the rows
+    strictly after page N's last (score, key) cursor are exactly rows
+    N*k+1 .. (N+1)*k — plain OFFSET."""
     fil = (f",\nfil AS (SELECT {key} FROM {src} WHERE {where})"
            if where else "")
     fjoin = f"JOIN fil USING ({key})" if where else ""
@@ -484,7 +489,73 @@ s AS (SELECT tf.{key},
 {fil}
 SELECT {key}, ROUND(score, 4) AS score FROM s
 {fjoin}
-ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
+ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}{
+    f" OFFSET {offset}" if offset else ""}"""
+
+
+def bm25_fields_sql(terms: tuple[str, ...],
+                    weights: tuple[tuple[str, float], ...],
+                    k: int, k1: float = 1.2, b: float = 0.75, *,
+                    src: str = "documents", key: str = "doc_id") -> str:
+    """Weighted multi-field BM25 oracle (ops/bm25.bm25_fields_topk):
+    ``score = Σ_f w_f · Σ_t bm25_f(t)`` with per-field df and avgdl.
+    ``text`` tokenizes through the shared toks CTE; every other field
+    is a SINGLE-TOKEN column (the synthetic lang/source values are one
+    token each), so tf = 1, dl = 1, avgdl = 1 and the kernel expression
+    is written out with those literals in the engine's operand order
+    (f64 ops are IEEE-rounded, so same order → same bits).  The
+    cross-field combination mirrors the engine's field-major weighted
+    sum; rounding to 4dp happens once, after it."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    ctes, combines, joins = [], [], []
+    for f, w in weights:
+        if f == "text":
+            ctes.append(f"""
+tf_text AS (SELECT {key}, tok, count(*) AS tf FROM toks
+            WHERE tok IN ({toks_in}) GROUP BY {key}, tok),
+df_text AS (SELECT tok, count(*) AS df FROM tf_text GROUP BY tok),
+s_text AS (SELECT tf_text.{key},
+                  sum(ln(1.0 + ((SELECT n FROM nn) - df_text.df + 0.5)
+                               / (df_text.df + 0.5))
+                      * tf_text.tf * ({k1} + 1.0)
+                      / (tf_text.tf
+                         + {k1} * (1.0 - {b}
+                                   + {b} * lens.len / (SELECT a FROM ad)))
+                      ) AS sc
+           FROM tf_text JOIN df_text USING (tok)
+           JOIN lens USING ({key})
+           GROUP BY tf_text.{key})""")
+            combines.append(f"{w} * COALESCE(s_text.sc, 0.0)")
+            joins.append(f"LEFT JOIN s_text USING ({key})")
+        else:
+            ctes.append(f"""
+tf_{f} AS (SELECT {key}, {f} AS tok FROM {src}
+           WHERE {f} IN ({toks_in})),
+df_{f} AS (SELECT tok, count(*) AS df FROM tf_{f} GROUP BY tok),
+s_{f} AS (SELECT tf_{f}.{key},
+                 sum(ln(1.0 + ((SELECT n FROM nn) - df_{f}.df + 0.5)
+                              / (df_{f}.df + 0.5))
+                     * 1.0 * ({k1} + 1.0)
+                     / (1.0 + {k1} * (1.0 - {b} + {b} * 1.0 / 1.0))
+                     ) AS sc
+          FROM tf_{f} JOIN df_{f} USING (tok)
+          GROUP BY tf_{f}.{key})""")
+            combines.append(f"{w} * COALESCE(s_{f}.sc, 0.0)")
+            joins.append(f"LEFT JOIN s_{f} USING ({key})")
+    union = " UNION ".join(
+        f"SELECT {key} FROM s_{f if f != 'text' else 'text'}"
+        for f, _ in weights)
+    expr = " + ".join(combines)
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),{",".join(ctes)},
+ids AS ({union})
+SELECT ids.{key}, ROUND({expr}, 4) AS score
+FROM ids
+{chr(10).join(joins)}
+ORDER BY ROUND({expr}, 4) DESC, ids.{key} LIMIT {k}"""
 
 
 def bm25_phrase_topk_sql(words: tuple[str, ...], k: int,

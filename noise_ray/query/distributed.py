@@ -225,12 +225,20 @@ class _RangeWorker:
         return bm25_df_range(index_dir, field, stemmed, lo, hi)
 
     def bm25_score(self, index_dir, field, stemmed, dfs, n_docs, avgdl,
-                   k1, b, k, lo, hi, filter_query=None, mode="or"):
+                   k1, b, k, lo, hi, filter_query=None, mode="or",
+                   search_after=None):
         from ..ops.bm25 import bm25_score_range
 
         return bm25_score_range(index_dir, field, stemmed, dfs, n_docs,
                                 avgdl, k1, b, k, lo, hi, filter_query,
-                                mode)
+                                mode, search_after)
+
+    def bm25_fields_score(self, index_dir, weights, stemmed, dfs, avgdls,
+                          n_docs, k1, b, k, lo, hi):
+        from ..ops.bm25 import bm25_fields_score_range
+
+        return bm25_fields_score_range(index_dir, weights, stemmed, dfs,
+                                       avgdls, n_docs, k1, b, k, lo, hi)
 
     def bm25_phrase_df(self, index_dir, field, stemmed, lo, hi):
         from ..ops.bm25 import bm25_phrase_df_range

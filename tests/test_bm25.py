@@ -517,3 +517,99 @@ def test_bm25_phrase_rare_hot_candidate_path(tmp_path, ray_session):
     decoded = sum(1 for bl in blocks if bl._pos_decoded is not None)
     assert decoded <= len(phrase_docs)
     assert decoded < len(blocks) // 4
+
+
+@pytest.mark.parametrize("pruned", [True, False])
+def test_bm25_search_after_pages_partition_ranking(multiblock_index,
+                                                   pruned):
+    """Three cursor pages reassemble exactly the one-shot top-30 (both
+    the WAND and exhaustive paths), and a cursor past the last match
+    returns empty."""
+    from noise_ray.ops.bm25 import bm25_topk
+
+    full = bm25_topk("unused", terms=("zzz", "qqq"), k=30,
+                     index_dir=multiblock_index, pruned=pruned)
+    pages = []
+    cursor = None
+    for _ in range(3):
+        p = bm25_topk("unused", terms=("zzz", "qqq"), k=10,
+                      index_dir=multiblock_index, pruned=pruned,
+                      search_after=cursor)
+        assert p.num_rows == 10
+        pages.append(p)
+        cursor = (p.column("score")[-1].as_py(),
+                  p.column("doc_id")[-1].as_py())
+    got = pa.concat_tables(pages)
+    assert got.column("doc_id").to_pylist() == \
+        full.column("doc_id").to_pylist()
+    assert got.column("score").to_pylist() == \
+        full.column("score").to_pylist()
+    # a cursor below every score: empty page
+    empty = bm25_topk("unused", terms=("zzz", "qqq"), k=10,
+                      index_dir=multiblock_index, pruned=pruned,
+                      search_after=(-1.0, 0))
+    assert empty.num_rows == 0
+
+
+def test_bm25_fields_range_fold_matches_global(ray_session):
+    """Multi-field distributed bodies (per-(field, term) df partials +
+    per-range weighted scoring) fold to exactly the in-process result on
+    the sf corpus."""
+    from noise_ray.ops.bm25 import (_field_total_tokens, bm25_df_range,
+                                    bm25_fields_score_range,
+                                    bm25_fields_topk)
+    from noise_ray.pipelines import documents_index
+
+    import os
+
+    from noise_ray.pipelines import flagship
+
+    reader = documents_index(SF)
+    idx = os.path.join(flagship._CACHE_ROOT,
+                       f"documents-{flagship._sf_of(SF)}-v3")
+    weights = (("text", 1.0), ("source", 0.7), ("lang", 0.3))
+    terms = ["merg", "src3", "en"]  # stems, as the driver passes them
+    n_docs = float(reader.num_docs)
+    k = 20
+    mid = reader.num_docs // 2
+    ranges = [(0, mid), (mid, reader.num_docs)]
+    dfs = {}
+    for f, _ in weights:
+        parts = [bm25_df_range(idx, f, terms, lo, hi) for lo, hi in ranges]
+        for j, t in enumerate(terms):
+            dfs[(f, t)] = float(sum(p[j] for p in parts))
+    avgdls = {f: _field_total_tokens(reader, reader.field_id[f]) / n_docs
+              for f, _ in weights}
+    parts = [bm25_fields_score_range(idx, weights, terms, dfs, avgdls,
+                                     n_docs, 1.2, 0.75, k, lo, hi)
+             for lo, hi in ranges]
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:k]
+    want = bm25_fields_topk(SF, ("merge", "src3", "en"), weights, k=k)
+    assert docs[top].tolist() == want.column("doc_id").to_pylist()
+    assert r4[top].tolist() == want.column("score").to_pylist()
+
+
+def test_bm25_fields_weights_change_ranking(ray_session):
+    """Field weights really act: text-only weighting equals plain BM25
+    restricted to text, and a source-heavy weighting promotes src3
+    docs."""
+    from noise_ray.ops.bm25 import bm25_fields_topk, bm25_topk
+
+    text_only = bm25_fields_topk(SF, ("merge",), (("text", 1.0),), k=20)
+    plain = bm25_topk(SF, ("merge",), k=20)
+    assert text_only.column("doc_id").to_pylist() == \
+        plain.column("doc_id").to_pylist()
+    assert text_only.column("score").to_pylist() == \
+        plain.column("score").to_pylist()
+
+    heavy = bm25_fields_topk(SF, ("merge", "src3"),
+                             (("text", 0.1), ("source", 5.0)), k=20)
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "source"])
+    src3 = set(t.column("doc_id").to_pylist()[i]
+               for i, s in enumerate(t.column("source").to_pylist())
+               if s == "src3")
+    top = heavy.column("doc_id").to_pylist()
+    assert all(d in src3 for d in top)
