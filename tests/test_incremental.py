@@ -140,3 +140,112 @@ def test_multiple_epochs_and_reopen(base_index, tmp_path):
     r2 = IndexReader(base_index)
     assert len(r2._epochs) == 2
     shutil.rmtree(ghost)
+
+
+# ---------------------------------------------------- tiered epoch merge
+
+def test_merge_epochs_bit_identical(base_index, tmp_path):
+    """Folding three epochs (including an upsert's tombstone) into one
+    merged epoch changes NO query result — same ids, same f32 scores,
+    same tombstone behavior — and halves nothing but the per-term
+    segment lookups.  Epoch numbering continues after the merge and a
+    second-generation merge (merged + fresh epoch) still agrees."""
+    from noise_ray.build import merge_epochs
+    from noise_ray.build.incremental import _epoch_dirs
+
+    p1 = _write(str(tmp_path / "in1"), "part-1.parquet", DELTA)
+    add_documents(base_index, [p1])
+    p2 = _write(str(tmp_path / "in2"), "part-2.parquet", [
+        ("a", 0, "user", "updated fox doc entirely"),   # upsert of a/0
+        ("d", 0, "user", "fox quick lazy"),
+    ])
+    add_documents(base_index, [p2])
+    p3 = _write(str(tmp_path / "in3"), "part-3.parquet", [
+        ("e", 0, "assistant", "dogs and fox together"),
+    ])
+    add_documents(base_index, [p3])
+
+    qs = [
+        'find {text: ~="fox"} order score() desc, .doc_id asc '
+        'return score() limit 10 ;',
+        'find {text: ~="quick"} return .doc_id ;',
+        'find {role: =="user", text: ~="lazy"} return .doc_id ;',
+    ]
+    r = IndexReader(base_index)
+    before = [run_query(r, q) for q in qs]
+    n_before = total_docs(base_index)
+    tomb_before = sorted(r.tombstones.tolist())
+    assert tomb_before  # the upsert really shadowed a doc
+
+    m = merge_epochs(base_index)
+    assert m is not None
+    eds = _epoch_dirs(base_index)
+    assert [os.path.basename(d) for d in eds] == ["epoch-0001-0003"]
+    assert total_docs(base_index) == n_before
+    r2 = IndexReader(base_index)
+    assert sorted(r2.tombstones.tolist()) == tomb_before
+    for q, want in zip(qs, before):
+        got = run_query(r2, q)
+        assert got.column_names == want.column_names
+        for c in want.column_names:
+            assert got.column(c).to_pylist() == want.column(c).to_pylist()
+
+    # numbering continues past the merged span
+    p4 = _write(str(tmp_path / "in4"), "part-4.parquet", [
+        ("f", 0, "user", "a final fox"),
+    ])
+    add_documents(base_index, [p4])
+    names = [os.path.basename(d) for d in _epoch_dirs(base_index)]
+    assert names == ["epoch-0001-0003", "epoch-0004"]
+
+    # keep=1 keeps the newest epoch: only one mergeable dir -> no-op
+    assert merge_epochs(base_index, keep=1) is None
+
+    # second-generation merge folds the merged epoch + the fresh one
+    before2 = [run_query(IndexReader(base_index), q) for q in qs]
+    assert merge_epochs(base_index) is not None
+    names = [os.path.basename(d) for d in _epoch_dirs(base_index)]
+    assert names == ["epoch-0001-0004"]
+    r3 = IndexReader(base_index)
+    for q, want in zip(qs, before2):
+        got = run_query(r3, q)
+        for c in want.column_names:
+            assert got.column(c).to_pylist() == want.column(c).to_pylist()
+
+
+def test_merge_epochs_crash_leftover_is_wiped(base_index, tmp_path):
+    """An unpublished merged dir (crash before the manifest write) is
+    wiped and redone; a published-but-undeleted source dir (crash after
+    publish) is hidden immediately and GC'd by the next merge call."""
+    from noise_ray.build import merge_epochs
+    from noise_ray.build.incremental import _epoch_dirs
+
+    p1 = _write(str(tmp_path / "in1"), "part-1.parquet", DELTA)
+    add_documents(base_index, [p1])
+    p2 = _write(str(tmp_path / "in2"), "part-2.parquet", [
+        ("d", 0, "user", "fox quick lazy"),
+    ])
+    add_documents(base_index, [p2])
+
+    # unpublished leftover with garbage content
+    leftover = os.path.join(base_index, "epochs", "epoch-0001-0002")
+    os.makedirs(os.path.join(leftover, "segments"))
+    with open(os.path.join(leftover, "junk.txt"), "w") as f:
+        f.write("partial")
+    q = ('find {text: ~="fox"} order score() desc, .doc_id asc '
+         'return score() limit 10 ;')
+    want = run_query(IndexReader(base_index), q)
+    assert merge_epochs(base_index) is not None
+    assert not os.path.exists(os.path.join(leftover, "junk.txt"))
+    got = run_query(IndexReader(base_index), q)
+    assert got.column("doc_id").to_pylist() == \
+        want.column("doc_id").to_pylist()
+
+    # crash-after-publish: resurrect a source dir name in supersedes —
+    # it must stay hidden even though its manifest exists
+    ghost = os.path.join(base_index, "epochs", "epoch-0001")
+    os.makedirs(ghost)
+    with open(os.path.join(ghost, "manifest.json"), "w") as f:
+        f.write("{}")
+    assert [os.path.basename(d) for d in _epoch_dirs(base_index)] == \
+        ["epoch-0001-0002"]
