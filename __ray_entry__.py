@@ -175,6 +175,44 @@ def _lifecycle_compact(sf_dir: str):
     return _round4(t.select(["conv_id", "turn_idx", "score"]))
 
 
+def _lifecycle_merge(sf_dir: str):
+    """Tiered epoch merge (build/incremental.merge_epochs): base build →
+    two epoch adds (one an upsert) → fold both epochs into ONE merged
+    epoch at O(epoch bytes) with no re-tokenize, then query.  Results
+    are bit-identical to the unmerged epoch view; the single-term score
+    sqrt(tf/len) cancels idf, so the merged index's stale-stats
+    semantics (shadowed docs GC'd only at compaction) cannot leak into
+    the oracle comparison."""
+    import os
+    import tempfile
+
+    from noise_ray.build import add_documents, build_index, merge_epochs
+    from noise_ray.query import IndexReader, run_query
+
+    root = tempfile.mkdtemp(prefix="noise_ray_merge_")
+    base = _write_turns(os.path.join(root, "in0"), [
+        ("a", 0, "user", "the quick brown fox"),
+        ("a", 1, "assistant", "lazy dogs sleep"),
+        ("b", 0, "user", "fox hunting season"),
+    ])
+    idx = os.path.join(root, "idx")
+    build_index([base], idx, num_buckets=4)
+    delta1 = _write_turns(os.path.join(root, "in1"), [
+        ("a", 0, "user", "updated fox text entirely"),  # upsert of (a, 0)
+        ("c", 0, "user", "quick quick fox"),
+    ])
+    add_documents(idx, [delta1])
+    delta2 = _write_turns(os.path.join(root, "in2"), [
+        ("d", 0, "user", "fox fox fox den"),
+    ])
+    add_documents(idx, [delta2])
+    merge_epochs(idx)
+    t = run_query(
+        IndexReader(idx),
+        'find {text: ~="fox"} order score() desc return score() limit 10 ;')
+    return _round4(t.select(["conv_id", "turn_idx", "score"]))
+
+
 def _ann_ivf_indexed(sf_dir: str):
     """ann_ivf through the PERSISTENT IVF-partitioned vector index
     (build once, query reads only probed lists — build/vector_index.py);
@@ -510,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- lifecycle: incremental add + upsert epochs; compaction
         "incremental_upsert": _incremental_upsert,
         "lifecycle_compact": _lifecycle_compact,
+        "lifecycle_merge": _lifecycle_merge,
         "delete_by_query": _delete_by_query,
         "nested_delete_by_query": _nested_delete_by_query,
         "search_export": _search_export,
@@ -623,6 +662,12 @@ def oracle_sql() -> dict[str, str]:
             ("a", 0, "updated fox text entirely"),
             ("b", 0, "fox hunting season"),
             ("c", 0, "quick quick fox"),
+        ], "fox", 10),
+        "lifecycle_merge": _score_oracle().values_corpus_term_sql([
+            ("a", 0, "updated fox text entirely"),
+            ("b", 0, "fox hunting season"),
+            ("c", 0, "quick quick fox"),
+            ("d", 0, "fox fox fox den"),
         ], "fox", 10),
         "delete_by_query": _score_oracle().values_corpus_term_sql([
             ("a", 1, "dogs sleep all day"),
