@@ -286,6 +286,46 @@ def _bm25_phrase(sf_dir: str):
     return bm25_phrase_topk(sf_dir, ("row", "scan"))
 
 
+def _bm25_msm(sf_dir: str):
+    """minimum_should_match BM25 (ops/bm25.py min_match): only docs
+    matching >= 2 of the 3 query terms rank — the Lucene msm middle
+    ground between pure OR and AND, pruned through the same block-max
+    coverage-count bound."""
+    from noise_ray.ops.bm25 import bm25_topk
+
+    return bm25_topk(sf_dir, terms=("merge", "scan", "row"), min_match=2)
+
+
+def _bm25_synonyms(sf_dir: str):
+    """Synonym-blended BM25 (ops/bm25_ext.bm25_synonyms_topk): each
+    query "term" is a GROUP of interchangeable surface forms scoring as
+    one pseudo-term (summed tf, union df) — Lucene's SynonymQuery."""
+    from noise_ray.ops.bm25_ext import bm25_synonyms_topk
+
+    return bm25_synonyms_topk(sf_dir)
+
+
+def _bm25_value_boost(sf_dir: str):
+    """Function-score BM25 (ops/bm25_ext.bm25_value_boost):
+    score' = bm25 · 1/(1 + λ·n_chars) with the boost value gathered
+    from the docmap — the field_value_factor / recency-decay shape."""
+    from noise_ray.ops.bm25_ext import bm25_value_boost
+
+    return bm25_value_boost(sf_dir)
+
+
+def _federated_bm25(sf_dir: str):
+    """Federated search (ops/federated.py): the documents corpus split
+    into 3 INDEPENDENTLY built shard indexes (own doc-id spaces), one
+    exact global BM25 ranking via the dfs_query_then_fetch two-phase
+    protocol — bit-identical to single-index bm25_topk, so the oracle
+    IS the plain BM25 SQL."""
+    from noise_ray.ops.federated import (federated_bm25,
+                                         shard_documents_indexes)
+
+    return federated_bm25(shard_documents_indexes(sf_dir, 3))
+
+
 def _rerank_topk(sf_dir: str):
     """Retrieve-then-rerank (ops/rerank.py): BM25 top-100 candidates off
     the index, then a deterministic lexical-feature second stage (the
@@ -453,6 +493,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fields": _bm25_fields,
         "bm25_page2": _bm25_page2,
         "bm25_phrase": _bm25_phrase,
+        "bm25_msm": _bm25_msm,
+        "bm25_synonyms": _bm25_synonyms,
+        "bm25_value_boost": _bm25_value_boost,
+        "federated_bm25": _federated_bm25,
         "rerank_topk": _rerank_topk,
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
@@ -647,6 +691,15 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "scan"), 20, 1.2, 0.75, offset=20),
         "bm25_phrase": _score_oracle().bm25_phrase_topk_sql(
             ("row", "scan"), 20),
+        "bm25_msm": _score_oracle().bm25_topk_sql(
+            ("merge", "scan", "row"), 20, 1.2, 0.75, min_match=2),
+        "bm25_synonyms": _score_oracle().bm25_synonyms_sql(
+            (("merge", "join"), ("scan",)), 20),
+        "bm25_value_boost": _score_oracle().bm25_value_boost_sql(
+            ("merge", "scan"), 20),
+        # federated == single-index ranking by construction (module doc)
+        "federated_bm25": _score_oracle().bm25_topk_sql(
+            ("merge", "scan"), 20, 1.2, 0.75),
         "rerank_topk": _score_oracle().rerank_topk_sql(
             ("merge", "scan"), 100, 10),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),

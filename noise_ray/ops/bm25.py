@@ -92,6 +92,7 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
               index_dir: str | None = None,
               filter_query: str | None = None,
               mode: str = "or",
+              min_match: int | None = None,
               search_after: tuple[float, int] | None = None,
               pruned: bool = True,
               stats_out: dict | None = None) -> pa.Table:
@@ -108,17 +109,24 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
     narrows candidates, it does not re-weight terms).  ``mode="and"``
     keeps only docs matching EVERY query term (posting-list
     intersection); scores are unchanged where defined.
-    ``search_after=(score, doc_id)`` is cursor pagination: return the
-    next ``k`` docs strictly after the cursor row in (rounded score
-    desc, doc_id asc) order — deep paging never re-ships earlier pages,
-    and because the ordering is total the page sequence is exactly
-    OFFSET semantics without the offset cost.  ``pruned=False`` forces
-    the exhaustive path (testing / older indexes)."""
+    ``min_match=m`` is Lucene's minimum_should_match: only docs matching
+    at least ``m`` distinct query terms rank (``mode="or"`` is m=1,
+    ``mode="and"`` is m=len(terms); both are expressed through the same
+    matched-term-count filter).  ``search_after=(score, doc_id)`` is
+    cursor pagination: return the next ``k`` docs strictly after the
+    cursor row in (rounded score desc, doc_id asc) order — deep paging
+    never re-ships earlier pages, and because the ordering is total the
+    page sequence is exactly OFFSET semantics without the offset cost.
+    ``pruned=False`` forces the exhaustive path (testing / older
+    indexes)."""
     from ..query.engine import _stem_one
     from ..pipelines import documents_index
 
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if min_match is not None and mode == "and":
+        raise ValueError("min_match only composes with mode='or' "
+                         "(mode='and' IS min_match=len(terms))")
     if index_dir is not None:
         # version-keyed cache: repeat queries reuse the decoded stats
         # sidecar totals and posting caches instead of re-opening
@@ -133,16 +141,18 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
 
     # dict.fromkeys: duplicate query terms collapse (a term scores once)
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+    # both boolean modes reduce to a matched-term-count floor
+    m_req = len(stemmed) if mode == "and" else max(1, min_match or 1)
     if index_dir is not None and reader.num_docs >= 5_000_000:
         return _bm25_distributed(index_dir, reader, stemmed, field,
                                  k, k1, b, n_docs, avgdl, filter_query,
-                                 mode=mode, search_after=search_after)
+                                 min_match=m_req, search_after=search_after)
 
     allowed = (_allowed_docs(reader, filter_query, None)
                if filter_query is not None else None)
     if pruned:
         res = _bm25_wand(reader, fid, stemmed, k, k1, b, n_docs, avgdl,
-                         allowed=allowed, mode=mode,
+                         allowed=allowed, min_match=m_req,
                          search_after=search_after, stats_out=stats_out)
         if res is not None:
             uniq, r4 = res
@@ -160,8 +170,8 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
     uniq, r4, cnts = _fold_scores(
         [(pls[t].docs, pls[t].tfs, pls[t].lens, dfs[t]) for t in pls],
         n_docs, avgdl, k1, b, reader.tombstones)
-    if mode == "and":
-        m = cnts == len(stemmed)
+    if m_req > 1:
+        m = cnts >= m_req
         uniq, r4 = uniq[m], r4[m]
     if allowed is not None:
         m = np.isin(uniq, allowed)
@@ -230,7 +240,7 @@ def _bm25_wand(reader, fid: int, stemmed: list[str], k: int,
                dfs: list[float] | None = None,
                allowed=None,
                doc_range: tuple[int, int] | None = None,
-               mode: str = "or",
+               min_match: int = 1,
                search_after: tuple[float, int] | None = None,
                stats_out: dict | None = None):
     """Block-max-pruned candidate set ``(docs, rounded_scores)`` provably
@@ -287,8 +297,10 @@ def _bm25_wand(reader, fid: int, stemmed: list[str], k: int,
             bound[s:e] += tb
             ivl_cnt[s:e] += bl.cnt
             cov[ti, s:e] = True
-    if mode == "and":
-        bound = np.where(cov.all(axis=0), bound, -1.0)
+    if min_match > 1:
+        # a doc's matched terms are a subset of its interval's covering
+        # terms, so coverage-count < m means no doc there can reach m
+        bound = np.where(cov.sum(axis=0) >= min_match, bound, -1.0)
 
     # Intervals are scored in descending-bound order, but in GEOMETRIC
     # CHUNKS (first ~4k-doc-volume worth, then 4x per round): each chunk
@@ -351,8 +363,8 @@ def _bm25_wand(reader, fid: int, stemmed: list[str], k: int,
             continue
         uniq, r4, cnts = _fold_scores(parts, n_docs, avgdl, k1, b,
                                       reader.tombstones)
-        if mode == "and":
-            m = cnts == nt
+        if min_match > 1:
+            m = cnts >= min_match
             uniq, r4 = uniq[m], r4[m]
         if allowed is not None:
             m = np.isin(uniq, allowed)
@@ -759,7 +771,7 @@ def bm25_df_range(index_dir: str, field: str, stemmed: list[str],
 def bm25_score_range(index_dir: str, field: str, stemmed: list[str],
                      dfs: list[float], n_docs: float, avgdl: float,
                      k1: float, b: float, k: int, lo: int, hi: int,
-                     filter_query: str | None = None, mode: str = "or",
+                     filter_query: str | None = None, min_match: int = 1,
                      search_after: tuple[float, int] | None = None):
     """Phase-2 worker body: score one doc range, return its local top-k
     by (rounded score desc, doc_id asc) — a doc outside its range's
@@ -774,7 +786,7 @@ def bm25_score_range(index_dir: str, field: str, stemmed: list[str],
                if filter_query is not None else None)
     res = _bm25_wand(reader, fid, stemmed, k, k1, b, n_docs, avgdl,
                      dfs=dfs, allowed=allowed, doc_range=(lo, hi),
-                     mode=mode, search_after=search_after)
+                     min_match=min_match, search_after=search_after)
     if res is not None:
         uniq, r4 = res
     else:
@@ -789,8 +801,8 @@ def bm25_score_range(index_dir: str, field: str, stemmed: list[str],
                 parts.append((pl.docs[m], pl.tfs[m], pl.lens[m], df))
         uniq, r4, cnts = _fold_scores(parts, n_docs, avgdl, k1, b,
                                       reader.tombstones)
-        if mode == "and":
-            m = cnts == len(stemmed)
+        if min_match > 1:
+            m = cnts >= min_match
             uniq, r4 = uniq[m], r4[m]
         if allowed is not None:
             m = np.isin(uniq, allowed)
@@ -893,7 +905,7 @@ def _bm25_distributed(index_dir: str, reader, stemmed: list[str],
                       field: str, k: int, k1: float, b: float,
                       n_docs: float, avgdl: float,
                       filter_query: str | None = None,
-                      mode: str = "or",
+                      min_match: int = 1,
                       search_after: tuple[float, int] | None = None
                       ) -> pa.Table:
     import ray
@@ -915,7 +927,7 @@ def _bm25_distributed(index_dir: str, reader, stemmed: list[str],
     parts = ray.get([
         pool[i % len(pool)].bm25_score.remote(
             index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b, k,
-            lo, hi, filter_query, mode, search_after)
+            lo, hi, filter_query, min_match, search_after)
         for i, (lo, hi) in enumerate(ranges)])
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])

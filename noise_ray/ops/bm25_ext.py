@@ -1,0 +1,344 @@
+"""BM25 extensions: synonym-blended scoring and function-score boosts.
+
+Two retrieval shapes standard engines layer on top of plain Okapi BM25
+(cf. Lucene's SynonymQuery and Elasticsearch's function_score), both
+computed straight off the index artifacts like ops/bm25.py:
+
+- **Synonym groups** (``bm25_synonyms_topk``): each query "term" is a
+  GROUP of interchangeable surface forms.  The group scores as one
+  pseudo-term — ``tf_g(d) = Σ_t tf_t(d)`` (every occurrence of any
+  member counts) and ``df_g = |{d : any member occurs}|`` (the union
+  doc frequency, so a group of common synonyms is down-weighted like
+  the single common term it behaves as, instead of idf-stacking).
+  A plain OR over the same words would score each member with its own
+  idf and reward documents for using rarer spellings of the same
+  concept; the blended form is spelling-invariant.
+
+- **Value boost** (``bm25_value_boost``): ``score'(d) = bm25(d) ·
+  1/(1 + λ·v_d)`` for a stored numeric doc value ``v_d`` (recency age,
+  length, spam score, …) gathered from the docmap — the
+  field_value_factor / decay shape.  The boost is per-doc, so scoring
+  stays per-doc independent and the distributed union-of-local-top-k
+  argument carries over unchanged.
+
+Both fan out per doc range above 5M docs through the shared range-actor
+pool (query/distributed.worker_pool, via the generic ``ops_call``
+dispatch): phase 1 folds per-range statistic partials (group union dfs
+are disjoint-range sums, exactly like term dfs), phase 2 scores each
+range with the GLOBAL stats and returns a local top-k.
+
+Determinism contract: scores are f64 in the engine's operand order,
+rounded to 4dp, ordered by (rounded score desc, doc_id asc) — the same
+cross-engine contract as ops/bm25.py so DuckDB oracles compare exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from .bm25 import (
+    _empty_topk,
+    _field_total_tokens,
+    _fold_scores_raw,
+)
+
+
+def _stem_groups(groups) -> list[list[str]]:
+    from ..query.engine import _stem_one
+
+    out = []
+    for g in groups:
+        stemmed = list(dict.fromkeys(_stem_one(t) for t in g))
+        if stemmed:
+            out.append(stemmed)
+    return out
+
+
+def _group_fold(reader, fid: int, group: list[str],
+                doc_range: tuple[int, int] | None = None):
+    """(uniq_docs, tf_sum, dl) for one synonym group — the group's
+    pseudo-posting-list: docs where ANY member occurs, tf summed over
+    members, dl from the shared per-doc field length.  ``doc_range``
+    masks exactly (the posting pushdown is block-granular)."""
+    parts_d, parts_t, parts_l = [], [], []
+    for t in group:
+        pl = reader.postings(fid, t, need_positions=False,
+                             doc_range=doc_range)
+        if pl is None or not pl.docs.size:
+            continue
+        d = pl.docs
+        m = None
+        if doc_range is not None:
+            lo, hi = doc_range
+            m = (d >= lo) & (d < hi)
+            if not m.any():
+                continue
+        parts_d.append(d if m is None else d[m])
+        parts_t.append(pl.tfs if m is None else pl.tfs[m])
+        parts_l.append(pl.lens if m is None else pl.lens[m])
+    if not parts_d:
+        return None
+    docs = np.concatenate(parts_d).astype(np.int64)
+    tfs = np.concatenate(parts_t).astype(np.float64)
+    lens = np.concatenate(parts_l)
+    order = np.argsort(docs, kind="stable")
+    docs, tfs, lens = docs[order], tfs[order], lens[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    tf_sum = np.add.reduceat(tfs, starts)
+    dl = lens[starts].astype(np.float64)  # same doc -> same field length
+    return uniq, tf_sum, dl
+
+
+def _score_groups(group_folds, dfs, n_docs, avgdl, k1, b, tomb):
+    """Cross-group sum of per-group BM25 kernels -> (docs, r4), rounded
+    once after the sum (mirrors _fold_scores' term-major shape)."""
+    all_d, all_s = [], []
+    for fold, df in zip(group_folds, dfs):
+        if fold is None or not df:
+            continue
+        uniq, tf, dl = fold
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        all_d.append(uniq)
+        all_s.append(idf * tf * (k1 + 1.0)
+                     / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+    if not all_d:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    docs = np.concatenate(all_d)
+    scores = np.concatenate(all_s)
+    order = np.argsort(docs, kind="stable")
+    docs, scores = docs[order], scores[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    summed = np.add.reduceat(scores, starts)
+    if tomb is not None and tomb.size:
+        live = ~np.isin(uniq, tomb)
+        uniq, summed = uniq[live], summed[live]
+    return uniq, np.round(summed, 4)
+
+
+def bm25_synonyms_topk(sf_dir: str,
+                       groups=(("merge", "join"), ("scan",)),
+                       k: int = 20, k1: float = 1.2, b: float = 0.75,
+                       field: str = "text", *,
+                       index_dir: str | None = None) -> pa.Table:
+    """Synonym-blended BM25 top-k: each group scores as ONE pseudo-term
+    with summed tf and union df (docstring at module top).  Returns
+    (doc_id, score) by (rounded score desc, doc_id asc)."""
+    from ..pipelines import documents_index
+
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        reader = _cached_reader(index_dir)
+    else:
+        reader = documents_index(sf_dir)
+    n_docs = float(reader.num_docs)
+    fid = reader.field_id[field]
+    avgdl = _field_total_tokens(reader, fid) / n_docs
+    sgroups = _stem_groups(groups)
+
+    if index_dir is not None and reader.num_docs >= 5_000_000:
+        return _synonyms_distributed(index_dir, reader, sgroups, field,
+                                     k, k1, b, n_docs, avgdl)
+
+    folds = [_group_fold(reader, fid, g) for g in sgroups]
+    dfs = [float(f[0].size) if f is not None else 0.0 for f in folds]
+    uniq, r4 = _score_groups(folds, dfs, n_docs, avgdl, k1, b,
+                             reader.tombstones)
+    if not uniq.size:
+        return _empty_topk()
+    top = np.lexsort((uniq, -r4))[:k]
+    return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})
+
+
+def syn_df_range(index_dir: str, field: str, sgroups, lo: int,
+                 hi: int) -> list[int]:
+    """Phase-1 worker body: per-group UNION df within [lo, hi).  Ranges
+    are disjoint, so per-range union counts sum to the global union df."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    out = []
+    for g in sgroups:
+        fold = _group_fold(reader, fid, list(g), (lo, hi))
+        out.append(0 if fold is None else int(fold[0].size))
+    return out
+
+
+def syn_score_range(index_dir: str, field: str, sgroups, dfs,
+                    n_docs: float, avgdl: float, k1: float, b: float,
+                    k: int, lo: int, hi: int):
+    """Phase-2 worker body: fold this range's groups with the GLOBAL
+    union dfs, return the local top-k (union-of-local-top-k exactness:
+    per-doc scoring is independent)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    folds = [_group_fold(reader, fid, list(g), (lo, hi)) for g in sgroups]
+    uniq, r4 = _score_groups(folds, dfs, n_docs, avgdl, k1, b,
+                             reader.tombstones)
+    top = np.lexsort((uniq, -r4))[:k]
+    return uniq[top], r4[top]
+
+
+def _synonyms_distributed(index_dir: str, reader, sgroups, field: str,
+                          k: int, k1: float, b: float, n_docs: float,
+                          avgdl: float) -> pa.Table:
+    import ray
+
+    from ..query.distributed import worker_pool
+
+    ranges = _doc_ranges(reader)
+    pool = worker_pool()
+    df_parts = ray.get([
+        pool[i % len(pool)].ops_call.remote(
+            "bm25_ext", "syn_df_range",
+            (index_dir, field, sgroups, lo, hi))
+        for i, (lo, hi) in enumerate(ranges)])
+    dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(sgroups))]
+    parts = ray.get([
+        pool[i % len(pool)].ops_call.remote(
+            "bm25_ext", "syn_score_range",
+            (index_dir, field, sgroups, dfs, n_docs, avgdl, k1, b, k,
+             lo, hi))
+        for i, (lo, hi) in enumerate(ranges)])
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:k]
+    return pa.table({"doc_id": pa.array(docs[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})
+
+
+def _doc_ranges(reader) -> list[tuple[int, int]]:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n = max(1, min(cpus, reader.num_docs // 10_000 + 1))
+    span = max(1, -(-reader.num_docs // n))
+    return [(lo, min(lo + span, reader.num_docs))
+            for lo in range(0, reader.num_docs, span)]
+
+
+# -------------------------------------------------------- value boost
+
+def bm25_value_boost(sf_dir: str, terms=("merge", "scan"),
+                     k: int = 20, k1: float = 1.2, b: float = 0.75,
+                     field: str = "text",
+                     value_column: str = "n_chars",
+                     lam: float = 0.001, *,
+                     index_dir: str | None = None) -> pa.Table:
+    """Function-score BM25: ``score'(d) = bm25(d) · 1/(1 + λ·v_d)`` with
+    ``v_d`` the doc's stored ``value_column`` (docmap gather — the doc
+    store the index already carries; no corpus read).  With
+    ``value_column`` an age this is recency decay; here the testdata's
+    ``n_chars`` demotes long documents.  Returns (doc_id, score) by
+    (rounded boosted score desc, doc_id asc)."""
+    from ..query.engine import _stem_one
+    from ..pipelines import documents_index
+
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        reader = _cached_reader(index_dir)
+    else:
+        reader = documents_index(sf_dir)
+    n_docs = float(reader.num_docs)
+    fid = reader.field_id[field]
+    avgdl = _field_total_tokens(reader, fid) / n_docs
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+
+    if index_dir is not None and reader.num_docs >= 5_000_000:
+        return _boost_distributed(index_dir, reader, stemmed, field, k,
+                                  k1, b, n_docs, avgdl, value_column, lam)
+
+    uniq, r4 = _boost_fold(reader, fid, stemmed, None, n_docs, avgdl,
+                           k1, b, value_column, lam, None)
+    if not uniq.size:
+        return _empty_topk()
+    top = np.lexsort((uniq, -r4))[:k]
+    return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})
+
+
+def boost_score_range(index_dir, field, stemmed, dfs, n_docs, avgdl,
+                      k1, b, value_column, lam, k, lo, hi):
+    """Phase-2 worker body: fold one doc range's boosted scores with the
+    GLOBAL dfs, return the local top-k.  The per-range docmap gather
+    happens on the worker that owns the range (fetch_docs is a
+    vectorized partition-local take, never a corpus scan)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    uniq, r4 = _boost_fold(reader, fid, stemmed, dfs, n_docs, avgdl,
+                           k1, b, value_column, lam, (lo, hi))
+    top = np.lexsort((uniq, -r4))[:k]
+    return uniq[top], r4[top]
+
+
+def _boost_fold(reader, fid, stemmed, dfs, n_docs, avgdl, k1, b,
+                value_column, lam, doc_range):
+    """Boosted per-doc scores for one range (or the whole index when
+    ``doc_range`` is None; dfs=None takes them from the local posting
+    lists — only valid index-wide)."""
+    parts = []
+    for j, t in enumerate(stemmed):
+        pl = reader.postings(fid, t, need_positions=False,
+                             doc_range=doc_range)
+        if pl is None or not pl.docs.size:
+            continue
+        d, tf, dl = pl.docs, pl.tfs, pl.lens
+        if doc_range is not None:
+            lo, hi = doc_range
+            m = (d >= lo) & (d < hi)  # block-granular pushdown: mask
+            d, tf, dl = d[m], tf[m], dl[m]
+        df = float(d.size) if dfs is None else dfs[j]
+        if d.size and df:
+            parts.append((d, tf, dl, df))
+    if not parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    uniq, summed = _fold_scores_raw(parts, n_docs, avgdl, k1, b)
+    tomb = reader.tombstones
+    if tomb is not None and tomb.size:
+        live = ~np.isin(uniq, tomb)
+        uniq, summed = uniq[live], summed[live]
+    if not uniq.size:
+        return uniq, summed
+    vals = reader.fetch_docs(uniq, [value_column]).column(value_column)
+    v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+    return uniq, np.round(summed * (1.0 / (1.0 + lam * v)), 4)
+
+
+def _boost_distributed(index_dir: str, reader, stemmed, field: str,
+                       k: int, k1: float, b: float, n_docs: float,
+                       avgdl: float, value_column: str,
+                       lam: float) -> pa.Table:
+    """Two-phase fan-out: global term dfs (phase 1 reuses bm25_df),
+    then per-range boosted scoring with local top-k."""
+    import ray
+
+    from ..query.distributed import worker_pool
+
+    ranges = _doc_ranges(reader)
+    pool = worker_pool()
+    df_parts = ray.get([
+        pool[i % len(pool)].bm25_df.remote(index_dir, field, stemmed,
+                                           lo, hi)
+        for i, (lo, hi) in enumerate(ranges)])
+    dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
+    parts = ray.get([
+        pool[i % len(pool)].ops_call.remote(
+            "bm25_ext", "boost_score_range",
+            (index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b,
+             value_column, lam, k, lo, hi))
+        for i, (lo, hi) in enumerate(ranges)])
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:k]
+    return pa.table({"doc_id": pa.array(docs[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})

@@ -450,6 +450,7 @@ def bm25_topk_sql(terms: tuple[str, ...], k: int, k1: float, b: float, *,
                   src: str = "documents", key: str = "doc_id",
                   where: str | None = None,
                   require_all: bool = False,
+                  min_match: int = 0,
                   offset: int = 0) -> str:
     """Okapi BM25 oracle (ops/bm25.py): Lucene-style non-negative idf,
     avgdl = total tokens / total docs (ALL docs, matching the engine's
@@ -458,7 +459,9 @@ def bm25_topk_sql(terms: tuple[str, ...], k: int, k1: float, b: float, *,
     "bool query" shape: candidates restricted to rows satisfying the
     predicate, idf/avgdl stats staying corpus-wide like the engine.
     ``require_all`` is the conjunctive (posting-list intersection) mode:
-    only docs matching EVERY query term rank (mode="and").  ``offset``
+    only docs matching EVERY query term rank (mode="and");
+    ``min_match=m`` is the minimum_should_match middle ground (docs
+    matching >= m distinct terms).  ``offset``
     oracles the engine's ``search_after`` cursor pagination: the
     (rounded score desc, key asc) ordering is TOTAL, so the rows
     strictly after page N's last (score, key) cursor are exactly rows
@@ -468,7 +471,9 @@ def bm25_topk_sql(terms: tuple[str, ...], k: int, k1: float, b: float, *,
     fjoin = f"JOIN fil USING ({key})" if where else ""
     toks_in = ", ".join(f"'{t}'" for t in terms)
     having = (f"\n      HAVING count(*) = {len(set(terms))}"
-              if require_all else "")
+              if require_all else
+              (f"\n      HAVING count(*) >= {min_match}"
+               if min_match > 1 else ""))
     return f"""
 WITH {_toks(src, key)},
 nn AS (SELECT count(*) AS n FROM {src}),
@@ -628,3 +633,73 @@ r AS (SELECT cand.{key},
                      / CAST(lens.len AS DOUBLE), 6) AS rerank
       FROM cand LEFT JOIN cov USING ({key}) JOIN lens USING ({key}))
 SELECT {key}, rerank FROM r ORDER BY rerank DESC, {key} LIMIT {k_final}"""
+
+
+def bm25_synonyms_sql(groups: tuple[tuple[str, ...], ...], k: int,
+                      k1: float = 1.2, b: float = 0.75, *,
+                      src: str = "documents", key: str = "doc_id") -> str:
+    """Synonym-blended BM25 oracle (ops/bm25_ext.bm25_synonyms_topk):
+    each group scores as ONE pseudo-term — tf_g = Σ member tfs in the
+    doc, df_g = docs where ANY member occurs (union), one idf from the
+    union df — then the per-group Okapi kernels sum per doc.  Same 4dp /
+    (rounded score desc, key asc) contract as bm25_topk_sql.  Group
+    members must be their own stems' tokens on this corpus (the closed
+    synthetic vocabulary guarantees token stats = stem stats)."""
+    vals = ", ".join(f"('{t}', {gi})"
+                     for gi, g in enumerate(groups) for t in g)
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+g AS (SELECT * FROM (VALUES {vals}) AS v(tok, grp)),
+tf AS (SELECT {key}, grp, count(*) AS tf FROM toks JOIN g USING (tok)
+       GROUP BY {key}, grp),
+df AS (SELECT grp, count(*) AS df FROM tf GROUP BY grp),
+s AS (SELECT tf.{key},
+             sum(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                                    + {b} * lens.len / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf JOIN df USING (grp) JOIN lens USING ({key})
+      GROUP BY tf.{key})
+SELECT {key}, ROUND(score, 4) AS score FROM s
+ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
+
+
+def bm25_value_boost_sql(terms: tuple[str, ...], k: int,
+                         k1: float = 1.2, b: float = 0.75,
+                         value_column: str = "n_chars",
+                         lam: float = 0.001, *,
+                         src: str = "documents",
+                         key: str = "doc_id") -> str:
+    """Function-score BM25 oracle (ops/bm25_ext.bm25_value_boost):
+    the bm25_topk_sql score times the per-doc decay 1/(1 + λ·v), v the
+    doc's stored ``value_column``; multiplied BEFORE the single 4dp
+    rounding in the engine's operand order (f64 both sides)."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+tf AS (SELECT {key}, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({toks_in}) GROUP BY {key}, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+s AS (SELECT tf.{key},
+             sum(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                                    + {b} * lens.len / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf JOIN df USING (tok) JOIN lens USING ({key})
+      GROUP BY tf.{key}),
+bs AS (SELECT s.{key},
+              ROUND(s.score * (1.0 / (1.0 + {lam}
+                    * CAST(d.{value_column} AS DOUBLE))), 4) AS score
+       FROM s JOIN {src} d USING ({key}))
+SELECT {key}, score FROM bs
+ORDER BY score DESC, {key} LIMIT {k}"""

@@ -225,13 +225,23 @@ class _RangeWorker:
         return bm25_df_range(index_dir, field, stemmed, lo, hi)
 
     def bm25_score(self, index_dir, field, stemmed, dfs, n_docs, avgdl,
-                   k1, b, k, lo, hi, filter_query=None, mode="or",
+                   k1, b, k, lo, hi, filter_query=None, min_match=1,
                    search_after=None):
         from ..ops.bm25 import bm25_score_range
 
         return bm25_score_range(index_dir, field, stemmed, dfs, n_docs,
                                 avgdl, k1, b, k, lo, hi, filter_query,
-                                mode, search_after)
+                                min_match, search_after)
+
+    def ops_call(self, module, fn, args):
+        """Generic range-worker dispatch: run ``noise_ray.ops.<module>.
+        <fn>(*args)`` on this actor — new per-range operator bodies
+        (synonym df/score, value boost, …) reuse the pool and its cached
+        readers without growing this class per feature."""
+        import importlib
+
+        m = importlib.import_module(f"noise_ray.ops.{module}")
+        return getattr(m, fn)(*args)
 
     def bm25_fields_score(self, index_dir, weights, stemmed, dfs, avgdls,
                           n_docs, k1, b, k, lo, hi):

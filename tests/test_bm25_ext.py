@@ -1,0 +1,273 @@
+"""BM25 extensions (ops/bm25_ext.py, ops/federated.py) and the
+min_match mode of ops/bm25.py — each checked against an independent
+raw-text recomputation or the single-index engine, plus range-fold
+partials (the distributed worker bodies) vs the global fold."""
+
+import collections
+import math
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokenized():
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"])
+    ids = t.column("doc_id").to_pylist()
+    toks = [re.findall(r"[a-z0-9]+", s.lower())
+            for s in t.column("text").to_pylist()]
+    chars = t.column("n_chars").to_pylist()
+    return ids, toks, chars
+
+
+def _kernel(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def test_min_match_matches_raw_recomputation(ray_session):
+    """min_match=2 of 3 terms: docs matching >= 2 distinct terms rank
+    with their plain BM25 score; others drop."""
+    from noise_ray.ops.bm25 import bm25_topk
+
+    terms = ("merge", "scan", "row")
+    ids, toks, _ = _tokenized()
+    n = len(ids)
+    avgdl = sum(len(x) for x in toks) / n
+    df = collections.Counter()
+    for x in toks:
+        for term in set(x) & set(terms):
+            df[term] += 1
+    scores = {}
+    for d, x in zip(ids, toks):
+        cnt = collections.Counter(x)
+        matched = [t for t in terms if cnt.get(t, 0)]
+        if len(matched) < 2:
+            continue
+        s = sum(_kernel(cnt[t], df[t], n, len(x), avgdl) for t in matched)
+        scores[d] = round(s, 4)
+    want = sorted(scores.items(), key=lambda p: (-p[1], p[0]))[:20]
+
+    got = bm25_topk(SF, terms=terms, min_match=2)
+    assert list(zip(got.column("doc_id").to_pylist(),
+                    got.column("score").to_pylist())) == want
+
+
+def test_min_match_pruned_equals_exhaustive(ray_session):
+    """The WAND coverage-count bound (>= m covering terms per interval)
+    must not drop any doc the exhaustive fold keeps."""
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.pipelines import documents_index
+
+    idx = documents_index(SF).index_dir
+    for m in (1, 2, 3):
+        a = bm25_topk("unused", terms=("merge", "scan", "row", "column"),
+                      min_match=m, k=40, index_dir=idx, pruned=True)
+        b = bm25_topk("unused", terms=("merge", "scan", "row", "column"),
+                      min_match=m, k=40, index_dir=idx, pruned=False)
+        assert a.equals(b), f"min_match={m}"
+
+
+def test_min_match_rejects_and_mode(ray_session):
+    import pytest as _pytest
+
+    from noise_ray.ops.bm25 import bm25_topk
+
+    with _pytest.raises(ValueError):
+        bm25_topk(SF, mode="and", min_match=2)
+
+
+def test_synonyms_match_raw_recomputation(ray_session):
+    """Group scores as ONE pseudo-term: tf summed over members, ONE idf
+    from the union df — not a per-member idf sum."""
+    from noise_ray.ops.bm25_ext import bm25_synonyms_topk
+
+    groups = (("merge", "join"), ("scan",))
+    ids, toks, _ = _tokenized()
+    n = len(ids)
+    avgdl = sum(len(x) for x in toks) / n
+    gdf = [sum(1 for x in toks if set(g) & set(x)) for g in groups]
+    scores = {}
+    for d, x in zip(ids, toks):
+        cnt = collections.Counter(x)
+        s = 0.0
+        for g, df in zip(groups, gdf):
+            tf = sum(cnt.get(t, 0) for t in g)
+            if tf:
+                s += _kernel(tf, df, n, len(x), avgdl)
+        if s > 0.0:
+            scores[d] = round(s, 4)
+    want = sorted(scores.items(), key=lambda p: (-p[1], p[0]))[:20]
+
+    got = bm25_synonyms_topk(SF, groups)
+    assert list(zip(got.column("doc_id").to_pylist(),
+                    got.column("score").to_pylist())) == want
+
+
+def test_synonyms_differ_from_plain_or(ray_session):
+    """The blended group must NOT equal the per-term OR (which would
+    idf-stack the members) — they coincide only if no doc contains both
+    members, which this corpus does have."""
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.ops.bm25_ext import bm25_synonyms_topk
+
+    syn = bm25_synonyms_topk(SF, (("merge", "join"),), k=50)
+    plain = bm25_topk(SF, terms=("merge", "join"), k=50)
+    assert not syn.equals(plain)
+
+
+def test_synonyms_range_fold_matches_global(ray_session):
+    """The distributed worker bodies (per-range union df partials +
+    per-range scoring with global stats) merged over 3 ranges must
+    reproduce the in-process result — exercises the block-granular
+    doc_range mask in _group_fold."""
+    import numpy as np
+
+    from noise_ray.ops.bm25 import _field_total_tokens
+    from noise_ray.ops.bm25_ext import (_stem_groups, bm25_synonyms_topk,
+                                        syn_df_range, syn_score_range)
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index(SF)
+    idx = reader.index_dir
+    # worker bodies receive STEMMED groups (bm25_synonyms_topk stems
+    # before fanning out)
+    groups = _stem_groups([["merge", "join"], ["scan"]])
+    n = reader.num_docs
+    cuts = [0, n // 3, 2 * n // 3, n]
+    ranges = list(zip(cuts, cuts[1:]))
+    df_parts = [syn_df_range(idx, "text", groups, lo, hi)
+                for lo, hi in ranges]
+    dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(groups))]
+    avgdl = _field_total_tokens(reader, reader.field_id["text"]) / float(n)
+    parts = [syn_score_range(idx, "text", groups, dfs, float(n), avgdl,
+                             1.2, 0.75, 20, lo, hi) for lo, hi in ranges]
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:20]
+
+    want = bm25_synonyms_topk(SF, (("merge", "join"), ("scan",)))
+    assert docs[top].tolist() == want.column("doc_id").to_pylist()
+    assert r4[top].tolist() == want.column("score").to_pylist()
+
+
+def test_value_boost_matches_raw_recomputation(ray_session):
+    from noise_ray.ops.bm25_ext import bm25_value_boost
+
+    terms, lam = ("merge", "scan"), 0.001
+    ids, toks, chars = _tokenized()
+    n = len(ids)
+    avgdl = sum(len(x) for x in toks) / n
+    df = collections.Counter()
+    for x in toks:
+        for term in set(x) & set(terms):
+            df[term] += 1
+    scores = {}
+    for d, x, v in zip(ids, toks, chars):
+        cnt = collections.Counter(x)
+        s = sum(_kernel(cnt[t], df[t], n, len(x), avgdl)
+                for t in terms if cnt.get(t, 0))
+        if s > 0.0:
+            scores[d] = round(s * (1.0 / (1.0 + lam * v)), 4)
+    want = sorted(scores.items(), key=lambda p: (-p[1], p[0]))[:20]
+
+    got = bm25_value_boost(SF, terms, lam=lam)
+    assert list(zip(got.column("doc_id").to_pylist(),
+                    got.column("score").to_pylist())) == want
+
+
+def test_value_boost_range_fold_matches_global(ray_session):
+    """Per-range boosted scoring with global dfs (the worker body,
+    incl. its per-range docmap gather) merged over ranges equals the
+    in-process result."""
+    from noise_ray.ops.bm25 import _field_total_tokens, bm25_df_range
+    from noise_ray.ops.bm25_ext import bm25_value_boost, boost_score_range
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index(SF)
+    idx = reader.index_dir
+    stemmed = ["merg", "scan"]  # porter2 stems of the query terms
+    n = reader.num_docs
+    cuts = [0, n // 2, n]
+    ranges = list(zip(cuts, cuts[1:]))
+    df_parts = [bm25_df_range(idx, "text", stemmed, lo, hi)
+                for lo, hi in ranges]
+    dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
+    avgdl = _field_total_tokens(reader, reader.field_id["text"]) / float(n)
+    parts = [boost_score_range(idx, "text", stemmed, dfs, float(n), avgdl,
+                               1.2, 0.75, "n_chars", 0.001, 20, lo, hi)
+             for lo, hi in ranges]
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:20]
+
+    want = bm25_value_boost(SF, ("merge", "scan"))
+    assert docs[top].tolist() == want.column("doc_id").to_pylist()
+    assert r4[top].tolist() == want.column("score").to_pylist()
+
+
+def test_federated_bitidentical_to_single_index(ray_session):
+    """Two and three independently built shards (own doc-id spaces)
+    under the dfs_query_then_fetch protocol reproduce the single-index
+    ranking bit-identically, keyed by the stored source doc_id."""
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.ops.federated import (federated_bm25,
+                                         shard_documents_indexes)
+
+    single = bm25_topk(SF)
+    for n_shards in (2, 3):
+        shards = shard_documents_indexes(SF, n_shards)
+        assert federated_bm25(shards).equals(single), n_shards
+
+
+def test_federated_local_stats_would_differ(ray_session):
+    """Sanity that the global-stats phase is load-bearing: scoring each
+    shard with its LOCAL stats (the naive union) gives a different
+    ranking on this corpus, so the equality above is not vacuous."""
+    import pyarrow as pa
+
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.ops.federated import shard_documents_indexes
+
+    shards = shard_documents_indexes(SF, 2)
+    parts = []
+    for d in shards:
+        t = bm25_topk("unused", index_dir=d, k=20)
+        # remap internal ids -> stored source key like federated does
+        from noise_ray.query.distributed import _cached_reader
+        r = _cached_reader(d)
+        keys = r.fetch_docs(
+            np.asarray(t.column("doc_id").to_pylist(), np.int64),
+            ["src_doc_id"]).column("src_doc_id")
+        parts.append(pa.table({"doc_id": keys.cast(pa.int64()),
+                               "score": t.column("score")}))
+    naive = pa.concat_tables(parts)
+    naive = naive.take(
+        np.lexsort((naive.column("doc_id").to_numpy(zero_copy_only=False),
+                    -naive.column("score").to_numpy(zero_copy_only=False))
+                   )[:20])
+    single = bm25_topk(SF)
+    assert not naive.equals(single)
+
+
+def test_ops_call_actor_dispatch(ray_session):
+    """The generic _RangeWorker.ops_call dispatch (the hook the >=5M
+    synonym/boost fan-outs ride) runs a worker body on a pool actor and
+    returns the same partial as the in-process call."""
+    import ray
+
+    from noise_ray.ops.bm25_ext import _stem_groups, syn_df_range
+    from noise_ray.pipelines import documents_index
+    from noise_ray.query.distributed import worker_pool
+
+    reader = documents_index(SF)
+    idx = reader.index_dir
+    groups = _stem_groups([["merge", "join"], ["scan"]])
+    n = reader.num_docs
+    want = syn_df_range(idx, "text", groups, 0, n)
+    got = ray.get(worker_pool()[0].ops_call.remote(
+        "bm25_ext", "syn_df_range", (idx, "text", groups, 0, n)))
+    assert got == want and sum(want) > 0
