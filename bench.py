@@ -133,12 +133,25 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     out["export_docs_per_sec"] = round(n_exp / best, 1)
 
     # retrieval stack over the documents/embeddings tables: Okapi BM25
-    # off the posting lists, retrieve-then-rerank, and RRF hybrid fusion
+    # off the posting lists, retrieve-then-rerank, RRF hybrid fusion,
+    # and the BM25 extensions (msm, synonym blend, value boost) plus
+    # federated multi-shard search (shard builds cached, timed query-only)
     from noise_ray.ops.bm25 import bm25_topk as _bm25
+    from noise_ray.ops.bm25_ext import bm25_synonyms_topk as _syn
+    from noise_ray.ops.bm25_ext import bm25_value_boost as _boost
+    from noise_ray.ops.federated import federated_bm25 as _fed
+    from noise_ray.ops.federated import shard_documents_indexes as _shards
     from noise_ray.ops.hybrid import hybrid_search as _hybrid
     from noise_ray.ops.rerank import rerank_topk as _rerank
 
+    fed_dirs = _shards(SF_DIR, 3)  # build outside the timed region
     for key, fn in (("bm25_query_sec", lambda: _bm25(SF_DIR)),
+                    ("bm25_msm_sec", lambda: _bm25(
+                        SF_DIR, terms=("merge", "scan", "row"),
+                        min_match=2)),
+                    ("bm25_synonyms_sec", lambda: _syn(SF_DIR)),
+                    ("bm25_value_boost_sec", lambda: _boost(SF_DIR)),
+                    ("federated_bm25_sec", lambda: _fed(fed_dirs)),
                     ("rerank_query_sec", lambda: _rerank(SF_DIR)),
                     ("hybrid_query_sec", lambda: _hybrid(SF_DIR))):
         best = None

@@ -46,7 +46,6 @@ from .bm25 import (
     _empty_topk,
     _field_total_tokens,
     _fold_scores,
-    bm25_df_range,
 )
 
 _CACHE_ROOT = os.environ.get("NOISE_RAY_CACHE", "/tmp/noise_ray_cache")
@@ -63,7 +62,10 @@ def shard_documents_indexes(sf_dir: str, n_shards: int = 2) -> list[str]:
     from ..build import build_index
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = m.group(1) if m else "x"
+    # non-sf corpora (synthetic scale dirs) key by their basename so two
+    # different corpora never share a shard cache
+    sf = m.group(1) if m else re.sub(r"[^A-Za-z0-9._-]", "_",
+                                     os.path.basename(sf_dir.rstrip("/")))
     root = os.path.join(_CACHE_ROOT, f"documents-shards-{sf}-{n_shards}")
     marker = os.path.join(root, ".done")
     with _LOCK:
@@ -95,34 +97,74 @@ def federated_bm25(index_dirs: list[str], terms=("merge", "scan"),
     (module docstring).  Returns (doc_id, score) keyed by each shard's
     stored ``key_column`` — the unified corpus key — ordered by
     (rounded score desc, key asc), bit-identical to single-index
-    ``bm25_topk`` over the union corpus."""
-    from ..query.distributed import _cached_reader
+    ``bm25_topk`` over the union corpus.
+
+    Shards score in PARALLEL: each phase launches every shard's futures
+    first (small shards as one ``ops_call`` each, big shards as per-doc-
+    range tasks), then gathers once — the wall-clock per phase is the
+    slowest shard, not the sum, matching the one-node-per-shard
+    deployment this models.  Doc counts and token totals come from the
+    driver-side readers' manifest/stats metadata (no payload read)."""
+    import ray
+
+    from ..query.distributed import _cached_reader, worker_pool
     from ..query.engine import _stem_one
+
+    from .bm25_ext import _doc_ranges
 
     readers = [_cached_reader(d) for d in index_dirs]
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
-
-    # ---- phase 1: global statistics from per-shard partials
-    n_docs = 0.0
-    tok_total = 0.0
-    df_parts = []
-    for d, r in zip(index_dirs, readers):
-        fid = r.field_id[field]
-        n_docs += float(r.num_docs)
-        tok_total += _field_total_tokens(r, fid)
-        df_parts.append(_shard_dfs(d, r, field, stemmed))
+    n_docs = sum(float(r.num_docs) for r in readers)
     if not n_docs:
         return _empty_topk()
+    tok_total = sum(_field_total_tokens(r, r.field_id[field])
+                    for r in readers)
     avgdl = tok_total / n_docs
+    pool = worker_pool()
+    big = [r.num_docs >= 5_000_000 for r in readers]
+    shard_ranges = [_doc_ranges(r) if bg else [(0, r.num_docs)]
+                    for r, bg in zip(readers, big)]
+
+    # ---- phase 1: per-shard df partials, all shards in flight at once
+    ai = 0
+    df_futs = []
+    for d, ranges in zip(index_dirs, shard_ranges):
+        futs = []
+        for lo, hi in ranges:
+            futs.append(pool[ai % len(pool)].bm25_df.remote(
+                d, field, stemmed, lo, hi))
+            ai += 1
+        df_futs.append(futs)
+    df_parts = [p for futs in df_futs for p in ray.get(futs)]
     dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
 
     # ---- phase 2: per-shard local top-k with the GLOBAL stats
+    ai = 0
+    topk_futs = []
+    for d, ranges, bg in zip(index_dirs, shard_ranges, big):
+        if bg:
+            futs = [pool[(ai + i) % len(pool)].bm25_score.remote(
+                        d, field, stemmed, dfs, n_docs, avgdl, k1, b, k,
+                        lo, hi)
+                    for i, (lo, hi) in enumerate(ranges)]
+            ai += len(ranges)
+        else:
+            futs = [pool[ai % len(pool)].ops_call.remote(
+                "federated", "fed_topk_shard",
+                (d, field, stemmed, dfs, n_docs, avgdl, k1, b, k))]
+            ai += 1
+        topk_futs.append((d, bg, futs))
+
     keys_parts, score_parts = [], []
-    for d, r in zip(index_dirs, readers):
-        docs, r4 = _shard_topk(d, r, field, stemmed, dfs, n_docs, avgdl,
-                               k1, b, k)
+    for (d, bg, futs), r in zip(topk_futs, readers):
+        parts = ray.get(futs)
+        docs = np.concatenate([p[0] for p in parts])
+        r4 = np.concatenate([p[1] for p in parts])
         if not docs.size:
             continue
+        top = np.lexsort((docs, -r4))[:k]
+        docs, r4 = docs[top], r4[top]
+        # map k internal ids -> the stored source key (k-row gather)
         gkey = r.fetch_docs(docs, [key_column]).column(key_column)
         keys_parts.append(gkey.to_numpy(zero_copy_only=False)
                           .astype(np.int64))
@@ -136,53 +178,16 @@ def federated_bm25(index_dirs: list[str], terms=("merge", "scan"),
                      "score": pa.array(r4[top], pa.float64())})
 
 
-def _shard_dfs(index_dir: str, reader, field: str,
-               stemmed: list[str]) -> list[int]:
-    """Per-term df of one shard; big shards fold per-range partials
-    through the actor pool, small ones run in-process."""
-    if reader.num_docs >= 5_000_000:
-        import ray
+def fed_topk_shard(index_dir: str, field: str, stemmed: list[str],
+                   dfs, n_docs: float, avgdl: float, k1: float, b: float,
+                   k: int):
+    """Small-shard phase-2 worker body: the whole shard's top-k under
+    the GLOBAL stats in one task (internal doc ids; the driver maps the
+    k survivors to the stored key)."""
+    from ..query.distributed import _cached_reader
 
-        from ..query.distributed import worker_pool
-
-        from .bm25_ext import _doc_ranges
-
-        ranges = _doc_ranges(reader)
-        pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].bm25_df.remote(index_dir, field, stemmed,
-                                               lo, hi)
-            for i, (lo, hi) in enumerate(ranges)])
-        return [sum(p[j] for p in parts) for j in range(len(stemmed))]
-    return bm25_df_range(index_dir, field, stemmed, 0, reader.num_docs)
-
-
-def _shard_topk(index_dir: str, reader, field: str, stemmed: list[str],
-                dfs, n_docs: float, avgdl: float, k1: float, b: float,
-                k: int):
-    """One shard's local top-k under the GLOBAL stats (internal doc
-    ids).  Big shards run the per-range fan-out with the federated
-    stats injected — the same worker body as single-index distributed
-    BM25."""
+    reader = _cached_reader(index_dir)
     fid = reader.field_id[field]
-    if reader.num_docs >= 5_000_000:
-        import ray
-
-        from ..query.distributed import worker_pool
-
-        from .bm25_ext import _doc_ranges
-
-        ranges = _doc_ranges(reader)
-        pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].bm25_score.remote(
-                index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b, k,
-                lo, hi)
-            for i, (lo, hi) in enumerate(ranges)])
-        docs = np.concatenate([p[0] for p in parts])
-        r4 = np.concatenate([p[1] for p in parts])
-        top = np.lexsort((docs, -r4))[:k]
-        return docs[top], r4[top]
     res = _bm25_wand(reader, fid, stemmed, k, k1, b, n_docs, avgdl,
                      dfs=[float(d) for d in dfs])
     if res is None:
