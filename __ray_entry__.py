@@ -326,6 +326,33 @@ def _federated_bm25(sf_dir: str):
     return federated_bm25(shard_documents_indexes(sf_dir, 3))
 
 
+def _collapse_topk(sf_dir: str):
+    """Field collapsing (ops/aggs.collapse_topk): the BM25 top-k with
+    at most ONE doc per `source` value — per-key best is an associative
+    max, so per-range winner partials merge exactly."""
+    from noise_ray.ops.aggs import collapse_topk
+
+    return collapse_topk(sf_dir)
+
+
+def _histogram_facet(sf_dir: str):
+    """Histogram facet (ops/aggs.histogram_facet): matched-doc counts
+    per 200-char n_chars bucket, per-range bincount partials summed."""
+    from noise_ray.ops.aggs import histogram_facet
+
+    return histogram_facet(sf_dir)
+
+
+def _significant_terms(sf_dir: str):
+    """Significant terms (ops/aggs.significant_terms): terms
+    overrepresented in the matched set vs the corpus, scored with the
+    per-term KL contribution; vocabulary from the stats sidecar,
+    surface names from the term dictionary."""
+    from noise_ray.ops.aggs import significant_terms
+
+    return significant_terms(sf_dir)
+
+
 def _rerank_topk(sf_dir: str):
     """Retrieve-then-rerank (ops/rerank.py): BM25 top-100 candidates off
     the index, then a deterministic lexical-feature second stage (the
@@ -497,6 +524,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonyms": _bm25_synonyms,
         "bm25_value_boost": _bm25_value_boost,
         "federated_bm25": _federated_bm25,
+        "collapse_topk": _collapse_topk,
+        "histogram_facet": _histogram_facet,
+        "significant_terms": _significant_terms,
         "rerank_topk": _rerank_topk,
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
@@ -700,6 +730,12 @@ def oracle_sql() -> dict[str, str]:
         # federated == single-index ranking by construction (module doc)
         "federated_bm25": _score_oracle().bm25_topk_sql(
             ("merge", "scan"), 20, 1.2, 0.75),
+        "collapse_topk": _score_oracle().collapse_topk_sql(
+            ("merge", "scan"), "source", 10),
+        "histogram_facet": _score_oracle().histogram_facet_sql(
+            ("merge",), "n_chars", 200),
+        "significant_terms": _score_oracle().significant_terms_sql(
+            ("merge",), 10),
         "rerank_topk": _score_oracle().rerank_topk_sql(
             ("merge", "scan"), 100, 10),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),

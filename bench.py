@@ -144,8 +144,15 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     from noise_ray.ops.hybrid import hybrid_search as _hybrid
     from noise_ray.ops.rerank import rerank_topk as _rerank
 
+    from noise_ray.ops.aggs import collapse_topk as _collapse
+    from noise_ray.ops.aggs import histogram_facet as _hist
+    from noise_ray.ops.aggs import significant_terms as _sig
+
     fed_dirs = _shards(SF_DIR, 3)  # build outside the timed region
     for key, fn in (("bm25_query_sec", lambda: _bm25(SF_DIR)),
+                    ("collapse_topk_sec", lambda: _collapse(SF_DIR)),
+                    ("histogram_facet_sec", lambda: _hist(SF_DIR)),
+                    ("significant_terms_sec", lambda: _sig(SF_DIR)),
                     ("bm25_msm_sec", lambda: _bm25(
                         SF_DIR, terms=("merge", "scan", "row"),
                         min_match=2)),

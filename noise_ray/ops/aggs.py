@@ -1,0 +1,421 @@
+"""Search-time aggregations over the inverted index: field collapsing,
+histogram facets, significant terms.
+
+The Elasticsearch aggregation shapes every search deployment layers on
+top of ranked retrieval, computed straight off the index artifacts
+(posting lists + docmap + stats sidecar, never a corpus scan):
+
+- **Field collapsing** (``collapse_topk``, cf. Elasticsearch
+  ``collapse`` / Lucene grouping): the BM25 top-k with at most ONE doc
+  per value of a stored field — "best hit per source".  Per-key best is
+  an associative max under the total (rounded score desc, doc_id asc)
+  order, so per-range partials merge exactly: each range returns its
+  own per-key winner (≤ key-cardinality rows) and the driver folds
+  winners-of-winners.
+
+- **Histogram facet** (``histogram_facet``, cf. Elasticsearch
+  ``histogram`` aggregation): matched-doc counts per fixed-width bucket
+  of a stored numeric field, ``bucket = floor(v / interval) ·
+  interval``.  Counts are disjoint-range sums; the per-range docmap
+  gather happens on the worker owning the range.
+
+- **Significant terms** (``significant_terms``, cf. Elasticsearch
+  ``significant_terms``): terms overrepresented in the query's matched
+  set (foreground) vs the whole corpus (background), scored with the
+  per-term relative-entropy contribution ``(fg_df/fg_n) ·
+  ln((fg_df/fg_n)/(bg_df/N))`` (the population term of Kullback-Leibler
+  divergence; deterministic, SQL-expressible).  The vocabulary
+  enumerates from the stats sidecar (term-cardinality-sized metadata,
+  no posting payload), foreground intersections are per-range partial
+  sums.
+
+All three fan out per doc range above 5M docs through the shared
+range-actor pool (query/distributed.worker_pool via ``ops_call``);
+determinism contract as ops/bm25.py: f64 in fixed operand order,
+rounded once (4dp scores / 6dp significance), total tiebreak orders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .bm25 import _field_total_tokens, _fold_scores
+
+_DIST_MIN_DOCS = 5_000_000
+
+
+def _reader_for(sf_dir: str, index_dir: str | None):
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        return _cached_reader(index_dir)
+    from ..pipelines import documents_index
+
+    return documents_index(sf_dir)
+
+
+def _matched_union(reader, fid: int, stemmed: list[str],
+                   doc_range: tuple[int, int] | None = None) -> np.ndarray:
+    """Sorted unique live docs containing ANY query term (the bool
+    ``should`` match set), optionally masked to [lo, hi) exactly."""
+    parts = []
+    for t in stemmed:
+        pl = reader.postings(fid, t, need_positions=False,
+                             doc_range=doc_range)
+        if pl is None or not pl.docs.size:
+            continue
+        d = pl.docs
+        if doc_range is not None:
+            lo, hi = doc_range
+            d = d[(d >= lo) & (d < hi)]  # block-granular pushdown: mask
+        parts.append(d)
+    if not parts:
+        return np.zeros(0, np.int64)
+    docs = np.unique(np.concatenate(parts)).astype(np.int64)
+    tomb = reader.tombstones
+    if tomb is not None and tomb.size:
+        docs = docs[~np.isin(docs, tomb)]
+    return docs
+
+
+# -------------------------------------------------------- collapse
+
+
+def _collapse_fold(reader, fid, stemmed, dfs, n_docs, avgdl, k1, b,
+                   collapse_field, doc_range):
+    """Per-key best (keys, docs, r4) for one range (or the whole index
+    when doc_range is None; dfs=None takes local dfs, index-wide only).
+    Winner per key under (r4 desc, doc asc) — first occurrence in that
+    sort order."""
+    parts = []
+    for j, t in enumerate(stemmed):
+        pl = reader.postings(fid, t, need_positions=False,
+                             doc_range=doc_range)
+        if pl is None or not pl.docs.size:
+            continue
+        d, tf, dl = pl.docs, pl.tfs, pl.lens
+        if doc_range is not None:
+            lo, hi = doc_range
+            m = (d >= lo) & (d < hi)
+            d, tf, dl = d[m], tf[m], dl[m]
+        df = float(np.unique(d).size) if dfs is None else dfs[j]
+        if d.size and df:
+            parts.append((d, tf, dl, df))
+    if not parts:
+        z = np.zeros(0, np.int64)
+        return [], z, np.zeros(0, np.float64)
+    uniq, r4, _ = _fold_scores(parts, n_docs, avgdl, k1, b,
+                               reader.tombstones)
+    if not uniq.size:
+        return [], uniq, r4
+    keys = np.asarray(
+        reader.fetch_docs(uniq, [collapse_field]).column(collapse_field)
+        .to_pylist(), dtype=object)
+    order = np.lexsort((uniq, -r4))
+    ks, us, rs = keys[order], uniq[order], r4[order]
+    _, first = np.unique(ks, return_index=True)  # first hit in score order
+    return ks[first].tolist(), us[first], rs[first]
+
+
+def _collapse_merge(parts, k: int) -> pa.Table:
+    """Fold per-range winners into the global per-key best, then top-k."""
+    keys = np.asarray(sum((p[0] for p in parts), []), dtype=object)
+    docs = np.concatenate([p[1] for p in parts])
+    r4 = np.concatenate([p[2] for p in parts])
+    if not docs.size:
+        return pa.table({"key": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    order = np.lexsort((docs, -r4))
+    ks, us, rs = keys[order], docs[order], r4[order]
+    _, first = np.unique(ks, return_index=True)
+    first = np.sort(first)  # keep score-desc order among winners
+    ks, us, rs = ks[first], us[first], rs[first]
+    top = np.lexsort((us, -rs))[:k]
+    return pa.table({"key": pa.array(ks[top].tolist(), pa.string()),
+                     "doc_id": pa.array(us[top], pa.int64()),
+                     "score": pa.array(rs[top], pa.float64())})
+
+
+def collapse_topk(sf_dir: str, terms=("merge", "scan"),
+                  collapse_field: str = "source", k: int = 10,
+                  k1: float = 1.2, b: float = 0.75, field: str = "text",
+                  *, index_dir: str | None = None) -> pa.Table:
+    """BM25 top-``k`` collapsed to the best doc per ``collapse_field``
+    value (module docstring).  Returns (key, doc_id, score) ordered by
+    (rounded score desc, doc_id asc)."""
+    from ..query.engine import _stem_one
+
+    reader = _reader_for(sf_dir, index_dir)
+    n_docs = float(reader.num_docs)
+    fid = reader.field_id[field]
+    avgdl = _field_total_tokens(reader, fid) / n_docs
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+
+    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+        return _collapse_distributed(index_dir, reader, stemmed, field,
+                                     collapse_field, k, k1, b, n_docs,
+                                     avgdl)
+    part = _collapse_fold(reader, fid, stemmed, None, n_docs, avgdl,
+                          k1, b, collapse_field, None)
+    return _collapse_merge([part], k)
+
+
+def collapse_range(index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b,
+                   collapse_field, lo, hi):
+    """Phase-2 worker body: this range's per-key winners under GLOBAL
+    dfs (winner-per-key is associative, so winners-of-winners on the
+    driver is exact)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    return _collapse_fold(reader, fid, stemmed, dfs, n_docs, avgdl, k1,
+                          b, collapse_field, (lo, hi))
+
+
+def _collapse_distributed(index_dir, reader, stemmed, field,
+                          collapse_field, k, k1, b, n_docs, avgdl):
+    import ray
+
+    from ..query.distributed import worker_pool
+
+    from .bm25_ext import _doc_ranges
+
+    ranges = _doc_ranges(reader)
+    pool = worker_pool()
+    df_parts = ray.get([
+        pool[i % len(pool)].bm25_df.remote(index_dir, field, stemmed,
+                                           lo, hi)
+        for i, (lo, hi) in enumerate(ranges)])
+    dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
+    parts = ray.get([
+        pool[i % len(pool)].ops_call.remote(
+            "aggs", "collapse_range",
+            (index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b,
+             collapse_field, lo, hi))
+        for i, (lo, hi) in enumerate(ranges)])
+    return _collapse_merge(parts, k)
+
+
+# -------------------------------------------------------- histogram
+
+
+def _hist_fold(reader, fid, stemmed, value_column, interval, doc_range):
+    """(buckets, counts) partial for one range."""
+    docs = _matched_union(reader, fid, stemmed, doc_range)
+    if not docs.size:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    v = (reader.fetch_docs(docs, [value_column]).column(value_column)
+         .to_numpy(zero_copy_only=False).astype(np.float64))
+    buckets = (np.floor(v / interval) * interval).astype(np.int64)
+    uniq, cnt = np.unique(buckets, return_counts=True)
+    return uniq, cnt.astype(np.int64)
+
+
+def histogram_facet(sf_dir: str, terms=("merge",),
+                    value_column: str = "n_chars", interval: int = 200,
+                    field: str = "text", *,
+                    index_dir: str | None = None) -> pa.Table:
+    """Matched-doc counts per fixed-width ``value_column`` bucket
+    (module docstring).  Returns (bucket, n) ordered by bucket."""
+    from ..query.engine import _stem_one
+
+    reader = _reader_for(sf_dir, index_dir)
+    fid = reader.field_id[field]
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+
+    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        from .bm25_ext import _doc_ranges
+
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "aggs", "hist_range",
+                (index_dir, field, stemmed, value_column, interval,
+                 lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+    else:
+        parts = [_hist_fold(reader, fid, stemmed, value_column, interval,
+                            None)]
+    buckets = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    if not buckets.size:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    order = np.argsort(buckets, kind="stable")
+    buckets, counts = buckets[order], counts[order]
+    uniq, starts = np.unique(buckets, return_index=True)
+    summed = np.add.reduceat(counts, starts)
+    return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                     "n": pa.array(summed.astype(np.int64), pa.int64())})
+
+
+def hist_range(index_dir, field, stemmed, value_column, interval, lo, hi):
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    return _hist_fold(reader, fid, stemmed, value_column, interval,
+                      (lo, hi))
+
+
+# -------------------------------------------------- significant terms
+
+
+def _vocab_terms(reader, fid: int) -> list[str]:
+    """All terms of one field from the stats sidecar (metadata-sized
+    read; epochs union in).  Sorted for determinism."""
+    import pyarrow.parquet as pq
+
+    terms: set[str] = set()
+    for paths in reader._stats_by_bucket.values():
+        for p in paths:
+            t = pq.read_table(p, columns=["term"],
+                              filters=[("field", "==", fid)])
+            terms.update(t.column("term").to_pylist())
+    for e in getattr(reader, "_epochs", ()):
+        terms.update(_vocab_terms(e, fid))
+    return sorted(terms)
+
+
+def sig_counts_range(index_dir, field, stemmed, vocab, lo, hi):
+    """Worker body: (fg_n, [fg_df per vocab term], [bg_df per term])
+    within [lo, hi) — disjoint ranges sum to the global counts."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    rng = None if lo is None else (lo, hi)
+    fg = _matched_union(reader, fid, stemmed, rng)
+    fg_dfs, bg_dfs = [], []
+    tomb = reader.tombstones
+    for t in vocab:
+        pl = reader.postings(fid, t, need_positions=False, doc_range=rng)
+        if pl is None or not pl.docs.size:
+            fg_dfs.append(0)
+            bg_dfs.append(0)
+            continue
+        d = pl.docs
+        if rng is not None:
+            d = d[(d >= lo) & (d < hi)]
+        d = np.unique(d)
+        if tomb is not None and tomb.size:
+            d = d[~np.isin(d, tomb)]
+        bg_dfs.append(int(d.size))
+        fg_dfs.append(int(np.isin(d, fg, assume_unique=True).sum()))
+    return int(fg.size), fg_dfs, bg_dfs
+
+
+def _stem_to_token(reader, fid: int) -> dict[str, str]:
+    """Surface-form naming: stem -> lexicographically-least raw token,
+    from the index's (lazily built, ops/termdict) term dictionary.
+    Empty when no dictionary exists — callers then report the stem
+    itself (the indexed term, Elasticsearch's behavior)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    ddir = os.path.join(reader.index_dir, "dictionary")
+    paths = sorted(glob.glob(os.path.join(ddir, "*.parquet")))
+    out: dict[str, str] = {}
+    for p in paths:
+        t = pq.read_table(p, columns=["token", "stem"],
+                          filters=[("field", "==", fid)])
+        for tok, stem in zip(t.column("token").to_pylist(),
+                             t.column("stem").to_pylist()):
+            if stem not in out or tok < out[stem]:
+                out[stem] = tok
+    return out
+
+
+def significant_terms(sf_dir: str, terms=("merge",), top_n: int = 10,
+                      field: str = "text", *,
+                      index_dir: str | None = None) -> pa.Table:
+    """Terms overrepresented in the query's matched docs vs the corpus
+    (module docstring).  Returns (term, fg_df, bg_df, score) with score
+    the 6dp KL contribution, ordered (score desc, term asc), query
+    terms excluded, fg_df = 0 rows dropped.  ``term`` is the surface
+    token when the index carries a term dictionary (built lazily here
+    for the documents-table path, like ops/termdict), else the stem."""
+    from ..query.engine import _stem_one
+
+    if index_dir is None:
+        # ensure the term dictionary exists for surface naming
+        from .termdict import _reader_and_dict
+
+        reader, _ = _reader_and_dict(sf_dir)
+    else:
+        reader = _reader_for(sf_dir, index_dir)
+    n_docs = float(reader.num_docs)
+    fid = reader.field_id[field]
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+    vocab = [t for t in _vocab_terms(reader, fid) if t not in set(stemmed)]
+
+    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        from .bm25_ext import _doc_ranges
+
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "aggs", "sig_counts_range",
+                (index_dir, field, stemmed, vocab, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+    else:
+        parts = [sig_counts_range_local(reader, fid, stemmed, vocab)]
+    fg_n = float(sum(p[0] for p in parts))
+    if not fg_n:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "fg_df": pa.array([], pa.int64()),
+                         "bg_df": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    fg_df = np.array([sum(p[1][j] for p in parts)
+                      for j in range(len(vocab))], np.float64)
+    bg_df = np.array([sum(p[2][j] for p in parts)
+                      for j in range(len(vocab))], np.float64)
+    keep = fg_df > 0
+    vocab = [t for t, m in zip(vocab, keep) if m]
+    fg_df, bg_df = fg_df[keep], bg_df[keep]
+    score = np.round((fg_df / fg_n)
+                     * np.log((fg_df / fg_n) / (bg_df / n_docs)), 6)
+    # surface naming BEFORE the sort: ties break on the reported name
+    names = _stem_to_token(reader, fid)
+    vocab = [names.get(t, t) for t in vocab]
+    top = np.lexsort((np.array(vocab), -score))[:top_n]
+    return pa.table({"term": pa.array([vocab[i] for i in top], pa.string()),
+                     "fg_df": pa.array(fg_df[top].astype(np.int64),
+                                       pa.int64()),
+                     "bg_df": pa.array(bg_df[top].astype(np.int64),
+                                       pa.int64()),
+                     "score": pa.array(score[top], pa.float64())})
+
+
+def sig_counts_range_local(reader, fid, stemmed, vocab):
+    """Index-wide counts on an open reader (in-process path)."""
+    fg = _matched_union(reader, fid, stemmed, None)
+    tomb = reader.tombstones
+    fg_dfs, bg_dfs = [], []
+    for t in vocab:
+        pl = reader.postings(fid, t, need_positions=False)
+        if pl is None or not pl.docs.size:
+            fg_dfs.append(0)
+            bg_dfs.append(0)
+            continue
+        d = np.unique(pl.docs)
+        if tomb is not None and tomb.size:
+            d = d[~np.isin(d, tomb)]
+        bg_dfs.append(int(d.size))
+        fg_dfs.append(int(np.isin(d, fg, assume_unique=True).sum()))
+    return int(fg.size), fg_dfs, bg_dfs

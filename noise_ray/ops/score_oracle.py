@@ -703,3 +703,77 @@ bs AS (SELECT s.{key},
        FROM s JOIN {src} d USING ({key}))
 SELECT {key}, score FROM bs
 ORDER BY score DESC, {key} LIMIT {k}"""
+
+
+def collapse_topk_sql(terms: tuple[str, ...], collapse_field: str, k: int,
+                      k1: float = 1.2, b: float = 0.75, *,
+                      src: str = "documents", key: str = "doc_id") -> str:
+    """Field-collapsing oracle (ops/aggs.collapse_topk): the bm25
+    score per doc, then the single best doc per ``collapse_field``
+    value under (rounded score desc, id asc), top-k of the winners."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+tf AS (SELECT {key}, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({toks_in}) GROUP BY {key}, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+s AS (SELECT tf.{key},
+             sum(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                                    + {b} * lens.len / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf JOIN df USING (tok) JOIN lens USING ({key})
+      GROUP BY tf.{key}),
+w AS (SELECT d.{collapse_field} AS key, s.{key} AS {key},
+             ROUND(s.score, 4) AS score,
+             row_number() OVER (PARTITION BY d.{collapse_field}
+                 ORDER BY ROUND(s.score, 4) DESC, s.{key}) AS rn
+      FROM s JOIN {src} d USING ({key}))
+SELECT key, {key}, score FROM w WHERE rn = 1
+ORDER BY score DESC, {key} LIMIT {k}"""
+
+
+def histogram_facet_sql(terms: tuple[str, ...], value_column: str,
+                        interval: int, *, src: str = "documents",
+                        key: str = "doc_id") -> str:
+    """Histogram-facet oracle (ops/aggs.histogram_facet): matched-doc
+    (ANY query term) counts per floor(v/interval)*interval bucket."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_toks(src, key)},
+m AS (SELECT DISTINCT {key} FROM toks WHERE tok IN ({toks_in}))
+SELECT CAST(floor(d.{value_column} / {interval}) * {interval} AS BIGINT)
+           AS bucket,
+       count(*) AS n
+FROM {src} d JOIN m USING ({key})
+GROUP BY bucket ORDER BY bucket"""
+
+
+def significant_terms_sql(terms: tuple[str, ...], top_n: int, *,
+                          src: str = "documents",
+                          key: str = "doc_id") -> str:
+    """Significant-terms oracle (ops/aggs.significant_terms): per-term
+    KL contribution (fg_df/fg_n)·ln((fg_df/fg_n)/(bg_df/N)) over the
+    query's matched set, 6dp, query terms excluded, (score desc,
+    term asc)."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {src}),
+fg AS (SELECT DISTINCT {key} FROM toks WHERE tok IN ({toks_in})),
+fgn AS (SELECT CAST(count(*) AS DOUBLE) AS fn FROM fg),
+bg AS (SELECT tok, count(DISTINCT {key}) AS bg_df FROM toks GROUP BY tok),
+fd AS (SELECT tok, count(DISTINCT t.{key}) AS fg_df
+       FROM toks t JOIN fg USING ({key}) GROUP BY tok)
+SELECT fd.tok AS term, fd.fg_df, bg.bg_df,
+       ROUND((fd.fg_df / (SELECT fn FROM fgn))
+             * ln((fd.fg_df / (SELECT fn FROM fgn))
+                  / (bg.bg_df / (SELECT n FROM nn))), 6) AS score
+FROM fd JOIN bg USING (tok)
+WHERE fd.tok NOT IN ({toks_in})
+ORDER BY score DESC, term LIMIT {top_n}"""

@@ -1,0 +1,175 @@
+"""Search-time aggregations (ops/aggs.py): field collapsing, histogram
+facet, significant terms — checked against raw-text recomputations and
+range-fold partials (the distributed worker bodies) vs the global run."""
+
+import collections
+import math
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus():
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", "source", "n_chars"])
+    ids = t.column("doc_id").to_pylist()
+    toks = [re.findall(r"[a-z0-9]+", s.lower())
+            for s in t.column("text").to_pylist()]
+    return (ids, toks, t.column("source").to_pylist(),
+            t.column("n_chars").to_pylist())
+
+
+def _bm25_scores(ids, toks, terms, k1=1.2, b=0.75):
+    n = len(ids)
+    avgdl = sum(len(x) for x in toks) / n
+    df = collections.Counter()
+    for x in toks:
+        for term in set(x) & set(terms):
+            df[term] += 1
+    out = {}
+    for d, x in zip(ids, toks):
+        cnt = collections.Counter(x)
+        s = 0.0
+        for term in terms:
+            tf = cnt.get(term, 0)
+            if tf:
+                idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                s += idf * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * len(x) / avgdl))
+        if s > 0.0:
+            out[d] = round(s, 4)
+    return out
+
+
+def test_collapse_matches_raw_recomputation(ray_session):
+    from noise_ray.ops.aggs import collapse_topk
+
+    ids, toks, src, _ = _corpus()
+    scores = _bm25_scores(ids, toks, ("merge", "scan"))
+    best = {}
+    for d, s in sorted(scores.items(), key=lambda p: (-p[1], p[0])):
+        key = src[d]
+        if key not in best:
+            best[key] = (d, s)
+    want = sorted(((k, d, s) for k, (d, s) in best.items()),
+                  key=lambda r: (-r[2], r[1]))[:10]
+
+    got = collapse_topk(SF)
+    rows = list(zip(got.column("key").to_pylist(),
+                    got.column("doc_id").to_pylist(),
+                    got.column("score").to_pylist()))
+    assert rows == want
+    # at most one row per key
+    assert len({r[0] for r in rows}) == len(rows)
+
+
+def test_collapse_range_fold_matches_global(ray_session):
+    """Per-range winner partials merged by _collapse_merge equal the
+    index-wide run (winner-per-key is associative over disjoint
+    ranges)."""
+    from noise_ray.ops.aggs import (_collapse_merge, collapse_range,
+                                    collapse_topk)
+    from noise_ray.ops.bm25 import _field_total_tokens, bm25_df_range
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index(SF)
+    idx = reader.index_dir
+    stemmed = ["merg", "scan"]
+    n = reader.num_docs
+    cuts = [0, n // 3, 2 * n // 3, n]
+    ranges = list(zip(cuts, cuts[1:]))
+    df_parts = [bm25_df_range(idx, "text", stemmed, lo, hi)
+                for lo, hi in ranges]
+    dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
+    avgdl = _field_total_tokens(reader, reader.field_id["text"]) / float(n)
+    parts = [collapse_range(idx, "text", stemmed, dfs, float(n), avgdl,
+                            1.2, 0.75, "source", lo, hi)
+             for lo, hi in ranges]
+    got = _collapse_merge(parts, 10)
+    want = collapse_topk(SF)
+    assert got.equals(want)
+
+
+def test_histogram_matches_raw_recomputation(ray_session):
+    from noise_ray.ops.aggs import histogram_facet
+
+    ids, toks, _, chars = _corpus()
+    matched = [d for d, x in zip(ids, toks) if "merge" in x]
+    counts = collections.Counter(
+        int(chars[d] // 200) * 200 for d in matched)
+    want = sorted(counts.items())
+
+    got = histogram_facet(SF)
+    assert list(zip(got.column("bucket").to_pylist(),
+                    got.column("n").to_pylist())) == want
+    assert sum(counts.values()) == len(matched)
+
+
+def test_histogram_range_fold_matches_global(ray_session):
+    from noise_ray.ops.aggs import hist_range, histogram_facet
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index(SF)
+    idx = reader.index_dir
+    n = reader.num_docs
+    cuts = [0, n // 2, n]
+    parts = [hist_range(idx, "text", ["merg"], "n_chars", 200, lo, hi)
+             for lo, hi in zip(cuts, cuts[1:])]
+    agg = collections.Counter()
+    for buckets, counts in parts:
+        for bkt, c in zip(buckets.tolist(), counts.tolist()):
+            agg[bkt] += c
+    want = histogram_facet(SF)
+    assert sorted(agg.items()) == list(zip(
+        want.column("bucket").to_pylist(), want.column("n").to_pylist()))
+
+
+def test_significant_terms_matches_raw_recomputation(ray_session):
+    from noise_ray.ops.aggs import significant_terms
+
+    ids, toks, _, _ = _corpus()
+    n = float(len(ids))
+    fg = [x for x in toks if "merge" in x]
+    fg_n = float(len(fg))
+    vocab = sorted({t for x in toks for t in x} - {"merge"})
+    rows = []
+    for t in vocab:
+        fg_df = sum(1 for x in fg if t in x)
+        bg_df = sum(1 for x in toks if t in x)
+        if not fg_df:
+            continue
+        score = round((fg_df / fg_n)
+                      * math.log((fg_df / fg_n) / (bg_df / n)), 6)
+        rows.append((t, fg_df, bg_df, score))
+    want = sorted(rows, key=lambda r: (-r[3], r[0]))[:10]
+
+    got = significant_terms(SF)
+    assert list(zip(got.column("term").to_pylist(),
+                    got.column("fg_df").to_pylist(),
+                    got.column("bg_df").to_pylist(),
+                    got.column("score").to_pylist())) == want
+
+
+def test_significant_terms_range_fold_matches_global(ray_session):
+    """Per-range (fg_n, fg_df, bg_df) partials sum to the index-wide
+    counts (disjoint ranges)."""
+    from noise_ray.ops.aggs import (_vocab_terms, sig_counts_range,
+                                    sig_counts_range_local)
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index(SF)
+    idx = reader.index_dir
+    fid = reader.field_id["text"]
+    vocab = [t for t in _vocab_terms(reader, fid) if t != "merg"]
+    n = reader.num_docs
+    cuts = [0, n // 3, 2 * n // 3, n]
+    parts = [sig_counts_range(idx, "text", ["merg"], vocab, lo, hi)
+             for lo, hi in zip(cuts, cuts[1:])]
+    want = sig_counts_range_local(reader, fid, ["merg"], vocab)
+    assert sum(p[0] for p in parts) == want[0]
+    for j in range(len(vocab)):
+        assert sum(p[1][j] for p in parts) == want[1][j]
+        assert sum(p[2][j] for p in parts) == want[2][j]
