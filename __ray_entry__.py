@@ -353,6 +353,23 @@ def _significant_terms(sf_dir: str):
     return significant_terms(sf_dir)
 
 
+def _percolate_qspec():
+    from noise_ray.ops.percolate import DEFAULT_QUERIES
+
+    return DEFAULT_QUERIES
+
+
+def _percolate(sf_dir: str):
+    """Percolator / reverse search (ops/percolate.py): standing
+    registered queries matched against the document stream — every
+    (doc, query) pair where the doc contains >= m distinct terms of the
+    query.  Pure streaming map_batches over an actor pool; the
+    registered-term hash index is built once per actor."""
+    from noise_ray.ops.percolate import percolate
+
+    return percolate(sf_dir).sort(["doc_id", "query_id"])
+
+
 def _rerank_topk(sf_dir: str):
     """Retrieve-then-rerank (ops/rerank.py): BM25 top-100 candidates off
     the index, then a deterministic lexical-feature second stage (the
@@ -528,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_facet": _histogram_facet,
         "significant_terms": _significant_terms,
         "rerank_topk": _rerank_topk,
+        "percolate": _percolate,
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
             "return score() limit 20 ;",
@@ -738,6 +756,8 @@ def oracle_sql() -> dict[str, str]:
             ("merge",), 10),
         "rerank_topk": _score_oracle().rerank_topk_sql(
             ("merge", "scan"), 100, 10),
+        "percolate": _score_oracle().percolate_sql(
+            _percolate_qspec()),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),
         "search_phrase_topk": _score_oracle().phrase_topk_sql(
             "row", "scan", 20),

@@ -777,3 +777,25 @@ SELECT fd.tok AS term, fd.fg_df, bg.bg_df,
 FROM fd JOIN bg USING (tok)
 WHERE fd.tok NOT IN ({toks_in})
 ORDER BY score DESC, term LIMIT {top_n}"""
+
+
+def percolate_sql(qspec, *, src: str = "documents",
+                  key: str = "doc_id") -> str:
+    """Percolator oracle (ops/percolate.py): (doc, query) pairs where
+    the doc contains >= m distinct terms of the registered query.
+    Unanalyzed surface-token matching — the engine hashes raw tokens."""
+    qvals = ", ".join(f"({qid}, '{t}')"
+                      for qid, (terms, _) in enumerate(qspec)
+                      for t in sorted(set(terms)))
+    mvals = ", ".join(f"({qid}, {int(m)})"
+                      for qid, (_, m) in enumerate(qspec))
+    return f"""
+WITH {_toks(src, key)},
+q AS (SELECT * FROM (VALUES {qvals}) AS v(qid, tok)),
+qm AS (SELECT * FROM (VALUES {mvals}) AS v(qid, m)),
+dt AS (SELECT DISTINCT {key}, tok FROM toks),
+hit AS (SELECT dt.{key}, q.qid, count(*) AS c
+        FROM dt JOIN q USING (tok) GROUP BY dt.{key}, q.qid)
+SELECT hit.{key}, CAST(hit.qid AS BIGINT) AS query_id
+FROM hit JOIN qm USING (qid) WHERE hit.c >= qm.m
+ORDER BY hit.{key}, query_id"""
