@@ -601,6 +601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bucketed": similarity.ann_bucketed,
         "ann_ivf": similarity.ann_ivf,
         "ann_ivf_indexed": _ann_ivf_indexed,
+        "ann_filtered": similarity.ann_filtered,
+        "ann_ivf_filtered": similarity.ann_ivf_filtered,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "semdedup": similarity.semdedup,
         "pca_project": pca.pca_project,
@@ -878,6 +880,8 @@ def oracle_sql() -> dict[str, str]:
         "langid": _sqlgen().langid_sql(),
         "ann_bucketed": _sqlgen().ann_bucketed_sql(),
         "ann_ivf": _sqlgen().ann_ivf_sql(),
+        "ann_filtered": _sqlgen().ann_filtered_sql(),
+        "ann_ivf_filtered": _sqlgen().ann_ivf_sql(nprobe=8, label=3),
         # the persistent-index path reproduces ann_ivf exactly, so it
         # shares the oracle (build/vector_index.py; pruning proven in
         # tests/test_vector_index.py by deleting unprobed lists)

@@ -272,14 +272,17 @@ def ann_bucketed_sql(n_queries: int = 5, k: int = 10, n_planes: int = 6,
 
 
 def ann_ivf_sql(n_queries: int = 5, k: int = 10, n_centroids: int = 32,
-                nprobe: int = 4) -> str:
+                nprobe: int = 4, label: int | None = None) -> str:
     """Exact oracle for ``ops.similarity.ann_ivf``: centroids are the
     first ``n_centroids`` corpus vectors, assignment/probing rank by
     cosine with ties toward the smaller id, candidates are ranked by
-    exact cosine — the whole IVF pipeline in SQL."""
+    exact cosine — the whole IVF pipeline in SQL.  With ``label`` set it
+    oracles ``ann_ivf_filtered``: only vectors carrying the label are
+    assigned/ranked (the engine's pre-filtered read)."""
     nq, hi = n_queries, n_queries + n_centroids
+    lbl = "" if label is None else f" AND label = {int(label)}"
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
     cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
              WHERE vec_id >= {nq} AND vec_id < {hi}),
@@ -289,7 +292,7 @@ def ann_ivf_sql(n_queries: int = 5, k: int = 10, n_centroids: int = 32,
                    PARTITION BY c.vec_id
                    ORDER BY list_cosine_similarity(c.emb, t.cemb) DESC,
                             t.cid) AS rn
-        FROM e c, cent t WHERE c.vec_id >= {nq}) WHERE rn = 1),
+        FROM e c, cent t WHERE c.vec_id >= {nq}{lbl}) WHERE rn = 1),
     probe AS (SELECT qid, cid FROM (
         SELECT q.vec_id AS qid, t.cid,
                row_number() OVER (
@@ -302,6 +305,27 @@ def ann_ivf_sql(n_queries: int = 5, k: int = 10, n_centroids: int = 32,
           FROM probe p JOIN assign a USING (cid)
           JOIN e qe ON qe.vec_id = p.qid
           JOIN e ce ON ce.vec_id = a.vec_id),
+    r AS (SELECT qid AS query_id, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM s)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+    FROM r WHERE rank <= {k}
+    """
+
+
+def ann_filtered_sql(n_queries: int = 5, k: int = 10,
+                     label: int = 3) -> str:
+    """Exact oracle for ``ops.similarity.ann_filtered``: brute-force
+    cosine top-k over corpus vectors with the metadata label."""
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings
+          WHERE vec_id >= {n_queries} AND label = {int(label)}),
+    s AS (SELECT qid, vec_id,
+                 list_cosine_similarity(qe, emb) AS sim FROM q, c),
     r AS (SELECT qid AS query_id, vec_id,
                  row_number() OVER (PARTITION BY qid
                                     ORDER BY sim DESC, vec_id) AS rank

@@ -85,3 +85,58 @@ def test_semdedup_within_cluster_rule(ray_session):
     # survivors keep their cluster assignment
     assert (out.set_index("vec_id").cluster
             == cl[out.vec_id].values).all()
+
+
+def test_ann_filtered_matches_numpy_recomputation(ray_session):
+    """Filtered kNN == brute-force cosine over the label-matching
+    subset, recomputed directly with numpy off the parquet file."""
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops import similarity
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    ids = t.column("vec_id").to_numpy()
+    lbl = t.column("label").to_numpy()
+    m = similarity.embed_matrix(t.column("embedding"))
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    want = []
+    cand = (ids >= 5) & (lbl == 3)
+    for qi in np.flatnonzero(ids < 5):
+        sims = mn[qi] @ mn[cand].T
+        cids = ids[cand]
+        order = np.lexsort((cids, -sims))[:10]
+        want.extend((int(ids[qi]), r, int(cids[i]))
+                    for r, i in enumerate(order, 1))
+
+    got = similarity.ann_filtered(SF, label=3)
+    rows = list(zip(got.column("query_id").to_pylist(),
+                    got.column("rank").to_pylist(),
+                    got.column("vec_id").to_pylist()))
+    assert rows == want
+    # every hit carries the filter label
+    by_id = dict(zip(ids.tolist(), lbl.tolist()))
+    assert all(by_id[v] == 3 for _, _, v in rows)
+
+
+def test_ann_ivf_filtered_exhaustive_limit(ray_session):
+    """Probing every list reproduces the exact filtered result; default
+    nprobe keeps the shape contract and only label-matching hits."""
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops import similarity
+
+    exact = similarity.ann_filtered(SF, label=3).to_pandas()
+    full = similarity.ann_ivf_filtered(SF, nprobe=32, label=3).to_pandas()
+    assert full.equals(exact)
+
+    ivf = similarity.ann_ivf_filtered(SF, label=3).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "label"])
+    by_id = dict(zip(t.column("vec_id").to_pylist(),
+                     t.column("label").to_pylist()))
+    for q, grp in ivf.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert all(by_id[v] == 3 for v in grp.vec_id)
+    rec = _recall_per_query(exact, ivf)
+    assert np.mean(rec) >= 0.1, rec
