@@ -353,6 +353,17 @@ def _significant_terms(sf_dir: str):
     return significant_terms(sf_dir)
 
 
+def _bm25_spannear(sf_dir: str):
+    """Ordered span-near BM25 (ops/bm25.bm25_spannear_topk): the words
+    in order with <= slop intervening tokens between adjacent words —
+    Lucene's interval/SpanNear maxgaps shape; slop=0 is the exact
+    phrase.  tf = distinct valid start positions via a right-to-left
+    existence DP over (doc, pos) keys (greedy adjacency is unsound)."""
+    from noise_ray.ops.bm25 import bm25_spannear_topk
+
+    return bm25_spannear_topk(sf_dir, ("merge", "scan"), slop=2)
+
+
 def _percolate_qspec():
     from noise_ray.ops.percolate import DEFAULT_QUERIES
 
@@ -537,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fields": _bm25_fields,
         "bm25_page2": _bm25_page2,
         "bm25_phrase": _bm25_phrase,
+        "bm25_spannear": _bm25_spannear,
         "bm25_msm": _bm25_msm,
         "bm25_synonyms": _bm25_synonyms,
         "bm25_value_boost": _bm25_value_boost,
@@ -741,6 +753,8 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "scan"), 20, 1.2, 0.75, offset=20),
         "bm25_phrase": _score_oracle().bm25_phrase_topk_sql(
             ("row", "scan"), 20),
+        "bm25_spannear": _score_oracle().bm25_spannear_topk_sql(
+            ("merge", "scan"), 2, 20),
         "bm25_msm": _score_oracle().bm25_topk_sql(
             ("merge", "scan", "row"), 20, 1.2, 0.75, min_match=2),
         "bm25_synonyms": _score_oracle().bm25_synonyms_sql(

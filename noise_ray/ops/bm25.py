@@ -575,39 +575,15 @@ def _bm25_fields_distributed(index_dir: str, reader, stemmed: list[str],
 
 # --------------------------------------------------------- phrase BM25
 
-def _phrase_occurrences(reader, fid: int, stemmed: list[str],
-                        doc_range: tuple[int, int] | None = None):
-    """(uniq_docs, tf, dl) of exact-phrase matches, doc-sorted; ``None``
-    when the phrase never occurs.  tf counts are NOT tombstone-filtered
-    (callers score first, then drop tombstoned docs — keeping df
-    identical between the in-process and per-range paths).
-
-    Occurrence detection is one vectorized set intersection over the
-    positional postings: word i contributes keys (doc, pos - i); a phrase
-    occurrence exists exactly where all ``len(stemmed)`` shifted sets
-    share a key (each shift contributes a key at most once, so a key
-    group of size n means all n words aligned — repeated words included,
-    their shifts differ).  No per-doc Python loop.  ``doc_range`` pushes
-    block bounds into the posting reads and masks exactly (the pushdown
-    is block-granular; an unmasked boundary doc would double-count df
-    across ranges).
-
-    Access path: block METADATA alone (Σ cnt per term — no payload
-    read) picks the rarest word; its positional postings are read in
-    full (it is the cheap one) and its doc set becomes the candidate
-    superset — a superset of the true phrase docs is always sound
-    because the intersection kernel drops any doc missing a full n-way
-    aligned key group.  Every OTHER word then chooses per-term: plain
-    full read when candidates cover most of its list (two stopwords —
-    restriction can't prune anything); block-pruned positional fetch
-    when few of its blocks contain a candidate
-    (``reader.positions_for_docs`` — a rare word clustered in few
-    blocks never decodes a stopword partner's corpus-wide positions);
-    otherwise the bulk positional read masked to candidates
-    (``PostingList.restrict_to`` — candidates scattered across every
-    block can't prune IO but still shrink the kernel's input from the
-    stopword's full list to the candidate rows).  All paths feed the
-    identical kernel, so results are bit-identical."""
+def _positional_lists(reader, fid: int, stemmed: list[str],
+                      doc_range: tuple[int, int] | None = None):
+    """Per-word positional postings for a multi-word positional query
+    (one PostingList per word of ``stemmed``, repeats shared), or
+    ``None`` when some word never occurs.  Implements the access-path
+    selection documented on :func:`_phrase_occurrences`: rarest word
+    read in full; every other word full / block-pruned
+    (``positions_for_docs``) / bulk-masked (``restrict_to``) by how its
+    blocks overlap the candidate doc set."""
     distinct = list(dict.fromkeys(stemmed))
     est: dict[str, tuple[int, list]] = {}
     for t in distinct:
@@ -650,6 +626,45 @@ def _phrase_occurrences(reader, fid: int, stemmed: list[str],
                 doc_range=doc_range).restrict_to(cand)
     pls = [by_term[t] for t in stemmed]
     if any(pl.docs.size == 0 for pl in pls):
+        return None
+    return pls
+
+
+def _phrase_occurrences(reader, fid: int, stemmed: list[str],
+                        doc_range: tuple[int, int] | None = None):
+    """(uniq_docs, tf, dl) of exact-phrase matches, doc-sorted; ``None``
+    when the phrase never occurs.  tf counts are NOT tombstone-filtered
+    (callers score first, then drop tombstoned docs — keeping df
+    identical between the in-process and per-range paths).
+
+    Occurrence detection is one vectorized set intersection over the
+    positional postings: word i contributes keys (doc, pos - i); a phrase
+    occurrence exists exactly where all ``len(stemmed)`` shifted sets
+    share a key (each shift contributes a key at most once, so a key
+    group of size n means all n words aligned — repeated words included,
+    their shifts differ).  No per-doc Python loop.  ``doc_range`` pushes
+    block bounds into the posting reads and masks exactly (the pushdown
+    is block-granular; an unmasked boundary doc would double-count df
+    across ranges).
+
+    Access path: block METADATA alone (Σ cnt per term — no payload
+    read) picks the rarest word; its positional postings are read in
+    full (it is the cheap one) and its doc set becomes the candidate
+    superset — a superset of the true phrase docs is always sound
+    because the intersection kernel drops any doc missing a full n-way
+    aligned key group.  Every OTHER word then chooses per-term: plain
+    full read when candidates cover most of its list (two stopwords —
+    restriction can't prune anything); block-pruned positional fetch
+    when few of its blocks contain a candidate
+    (``reader.positions_for_docs`` — a rare word clustered in few
+    blocks never decodes a stopword partner's corpus-wide positions);
+    otherwise the bulk positional read masked to candidates
+    (``PostingList.restrict_to`` — candidates scattered across every
+    block can't prune IO but still shrink the kernel's input from the
+    stopword's full list to the candidate rows).  All paths feed the
+    identical kernel, so results are bit-identical."""
+    pls = _positional_lists(reader, fid, stemmed, doc_range)
+    if pls is None:
         return None
     n = len(stemmed)
     parts_d, parts_p = [], []
@@ -728,6 +743,174 @@ def bm25_phrase_topk(sf_dir: str, phrase: tuple[str, ...] = ("row", "scan"),
                              avgdl, k1, b, reader.tombstones)
     top = np.lexsort((uniq, -r4))[:k]
     return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})
+
+
+def _spannear_occurrences(reader, fid: int, stemmed: list[str], slop: int,
+                          doc_range: tuple[int, int] | None = None):
+    """(uniq_docs, tf, dl) of ordered span-near matches — the words in
+    order with at most ``slop`` intervening tokens between each adjacent
+    pair (Lucene interval/SpanNear ``maxgaps`` semantics; ``slop == 0``
+    degenerates to the exact phrase).  tf = number of distinct START
+    positions from which a valid chain exists.
+
+    The kernel is a right-to-left existence DP over composite
+    ``doc << 32 | pos`` keys: a position of word i is GOOD iff some good
+    position of word i+1 lies in ``(pos, pos + 1 + slop]`` — one sorted
+    ``searchsorted`` pair per word, no per-doc Python.  The key range
+    never crosses a doc boundary (positions are far below 2^32), so
+    same-doc is implied by the key interval.  Greedy adjacency is NOT
+    sound here (an earlier choice of word i can strand word i+1), which
+    is why the DP runs backward over full good-sets instead."""
+    pls = _positional_lists(reader, fid, stemmed, doc_range)
+    if pls is None:
+        return None
+    keys = []
+    for pl in pls:
+        k = (np.repeat(pl.docs, pl.tfs).astype(np.int64) << 32) \
+            | pl.pos_concat.astype(np.int64)
+        keys.append(np.sort(k))
+    good = keys[-1]
+    for i in range(len(keys) - 2, -1, -1):
+        if not good.size:
+            return None
+        ki = keys[i]
+        lo = np.searchsorted(good, ki, "right")
+        hi = np.searchsorted(good, ki + (slop + 1), "right")
+        good = ki[lo < hi]
+    if not good.size:
+        return None
+    start_docs = (good >> 32).astype(np.int64)
+    if doc_range is not None:
+        rlo, rhi = doc_range
+        start_docs = start_docs[(start_docs >= rlo) & (start_docs < rhi)]
+        if not start_docs.size:
+            return None
+    uniq, u_starts = np.unique(start_docs, return_index=True)
+    tf = np.diff(np.append(u_starts, start_docs.size)).astype(np.float64)
+    dl = pls[0].lens[np.searchsorted(pls[0].docs, uniq)].astype(np.float64)
+    return uniq, tf, dl
+
+
+def bm25_spannear_topk(sf_dir: str, phrase: tuple[str, ...] = ("row", "scan"),
+                       slop: int = 2, k: int = 20, k1: float = 1.2,
+                       b: float = 0.75, field: str = "text", *,
+                       index_dir: str | None = None) -> pa.Table:
+    """BM25 top-``k`` for an ordered span-near "term": the words of
+    ``phrase`` in order with <= ``slop`` extra tokens between adjacent
+    words; tf = valid start positions, df = docs with >= 1.  Same Okapi
+    kernel, pruned positional access paths and >= 5M-doc range fan-out
+    as :func:`bm25_phrase_topk` (the occurrence kernel is the only
+    difference — see :func:`_spannear_occurrences`)."""
+    from ..query.engine import _stem_one
+    from ..pipelines import documents_index
+
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        reader = _cached_reader(index_dir)
+    else:
+        reader = documents_index(sf_dir)
+    n_docs = float(reader.num_docs)
+    fid = reader.field_id[field]
+    avgdl = _field_total_tokens(reader, fid) / n_docs
+    stemmed = [_stem_one(w) for w in phrase]
+
+    if index_dir is not None and reader.num_docs >= 5_000_000:
+        return _bm25_spannear_distributed(index_dir, reader, stemmed, slop,
+                                          field, k, k1, b, n_docs, avgdl)
+
+    res = _spannear_occurrences(reader, fid, stemmed, slop)
+    if res is None:
+        return _empty_topk()
+    uniq, tf, dl = res
+    uniq, r4 = _phrase_score(uniq, tf, dl, float(uniq.size), n_docs,
+                             avgdl, k1, b, reader.tombstones)
+    top = np.lexsort((uniq, -r4))[:k]
+    return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})
+
+
+def spannear_df_range(index_dir: str, field: str, stemmed: list[str],
+                      slop: int, lo: int, hi: int) -> int:
+    """Phase-1 range-worker body (via _RangeWorker.ops_call): span-near
+    df in [lo, hi); occurrences memoized on the cached reader for
+    phase 2, keyed like the phrase memo plus slop."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    memo = getattr(reader, "_phrase_memo", None)
+    if memo is None:
+        memo = reader._phrase_memo = {}
+    key = (fid, tuple(stemmed), "spannear", slop, lo, hi)
+    if key not in memo:
+        if len(memo) > 64:
+            memo.clear()
+        memo[key] = _spannear_occurrences(reader, fid, stemmed, slop,
+                                          (lo, hi))
+    res = memo[key]
+    return 0 if res is None else int(res[0].size)
+
+
+def spannear_score_range(index_dir: str, field: str, stemmed: list[str],
+                         slop: int, df: float, n_docs: float, avgdl: float,
+                         k1: float, b: float, k: int, lo: int, hi: int):
+    """Phase-2 range-worker body: score this range's span-near matches
+    with the GLOBAL df, local top-k out (same exactness argument as
+    bm25_phrase_score_range)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    memo = getattr(reader, "_phrase_memo", None) or {}
+    res = memo.get((fid, tuple(stemmed), "spannear", slop, lo, hi))
+    if res is None:
+        res = _spannear_occurrences(reader, fid, stemmed, slop, (lo, hi))
+    if res is None:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    uniq, tf, dl = res
+    uniq, r4 = _phrase_score(uniq, tf, dl, df, n_docs, avgdl, k1, b,
+                             reader.tombstones)
+    top = np.lexsort((uniq, -r4))[:k]
+    return uniq[top], r4[top]
+
+
+def _bm25_spannear_distributed(index_dir: str, reader, stemmed: list[str],
+                               slop: int, field: str, k: int, k1: float,
+                               b: float, n_docs: float,
+                               avgdl: float) -> pa.Table:
+    """Two-phase range fan-out for span-near BM25 (mirrors
+    ``_bm25_phrase_distributed``), dispatched through the generic
+    ``_RangeWorker.ops_call`` so the pool class stays untouched."""
+    import ray
+
+    from ..query.distributed import worker_pool
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n = max(1, min(cpus, reader.num_docs // 10_000 + 1))
+    span = max(1, -(-reader.num_docs // n))
+    ranges = [(lo, min(lo + span, reader.num_docs))
+              for lo in range(0, reader.num_docs, span)]
+    pool = worker_pool()
+    df_parts = ray.get([
+        pool[i % len(pool)].ops_call.remote(
+            "bm25", "spannear_df_range",
+            (index_dir, field, stemmed, slop, lo, hi))
+        for i, (lo, hi) in enumerate(ranges)])
+    df = float(sum(df_parts))
+    if not df:
+        return _empty_topk()
+    parts = ray.get([
+        pool[i % len(pool)].ops_call.remote(
+            "bm25", "spannear_score_range",
+            (index_dir, field, stemmed, slop, df, n_docs, avgdl, k1, b,
+             k, lo, hi))
+        for i, (lo, hi) in enumerate(ranges)])
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:k]
+    return pa.table({"doc_id": pa.array(docs[top], pa.int64()),
                      "score": pa.array(r4[top], pa.float64())})
 
 

@@ -599,6 +599,47 @@ SELECT {key}, ROUND(score, 4) AS score FROM s
 ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
 
 
+def bm25_spannear_topk_sql(words: tuple[str, ...], slop: int, k: int,
+                           k1: float = 1.2, b: float = 0.75, *,
+                           src: str = "documents",
+                           key: str = "doc_id") -> str:
+    """Ordered span-near BM25 oracle (ops/bm25.bm25_spannear_topk):
+    words in order with <= ``slop`` intervening tokens between adjacent
+    words; tf = distinct start ordinals with a valid chain, expressed as
+    the same right-to-left EXISTS chain the engine's DP runs (word i's
+    ordinal is good iff a good word-i+1 ordinal lies in
+    (ord, ord + 1 + slop]); df = docs with >= 1 start.  Same Okapi
+    kernel and 4dp/(score desc, id) contract as bm25_phrase_topk_sql."""
+    n = len(words)
+    g = [f"g{n - 1} AS (SELECT {key}, ord FROM toks "
+         f"WHERE tok = '{words[n - 1]}')"]
+    for i in range(n - 2, -1, -1):
+        g.append(
+            f"g{i} AS (SELECT t.{key}, t.ord FROM toks t "
+            f"WHERE t.tok = '{words[i]}' AND EXISTS ("
+            f"SELECT 1 FROM g{i + 1} nx WHERE nx.{key} = t.{key} "
+            f"AND nx.ord > t.ord AND nx.ord <= t.ord + {1 + int(slop)}))")
+    chain = ",\n".join(g)
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+{chain},
+ph AS (SELECT {key}, count(*) AS tf FROM g0 GROUP BY {key}),
+pdf AS (SELECT count(*) AS df FROM ph),
+s AS (SELECT ph.{key},
+             ln(1.0 + ((SELECT n FROM nn) - (SELECT df FROM pdf) + 0.5)
+                      / ((SELECT df FROM pdf) + 0.5))
+             * ph.tf * ({k1} + 1.0)
+             / (ph.tf + {k1} * (1.0 - {b}
+                                + {b} * lens.len / (SELECT a FROM ad)))
+               AS score
+      FROM ph JOIN lens USING ({key}))
+SELECT {key}, ROUND(score, 4) AS score FROM s
+ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
+
+
 def rerank_topk_sql(terms: tuple[str, ...], k_retrieve: int, k_final: int,
                     k1: float = 1.2, b: float = 0.75, *,
                     src: str = "documents", key: str = "doc_id") -> str:

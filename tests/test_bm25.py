@@ -613,3 +613,61 @@ def test_bm25_fields_weights_change_ranking(ray_session):
                if s == "src3")
     top = heavy.column("doc_id").to_pylist()
     assert all(d in src3 for d in top)
+
+
+def test_spannear_slop0_is_exact_phrase(ray_session):
+    """slop=0 degenerates to the exact phrase: same (doc, score) rows."""
+    from noise_ray.ops.bm25 import bm25_phrase_topk, bm25_spannear_topk
+
+    ph = bm25_phrase_topk(SF, ("row", "scan"), k=50).to_pandas()
+    sn = bm25_spannear_topk(SF, ("row", "scan"), slop=0, k=50).to_pandas()
+    assert sn.equals(ph)
+
+
+def test_spannear_matches_raw_recomputation(ray_session):
+    """slop=2 span-near vs a direct per-doc chain recomputation: tf =
+    start ordinals of w0 with an ordered chain, adjacent gap <= slop."""
+    from noise_ray.ops.bm25 import bm25_spannear_topk
+
+    words, slop, k1, b = ("merge", "scan"), 2, 1.2, 0.75
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    toks = [re.findall(r"[a-z0-9]+", s.lower())
+            for s in t.column("text").to_pylist()]
+    n = len(ids)
+    avgdl = sum(len(x) for x in toks) / n
+
+    def tf_of(x):
+        pos = {w: [i for i, tk in enumerate(x) if tk == w] for w in words}
+        good = set(pos[words[-1]])
+        for w in reversed(words[:-1]):
+            good = {p for p in pos[w]
+                    if any(p < q <= p + 1 + slop for q in good)}
+        return len(good)
+
+    tfs = {d: tf_of(x) for d, x in zip(ids, toks) if tf_of(x)}
+    df = len(tfs)
+    assert df > 0
+    want = {}
+    for d, tf in tfs.items():
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        dl = len(toks[d])
+        want[d] = round(idf * tf * (k1 + 1.0)
+                        / (tf + k1 * (1.0 - b + b * dl / avgdl)), 4)
+    top = sorted(want.items(), key=lambda p: (-p[1], p[0]))[:20]
+
+    got = bm25_spannear_topk(SF, words, slop=slop, k=20)
+    rows = list(zip(got.column("doc_id").to_pylist(),
+                    got.column("score").to_pylist()))
+    assert rows == top
+
+
+def test_spannear_order_matters(ray_session):
+    """Span-near is ORDERED: reversing the words changes the match set
+    (on a corpus where both orders occur, the two dfs differ)."""
+    from noise_ray.ops.bm25 import bm25_spannear_topk
+
+    a = bm25_spannear_topk(SF, ("merge", "scan"), slop=2, k=500).to_pandas()
+    c = bm25_spannear_topk(SF, ("scan", "merge"), slop=2, k=500).to_pandas()
+    assert not a.equals(c)
