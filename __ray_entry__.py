@@ -343,6 +343,17 @@ def _histogram_facet(sf_dir: str):
     return histogram_facet(sf_dir)
 
 
+def _percentiles_agg(sf_dir: str):
+    """Percentiles aggregation (ops/aggs.percentiles_agg): EXACT
+    PERCENTILE_DISC over the matched docs' n_chars — per-range
+    (value, count) histogram partials (distinct-value-bounded), then an
+    all-integer cumulative walk; no t-digest approximation needed for
+    integer fields."""
+    from noise_ray.ops.aggs import percentiles_agg
+
+    return percentiles_agg(sf_dir)
+
+
 def _significant_terms(sf_dir: str):
     """Significant terms (ops/aggs.significant_terms): terms
     overrepresented in the matched set vs the corpus, scored with the
@@ -351,6 +362,25 @@ def _significant_terms(sf_dir: str):
     from noise_ray.ops.aggs import significant_terms
 
     return significant_terms(sf_dir)
+
+
+def _bm25_boosting(sf_dir: str):
+    """Boosting query (ops/bm25_ext.bm25_boosting_topk): positive-term
+    BM25 with docs matching any negative term DEMOTED by a constant
+    factor (not excluded) — the Elasticsearch/Lucene boosting shape."""
+    from noise_ray.ops.bm25_ext import bm25_boosting_topk
+
+    return bm25_boosting_topk(sf_dir)
+
+
+def _suggest_complete(sf_dir: str):
+    """Completion suggester (ops/termdict.suggest_complete): top-n
+    dictionary tokens with the prefix by (df desc, token asc) — a pure
+    footer-pruned, vocabulary-bounded dictionary read; no posting or
+    corpus access (the type-ahead surface)."""
+    from noise_ray.ops.termdict import suggest_complete
+
+    return suggest_complete(sf_dir, "s", 10)
 
 
 def _bm25_spannear(sf_dir: str):
@@ -549,12 +579,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_page2": _bm25_page2,
         "bm25_phrase": _bm25_phrase,
         "bm25_spannear": _bm25_spannear,
+        "bm25_boosting": _bm25_boosting,
+        "suggest_complete": _suggest_complete,
         "bm25_msm": _bm25_msm,
         "bm25_synonyms": _bm25_synonyms,
         "bm25_value_boost": _bm25_value_boost,
         "federated_bm25": _federated_bm25,
         "collapse_topk": _collapse_topk,
         "histogram_facet": _histogram_facet,
+        "percentiles_agg": _percentiles_agg,
         "significant_terms": _significant_terms,
         "rerank_topk": _rerank_topk,
         "percolate": _percolate,
@@ -755,6 +788,9 @@ def oracle_sql() -> dict[str, str]:
             ("row", "scan"), 20),
         "bm25_spannear": _score_oracle().bm25_spannear_topk_sql(
             ("merge", "scan"), 2, 20),
+        "bm25_boosting": _score_oracle().bm25_boosting_sql(
+            ("merge", "scan"), ("slow",), 0.3, 20),
+        "suggest_complete": _score_oracle().suggest_complete_sql("s", 10),
         "bm25_msm": _score_oracle().bm25_topk_sql(
             ("merge", "scan", "row"), 20, 1.2, 0.75, min_match=2),
         "bm25_synonyms": _score_oracle().bm25_synonyms_sql(
@@ -770,6 +806,8 @@ def oracle_sql() -> dict[str, str]:
             ("merge",), "n_chars", 200),
         "significant_terms": _score_oracle().significant_terms_sql(
             ("merge",), 10),
+        "percentiles_agg": _score_oracle().percentiles_agg_sql(
+            ("merge",), "n_chars", (25, 50, 75, 95, 99)),
         "rerank_topk": _score_oracle().rerank_topk_sql(
             ("merge", "scan"), 100, 10),
         "percolate": _score_oracle().percolate_sql(

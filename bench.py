@@ -148,8 +148,25 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     from noise_ray.ops.aggs import histogram_facet as _hist
     from noise_ray.ops.aggs import significant_terms as _sig
 
+    from noise_ray.ops import similarity as _sim
+    from noise_ray.ops import termdict as _termdict
+    from noise_ray.ops.aggs import percentiles_agg as _pctl
+    from noise_ray.ops.bm25 import bm25_spannear_topk as _spannear
+    from noise_ray.ops.bm25_ext import bm25_boosting_topk as _boosting
+    from noise_ray.ops.percolate import percolate as _perc
+
     fed_dirs = _shards(SF_DIR, 3)  # build outside the timed region
     for key, fn in (("bm25_query_sec", lambda: _bm25(SF_DIR)),
+                    ("bm25_spannear_sec", lambda: _spannear(SF_DIR)),
+                    ("ann_filtered_sec", lambda: _sim.ann_filtered(SF_DIR)),
+                    ("ann_ivf_filtered_sec",
+                     lambda: _sim.ann_ivf_filtered(SF_DIR)),
+                    ("percolate_sec", lambda: _perc(SF_DIR).count()),
+                    ("bm25_boosting_sec",
+                     lambda: _boosting(SF_DIR)),
+                    ("percentiles_agg_sec", lambda: _pctl(SF_DIR)),
+                    ("suggest_complete_sec",
+                     lambda: _termdict.suggest_complete(SF_DIR)),
                     ("collapse_topk_sec", lambda: _collapse(SF_DIR)),
                     ("histogram_facet_sec", lambda: _hist(SF_DIR)),
                     ("significant_terms_sec", lambda: _sig(SF_DIR)),

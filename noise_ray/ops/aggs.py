@@ -266,6 +266,68 @@ def hist_range(index_dir, field, stemmed, value_column, interval, lo, hi):
                       (lo, hi))
 
 
+# ------------------------------------------------------- percentiles
+
+
+def percentiles_agg(sf_dir: str, terms=("merge",),
+                    value_column: str = "n_chars",
+                    percentiles: tuple[int, ...] = (25, 50, 75, 95, 99),
+                    field: str = "text", *,
+                    index_dir: str | None = None) -> pa.Table:
+    """Percentiles aggregation (cf. Elasticsearch ``percentiles``) over
+    a stored integer field of the matched docs — EXACT, not t-digest:
+    the per-range partial is the (value, count) histogram
+    (:func:`hist_range` with interval=1 — distinct-value-bounded, tiny
+    for integer fields), partials sum, and each requested percentile is
+    the PERCENTILE_DISC walk "smallest value whose cumulative count
+    satisfies ``cum * 100 >= p * n``" — all-integer arithmetic, so the
+    DuckDB oracle (the same inequality on a windowed running sum) is
+    byte-exact with no float-threshold edge cases.  Returns (p, value)
+    ordered by p.  At 100 TB the shipped partial stays
+    distinct-value-bounded per range; nothing row-sized leaves a
+    worker."""
+    from ..query.engine import _stem_one
+
+    reader = _reader_for(sf_dir, index_dir)
+    fid = reader.field_id[field]
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+
+    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        from .bm25_ext import _doc_ranges
+
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "aggs", "hist_range",
+                (index_dir, field, stemmed, value_column, 1, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+    else:
+        parts = [_hist_fold(reader, fid, stemmed, value_column, 1, None)]
+    vals = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    if not vals.size:
+        return pa.table({"p": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.int64())})
+    order = np.argsort(vals, kind="stable")
+    vals, counts = vals[order], counts[order]
+    uniq, starts = np.unique(vals, return_index=True)
+    summed = np.add.reduceat(counts, starts).astype(np.int64)
+    cum = np.cumsum(summed)
+    n = int(cum[-1])
+    out_p, out_v = [], []
+    for p in percentiles:
+        i = int(np.searchsorted(cum * 100, p * n, side="left"))
+        out_p.append(int(p))
+        out_v.append(int(uniq[min(i, uniq.size - 1)]))
+    return pa.table({"p": pa.array(out_p, pa.int64()),
+                     "value": pa.array(out_v, pa.int64())})
+
+
 # -------------------------------------------------- significant terms
 
 

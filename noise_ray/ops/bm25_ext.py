@@ -214,6 +214,130 @@ def _synonyms_distributed(index_dir: str, reader, sgroups, field: str,
                      "score": pa.array(r4[top], pa.float64())})
 
 
+# ----------------------------------------------------- boosting query
+
+def bm25_boosting_topk(sf_dir: str, terms=("merge", "scan"),
+                       negative=("slow",), negative_boost: float = 0.3,
+                       k: int = 20, k1: float = 1.2, b: float = 0.75,
+                       field: str = "text", *,
+                       index_dir: str | None = None) -> pa.Table:
+    """Boosting query (cf. Elasticsearch/Lucene ``boosting``): rank by
+    the positive terms' BM25, but DEMOTE — not exclude — docs matching
+    any ``negative`` term: ``score'(d) = bm25(d) · negative_boost`` if
+    d contains a negative term, else ``bm25(d)``.  Unlike a NOT filter
+    the demoted docs can still surface when nothing better matches.
+    Demotion is per-doc, so the union-of-local-top-k distribution
+    argument carries over; the negative match set is read per range
+    from the postings (never corpus-wide).  Returns (doc_id, score) by
+    (rounded demoted score desc, doc_id asc)."""
+    from ..query.engine import _stem_one
+    from ..pipelines import documents_index
+
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        reader = _cached_reader(index_dir)
+    else:
+        reader = documents_index(sf_dir)
+    n_docs = float(reader.num_docs)
+    fid = reader.field_id[field]
+    avgdl = _field_total_tokens(reader, fid) / n_docs
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+    neg = list(dict.fromkeys(_stem_one(t) for t in negative))
+
+    if index_dir is not None and reader.num_docs >= 5_000_000:
+        return _boosting_distributed(index_dir, reader, stemmed, neg,
+                                     negative_boost, field, k, k1, b,
+                                     n_docs, avgdl)
+    uniq, r4 = _boosting_fold(reader, fid, stemmed, neg, negative_boost,
+                              None, n_docs, avgdl, k1, b, None)
+    if not uniq.size:
+        return _empty_topk()
+    top = np.lexsort((uniq, -r4))[:k]
+    return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})
+
+
+def _boosting_fold(reader, fid, stemmed, neg, nb, dfs, n_docs, avgdl,
+                   k1, b, doc_range):
+    """Demoted per-doc scores for one range (dfs=None → local dfs,
+    index-wide only).  Rounds AFTER the demotion (the score users see)."""
+    parts = []
+    for j, t in enumerate(stemmed):
+        pl = reader.postings(fid, t, need_positions=False,
+                             doc_range=doc_range)
+        if pl is None or not pl.docs.size:
+            continue
+        d, tf, dl = pl.docs, pl.tfs, pl.lens
+        if doc_range is not None:
+            lo, hi = doc_range
+            m = (d >= lo) & (d < hi)  # block-granular pushdown: mask
+            d, tf, dl = d[m], tf[m], dl[m]
+        df = float(d.size) if dfs is None else dfs[j]
+        if d.size and df:
+            parts.append((d, tf, dl, df))
+    if not parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    uniq, summed = _fold_scores_raw(parts, n_docs, avgdl, k1, b)
+    tomb = reader.tombstones
+    if tomb is not None and tomb.size:
+        live = ~np.isin(uniq, tomb)
+        uniq, summed = uniq[live], summed[live]
+    if not uniq.size:
+        return uniq, summed
+    neg_parts = []
+    for t in neg:
+        pl = reader.postings(fid, t, need_positions=False,
+                             doc_range=doc_range)
+        if pl is not None and pl.docs.size:
+            neg_parts.append(pl.docs)
+    if neg_parts:
+        neg_docs = np.unique(np.concatenate(neg_parts))
+        demote = np.isin(uniq, neg_docs)
+        summed = np.where(demote, summed * nb, summed)
+    return uniq, np.round(summed, 4)
+
+
+def boosting_score_range(index_dir, field, stemmed, neg, nb, dfs,
+                         n_docs, avgdl, k1, b, k, lo, hi):
+    """Phase-2 worker body: this range's demoted scores under GLOBAL
+    dfs, local top-k out."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    uniq, r4 = _boosting_fold(reader, fid, stemmed, neg, nb, dfs,
+                              n_docs, avgdl, k1, b, (lo, hi))
+    top = np.lexsort((uniq, -r4))[:k]
+    return uniq[top], r4[top]
+
+
+def _boosting_distributed(index_dir, reader, stemmed, neg, nb, field,
+                          k, k1, b, n_docs, avgdl) -> pa.Table:
+    import ray
+
+    from ..query.distributed import worker_pool
+
+    ranges = _doc_ranges(reader)
+    pool = worker_pool()
+    df_parts = ray.get([
+        pool[i % len(pool)].bm25_df.remote(index_dir, field, stemmed,
+                                           lo, hi)
+        for i, (lo, hi) in enumerate(ranges)])
+    dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
+    parts = ray.get([
+        pool[i % len(pool)].ops_call.remote(
+            "bm25_ext", "boosting_score_range",
+            (index_dir, field, stemmed, neg, nb, dfs, n_docs, avgdl,
+             k1, b, k, lo, hi))
+        for i, (lo, hi) in enumerate(ranges)])
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:k]
+    return pa.table({"doc_id": pa.array(docs[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})
+
+
 def _doc_ranges(reader) -> list[tuple[int, int]]:
     import ray
 

@@ -599,6 +599,55 @@ SELECT {key}, ROUND(score, 4) AS score FROM s
 ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
 
 
+def suggest_complete_sql(prefix: str, n: int, *, src: str = "documents",
+                         key: str = "doc_id") -> str:
+    """Completion-suggester oracle (ops/termdict.suggest_complete):
+    top-n raw tokens with the prefix, by (document frequency desc,
+    token asc) — df = docs containing the token, the dictionary's df."""
+    return f"""
+WITH {_toks(src, key)},
+dt AS (SELECT DISTINCT {key}, tok FROM toks),
+df AS (SELECT tok, count(*) AS df FROM dt
+       WHERE tok LIKE '{prefix}%' GROUP BY tok)
+SELECT tok AS token, df FROM df
+ORDER BY df DESC, token LIMIT {n}"""
+
+
+def bm25_boosting_sql(terms: tuple[str, ...], negative: tuple[str, ...],
+                      negative_boost: float, k: int, k1: float = 1.2,
+                      b: float = 0.75, *, src: str = "documents",
+                      key: str = "doc_id") -> str:
+    """Boosting-query oracle (ops/bm25_ext.bm25_boosting_topk): the
+    positive terms' BM25 OR score, multiplied by ``negative_boost``
+    for docs containing ANY negative term, rounded AFTER demotion."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    negs_in = ", ".join(f"'{t}'" for t in negative)
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+tf AS (SELECT {key}, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({toks_in}) GROUP BY {key}, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+neg AS (SELECT DISTINCT {key} FROM toks WHERE tok IN ({negs_in})),
+s AS (SELECT tf.{key},
+             sum(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                                    + {b} * lens.len / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf JOIN df USING (tok) JOIN lens USING ({key})
+      GROUP BY tf.{key}),
+d AS (SELECT s.{key},
+             s.score * (CASE WHEN s.{key} IN (SELECT {key} FROM neg)
+                             THEN {negative_boost} ELSE 1.0 END) AS score
+      FROM s)
+SELECT {key}, ROUND(score, 4) AS score FROM d
+ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
+
+
 def bm25_spannear_topk_sql(words: tuple[str, ...], slop: int, k: int,
                            k1: float = 1.2, b: float = 0.75, *,
                            src: str = "documents",
@@ -793,6 +842,28 @@ SELECT CAST(floor(d.{value_column} / {interval}) * {interval} AS BIGINT)
        count(*) AS n
 FROM {src} d JOIN m USING ({key})
 GROUP BY bucket ORDER BY bucket"""
+
+
+def percentiles_agg_sql(terms: tuple[str, ...], value_column: str,
+                        percentiles: tuple[int, ...], *,
+                        src: str = "documents",
+                        key: str = "doc_id") -> str:
+    """Percentiles oracle (ops/aggs.percentiles_agg): PERCENTILE_DISC
+    over the matched set's integer field, expressed as the all-integer
+    running-sum inequality cum*100 >= p*n (no float thresholds)."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    pvals = ", ".join(f"({int(p)})" for p in percentiles)
+    return f"""
+WITH {_toks(src, key)},
+m AS (SELECT DISTINCT {key} FROM toks WHERE tok IN ({toks_in})),
+v AS (SELECT d.{value_column} AS val FROM {src} d JOIN m USING ({key})),
+rc AS (SELECT val, count(*) AS c FROM v GROUP BY val),
+cw AS (SELECT val, sum(c) OVER (ORDER BY val) AS cum FROM rc),
+nn AS (SELECT count(*) AS n FROM v),
+pp AS (SELECT * FROM (VALUES {pvals}) AS t(p))
+SELECT CAST(pp.p AS BIGINT) AS p, CAST(min(cw.val) AS BIGINT) AS value
+FROM pp, cw, nn WHERE cw.cum * 100 >= pp.p * nn.n
+GROUP BY pp.p ORDER BY p"""
 
 
 def significant_terms_sql(terms: tuple[str, ...], top_n: int, *,

@@ -76,6 +76,26 @@ def search_prefix(sf_dir: str, prefix: str = "s", k: int = 10,
     return _scored_or_topk(reader, terms.column("token").to_pylist(), k)
 
 
+def suggest_complete(sf_dir: str, prefix: str = "s", n: int = 10,
+                     field: str = "text") -> pa.Table:
+    """Completion suggester (cf. Elasticsearch ``completion``): the
+    top-``n`` raw dictionary tokens starting with ``prefix``, weighted
+    by document frequency, (df desc, token asc).  Pure vocabulary-
+    bounded dictionary read — footer-pruned by the (field, token)
+    parquet statistics, no posting or corpus access at all, which is
+    what makes type-ahead viable against a 100 TB corpus: the
+    dictionary is metadata-sized and the prefix prunes it further."""
+    reader, ddir = _reader_and_dict(sf_dir)
+    t = prefix_terms(ddir, reader.field_id[field], prefix)
+    toks = np.asarray(t.column("token").to_pylist(), dtype=object)
+    df = t.column("df").to_numpy()
+    top = np.lexsort((toks, -df))[:n]
+    return pa.table({
+        "token": pa.array(toks[top].tolist(), pa.string()),
+        "df": pa.array(df[top], pa.int64()),
+    })
+
+
 def search_fuzzy(sf_dir: str, word: str = "sart", max_dist: int = 1,
                  k: int = 10, field: str = "text") -> pa.Table:
     """(doc_id, score): top-k docs matching any dictionary term within

@@ -173,3 +173,23 @@ def test_significant_terms_range_fold_matches_global(ray_session):
     for j in range(len(vocab)):
         assert sum(p[1][j] for p in parts) == want[1][j]
         assert sum(p[2][j] for p in parts) == want[2][j]
+
+
+def test_percentiles_agg_exact_disc(ray_session):
+    """Exact PERCENTILE_DISC over the matched docs' n_chars: smallest
+    value whose cumulative count satisfies cum*100 >= p*n."""
+    from noise_ray.ops.aggs import percentiles_agg
+
+    ids, toks, _, nchars = _corpus()
+    vals = sorted(nchars[d] for d, x in zip(ids, toks) if "merge" in x)
+    n = len(vals)
+    assert n > 0
+    want = []
+    for p in (25, 50, 75, 95, 99):
+        i = next(j for j in range(n) if (j + 1) * 100 >= p * n)
+        want.append((p, vals[i]))
+
+    got = percentiles_agg(SF)
+    rows = list(zip(got.column("p").to_pylist(),
+                    got.column("value").to_pylist()))
+    assert rows == want

@@ -271,3 +271,40 @@ def test_ops_call_actor_dispatch(ray_session):
     got = ray.get(worker_pool()[0].ops_call.remote(
         "bm25_ext", "syn_df_range", (idx, "text", groups, 0, n)))
     assert got == want and sum(want) > 0
+
+
+def test_boosting_demotes_not_excludes(ray_session):
+    """Docs matching a negative term keep ranking, at nb x their BM25;
+    nb=1 is a no-op; demoted docs' scores shrink by exactly nb."""
+    import numpy as np
+
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.ops.bm25_ext import bm25_boosting_topk
+
+    plain = bm25_topk(SF, ("merge", "scan"), k=10_000).to_pandas()
+    noop = bm25_boosting_topk(SF, ("merge", "scan"), ("slow",),
+                              negative_boost=1.0, k=10_000).to_pandas()
+    assert noop.equals(plain)
+
+    nb = 0.3
+    demoted = bm25_boosting_topk(SF, ("merge", "scan"), ("slow",),
+                                 negative_boost=nb, k=10_000).to_pandas()
+    # same doc SET (demotion never drops a doc)
+    assert set(demoted.doc_id) == set(plain.doc_id)
+    ps = dict(zip(plain.doc_id, plain.score))
+    import pyarrow.parquet as pq
+    import re
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    has_neg = {d for d, s in zip(t.column("doc_id").to_pylist(),
+                                 t.column("text").to_pylist())
+               if "slow" in re.findall(r"[a-z0-9]+", s.lower())}
+    n_dem = 0
+    for d, s in zip(demoted.doc_id, demoted.score):
+        if d in has_neg:
+            # plain score was rounded once; re-demote within 1e-4 slack
+            assert abs(s - ps[d] * nb) < 2e-4
+            n_dem += 1
+        else:
+            assert s == ps[d]
+    assert n_dem > 0

@@ -172,3 +172,28 @@ def test_fuzzy_zero_matches_is_empty(ray_session):
 
     t = search_fuzzy(SF, word="zzzzzzzz", max_dist=1)
     assert t.num_rows == 0 and t.column_names == ["doc_id", "score"]
+
+
+def test_suggest_complete_df_weighted(ray_session):
+    """Top-n prefix completions ordered by (df desc, token asc), df =
+    docs containing the raw token."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops.termdict import suggest_complete
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    df = collections.Counter()
+    for s in t.column("text").to_pylist():
+        for tok in set(re.findall(r"[a-z0-9]+", s.lower())):
+            if tok.startswith("s"):
+                df[tok] += 1
+    want = sorted(df.items(), key=lambda p: (-p[1], p[0]))[:10]
+
+    got = suggest_complete(SF, "s", 10)
+    rows = list(zip(got.column("token").to_pylist(),
+                    got.column("df").to_pylist()))
+    assert rows == want
