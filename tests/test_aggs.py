@@ -193,3 +193,34 @@ def test_percentiles_agg_exact_disc(ray_session):
     rows = list(zip(got.column("p").to_pylist(),
                     got.column("value").to_pylist()))
     assert rows == want
+
+
+def test_percentiles_range_fold_matches_global(ray_session):
+    """hist_range(interval=1) partials over split ranges walk to the
+    same percentiles as the in-process run (disjoint-range sums)."""
+    import numpy as np
+
+    from noise_ray.ops.aggs import hist_range, percentiles_agg
+    from noise_ray.pipelines import documents_index
+    from noise_ray.query.engine import _stem_one
+
+    reader = documents_index(SF)
+    idx = reader.index_dir
+    n = reader.num_docs
+    ranges = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    parts = [hist_range(idx, "text", [_stem_one("merge")], "n_chars", 1,
+                        lo, hi)
+             for lo, hi in ranges]
+    vals = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    order = np.argsort(vals, kind="stable")
+    vals, counts = vals[order], counts[order]
+    uniq, starts = np.unique(vals, return_index=True)
+    summed = np.add.reduceat(counts, starts).astype(np.int64)
+    cum = np.cumsum(summed)
+    tot = int(cum[-1])
+    want = percentiles_agg(SF)
+    for p, v in zip(want.column("p").to_pylist(),
+                    want.column("value").to_pylist()):
+        i = int(np.searchsorted(cum * 100, p * tot, side="left"))
+        assert int(uniq[min(i, uniq.size - 1)]) == v

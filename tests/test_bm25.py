@@ -671,3 +671,50 @@ def test_spannear_order_matters(ray_session):
     a = bm25_spannear_topk(SF, ("merge", "scan"), slop=2, k=500).to_pandas()
     c = bm25_spannear_topk(SF, ("scan", "merge"), slop=2, k=500).to_pandas()
     assert not a.equals(c)
+
+
+def test_spannear_range_fold_matches_global(tmp_path, ray_session):
+    """Distributed span-near bodies (per-range df partials + per-range
+    scoring with the global df) fold to exactly the in-process result,
+    including boundary docs under the [lo, hi) mask."""
+    from noise_ray.build import build_index
+    from noise_ray.ops.bm25 import (_field_total_tokens,
+                                    bm25_spannear_topk,
+                                    spannear_df_range,
+                                    spannear_score_range)
+    from noise_ray.query.reader import IndexReader
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for d in range(900):
+        words = ["pad"] * int(rng.integers(4, 30))
+        rng.shuffle(words)
+        if d % 3 == 0:  # "alpha <gap> beta" with gap 0..3
+            at = int(rng.integers(0, len(words) - 1))
+            gap = ["pad"] * int(rng.integers(0, 4))
+            words[at:at] = ["alpha", *gap, "beta"]
+        rows.append({"doc_id": d, "text": " ".join(words)})
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "index")
+    build_index([src], idx, fields=("text",), key_columns=("doc_id",),
+                num_buckets=4, block_size=32)
+
+    reader = IndexReader(idx)
+    n_docs = float(reader.num_docs)
+    avgdl = _field_total_tokens(reader, 0) / n_docs
+    stemmed, slop, k = ["alpha", "beta"], 2, 15
+    ranges = [(0, 300), (300, 600), (600, 900)]
+    df = float(sum(spannear_df_range(idx, "text", stemmed, slop, lo, hi)
+                   for lo, hi in ranges))
+    parts = [spannear_score_range(idx, "text", stemmed, slop, df, n_docs,
+                                  avgdl, 1.2, 0.75, k, lo, hi)
+             for lo, hi in ranges]
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:k]
+    want = bm25_spannear_topk("unused", ("alpha", "beta"), slop=slop,
+                              k=k, index_dir=idx)
+    assert docs[top].tolist() == want.column("doc_id").to_pylist()
+    assert r4[top].tolist() == want.column("score").to_pylist()
+    assert df >= k  # the fold really summed per-range dfs

@@ -308,3 +308,36 @@ def test_boosting_demotes_not_excludes(ray_session):
         else:
             assert s == ps[d]
     assert n_dem > 0
+
+
+def test_boosting_range_fold_matches_global(ray_session):
+    """boosting_score_range over split ranges + driver merge equals the
+    in-process boosting top-k on the sf0.001 documents index."""
+    import numpy as np
+
+    from noise_ray.ops.bm25 import _field_total_tokens, bm25_df_range
+    from noise_ray.ops.bm25_ext import (boosting_score_range,
+                                        bm25_boosting_topk)
+    from noise_ray.pipelines import documents_index
+    from noise_ray.query.engine import _stem_one
+
+    reader = documents_index(SF)
+    idx = reader.index_dir
+    n_docs = float(reader.num_docs)
+    avgdl = _field_total_tokens(reader, reader.field_id["text"]) / n_docs
+    stemmed = [_stem_one(t) for t in ("merge", "scan")]
+    neg, nb, k = [_stem_one("slow")], 0.3, 20
+    n = reader.num_docs
+    ranges = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    df_parts = [bm25_df_range(idx, "text", stemmed, lo, hi)
+                for lo, hi in ranges]
+    dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
+    parts = [boosting_score_range(idx, "text", stemmed, neg, nb, dfs,
+                                  n_docs, avgdl, 1.2, 0.75, k, lo, hi)
+             for lo, hi in ranges]
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:k]
+    want = bm25_boosting_topk(SF, ("merge", "scan"), ("slow",), nb, k=k)
+    assert docs[top].tolist() == want.column("doc_id").to_pylist()
+    assert r4[top].tolist() == want.column("score").to_pylist()
