@@ -364,6 +364,15 @@ def _significant_terms(sf_dir: str):
     return significant_terms(sf_dir)
 
 
+def _chunk_documents(sf_dir: str):
+    """RAG-prep chunking (ops/text.chunk_documents): 64-token windows
+    every 48 tokens (overlap 16), one streaming fan-out map_batches
+    pass; sorted here only for the deterministic oracle compare."""
+    from noise_ray.ops.text import chunk_documents
+
+    return chunk_documents(sf_dir).sort(["doc_id", "chunk_idx"])
+
+
 def _bm25_boosting(sf_dir: str):
     """Boosting query (ops/bm25_ext.bm25_boosting_topk): positive-term
     BM25 with docs matching any negative term DEMOTED by a constant
@@ -653,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": pca.pca_project,
         # --- text analysis
         "token_stats": text.token_stats,
+        "chunk_documents": _chunk_documents,
         "fingerprint": text.fingerprint,
         "quality_bucket": text.quality_bucket,
         "langid": text.langid,
@@ -948,6 +958,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
             FROM r WHERE rank <= 10""",
+        "chunk_documents": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')
+                                AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, toks,
+                         unnest(range(0, len(toks), 48)) AS start FROM t),
+            k AS (SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+                         list_slice(toks, start + 1, start + 64) AS ck
+                  FROM s WHERE start = 0 OR start + 64 - 48 < len(toks))
+            SELECT doc_id, chunk_idx, array_to_string(ck, ' ') AS chunk_text,
+                   CAST(len(ck) AS BIGINT) AS n_tokens
+            FROM k ORDER BY doc_id, chunk_idx""",
         "token_stats": f"""
             SELECT doc_id,
                    CAST(coalesce(array_length({_TOK}), 0) AS BIGINT) AS n_tokens,

@@ -52,6 +52,50 @@ def token_stats(sf_dir: str):
         stats, batch_format="pyarrow")
 
 
+def chunk_documents(sf_dir: str, size: int = 64, stride: int = 48):
+    """RAG-prep chunking: split each document into token windows of
+    ``size`` tokens starting every ``stride`` tokens (overlap =
+    size - stride).  Output (doc_id, chunk_idx, chunk_text, n_tokens),
+    chunk_text the lowercase tokens joined by single spaces — the
+    embedding-input normalization.  A start is emitted while it is
+    inside the doc AND the previous window did not already reach the
+    end (``start == 0 or start + size - stride < n``), so short docs
+    yield exactly one chunk and no redundant tail sub-windows.
+
+    One streaming ``map_batches`` pass, fan-out rows (a flat_map shape
+    expressed batch-wise); at 100 TB chunking is embarrassingly
+    parallel and the output is written per input shard.  The token
+    split is per-row (string assembly dominates regardless — every
+    output byte is a new string); window arithmetic is numpy."""
+    import re
+
+    pattern = re.compile(r"[a-z0-9]+")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_d, out_i, out_t, out_n = [], [], [], []
+        for d, s in zip(ids, batch.column("text").to_pylist()):
+            toks = pattern.findall(s.lower())
+            n = len(toks)
+            for ci, start in enumerate(range(0, n, stride)):
+                if start and start + size - stride >= n:
+                    break
+                ck = toks[start:start + size]
+                out_d.append(d)
+                out_i.append(ci)
+                out_t.append(" ".join(ck))
+                out_n.append(len(ck))
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "chunk_idx": pa.array(out_i, pa.int64()),
+            "chunk_text": pa.array(out_t, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow")
+
+
 def fingerprint(sf_dir: str):
     """Content fingerprint: md5 of whitespace-collapsed lowercase text.
 

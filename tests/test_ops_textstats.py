@@ -226,3 +226,41 @@ def test_hopping_window_stats_matches_reference(ray_session):
         assert want[k] == [r["n_events"], r["sum_cents"]]
     # overlapping windows: total exploded rows = 4x events
     assert sum(r["n_events"] for r in out) == 4 * t.num_rows
+
+
+def test_chunk_documents_windows(ray_session):
+    """64/48 token windows: starts at multiples of 48, stop once the
+    previous window reached the doc end; chunk text is the joined
+    lowercase tokens; short docs yield exactly one chunk."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops.text import chunk_documents
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    want = []
+    for d, s in zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()):
+        toks = re.findall(r"[a-z0-9]+", s.lower())
+        n = len(toks)
+        for ci, start in enumerate(range(0, n, 48)):
+            if start and start + 64 - 48 >= n:
+                break
+            ck = toks[start:start + 64]
+            want.append((d, ci, " ".join(ck), len(ck)))
+    got = chunk_documents(SF).take_all()
+    rows = sorted((r["doc_id"], r["chunk_idx"], r["chunk_text"],
+                   r["n_tokens"]) for r in got)
+    assert rows == sorted(want)
+    # overlap property: consecutive chunks share their boundary tokens
+    by_doc = {}
+    for d, ci, text, nt in rows:
+        by_doc.setdefault(d, []).append((ci, text.split()))
+    multi = 0
+    for chunks in by_doc.values():
+        for (_, a), (_, b) in zip(chunks, chunks[1:]):
+            assert a[48:] == b[:len(a) - 48]
+            multi += 1
+    assert multi > 0
