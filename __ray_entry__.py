@@ -364,6 +364,15 @@ def _significant_terms(sf_dir: str):
     return significant_terms(sf_dir)
 
 
+def _bm25_msearch(sf_dir: str):
+    """Multi-search (ops/bm25.bm25_msearch): 3 term-bag BM25 queries in
+    ONE request — above 5M docs the batch shares a single two-phase
+    pool round-trip per doc range instead of one per query."""
+    from noise_ray.ops.bm25 import bm25_msearch
+
+    return bm25_msearch(sf_dir)
+
+
 def _chunk_documents(sf_dir: str):
     """RAG-prep chunking (ops/text.chunk_documents): 64-token windows
     every 48 tokens (overlap 16), one streaming fan-out map_batches
@@ -589,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase": _bm25_phrase,
         "bm25_spannear": _bm25_spannear,
         "bm25_boosting": _bm25_boosting,
+        "bm25_msearch": _bm25_msearch,
         "suggest_complete": _suggest_complete,
         "bm25_msm": _bm25_msm,
         "bm25_synonyms": _bm25_synonyms,
@@ -800,6 +810,8 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "scan"), 2, 20),
         "bm25_boosting": _score_oracle().bm25_boosting_sql(
             ("merge", "scan"), ("slow",), 0.3, 20),
+        "bm25_msearch": _score_oracle().bm25_msearch_sql(
+            (("merge", "scan"), ("row", "column"), ("fast", "batch")), 10),
         "suggest_complete": _score_oracle().suggest_complete_sql("s", 10),
         "bm25_msm": _score_oracle().bm25_topk_sql(
             ("merge", "scan", "row"), 20, 1.2, 0.75, min_match=2),

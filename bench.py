@@ -151,6 +151,7 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     from noise_ray.ops import similarity as _sim
     from noise_ray.ops import termdict as _termdict
     from noise_ray.ops.aggs import percentiles_agg as _pctl
+    from noise_ray.ops.bm25 import bm25_msearch as _msearch
     from noise_ray.ops.bm25 import bm25_spannear_topk as _spannear
     from noise_ray.ops.bm25_ext import bm25_boosting_topk as _boosting
     from noise_ray.ops.percolate import percolate as _perc
@@ -164,6 +165,7 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
                     ("percolate_sec", lambda: _perc(SF_DIR).count()),
                     ("bm25_boosting_sec",
                      lambda: _boosting(SF_DIR)),
+                    ("bm25_msearch_sec", lambda: _msearch(SF_DIR)),
                     ("percentiles_agg_sec", lambda: _pctl(SF_DIR)),
                     ("suggest_complete_sec",
                      lambda: _termdict.suggest_complete(SF_DIR)),

@@ -746,6 +746,110 @@ def bm25_phrase_topk(sf_dir: str, phrase: tuple[str, ...] = ("row", "scan"),
                      "score": pa.array(r4[top], pa.float64())})
 
 
+DEFAULT_MSEARCH = (("merge", "scan"), ("row", "column"), ("fast", "batch"))
+
+
+def bm25_msearch(sf_dir: str, queries=DEFAULT_MSEARCH, k: int = 10,
+                 k1: float = 1.2, b: float = 0.75, field: str = "text", *,
+                 index_dir: str | None = None) -> pa.Table:
+    """Multi-search (cf. Elasticsearch ``_msearch``): N term-bag BM25
+    queries answered in ONE request.  Per query the semantics are
+    exactly :func:`bm25_topk`; the batching is the scale win — above
+    5M docs the N queries share one two-phase pool round-trip per doc
+    range (phase 1 returns every query's df partials in one message,
+    phase 2 scores every query against the range's already-hot cached
+    reader), so fan-out latency is paid once, not N times.  Returns
+    (query_id, doc_id, score) ordered (query_id, rounded score desc,
+    doc_id asc); query_id = position in ``queries``."""
+    from ..query.engine import _stem_one
+    from ..pipelines import documents_index
+
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        reader = _cached_reader(index_dir)
+    else:
+        reader = documents_index(sf_dir)
+    qlists = [list(dict.fromkeys(_stem_one(t) for t in q))
+              for q in queries]
+
+    if index_dir is not None and reader.num_docs >= 5_000_000:
+        n_docs = float(reader.num_docs)
+        fid = reader.field_id[field]
+        avgdl = _field_total_tokens(reader, fid) / n_docs
+        per_query = _msearch_distributed(index_dir, reader, qlists,
+                                         field, k, k1, b, n_docs, avgdl)
+    else:
+        per_query = []
+        for q in queries:
+            t = bm25_topk(sf_dir, tuple(q), k=k, k1=k1, b=b, field=field,
+                          index_dir=index_dir)
+            per_query.append((t.column("doc_id").to_numpy(),
+                              t.column("score").to_numpy()))
+    out_q, out_d, out_s = [], [], []
+    for qid, (docs, r4) in enumerate(per_query):
+        out_q.extend([qid] * len(docs))
+        out_d.extend(docs.tolist())
+        out_s.extend(r4.tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "score": pa.array(out_s, pa.float64())})
+
+
+def msearch_df_range(index_dir: str, field: str, qlists, lo: int,
+                     hi: int) -> list[list[int]]:
+    """Phase-1 worker body: df partials for EVERY query of the batch in
+    one call (one pool message per range for the whole msearch)."""
+    return [bm25_df_range(index_dir, field, q, lo, hi) for q in qlists]
+
+
+def msearch_score_range(index_dir: str, field: str, qlists, dfs_list,
+                        n_docs: float, avgdl: float, k1: float, b: float,
+                        k: int, lo: int, hi: int):
+    """Phase-2 worker body: every query's local top-k for this range in
+    one call — the cached reader's postings stay hot across the batch."""
+    return [bm25_score_range(index_dir, field, q, dfs, n_docs, avgdl,
+                             k1, b, k, lo, hi)
+            for q, dfs in zip(qlists, dfs_list)]
+
+
+def _msearch_distributed(index_dir: str, reader, qlists, field: str,
+                         k: int, k1: float, b: float, n_docs: float,
+                         avgdl: float):
+    """One two-phase fan-out for the whole query batch; per-query merge
+    on the driver (k rows per query per range)."""
+    import ray
+
+    from ..query.distributed import worker_pool
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n = max(1, min(cpus, reader.num_docs // 10_000 + 1))
+    span = max(1, -(-reader.num_docs // n))
+    ranges = [(lo, min(lo + span, reader.num_docs))
+              for lo in range(0, reader.num_docs, span)]
+    pool = worker_pool()
+    df_parts = ray.get([
+        pool[i % len(pool)].ops_call.remote(
+            "bm25", "msearch_df_range", (index_dir, field, qlists, lo, hi))
+        for i, (lo, hi) in enumerate(ranges)])
+    dfs_list = [[float(sum(p[qi][j] for p in df_parts))
+                 for j in range(len(q))]
+                for qi, q in enumerate(qlists)]
+    parts = ray.get([
+        pool[i % len(pool)].ops_call.remote(
+            "bm25", "msearch_score_range",
+            (index_dir, field, qlists, dfs_list, n_docs, avgdl, k1, b,
+             k, lo, hi))
+        for i, (lo, hi) in enumerate(ranges)])
+    out = []
+    for qi in range(len(qlists)):
+        docs = np.concatenate([p[qi][0] for p in parts])
+        r4 = np.concatenate([p[qi][1] for p in parts])
+        top = np.lexsort((docs, -r4))[:k]
+        out.append((docs[top], r4[top]))
+    return out
+
+
 def _spannear_occurrences(reader, fid: int, stemmed: list[str], slop: int,
                           doc_range: tuple[int, int] | None = None):
     """(uniq_docs, tf, dl) of ordered span-near matches — the words in

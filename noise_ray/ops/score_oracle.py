@@ -599,6 +599,21 @@ SELECT {key}, ROUND(score, 4) AS score FROM s
 ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
 
 
+def bm25_msearch_sql(queries, k: int, k1: float = 1.2, b: float = 0.75,
+                     *, src: str = "documents",
+                     key: str = "doc_id") -> str:
+    """Multi-search oracle (ops/bm25.bm25_msearch): each batched query
+    is its own bm25_topk_sql, tagged with its position and unioned."""
+    subs = []
+    for qid, terms in enumerate(queries):
+        sub = bm25_topk_sql(tuple(terms), k, k1, b, src=src, key=key)
+        subs.append(f"SELECT {qid} AS query_id, * FROM ({sub})")
+    u = "\nUNION ALL\n".join(subs)
+    return f"""
+SELECT CAST(query_id AS BIGINT) AS query_id, {key}, score FROM ({u})
+ORDER BY query_id, score DESC, {key}"""
+
+
 def suggest_complete_sql(prefix: str, n: int, *, src: str = "documents",
                          key: str = "doc_id") -> str:
     """Completion-suggester oracle (ops/termdict.suggest_complete):

@@ -718,3 +718,58 @@ def test_spannear_range_fold_matches_global(tmp_path, ray_session):
     assert docs[top].tolist() == want.column("doc_id").to_pylist()
     assert r4[top].tolist() == want.column("score").to_pylist()
     assert df >= k  # the fold really summed per-range dfs
+
+
+def test_msearch_matches_individual_queries(ray_session):
+    """The batched multi-search returns exactly each query's bm25_topk
+    rows, tagged with the query position."""
+    from noise_ray.ops.bm25 import DEFAULT_MSEARCH, bm25_msearch, bm25_topk
+
+    got = bm25_msearch(SF, k=10).to_pandas()
+    assert list(got.columns) == ["query_id", "doc_id", "score"]
+    for qid, terms in enumerate(DEFAULT_MSEARCH):
+        want = bm25_topk(SF, terms, k=10).to_pandas()
+        sub = got[got.query_id == qid].reset_index(drop=True)
+        assert sub.doc_id.tolist() == want.doc_id.tolist()
+        assert sub.score.tolist() == want.score.tolist()
+
+
+def test_msearch_range_fold_matches_global(tmp_path, ray_session):
+    """The batched per-range worker bodies fold to the same per-query
+    results as in-process bm25_topk."""
+    from noise_ray.build import build_index
+    from noise_ray.ops.bm25 import (_field_total_tokens, bm25_topk,
+                                    msearch_df_range, msearch_score_range)
+    from noise_ray.query.reader import IndexReader
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "pad"]
+    rows = [{"doc_id": d,
+             "text": " ".join(rng.choice(vocab,
+                                          size=int(rng.integers(3, 25))))}
+            for d in range(600)]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "index")
+    build_index([src], idx, fields=("text",), key_columns=("doc_id",),
+                num_buckets=4, block_size=32)
+    reader = IndexReader(idx)
+    n_docs = float(reader.num_docs)
+    avgdl = _field_total_tokens(reader, 0) / n_docs
+    qlists = [["alpha", "beta"], ["gamma"]]
+    k = 12
+    ranges = [(0, 200), (200, 400), (400, 600)]
+    df_parts = [msearch_df_range(idx, "text", qlists, lo, hi)
+                for lo, hi in ranges]
+    dfs_list = [[float(sum(p[qi][j] for p in df_parts))
+                 for j in range(len(q))] for qi, q in enumerate(qlists)]
+    parts = [msearch_score_range(idx, "text", qlists, dfs_list, n_docs,
+                                 avgdl, 1.2, 0.75, k, lo, hi)
+             for lo, hi in ranges]
+    for qi, terms in enumerate([("alpha", "beta"), ("gamma",)]):
+        docs = np.concatenate([p[qi][0] for p in parts])
+        r4 = np.concatenate([p[qi][1] for p in parts])
+        top = np.lexsort((docs, -r4))[:k]
+        want = bm25_topk("unused", terms, k=k, index_dir=idx)
+        assert docs[top].tolist() == want.column("doc_id").to_pylist()
+        assert r4[top].tolist() == want.column("score").to_pylist()
