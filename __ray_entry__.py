@@ -364,6 +364,16 @@ def _significant_terms(sf_dir: str):
     return significant_terms(sf_dir)
 
 
+def _rag_search(sf_dir: str):
+    """Chunked retrieval (ops/rag.py): overlapping token-window chunks
+    indexed as their own corpus, BM25 at chunk granularity (passage
+    stats: N/df/avgdl over chunks), top candidates collapsed to the
+    best chunk per parent document — the RAG retrieval shape."""
+    from noise_ray.ops.rag import rag_search
+
+    return rag_search(sf_dir)
+
+
 def _bm25_msearch(sf_dir: str):
     """Multi-search (ops/bm25.bm25_msearch): 3 term-bag BM25 queries in
     ONE request — above 5M docs the batch shares a single two-phase
@@ -599,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_spannear": _bm25_spannear,
         "bm25_boosting": _bm25_boosting,
         "bm25_msearch": _bm25_msearch,
+        "rag_search": _rag_search,
         "suggest_complete": _suggest_complete,
         "bm25_msm": _bm25_msm,
         "bm25_synonyms": _bm25_synonyms,
@@ -812,6 +823,8 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "scan"), ("slow",), 0.3, 20),
         "bm25_msearch": _score_oracle().bm25_msearch_sql(
             (("merge", "scan"), ("row", "column"), ("fast", "batch")), 10),
+        "rag_search": _score_oracle().rag_search_sql(
+            ("merge", "scan"), 10, 100, 64, 48),
         "suggest_complete": _score_oracle().suggest_complete_sql("s", 10),
         "bm25_msm": _score_oracle().bm25_topk_sql(
             ("merge", "scan", "row"), 20, 1.2, 0.75, min_match=2),

@@ -599,6 +599,57 @@ SELECT {key}, ROUND(score, 4) AS score FROM s
 ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
 
 
+def rag_search_sql(terms: tuple[str, ...], k: int, k_chunks: int,
+                   size: int, stride: int, k1: float = 1.2,
+                   b: float = 0.75, *, src: str = "documents",
+                   key: str = "doc_id") -> str:
+    """Chunked-retrieval oracle (ops/rag.rag_search): chunk windows,
+    chunk-level Okapi BM25 (stats over CHUNKS: N = chunk count, df and
+    avgdl per chunk), the k_chunks candidate cut ordered (rounded score
+    desc, parent asc, chunk_idx asc), then per-parent best and the
+    top-k parent cut — every tie order matching the engine's internal
+    chunk-ordinal ranking by construction."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH t AS (SELECT {key}, regexp_extract_all(lower(text), '[a-z0-9]+')
+                    AS toks
+           FROM {src}),
+st AS (SELECT {key}, toks, unnest(range(0, len(toks), {stride}))
+                AS start FROM t),
+c AS (SELECT {key}, CAST(start // {stride} AS BIGINT) AS chunk_idx,
+             list_slice(toks, start + 1, start + {size}) AS ck
+      FROM st WHERE start = 0 OR start + {size} - {stride} < len(toks)),
+ct AS (SELECT {key}, chunk_idx, unnest(ck) AS tok FROM c),
+clens AS (SELECT {key}, chunk_idx, len(ck) AS len FROM c),
+nn AS (SELECT count(*) AS n FROM c),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM clens),
+tf AS (SELECT {key}, chunk_idx, tok, count(*) AS tf FROM ct
+       WHERE tok IN ({toks_in}) GROUP BY {key}, chunk_idx, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+s AS (SELECT tf.{key}, tf.chunk_idx,
+             sum(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                                    + {b} * clens.len
+                                          / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf JOIN df USING (tok)
+      JOIN clens USING ({key}, chunk_idx)
+      GROUP BY tf.{key}, tf.chunk_idx),
+cand AS (SELECT {key}, chunk_idx, ROUND(score, 4) AS score FROM s
+         ORDER BY ROUND(score, 4) DESC, {key}, chunk_idx
+         LIMIT {k_chunks}),
+best AS (SELECT {key}, chunk_idx, score,
+                row_number() OVER (PARTITION BY {key}
+                                   ORDER BY score DESC, chunk_idx)
+                  AS rn
+         FROM cand)
+SELECT {key}, chunk_idx, score FROM best WHERE rn = 1
+ORDER BY score DESC, {key} LIMIT {k}"""
+
+
 def bm25_msearch_sql(queries, k: int, k1: float = 1.2, b: float = 0.75,
                      *, src: str = "documents",
                      key: str = "doc_id") -> str:
