@@ -352,7 +352,10 @@ def shadowed_doc_ids(docmap_parts, new_keys: pa.Table,
         nk = ray.get(keys_ref)
         outs = []
         for p in batch.column("path").to_pylist():
-            t = pq.read_table(p, columns=["doc_id", *key_columns])
+            # dedupe: indexes keyed ON doc_id would otherwise request
+            # the column twice and break the acero join's field lookup
+            t = pq.read_table(
+                p, columns=list(dict.fromkeys(["doc_id", *key_columns])))
             outs.append(t.join(nk, keys=key_columns, join_type="inner")
                         .select(["doc_id"]))
         return pa.concat_tables(outs)
