@@ -20,8 +20,10 @@ The per-batch kernel is fully vectorized (no per-row Python): one
 (row, token-hash) pairs by lexsort+mask, a ``searchsorted`` probe into
 the sorted registered-term hash table, CSR expansion term→queries, and
 a bincount of distinct matched terms per (row, query).  The registered
-index is built once per actor in ``__init__`` (the broadcast-small-side
-pattern; query sets are KB-sized for thousands of standing queries).
+index builds once per WORKER PROCESS (module-level cache keyed by the
+query spec — the same persistence trick the build tokenizer relies on:
+task-based ``map_batches``, so no actor-pool ramp-up lag, while the
+KB-sized state still constructs once, not per batch).
 Same 64-bit-hash caveat as ops/text.token_stats: a within-batch
 collision is the only failure mode, vanishingly unlikely.
 """
@@ -40,9 +42,23 @@ DEFAULT_QUERIES = (
 )
 
 
+_PERC_CACHE: dict = {}
+
+
+def _percolator_for(qspec) -> "_Percolator":
+    """Worker-process-cached matcher (keyed by the query spec): tasks on
+    the same worker reuse the built hash index across batches."""
+    p = _PERC_CACHE.get(qspec)
+    if p is None:
+        if len(_PERC_CACHE) > 8:
+            _PERC_CACHE.clear()
+        p = _PERC_CACHE[qspec] = _Percolator(qspec)
+    return p
+
+
 class _Percolator:
-    """Actor-pool stage: registered-query hash index in __init__ (once
-    per actor), vectorized matching in __call__ (per batch)."""
+    """Registered-query hash index built once (module cache above),
+    vectorized matching in __call__ (per batch)."""
 
     def __init__(self, qspec):
         from .hashing import hash_string_array
@@ -110,11 +126,14 @@ def percolate(sf_dir: str, queries=DEFAULT_QUERIES,
     """(doc_id, query_id) for every registered query each document
     matches (module docstring).  A lazy streaming Dataset — consume
     with write_parquet / aggregate; nothing corpus-sized materializes."""
+    qspec = tuple((tuple(t), int(m)) for t, m in queries)
+
+    def match(batch: pa.Table) -> pa.Table:
+        return _percolator_for(qspec)(batch)
+
+    # task-based (not an actor pool): stateless tasks schedule with no
+    # pool ramp-up, and the worker-process module cache keeps the
+    # registered index warm across tasks — the build tokenizer's trick
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(_Percolator, fn_constructor_args=(tuple(queries),),
-                  batch_format="pyarrow",
-                  # autoscaling pool: a FIXED pool larger than the
-                  # cluster (e.g. 8 on the 4-CPU test session) stalls
-                  # waiting for actors that can never schedule
-                  concurrency=(1, concurrency))
+    ).map_batches(match, batch_format="pyarrow")
