@@ -364,6 +364,16 @@ def _significant_terms(sf_dir: str):
     return significant_terms(sf_dir)
 
 
+def _ann_ivf_filtered_indexed(sf_dir: str):
+    """ann_ivf_filtered through the PERSISTENT IVF index with the label
+    stored per list (build/vector_index.ann_ivf_filtered_indexed):
+    list routing prunes files, the label predicate prunes row groups
+    inside them; bit-identical to ann_ivf_filtered, shared oracle."""
+    from noise_ray.build.vector_index import ann_ivf_filtered_indexed
+
+    return ann_ivf_filtered_indexed(sf_dir)
+
+
 def _rag_search(sf_dir: str):
     """Chunked retrieval (ops/rag.py): overlapping token-window chunks
     indexed as their own corpus, BM25 at chunk granularity (passage
@@ -678,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_indexed": _ann_ivf_indexed,
         "ann_filtered": similarity.ann_filtered,
         "ann_ivf_filtered": similarity.ann_ivf_filtered,
+        "ann_ivf_filtered_indexed": _ann_ivf_filtered_indexed,
         "kmeans_embeddings": similarity.kmeans_embeddings,
         "semdedup": similarity.semdedup,
         "pca_project": pca.pca_project,
@@ -969,6 +980,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _sqlgen().ann_ivf_sql(),
         "ann_filtered": _sqlgen().ann_filtered_sql(),
         "ann_ivf_filtered": _sqlgen().ann_ivf_sql(nprobe=8, label=3),
+        # the persistent filtered-index path reproduces ann_ivf_filtered
+        # exactly (same centroids/nprobe/ties), so it shares the oracle
+        "ann_ivf_filtered_indexed": _sqlgen().ann_ivf_sql(nprobe=8,
+                                                          label=3),
         # the persistent-index path reproduces ann_ivf exactly, so it
         # shares the oracle (build/vector_index.py; pruning proven in
         # tests/test_vector_index.py by deleting unprobed lists)

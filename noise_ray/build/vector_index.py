@@ -46,11 +46,15 @@ def _assign(mn: np.ndarray, cn: np.ndarray) -> np.ndarray:
 
 
 def build_vector_index(emb_path: str, out_dir: str, *,
-                       n_centroids: int = 32, reserve: int = 0) -> dict:
+                       n_centroids: int = 32, reserve: int = 0,
+                       extra_columns: tuple = ()) -> dict:
     """Partition the embeddings at ``emb_path`` (file or directory) into
     one parquet file per IVF list under ``out_dir``.  ``reserve`` skips
     the first vec_ids when sampling centroids (they are query fixtures
-    in the benchmark layout, matching ``ann_ivf(n_queries=reserve)``)."""
+    in the benchmark layout, matching ``ann_ivf(n_queries=reserve)``).
+    ``extra_columns`` stores metadata columns (e.g. ``label``) in the
+    list files so filtered kNN can push its predicate into the routed
+    read (recorded in the manifest; epoch adds carry them too)."""
     from ..ops.similarity import embed_matrix
 
     ct = pq.read_table(
@@ -80,8 +84,9 @@ def build_vector_index(emb_path: str, out_dir: str, *,
         return pa.table({"list": pa.array([li], pa.int64()),
                          "rows": pa.array([group.num_rows], pa.int64())})
 
-    stats = (ray.data.read_parquet(emb_path,
-                                   columns=["vec_id", "embedding"])
+    stats = (ray.data.read_parquet(
+                 emb_path,
+                 columns=["vec_id", "embedding", *extra_columns])
              .map_batches(assign, batch_format="pyarrow")
              .groupby("list")
              .map_groups(write_list, batch_format="pyarrow")
@@ -89,6 +94,7 @@ def build_vector_index(emb_path: str, out_dir: str, *,
     manifest = {
         "n_centroids": n_centroids,
         "reserve": reserve,
+        "extra_columns": list(extra_columns),
         "centroids": cn.tolist(),
         "lists": sorted(
             ({"list": int(r["list"]), "rows": int(r["rows"]),
@@ -137,8 +143,10 @@ def add_vectors(index_dir: str, emb_path: str) -> dict:
         return pa.table({"list": pa.array([li], pa.int64()),
                          "rows": pa.array([group.num_rows], pa.int64())})
 
-    stats = (ray.data.read_parquet(emb_path,
-                                   columns=["vec_id", "embedding"])
+    stats = (ray.data.read_parquet(
+                 emb_path,
+                 columns=["vec_id", "embedding",
+                          *man.get("extra_columns", [])])
              .map_batches(assign, batch_format="pyarrow")
              .groupby("list")
              .map_groups(write_epoch_list, batch_format="pyarrow")
@@ -228,11 +236,16 @@ def _list_paths(index_dir: str, entry: dict) -> list[str]:
 def ivf_query(index_dir: str, queries: np.ndarray, qids: np.ndarray,
               k: int = 10, nprobe: int = 4,
               exclude_below: int = 0,
-              exclude_id: int | None = None) -> pa.Table:
+              exclude_id: int | None = None,
+              filter_expr=None) -> pa.Table:
     """Cosine top-k per (normalized) query row, reading ONLY the
     ``nprobe`` probed lists' files per query.  Output (query_id, rank,
     vec_id) — identical to ``ops/similarity.ann_ivf`` for the same
-    centroids/params (ties to the smaller id everywhere)."""
+    centroids/params (ties to the smaller id everywhere).
+    ``filter_expr`` (a pyarrow dataset expression over stored metadata
+    columns) pushes a kNN pre-filter into the routed read — double
+    pruning: list routing cuts the files, row-group statistics cut the
+    survivors."""
     with open(os.path.join(index_dir, MANIFEST)) as f:
         man = json.load(f)
     cn = np.asarray(man["centroids"], np.float64)
@@ -286,7 +299,7 @@ def ivf_query(index_dir: str, queries: np.ndarray, qids: np.ndarray,
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64())})
-    parts = (ray.data.read_parquet(paths)
+    parts = (ray.data.read_parquet(paths, filter=filter_expr)
              .map_batches(partial_topk, batch_format="pyarrow",
                           batch_size=4096))
     t = pa.concat_tables(arrow_blocks(parts))
@@ -327,3 +340,32 @@ def ann_ivf_indexed(sf_dir: str, n_queries: int = 5, k: int = 10,
     qids, qn = _load_queries(sf_dir, n_queries)
     return ivf_query(index_dir, qn, qids, k=k, nprobe=nprobe,
                      exclude_below=n_queries)
+
+
+def ann_ivf_filtered_indexed(sf_dir: str, n_queries: int = 5, k: int = 10,
+                             n_centroids: int = 32, nprobe: int = 8,
+                             label: int = 3,
+                             index_dir: str | None = None) -> pa.Table:
+    """``ops/similarity.ann_ivf_filtered`` through a persistent IVF
+    index that stores the ``label`` metadata column: the query routes
+    to its ``nprobe`` lists' files AND pushes ``label == L`` into the
+    read (row-group statistics pruning inside each list).  Output is
+    bit-identical to ``ann_ivf_filtered`` (same centroids, same widened
+    nprobe, same tie rules), so it shares its SQL oracle."""
+    import pyarrow.compute as pc
+
+    from ..ops.similarity import _load_queries
+
+    if index_dir is None:
+        base = os.environ.get("NOISE_RAY_CACHE", "/tmp/noise_ray_cache")
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        index_dir = os.path.join(
+            base, f"vecidx-{tag}-{n_centroids}-{n_queries}-lbl")
+    if not os.path.exists(os.path.join(index_dir, MANIFEST)):
+        build_vector_index(f"{sf_dir}/embeddings.parquet", index_dir,
+                           n_centroids=n_centroids, reserve=n_queries,
+                           extra_columns=("label",))
+    qids, qn = _load_queries(sf_dir, n_queries)
+    return ivf_query(index_dir, qn, qids, k=k, nprobe=nprobe,
+                     exclude_below=n_queries,
+                     filter_expr=pc.field("label") == label)

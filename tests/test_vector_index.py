@@ -183,3 +183,16 @@ def test_build_resume_after_partial_failure(ray_session, tmp_path):
     after = ivf_query(idx, qn, qids, k=10, nprobe=3,
                       exclude_below=5).to_pandas()
     assert before.equals(after)
+
+
+def test_filtered_indexed_matches_streaming_filtered(ray_session, tmp_path):
+    """The persistent filtered-IVF path (label stored in the lists,
+    predicate pushed into the routed read) is bit-identical to the
+    streaming ann_ivf_filtered."""
+    from noise_ray.build.vector_index import ann_ivf_filtered_indexed
+    from noise_ray.ops.similarity import ann_ivf_filtered
+
+    want = ann_ivf_filtered(SF, label=3).to_pandas()
+    got = ann_ivf_filtered_indexed(
+        SF, label=3, index_dir=str(tmp_path / "vecidx")).to_pandas()
+    assert got.equals(want)
