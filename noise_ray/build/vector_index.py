@@ -302,7 +302,13 @@ def ivf_query(index_dir: str, queries: np.ndarray, qids: np.ndarray,
     parts = (ray.data.read_parquet(paths, filter=filter_expr)
              .map_batches(partial_topk, batch_format="pyarrow",
                           batch_size=4096))
-    t = pa.concat_tables(arrow_blocks(parts))
+    # a filtered read can emit columnless empty blocks; keep real ones
+    tabs = [b for b in arrow_blocks(parts) if b.num_columns and b.num_rows]
+    if not tabs:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
+    t = pa.concat_tables(tabs)
     out_q, out_r, out_v = [], [], []
     tq = t.column("query_id").to_numpy()
     tv = t.column("vec_id").to_numpy()

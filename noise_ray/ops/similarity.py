@@ -317,7 +317,12 @@ def ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
 def _merge_topk(parts, qids, k: int) -> pa.Table:
     """Driver-side final merge of per-batch partial top-k rows — tiny
     (n_queries × k per input block); sim desc, vec_id asc, rank from 1."""
-    t = pa.concat_tables(arrow_blocks(parts))
+    # a filtered read can emit columnless empty blocks; keep real ones
+    tabs = [b for b in arrow_blocks(parts) if b.num_columns]
+    t = (pa.concat_tables(tabs) if tabs
+         else pa.table({"query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64())}))
     out_q, out_r, out_v = [], [], []
     tq = t.column("query_id").to_numpy() if t.num_rows else np.array([])
     tv = t.column("vec_id").to_numpy() if t.num_rows else np.array([])
