@@ -449,6 +449,16 @@ def _percolate(sf_dir: str):
     return percolate(sf_dir).sort(["doc_id", "query_id"])
 
 
+def _mmr_rerank(sf_dir: str):
+    """MMR-diversified retrieval (ops/rerank.mmr_rerank): greedy
+    maximal-marginal-relevance over BM25 candidates using their
+    embeddings — λ·rel − (1−λ)·max-cosine-to-selected per round;
+    oracle = the greedy loop unrolled into per-round CTEs."""
+    from noise_ray.ops.rerank import mmr_rerank
+
+    return mmr_rerank(sf_dir)
+
+
 def _rerank_topk(sf_dir: str):
     """Retrieve-then-rerank (ops/rerank.py): BM25 top-100 candidates off
     the index, then a deterministic lexical-feature second stage (the
@@ -630,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles_agg": _percentiles_agg,
         "significant_terms": _significant_terms,
         "rerank_topk": _rerank_topk,
+        "mmr_rerank": _mmr_rerank,
         "percolate": _percolate,
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
@@ -856,6 +867,8 @@ def oracle_sql() -> dict[str, str]:
             ("merge",), "n_chars", (25, 50, 75, 95, 99)),
         "rerank_topk": _score_oracle().rerank_topk_sql(
             ("merge", "scan"), 100, 10),
+        "mmr_rerank": _score_oracle().mmr_rerank_sql(
+            ("merge", "scan"), 10, 20, 0.7),
         "percolate": _score_oracle().percolate_sql(
             _percolate_qspec()),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),

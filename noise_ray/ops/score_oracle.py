@@ -599,6 +599,63 @@ SELECT {key}, ROUND(score, 4) AS score FROM s
 ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
 
 
+def mmr_rerank_sql(terms: tuple[str, ...], k: int, n_cand: int,
+                   lam: float, k1: float = 1.2, b: float = 0.75, *,
+                   src: str = "documents", key: str = "doc_id") -> str:
+    """MMR oracle (ops/rerank.mmr_rerank): BM25 top-n_cand candidates
+    (4dp rel), then the greedy MMR selection UNROLLED — one
+    MATERIALIZED (mmr, pick, sel) CTE triple per round, each round's
+    value ``ROUND(λ·rel − (1−λ)·max cos(v, selected), 6)`` with ties
+    to the smaller id, exactly the engine's loop."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    oml = 1.0 - lam
+    rounds = []
+    for r in range(2, k + 1):
+        rounds.append(f"""
+mmr{r} AS MATERIALIZED (
+  SELECT c.{key}, c.rel,
+         ROUND({lam} * c.rel - {oml} * (
+             SELECT max(list_cosine_similarity(c.v, e2.v))
+             FROM sel{r - 1} s JOIN emb e2 ON e2.{key} = s.{key}),
+               6) AS mmr
+  FROM emb c
+  WHERE c.{key} NOT IN (SELECT {key} FROM sel{r - 1})),
+pick{r} AS MATERIALIZED (
+  SELECT {key}, {r} AS rank, mmr FROM mmr{r}
+  ORDER BY mmr DESC, {key} LIMIT 1),
+sel{r} AS MATERIALIZED (
+  SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r})""")
+    chain = ",".join(rounds)
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+tf AS (SELECT {key}, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({toks_in}) GROUP BY {key}, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+s AS (SELECT tf.{key},
+             sum(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                                    + {b} * lens.len / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf JOIN df USING (tok) JOIN lens USING ({key})
+      GROUP BY tf.{key}),
+cand AS MATERIALIZED (
+  SELECT {key}, ROUND(score, 4) AS rel FROM s
+  ORDER BY ROUND(score, 4) DESC, {key} LIMIT {n_cand}),
+emb AS MATERIALIZED (
+  SELECT c.{key}, c.rel, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM cand c JOIN embeddings e ON e.vec_id = c.{key}),
+sel1 AS MATERIALIZED (
+  SELECT {key}, 1 AS rank, ROUND({lam} * rel, 6) AS mmr FROM emb
+  ORDER BY ROUND({lam} * rel, 6) DESC, {key} LIMIT 1),{chain}
+SELECT CAST(rank AS BIGINT) AS rank, {key}, mmr FROM sel{k}
+ORDER BY rank"""
+
+
 def rag_search_sql(terms: tuple[str, ...], k: int, k_chunks: int,
                    size: int, stride: int, k1: float = 1.2,
                    b: float = 0.75, *, src: str = "documents",

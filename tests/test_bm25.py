@@ -773,3 +773,44 @@ def test_msearch_range_fold_matches_global(tmp_path, ray_session):
         want = bm25_topk("unused", terms, k=k, index_dir=idx)
         assert docs[top].tolist() == want.column("doc_id").to_pylist()
         assert r4[top].tolist() == want.column("score").to_pylist()
+
+
+def test_mmr_lambda_one_is_pure_relevance(ray_session):
+    """λ=1 removes the diversity term: MMR order == BM25 candidate
+    order (restricted to candidates that have embeddings)."""
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.ops.rerank import mmr_rerank
+
+    plain = bm25_topk(SF, ("merge", "scan"), k=20)
+    got = mmr_rerank(SF, ("merge", "scan"), k=10, n_cand=20, lam=1.0)
+    assert got.column("doc_id").to_pylist() == \
+        plain.column("doc_id").to_pylist()[:10]
+    assert got.column("rank").to_pylist() == list(range(1, 11))
+
+
+def test_mmr_diversifies(ray_session):
+    """With λ<1 the selected set is less self-similar than the plain
+    top-k (mean pairwise cosine drops), and the winner is unchanged."""
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.ops.rerank import mmr_rerank
+    from noise_ray.ops.similarity import embed_matrix
+
+    def mean_pairwise_cos(doc_ids):
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "in", list(doc_ids))])
+        m = embed_matrix(t.column("embedding"))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-30)
+        g = mn @ mn.T
+        n = g.shape[0]
+        return (g.sum() - n) / (n * (n - 1))
+
+    plain = bm25_topk(SF, ("merge", "scan"), k=10)
+    mmr = mmr_rerank(SF, ("merge", "scan"), k=10, n_cand=40, lam=0.3)
+    assert mmr.column("doc_id").to_pylist()[0] == \
+        plain.column("doc_id").to_pylist()[0]
+    assert mean_pairwise_cos(mmr.column("doc_id").to_pylist()) < \
+        mean_pairwise_cos(plain.column("doc_id").to_pylist())
