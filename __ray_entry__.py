@@ -449,6 +449,25 @@ def _percolate(sf_dir: str):
     return percolate(sf_dir).sort(["doc_id", "query_id"])
 
 
+def _explain_score(sf_dir: str):
+    """Score explanation (ops/introspect.explain_score): the BM25
+    top-1 doc's per-term tf/df/idf/contribution, read off the index
+    artifacts — an audit of what the kernel actually used."""
+    from noise_ray.ops.introspect import explain_score
+
+    return explain_score(sf_dir)
+
+
+def _index_stats(sf_dir: str):
+    """Index statistics (ops/introspect.index_stats): per-field doc and
+    token totals off the manifest + stats sidecar; the oracle recomputes
+    from raw text, so agreement is a whole-build token-conservation
+    invariant."""
+    from noise_ray.ops.introspect import index_stats
+
+    return index_stats(sf_dir)
+
+
 def _mmr_rerank(sf_dir: str):
     """MMR-diversified retrieval (ops/rerank.mmr_rerank): greedy
     maximal-marginal-relevance over BM25 candidates using their
@@ -641,6 +660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms": _significant_terms,
         "rerank_topk": _rerank_topk,
         "mmr_rerank": _mmr_rerank,
+        "explain_score": _explain_score,
+        "index_stats": _index_stats,
         "percolate": _percolate,
         "search_term_topk": _search_documents(
             'find {text: ~="merge"} order score() desc, .doc_id asc '
@@ -869,6 +890,9 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "scan"), 100, 10),
         "mmr_rerank": _score_oracle().mmr_rerank_sql(
             ("merge", "scan"), 10, 20, 0.7),
+        "explain_score": _score_oracle().explain_score_sql(
+            ("merge", "scan")),
+        "index_stats": _score_oracle().index_stats_sql(),
         "percolate": _score_oracle().percolate_sql(
             _percolate_qspec()),
         "search_term_topk": _score_oracle().term_topk_sql("merge", 20),

@@ -599,6 +599,62 @@ SELECT {key}, ROUND(score, 4) AS score FROM s
 ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
 
 
+def explain_score_sql(terms: tuple[str, ...], k1: float = 1.2,
+                      b: float = 0.75, *, src: str = "documents",
+                      key: str = "doc_id") -> str:
+    """Explain oracle (ops/introspect.explain_score): the BM25 top-1
+    doc's per-term tf/df/idf/contribution recomputed from raw text,
+    idf/contrib rounded to 6dp, ordered by term."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+tf AS (SELECT {key}, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({toks_in}) GROUP BY {key}, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+s AS (SELECT tf.{key},
+             sum(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                                    + {b} * lens.len / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf JOIN df USING (tok) JOIN lens USING ({key})
+      GROUP BY tf.{key}),
+top1 AS (SELECT {key} FROM s ORDER BY ROUND(score, 4) DESC, {key}
+         LIMIT 1)
+SELECT t.{key}, tf.tok AS term, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(df.df AS BIGINT) AS df,
+       ROUND(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                / (df.df + 0.5)), 6) AS idf,
+       ROUND(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                / (df.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b}
+                                + {b} * lens.len / (SELECT a FROM ad))),
+             6) AS contrib
+FROM top1 t JOIN tf ON tf.{key} = t.{key} JOIN df USING (tok)
+JOIN lens ON lens.{key} = t.{key}
+ORDER BY term"""
+
+
+def index_stats_sql(fields=("text", "lang", "source"), *,
+                    src: str = "documents") -> str:
+    """Index-stats oracle (ops/introspect.index_stats): per-field doc
+    and token totals recomputed from raw text — a build invariant (any
+    dropped or duplicated token breaks the equality)."""
+    subs = []
+    for f in sorted(fields):
+        subs.append(
+            f"SELECT '{f}' AS field, count(*) AS n_docs, "
+            f"CAST(sum(coalesce(len(regexp_extract_all(lower({f}), "
+            f"'[a-z0-9]+')), 0)) AS BIGINT) AS total_tokens FROM {src}")
+    u = "\nUNION ALL\n".join(subs)
+    return f"SELECT * FROM ({u}) ORDER BY field"
+
+
 def mmr_rerank_sql(terms: tuple[str, ...], k: int, n_cand: int,
                    lam: float, k1: float = 1.2, b: float = 0.75, *,
                    src: str = "documents", key: str = "doc_id") -> str:
