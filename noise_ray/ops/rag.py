@@ -19,10 +19,11 @@ document no longer drowns its one relevant passage in its own length
 normalization.  Every stage is the already-distributed machinery — the
 chunker streams, the index build is the resumable shuffle pipeline, the
 query fans out per doc range above 5M chunks — so the composite
-inherits the 100 TB story of its parts.  At scale the chunk corpus is
-written shard-wise by the chunker (here a driver-side sort keeps the
-test corpus deterministic; the prefix-sum ordinal assignment
-ops/mixing.pack_sequences uses is the sharded path).
+inherits the 100 TB story of its parts.  The chunk corpus is written
+shard-wise by the chunker (``write_parquet`` — nothing driver-sized);
+the shards' key ranges overlap, so the index planner's distributed
+global-sort fallback assigns the same deterministic dense chunk ids a
+pre-sorted single file would get.
 
 DuckDB oracle: ops/score_oracle.rag_search_sql replicates chunking,
 chunk-level Okapi BM25 (4dp round), the k_chunks candidate cut and the
@@ -36,7 +37,6 @@ import threading
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 _CACHE_ROOT = "/tmp/noise_ray_cache"
 _LOCK = threading.Lock()
@@ -58,30 +58,34 @@ def chunks_index(sf_dir: str, size: int = 64, stride: int = 48):
     the parent key for the collapse gather.  Returns an IndexReader."""
     from ..build import build_index
     from ..query.reader import IndexReader
-    from .collect import arrow_blocks
     from .text import chunk_documents
 
+    import glob
+
     root = os.path.join(
-        _CACHE_ROOT, f"chunks-{_corpus_tag(sf_dir)}-{size}-{stride}")
+        _CACHE_ROOT, f"chunks-{_corpus_tag(sf_dir)}-{size}-{stride}-v2")
     marker = os.path.join(root, "index", "manifest.json")
     with _LOCK:
         if not os.path.exists(marker):
-            os.makedirs(root, exist_ok=True)
-            t = pa.concat_tables(
-                arrow_blocks(chunk_documents(sf_dir, size, stride)))
-            # parent key renamed: the index assigns its OWN dense
-            # doc_id per chunk (fetch_docs returns it under that name)
-            t = t.rename_columns(
-                ["parent_id" if c == "doc_id" else c
-                 for c in t.column_names])
-            # deterministic corpus order (parent, chunk); at 100 TB the
-            # chunker writes range-partitioned shards instead and
-            # build_index's planner keeps this exact order
-            idx = np.lexsort((t.column("chunk_idx").to_numpy(),
-                              t.column("parent_id").to_numpy()))
-            pq.write_table(t.take(idx),
-                           os.path.join(root, "chunks.parquet"))
-            build_index([os.path.join(root, "chunks.parquet")],
+            corpus = os.path.join(root, "corpus")
+            os.makedirs(corpus, exist_ok=True)
+
+            def rename(b: pa.Table) -> pa.Table:
+                # parent key renamed: the index assigns its OWN dense
+                # doc_id per chunk (fetch_docs returns it by that name)
+                return b.rename_columns(
+                    ["parent_id" if c == "doc_id" else c
+                     for c in b.column_names])
+
+            # sharded write, nothing driver-sized; the chunk shards'
+            # (parent, chunk) key ranges overlap, so build_index's
+            # planner takes its distributed global-sort fallback and
+            # assigns the same deterministic dense chunk ids a sorted
+            # single file would get
+            (chunk_documents(sf_dir, size, stride)
+             .map_batches(rename, batch_format="pyarrow")
+             .write_parquet(corpus))
+            build_index(sorted(glob.glob(os.path.join(corpus, "*"))),
                         os.path.join(root, "index"),
                         fields=("chunk_text",),
                         key_columns=("parent_id", "chunk_idx"),
