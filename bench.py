@@ -156,7 +156,14 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     from noise_ray.ops.bm25_ext import bm25_boosting_topk as _boosting
     from noise_ray.ops.percolate import percolate as _perc
 
+    from noise_ray.ops.rag import chunks_index as _chunks_index
+    from noise_ray.ops.rag import rag_search as _rag
+    from noise_ray.ops.rerank import mmr_rerank as _mmr
+
     fed_dirs = _shards(SF_DIR, 3)  # build outside the timed region
+    t0 = time.perf_counter()
+    _chunks_index(SF_DIR)  # one-time chunk-index build (cached)
+    out["chunk_index_build_sec"] = round(time.perf_counter() - t0, 3)
     for key, fn in (("bm25_query_sec", lambda: _bm25(SF_DIR)),
                     ("bm25_spannear_sec", lambda: _spannear(SF_DIR)),
                     ("ann_filtered_sec", lambda: _sim.ann_filtered(SF_DIR)),
@@ -166,6 +173,8 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
                     ("bm25_boosting_sec",
                      lambda: _boosting(SF_DIR)),
                     ("bm25_msearch_sec", lambda: _msearch(SF_DIR)),
+                    ("rag_search_sec", lambda: _rag(SF_DIR)),
+                    ("mmr_rerank_sec", lambda: _mmr(SF_DIR)),
                     ("percentiles_agg_sec", lambda: _pctl(SF_DIR)),
                     ("suggest_complete_sec",
                      lambda: _termdict.suggest_complete(SF_DIR)),
