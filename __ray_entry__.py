@@ -335,6 +335,15 @@ def _collapse_topk(sf_dir: str):
     return collapse_topk(sf_dir)
 
 
+def _top_hits(sf_dir: str):
+    """Top-hits aggregation (ops/aggs.top_hits): per-`source` top-3
+    BM25 hits, groups ordered by their best hit — per-key top-N is
+    associative so per-range partials merge exactly."""
+    from noise_ray.ops.aggs import top_hits
+
+    return top_hits(sf_dir)
+
+
 def _histogram_facet(sf_dir: str):
     """Histogram facet (ops/aggs.histogram_facet): matched-doc counts
     per 200-char n_chars bucket, per-range bincount partials summed."""
@@ -655,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_value_boost": _bm25_value_boost,
         "federated_bm25": _federated_bm25,
         "collapse_topk": _collapse_topk,
+        "top_hits": _top_hits,
         "histogram_facet": _histogram_facet,
         "percentiles_agg": _percentiles_agg,
         "significant_terms": _significant_terms,
@@ -880,6 +890,8 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "scan"), 20, 1.2, 0.75),
         "collapse_topk": _score_oracle().collapse_topk_sql(
             ("merge", "scan"), "source", 10),
+        "top_hits": _score_oracle().top_hits_sql(
+            ("merge", "scan"), "source", 3, 10),
         "histogram_facet": _score_oracle().histogram_facet_sql(
             ("merge",), "n_chars", 200),
         "significant_terms": _score_oracle().significant_terms_sql(

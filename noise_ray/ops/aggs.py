@@ -88,30 +88,11 @@ def _collapse_fold(reader, fid, stemmed, dfs, n_docs, avgdl, k1, b,
     when doc_range is None; dfs=None takes local dfs, index-wide only).
     Winner per key under (r4 desc, doc asc) — first occurrence in that
     sort order."""
-    parts = []
-    for j, t in enumerate(stemmed):
-        pl = reader.postings(fid, t, need_positions=False,
-                             doc_range=doc_range)
-        if pl is None or not pl.docs.size:
-            continue
-        d, tf, dl = pl.docs, pl.tfs, pl.lens
-        if doc_range is not None:
-            lo, hi = doc_range
-            m = (d >= lo) & (d < hi)
-            d, tf, dl = d[m], tf[m], dl[m]
-        df = float(np.unique(d).size) if dfs is None else dfs[j]
-        if d.size and df:
-            parts.append((d, tf, dl, df))
-    if not parts:
-        z = np.zeros(0, np.int64)
-        return [], z, np.zeros(0, np.float64)
-    uniq, r4, _ = _fold_scores(parts, n_docs, avgdl, k1, b,
-                               reader.tombstones)
+    keys, uniq, r4 = _collapse_fold_all(reader, fid, stemmed, dfs,
+                                        n_docs, avgdl, k1, b,
+                                        collapse_field, doc_range)
     if not uniq.size:
         return [], uniq, r4
-    keys = np.asarray(
-        reader.fetch_docs(uniq, [collapse_field]).column(collapse_field)
-        .to_pylist(), dtype=object)
     order = np.lexsort((uniq, -r4))
     ks, us, rs = keys[order], uniq[order], r4[order]
     _, first = np.unique(ks, return_index=True)  # first hit in score order
@@ -264,6 +245,147 @@ def hist_range(index_dir, field, stemmed, value_column, interval, lo, hi):
     fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
     return _hist_fold(reader, fid, stemmed, value_column, interval,
                       (lo, hi))
+
+
+def _tophits_prune(keys, docs, r4, per: int):
+    """Keep at most ``per`` rows per key, rows already in (r4 desc, doc
+    asc) rank order — vectorized grouped cumcount."""
+    order = np.lexsort((docs, -r4))
+    ks, us, rs = keys[order], docs[order], r4[order]
+    korder = np.argsort(ks, kind="stable")  # stable: rank order per key
+    ksort = ks[korder]
+    new = np.ones(ksort.size, bool)
+    new[1:] = ksort[1:] != ksort[:-1]
+    idx = np.arange(ksort.size)
+    run_start = np.maximum.accumulate(np.where(new, idx, 0))
+    keep_sorted = (idx - run_start) < per
+    keep = np.zeros(ksort.size, bool)
+    keep[korder[keep_sorted]] = True
+    return ks[keep], us[keep], rs[keep]
+
+
+def tophits_range(index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b,
+                  group_field, per, lo, hi):
+    """Phase-2 worker body for top_hits: this range's per-key top-``per``
+    under GLOBAL dfs (per-key top-N is associative: merging two ranges'
+    per-key top-Ns and re-cutting gives the global per-key top-N)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    keys, docs, r4 = _collapse_fold_all(reader, fid, stemmed, dfs, n_docs,
+                                        avgdl, k1, b, group_field,
+                                        (lo, hi))
+    ks, us, rs = _tophits_prune(keys, docs, r4, per)
+    return ks.tolist(), us, rs
+
+
+def _collapse_fold_all(reader, fid, stemmed, dfs, n_docs, avgdl, k1, b,
+                       group_field, doc_range):
+    """Scored matched set with group keys (no per-key cut) — the shared
+    body of collapse (per=1) and top_hits (per=N)."""
+    parts = []
+    for j, t in enumerate(stemmed):
+        pl = reader.postings(fid, t, need_positions=False,
+                             doc_range=doc_range)
+        if pl is None or not pl.docs.size:
+            continue
+        d, tf, dl = pl.docs, pl.tfs, pl.lens
+        if doc_range is not None:
+            lo, hi = doc_range
+            m = (d >= lo) & (d < hi)
+            d, tf, dl = d[m], tf[m], dl[m]
+        df = float(np.unique(d).size) if dfs is None else dfs[j]
+        if d.size and df:
+            parts.append((d, tf, dl, df))
+    if not parts:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, object), z, np.zeros(0, np.float64)
+    uniq, r4, _ = _fold_scores(parts, n_docs, avgdl, k1, b,
+                               reader.tombstones)
+    if not uniq.size:
+        return np.zeros(0, object), uniq, r4
+    keys = np.asarray(
+        reader.fetch_docs(uniq, [group_field]).column(group_field)
+        .to_pylist(), dtype=object)
+    return keys, uniq, r4
+
+
+def top_hits(sf_dir: str, terms=("merge", "scan"),
+             group_field: str = "source", per: int = 3,
+             k_groups: int = 10, k1: float = 1.2, b: float = 0.75,
+             field: str = "text", *,
+             index_dir: str | None = None) -> pa.Table:
+    """Top-hits aggregation (cf. Elasticsearch ``top_hits`` inside a
+    terms agg): for each ``group_field`` value, the top-``per`` BM25
+    hits; groups ordered by their best hit (the terms-agg-by-max-score
+    shape), ``k_groups`` groups out.  Per-key top-N is associative, so
+    per-range partials (each ≤ keys × per rows) merge exactly — the
+    distributed path ships nothing bigger.  Returns (key, hit_rank,
+    doc_id, score) ordered (group best desc, key asc, hit_rank)."""
+    from ..query.engine import _stem_one
+
+    reader = _reader_for(sf_dir, index_dir)
+    n_docs = float(reader.num_docs)
+    fid = reader.field_id[field]
+    avgdl = _field_total_tokens(reader, fid) / n_docs
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+
+    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        from .bm25_ext import _doc_ranges
+
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        df_parts = ray.get([
+            pool[i % len(pool)].bm25_df.remote(index_dir, field, stemmed,
+                                               lo, hi)
+            for i, (lo, hi) in enumerate(ranges)])
+        dfs = [float(sum(p[j] for p in df_parts))
+               for j in range(len(stemmed))]
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "aggs", "tophits_range",
+                (index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b,
+                 group_field, per, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+        keys = np.asarray(sum((p[0] for p in parts), []), dtype=object)
+        docs = np.concatenate([p[1] for p in parts])
+        r4 = np.concatenate([p[2] for p in parts])
+    else:
+        keys, docs, r4 = _collapse_fold_all(reader, fid, stemmed, None,
+                                            n_docs, avgdl, k1, b,
+                                            group_field, None)
+    empty = pa.table({"key": pa.array([], pa.string()),
+                      "hit_rank": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not docs.size:
+        return empty
+    keys, docs, r4 = _tophits_prune(keys, docs, r4, per)
+    # group order: best hit desc, key asc; hits within group by rank
+    order = np.lexsort((docs, -r4))
+    ks, us, rs = keys[order], docs[order], r4[order]
+    best: dict = {}
+    for i in range(ks.size):
+        best.setdefault(ks[i], (float(rs[i]), i))
+    groups = sorted(best.items(), key=lambda p: (-p[1][0], p[0]))
+    groups = [g for g, _ in groups[:k_groups]]
+    out_k, out_r, out_d, out_s = [], [], [], []
+    for g in groups:
+        m = np.flatnonzero(ks == g)
+        for r, i in enumerate(m, 1):
+            out_k.append(str(g))
+            out_r.append(r)
+            out_d.append(int(us[i]))
+            out_s.append(float(rs[i]))
+    return pa.table({"key": pa.array(out_k, pa.string()),
+                     "hit_rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "score": pa.array(out_s, pa.float64())})
 
 
 # ------------------------------------------------------- percentiles

@@ -1007,6 +1007,45 @@ SELECT key, {key}, score FROM w WHERE rn = 1
 ORDER BY score DESC, {key} LIMIT {k}"""
 
 
+def top_hits_sql(terms: tuple[str, ...], group_field: str, per: int,
+                 k_groups: int, k1: float = 1.2, b: float = 0.75, *,
+                 src: str = "documents", key: str = "doc_id") -> str:
+    """Top-hits oracle (ops/aggs.top_hits): the bm25 score per doc,
+    the top-``per`` hits per ``group_field`` value under (rounded
+    score desc, id asc), ``k_groups`` groups kept ordered by their
+    best hit (desc, key asc), hits within a group by rank."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+tf AS (SELECT {key}, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({toks_in}) GROUP BY {key}, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+s AS (SELECT tf.{key},
+             sum(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                                    + {b} * lens.len / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf JOIN df USING (tok) JOIN lens USING ({key})
+      GROUP BY tf.{key}),
+h AS (SELECT d.{group_field} AS key, s.{key} AS {key},
+             ROUND(s.score, 4) AS score,
+             row_number() OVER (PARTITION BY d.{group_field}
+                 ORDER BY ROUND(s.score, 4) DESC, s.{key}) AS hit_rank
+      FROM s JOIN {src} d USING ({key})),
+hp AS (SELECT * FROM h WHERE hit_rank <= {per}),
+g AS (SELECT key, max(score) AS best FROM hp GROUP BY key
+      ORDER BY best DESC, key LIMIT {k_groups})
+SELECT hp.key, CAST(hp.hit_rank AS BIGINT) AS hit_rank,
+       hp.{key} AS doc_id, hp.score
+FROM hp JOIN g USING (key)
+ORDER BY g.best DESC, hp.key, hp.hit_rank"""
+
+
 def histogram_facet_sql(terms: tuple[str, ...], value_column: str,
                         interval: int, *, src: str = "documents",
                         key: str = "doc_id") -> str:

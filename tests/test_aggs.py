@@ -93,6 +93,81 @@ def test_collapse_range_fold_matches_global(ray_session):
     assert got.equals(want)
 
 
+def test_top_hits_matches_raw_recomputation(ray_session):
+    from noise_ray.ops.aggs import top_hits
+
+    ids, toks, src, _ = _corpus()
+    scores = _bm25_scores(ids, toks, ("merge", "scan"))
+    per_key = collections.defaultdict(list)
+    for d, s in sorted(scores.items(), key=lambda p: (-p[1], p[0])):
+        if len(per_key[src[d]]) < 3:
+            per_key[src[d]].append((d, s))
+    groups = sorted(per_key.items(), key=lambda p: (-p[1][0][1], p[0]))[:10]
+    want = [(k, r, d, s)
+            for k, hits in groups
+            for r, (d, s) in enumerate(hits, 1)]
+
+    got = top_hits(SF)
+    rows = list(zip(got.column("key").to_pylist(),
+                    got.column("hit_rank").to_pylist(),
+                    got.column("doc_id").to_pylist(),
+                    got.column("score").to_pylist()))
+    assert rows == want
+    # at most three rows per key
+    cnt = collections.Counter(r[0] for r in rows)
+    assert max(cnt.values()) <= 3
+
+
+def test_top_hits_matches_duckdb_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    got = entry.queries()["top_hits"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{SF}/documents.parquet')")
+    want = con.execute(entry.oracle_sql()["top_hits"]).fetchdf()
+    assert list(got.columns) == list(want.columns)
+    assert got.astype(want.dtypes.to_dict()).equals(want)
+
+
+def test_top_hits_range_fold_matches_global(ray_session):
+    """Per-range per-key top-3 partials re-cut globally equal the
+    index-wide run (per-key top-N is associative over disjoint
+    ranges)."""
+    from noise_ray.ops.aggs import top_hits, tophits_range
+    from noise_ray.ops.bm25 import _field_total_tokens, bm25_df_range
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index(SF)
+    idx = reader.index_dir
+    stemmed = ["merg", "scan"]
+    n = reader.num_docs
+    cuts = [0, n // 3, 2 * n // 3, n]
+    ranges = list(zip(cuts, cuts[1:]))
+    df_parts = [bm25_df_range(idx, "text", stemmed, lo, hi)
+                for lo, hi in ranges]
+    dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
+    avgdl = _field_total_tokens(reader, reader.field_id["text"]) / float(n)
+    parts = [tophits_range(idx, "text", stemmed, dfs, float(n), avgdl,
+                           1.2, 0.75, "source", 3, lo, hi)
+             for lo, hi in ranges]
+    # merge exactly as the distributed driver does
+    keys = np.asarray(sum((p[0] for p in parts), []), dtype=object)
+    docs = np.concatenate([p[1] for p in parts])
+    r4 = np.concatenate([p[2] for p in parts])
+    from noise_ray.ops.aggs import _tophits_prune
+
+    ks, us, rs = _tophits_prune(keys, docs, r4, 3)
+    want = top_hits(SF)
+    got = {(k, int(d), float(s)) for k, d, s in zip(ks, us, rs)}
+    rows = set(zip(want.column("key").to_pylist(),
+                   want.column("doc_id").to_pylist(),
+                   want.column("score").to_pylist()))
+    assert rows <= got  # global output is the k_groups cut of the fold
+
+
 def test_histogram_matches_raw_recomputation(ray_session):
     from noise_ray.ops.aggs import histogram_facet
 
