@@ -319,6 +319,20 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
         samples.append(time.perf_counter() - tq)
     queries["nested_arrayctx_topk"] = round(min(samples), 4)
 
+    # keypath-qualified per-instance BM25 over the nested index
+    from noise_ray.ops.nested_docs import _kp_bm25_fold, _kp_bm25_order
+
+    n_inst = float(nr.kp_instance_count(".turns$.text"))
+    avgdl = float(nr.kp_token_total(".turns$.text")) / n_inst
+    samples = []
+    for _ in range(3):
+        tq = time.perf_counter()
+        d_, a_, r_ = _kp_bm25_fold(nr, ".turns$.text", ["quick", "brown"],
+                                   None, n_inst, avgdl, 1.2, 0.75, None)
+        _kp_bm25_order(d_, a_, r_)[:20]
+        samples.append(time.perf_counter() - tq)
+    queries["nested_kp_bm25"] = round(min(samples), 4)
+
     # nested lifecycle: epoch upsert + compaction, over a COPY of the
     # cached index (the cache must stay pristine for the next run)
     from noise_ray.build.json_incremental import (

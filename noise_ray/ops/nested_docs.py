@@ -264,3 +264,171 @@ def nested_return_path(sf_dir: str) -> pa.Table:
     return _rows_table(rows, {"id": pa.string(),
                               "first_qty": pa.float64(),
                               "flags": pa.string()})
+
+
+# ------------------------------------------------- keypath-qualified BM25
+
+
+def _kp_bm25_fold(reader, kp: str, stemmed: list[str],
+                  dfs: list[float] | None, n_inst: float, avgdl: float,
+                  k1: float, b: float,
+                  doc_range: tuple[int, int] | None):
+    """Per-INSTANCE BM25 fold for one keypath: every (doc, arraypath)
+    string instance under ``kp`` scores independently with its own
+    length (``InstPostings.lens``), the BM25 unit being the instance —
+    for ``.turns$.text`` that is exactly per-turn ranking inside the
+    conversation documents.  ``dfs=None`` takes corpus-wide dfs from
+    the posting sizes (in-process, doc_range None only).  Returns
+    (docs, aps, r4) with scores summed per instance and rounded 4dp;
+    tombstoned docs dropped."""
+    parts_d, parts_a, parts_s = [], [], []
+    for j, t in enumerate(stemmed):
+        pl = reader.postings(kp, t, need_positions=False,
+                             doc_range=doc_range)
+        if not pl.size:
+            continue
+        d, a, tf, dl = pl.docs, pl.aps, pl.tfs, pl.lens
+        if doc_range is not None:
+            lo, hi = doc_range
+            m = (d >= lo) & (d < hi)  # postings pushdown is block-granular
+            d, a, tf, dl = d[m], a[m], tf[m], dl[m]
+        df = float(d.size) if dfs is None else dfs[j]
+        if not d.size or not df:
+            continue
+        idf = np.log(1.0 + (n_inst - df + 0.5) / (df + 0.5))
+        tfd = tf.astype(np.float64)
+        parts_d.append(d)
+        parts_a.append(a)
+        parts_s.append(idf * tfd * (k1 + 1.0)
+                       / (tfd + k1 * (1.0 - b
+                                      + b * dl.astype(np.float64) / avgdl)))
+    depth = 1 if not parts_a else parts_a[0].shape[1]
+    if not parts_d:
+        return (np.zeros(0, np.int64), np.zeros((0, depth), np.int64),
+                np.zeros(0, np.float64))
+    docs = np.concatenate(parts_d)
+    aps = np.vstack(parts_a)
+    scores = np.concatenate(parts_s)
+    # group by (doc, arraypath): one summed score per instance
+    keys = [aps[:, j] for j in range(aps.shape[1] - 1, -1, -1)] + [docs]
+    order = np.lexsort(keys)
+    docs, aps, scores = docs[order], aps[order], scores[order]
+    new = np.ones(docs.size, bool)
+    new[1:] = (docs[1:] != docs[:-1]) | (aps[1:] != aps[:-1]).any(axis=1)
+    starts = np.flatnonzero(new)
+    summed = np.add.reduceat(scores, starts)
+    docs, aps = docs[starts], aps[starts]
+    tomb = reader.tombstones
+    if tomb is not None and tomb.size:
+        keep = ~np.isin(docs, tomb)
+        docs, aps, summed = docs[keep], aps[keep], summed[keep]
+    return docs, aps, np.round(summed, 4)
+
+
+def _kp_bm25_order(docs, aps, r4):
+    """Total-order permutation (r4 desc, doc asc, arraypath asc)."""
+    keys = [aps[:, j] for j in range(aps.shape[1] - 1, -1, -1)]
+    return np.lexsort(keys + [docs, -r4])
+
+
+def kp_bm25_df_range(index_dir, kp, stemmed, lo, hi):
+    """Phase-1 worker body: per-term instance dfs in [lo, hi)."""
+    from ..query.distributed import _cached_reader
+    from ..query.json_reader import JsonIndexReader
+
+    reader = _cached_reader(index_dir, JsonIndexReader)
+    out = []
+    for t in stemmed:
+        pl = reader.postings(kp, t, need_positions=False,
+                             doc_range=(lo, hi))
+        d = pl.docs
+        out.append(int(((d >= lo) & (d < hi)).sum()) if d.size else 0)
+    return out
+
+
+def kp_bm25_score_range(index_dir, kp, stemmed, dfs, n_inst, avgdl,
+                        k1, b, k, lo, hi):
+    """Phase-2 worker body: this range's instance scores under GLOBAL
+    dfs, pruned to the local top-k plus rounded-score ties at the cut
+    (instances are disjoint across ranges, so merging per-range top-k
+    + ties and re-cutting is exact)."""
+    from ..query.distributed import _cached_reader
+    from ..query.json_reader import JsonIndexReader
+
+    reader = _cached_reader(index_dir, JsonIndexReader)
+    docs, aps, r4 = _kp_bm25_fold(reader, kp, stemmed, dfs, n_inst,
+                                  avgdl, k1, b, (lo, hi))
+    if docs.size > k:
+        order = _kp_bm25_order(docs, aps, r4)
+        cut = r4[order[k - 1]]
+        keep = order[:k + int(np.count_nonzero(r4[order[k:]] == cut))]
+        docs, aps, r4 = docs[keep], aps[keep], r4[keep]
+    return docs, aps, r4
+
+
+def nested_kp_bm25(sf_dir: str, terms=("quick", "brown"), k: int = 20,
+                   k1: float = 1.2, b: float = 0.75,
+                   kp: str = ".turns$.text") -> pa.Table:
+    """Keypath-qualified BM25 over the NESTED conversation index: rank
+    the individual ``turns[].text`` instances (not whole documents) —
+    the JSON-path-scoped twin of the flat engine's per-turn BM25, served
+    entirely from the nested index artifacts:
+
+    - tf / instance length: ``InstPostings.tfs`` / ``.lens``;
+    - df: instances containing the term (posting entry count);
+    - N / avgdl: per-kp ``n`` zone counters (metadata-only) and the
+      stats sidecar's per-kp token total (``kp_token_total``).
+
+    Fans out per doc range through the shared worker pool above
+    5M docs with global dfs (dfs_query_then_fetch), per-range local
+    top-k + tie pruning.  Returns (conv_id, turn_idx, score) ordered by
+    (score desc, conv_id asc, turn_idx asc) — arraypath IS the turn
+    index for the packed corpus (ops/nested_docs.pack_file appends turns
+    in turn_idx order)."""
+    from ..query.engine import _stem_one
+
+    reader = nested_transcripts_index(sf_dir)
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+    n_inst = float(reader.kp_instance_count(kp))
+    tok_total = float(reader.kp_token_total(kp))
+    if not n_inst or not tok_total:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "turn_idx": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    avgdl = tok_total / n_inst
+
+    if reader.num_docs >= 5_000_000:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        from .bm25_ext import _doc_ranges
+
+        index_dir = reader.index_dir
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        df_parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "nested_docs", "kp_bm25_df_range",
+                (index_dir, kp, stemmed, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+        dfs = [float(sum(p[j] for p in df_parts))
+               for j in range(len(stemmed))]
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "nested_docs", "kp_bm25_score_range",
+                (index_dir, kp, stemmed, dfs, n_inst, avgdl, k1, b, k,
+                 lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+        docs = np.concatenate([p[0] for p in parts])
+        aps = np.vstack([p[1] for p in parts])
+        r4 = np.concatenate([p[2] for p in parts])
+    else:
+        docs, aps, r4 = _kp_bm25_fold(reader, kp, stemmed, None, n_inst,
+                                      avgdl, k1, b, None)
+    top = _kp_bm25_order(docs, aps, r4)[:k]
+    docs, aps, r4 = docs[top], aps[top], r4[top]
+    convs = reader.doc_id_strs(docs)
+    return pa.table({"conv_id": pa.array(convs, pa.string()),
+                     "turn_idx": pa.array(aps[:, 0], pa.int64()),
+                     "score": pa.array(r4, pa.float64())})

@@ -164,6 +164,46 @@ corpus_k AS (
           FROM src JOIN fix ON src.text = fix.ftext) AS k)"""
 
 
+def nested_kp_bm25_sql(terms: tuple[str, ...] = ("quick", "brown"),
+                       k: int = 20, k1: float = 1.2, b: float = 0.75,
+                       sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Oracle for the keypath-qualified BM25 over the nested
+    conversation index (ops/nested_docs.nested_kp_bm25): each TURN is a
+    scoring instance, so the SQL ranks the flat transcript rows with
+    per-turn tf/len, instance dfs, and corpus avgdl.  The engine's
+    instance count N comes from the per-kp zone counters and its token
+    total from the stats sidecar — both count ENGINE tokens, so the
+    divergent fixture rows contribute their literal engine lengths
+    (``fix.flen``) to the avgdl numerator here, exactly as in the other
+    transcript-corpus oracles (they never contain a query term)."""
+    files, fix_vals, fold = _transcript_corpus_parts(sf_dir, terms)
+    stats = _TRANSCRIPT_STATS.format(files=files, fix_vals=fix_vals,
+                                     fold=fold)
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {stats},
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM src),
+tot AS (SELECT (SELECT coalesce(sum(len), 0) FROM lens)
+             + (SELECT coalesce(sum(flen), 0)
+                FROM src JOIN fix ON src.text = fix.ftext) AS t),
+ad AS (SELECT (SELECT t FROM tot) / (SELECT n FROM nn) AS a),
+tf AS (SELECT conv_id, turn_idx, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({toks_in}) GROUP BY conv_id, turn_idx, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+s AS (SELECT tf.conv_id, tf.turn_idx,
+             sum(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                                    + {b} * lens.len / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf JOIN df USING (tok) JOIN lens USING (conv_id, turn_idx)
+      GROUP BY tf.conv_id, tf.turn_idx)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       ROUND(score, 4) AS score FROM s
+ORDER BY ROUND(score, 4) DESC, conv_id, turn_idx LIMIT {k}"""
+
+
 def flagship_or_topk_sql(terms: tuple[str, ...] = ("quick", "brown", "fox"),
                          limit: int = 50,
                          sf_dir: str = "/root/testdata/sf0.01") -> str:

@@ -134,6 +134,8 @@ class JsonIndexReader:
         self._values_kp_cache: dict[tuple, tuple] = {}
         self._pushdown_counts: dict[tuple, int] = {}
         self._zones_cache: dict[str, dict] = {}
+        self._kp_n_cache: dict[str, int] = {}
+        self._kp_tok_cache: dict[str, int] = {}
         self._json_cache: dict = {}
         # tombstoned doc_ids (upserted or deleted): hidden from every
         # query by the engine; stats unchanged until compaction — the
@@ -267,6 +269,43 @@ class JsonIndexReader:
         out = (c, int(self.field_k.get(kp, 0)))
         self._stats_cache[key] = out
         return out
+
+    def kp_instance_count(self, kp: str) -> int:
+        """Total string/value instances under exactly ``kp`` across the
+        corpus — the per-kp ``n`` zone counters summed over the values
+        partitions (zone metadata only, no data read; epochs are already
+        merged into ``_values`` at construction)."""
+        hit = self._kp_n_cache.get(kp)
+        if hit is not None:
+            return hit
+        n = 0
+        for v in self._values:
+            z = self._kp_zones(v["path"]).get(kp)
+            if z is not None:
+                n += int(z.get("n", 0))
+        self._kp_n_cache[kp] = n
+        return n
+
+    def kp_token_total(self, kp: str) -> int:
+        """Σ term-occurrence counts (stats ``c``) under ``kp`` — the
+        keypath's corpus token total, the avgdl numerator for
+        per-instance BM25.  One filtered scan of the stats sidecar
+        (term-cardinality-sized metadata, no posting payload), cached;
+        epoch stats sidecars recurse."""
+        hit = self._kp_tok_cache.get(kp)
+        if hit is not None:
+            return hit
+        tot = 0
+        for paths in self._stats_by_bucket.values():
+            for path in paths:
+                t = pq.read_table(path, columns=["c"],
+                                  filters=[("field", "==", kp)])
+                if t.num_rows:
+                    tot += int(pc.sum(t.column("c")).as_py())
+        for e in self._epochs:
+            tot += e.kp_token_total(kp)
+        self._kp_tok_cache[kp] = tot
+        return tot
 
     # ------------------------------------------------------------ values
 
