@@ -621,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_return_path": nested_docs.nested_return_path,
         "nested_conv_search": nested_docs.nested_conv_search,
         "nested_kp_bm25": nested_docs.nested_kp_bm25,
+        "nested_kp_bm25_filtered": nested_docs.nested_kp_bm25_filtered,
         # --- full-text engine over the documents table (oracle-checked)
         "search_exact_lang": _search_documents('find {lang: =="en"} ;'),
         "search_exact_and": _search_documents(
@@ -841,6 +842,8 @@ def oracle_sql() -> dict[str, str]:
         "nested_conv_search": _score_oracle().nested_conv_phrase_sql(
             w1="of", w2="your"),
         "nested_kp_bm25": _score_oracle().nested_kp_bm25_sql(),
+        "nested_kp_bm25_filtered":
+            _score_oracle().nested_kp_bm25_filtered_sql(),
         "flagship_or_topk": _score_oracle().flagship_or_topk_sql(),
         "search_highlight": _score_oracle().term_highlight_sql("merge", 10),
         "more_like_this": _score_oracle().more_like_this_sql(0, 10),

@@ -332,6 +332,18 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
         _kp_bm25_order(d_, a_, r_)[:20]
         samples.append(time.perf_counter() - tq)
     queries["nested_kp_bm25"] = round(min(samples), 4)
+    from noise_ray.ops.nested_docs import _kp_instance_filter
+
+    samples = []
+    for _ in range(3):
+        tq = time.perf_counter()
+        d_, a_, r_ = _kp_bm25_fold(nr, ".turns$.text", ["quick", "brown"],
+                                   None, n_inst, avgdl, 1.2, 0.75, None)
+        d_, a_, r_ = _kp_instance_filter(nr, d_, a_, r_, ".turns$.role",
+                                         "assistant")
+        _kp_bm25_order(d_, a_, r_)[:20]
+        samples.append(time.perf_counter() - tq)
+    queries["nested_kp_bm25_filtered"] = round(min(samples), 4)
 
     # nested lifecycle: epoch upsert + compaction, over a COPY of the
     # cached index (the cache must stay pristine for the next run)

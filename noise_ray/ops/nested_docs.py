@@ -432,3 +432,106 @@ def nested_kp_bm25(sf_dir: str, terms=("quick", "brown"), k: int = 20,
     return pa.table({"conv_id": pa.array(convs, pa.string()),
                      "turn_idx": pa.array(aps[:, 0], pa.int64()),
                      "score": pa.array(r4, pa.float64())})
+
+
+def _kp_instance_filter(reader, docs, aps, r4, filter_kp: str,
+                        value: str):
+    """Keep only instances whose SIBLING keypath instance (same doc,
+    same arraypath prefix) equals ``value`` — the array-context
+    post-filter.  Candidate-pushdown read: only the matched docs'
+    values rows are decoded (values_kp_for_docs), never the corpus."""
+    if not docs.size:
+        return docs, aps, r4
+    vd, va, codes, _nums, strs, _bb = reader.values_kp_for_docs(
+        filter_kp, np.unique(docs))
+    sel = np.zeros(vd.size, bool) if not vd.size else (
+        (codes == "s") & (strs == value))
+    mul = np.int64(1) << np.int64(32)
+    want = vd[sel] * mul + va[sel, 0]
+    keep = np.isin(docs * mul + aps[:, 0], want)
+    return docs[keep], aps[keep], r4[keep]
+
+
+def kp_bm25_filtered_range(index_dir, kp, stemmed, dfs, n_inst, avgdl,
+                           k1, b, k, filter_kp, value, lo, hi):
+    """Phase-2 worker body for the filtered variant: fold, sibling
+    filter, then local top-k + ties (same exactness argument as
+    kp_bm25_score_range — instances are disjoint across ranges)."""
+    from ..query.distributed import _cached_reader
+    from ..query.json_reader import JsonIndexReader
+
+    reader = _cached_reader(index_dir, JsonIndexReader)
+    docs, aps, r4 = _kp_bm25_fold(reader, kp, stemmed, dfs, n_inst,
+                                  avgdl, k1, b, (lo, hi))
+    docs, aps, r4 = _kp_instance_filter(reader, docs, aps, r4,
+                                        filter_kp, value)
+    if docs.size > k:
+        order = _kp_bm25_order(docs, aps, r4)
+        cut = r4[order[k - 1]]
+        keep = order[:k + int(np.count_nonzero(r4[order[k:]] == cut))]
+        docs, aps, r4 = docs[keep], aps[keep], r4[keep]
+    return docs, aps, r4
+
+
+def nested_kp_bm25_filtered(sf_dir: str, terms=("quick", "brown"),
+                            k: int = 20, k1: float = 1.2, b: float = 0.75,
+                            kp: str = ".turns$.text",
+                            filter_kp: str = ".turns$.role",
+                            value: str = "assistant") -> pa.Table:
+    """Sibling-filtered keypath BM25: rank ``turns[].text`` instances
+    where the SAME turn's ``role`` equals ``value`` — the array-context
+    AND (both clauses hit one array element) composed with per-instance
+    ranking.  Elasticsearch post_filter semantics: the filter gates
+    candidates but BM25 statistics (df, N, avgdl) stay INDEX-WIDE, so
+    scores equal the unfiltered ``nested_kp_bm25`` on the surviving
+    instances.  The filter reads only matched docs' values rows
+    (candidate pushdown), never a corpus scan."""
+    from ..query.engine import _stem_one
+
+    reader = nested_transcripts_index(sf_dir)
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+    n_inst = float(reader.kp_instance_count(kp))
+    tok_total = float(reader.kp_token_total(kp))
+    if not n_inst or not tok_total:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "turn_idx": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    avgdl = tok_total / n_inst
+
+    if reader.num_docs >= 5_000_000:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        from .bm25_ext import _doc_ranges
+
+        index_dir = reader.index_dir
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        df_parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "nested_docs", "kp_bm25_df_range",
+                (index_dir, kp, stemmed, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+        dfs = [float(sum(p[j] for p in df_parts))
+               for j in range(len(stemmed))]
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "nested_docs", "kp_bm25_filtered_range",
+                (index_dir, kp, stemmed, dfs, n_inst, avgdl, k1, b, k,
+                 filter_kp, value, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+        docs = np.concatenate([p[0] for p in parts])
+        aps = np.vstack([p[1] for p in parts])
+        r4 = np.concatenate([p[2] for p in parts])
+    else:
+        docs, aps, r4 = _kp_bm25_fold(reader, kp, stemmed, None, n_inst,
+                                      avgdl, k1, b, None)
+        docs, aps, r4 = _kp_instance_filter(reader, docs, aps, r4,
+                                            filter_kp, value)
+    top = _kp_bm25_order(docs, aps, r4)[:k]
+    docs, aps, r4 = docs[top], aps[top], r4[top]
+    convs = reader.doc_id_strs(docs)
+    return pa.table({"conv_id": pa.array(convs, pa.string()),
+                     "turn_idx": pa.array(aps[:, 0], pa.int64()),
+                     "score": pa.array(r4, pa.float64())})

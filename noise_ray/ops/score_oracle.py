@@ -204,6 +204,49 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
 ORDER BY ROUND(score, 4) DESC, conv_id, turn_idx LIMIT {k}"""
 
 
+def nested_kp_bm25_filtered_sql(terms: tuple[str, ...] = ("quick",
+                                                          "brown"),
+                                role: str = "assistant", k: int = 20,
+                                k1: float = 1.2, b: float = 0.75,
+                                sf_dir: str = "/root/testdata/sf0.01"
+                                ) -> str:
+    """Oracle for the sibling-filtered keypath BM25
+    (ops/nested_docs.nested_kp_bm25_filtered): identical statistics to
+    nested_kp_bm25_sql (df/N/avgdl index-wide — post_filter semantics),
+    hits restricted to turns whose role equals ``role``.  Divergent
+    fixture rows never contain a query term, so excluding them from the
+    role join loses no hit."""
+    files, fix_vals, fold = _transcript_corpus_parts(sf_dir, terms)
+    stats = _TRANSCRIPT_STATS.format(files=files, fix_vals=fix_vals,
+                                     fold=fold)
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {stats},
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM src),
+tot AS (SELECT (SELECT coalesce(sum(len), 0) FROM lens)
+             + (SELECT coalesce(sum(flen), 0)
+                FROM src JOIN fix ON src.text = fix.ftext) AS t),
+ad AS (SELECT (SELECT t FROM tot) / (SELECT n FROM nn) AS a),
+tf AS (SELECT conv_id, turn_idx, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({toks_in}) GROUP BY conv_id, turn_idx, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+s AS (SELECT tf.conv_id, tf.turn_idx,
+             sum(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                                    + {b} * lens.len / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf JOIN df USING (tok) JOIN lens USING (conv_id, turn_idx)
+      GROUP BY tf.conv_id, tf.turn_idx),
+fs AS (SELECT s.* FROM s JOIN clean c
+       ON s.conv_id = c.conv_id AND s.turn_idx = c.turn_idx
+       WHERE c.role = '{role}')
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       ROUND(score, 4) AS score FROM fs
+ORDER BY ROUND(score, 4) DESC, conv_id, turn_idx LIMIT {k}"""
+
+
 def flagship_or_topk_sql(terms: tuple[str, ...] = ("quick", "brown", "fox"),
                          limit: int = 50,
                          sf_dir: str = "/root/testdata/sf0.01") -> str:
