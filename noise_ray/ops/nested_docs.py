@@ -368,7 +368,8 @@ def kp_bm25_score_range(index_dir, kp, stemmed, dfs, n_inst, avgdl,
 
 def nested_kp_bm25(sf_dir: str, terms=("quick", "brown"), k: int = 20,
                    k1: float = 1.2, b: float = 0.75,
-                   kp: str = ".turns$.text") -> pa.Table:
+                   kp: str = ".turns$.text", *,
+                   index_dir: str | None = None) -> pa.Table:
     """Keypath-qualified BM25 over the NESTED conversation index: rank
     the individual ``turns[].text`` instances (not whole documents) —
     the JSON-path-scoped twin of the flat engine's per-turn BM25, served
@@ -387,7 +388,13 @@ def nested_kp_bm25(sf_dir: str, terms=("quick", "brown"), k: int = 20,
     in turn_idx order)."""
     from ..query.engine import _stem_one
 
-    reader = nested_transcripts_index(sf_dir)
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+        from ..query.json_reader import JsonIndexReader
+
+        reader = _cached_reader(index_dir, JsonIndexReader)
+    else:
+        reader = nested_transcripts_index(sf_dir)
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
     n_inst = float(reader.kp_instance_count(kp))
     tok_total = float(reader.kp_token_total(kp))
@@ -397,7 +404,7 @@ def nested_kp_bm25(sf_dir: str, terms=("quick", "brown"), k: int = 20,
                          "score": pa.array([], pa.float64())})
     avgdl = tok_total / n_inst
 
-    if reader.num_docs >= 5_000_000:
+    if n_inst >= 5_000_000:  # instances (turns) are the scoring unit
         import ray
 
         from ..query.distributed import worker_pool
@@ -477,7 +484,8 @@ def nested_kp_bm25_filtered(sf_dir: str, terms=("quick", "brown"),
                             k: int = 20, k1: float = 1.2, b: float = 0.75,
                             kp: str = ".turns$.text",
                             filter_kp: str = ".turns$.role",
-                            value: str = "assistant") -> pa.Table:
+                            value: str = "assistant", *,
+                            index_dir: str | None = None) -> pa.Table:
     """Sibling-filtered keypath BM25: rank ``turns[].text`` instances
     where the SAME turn's ``role`` equals ``value`` — the array-context
     AND (both clauses hit one array element) composed with per-instance
@@ -488,7 +496,13 @@ def nested_kp_bm25_filtered(sf_dir: str, terms=("quick", "brown"),
     (candidate pushdown), never a corpus scan."""
     from ..query.engine import _stem_one
 
-    reader = nested_transcripts_index(sf_dir)
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+        from ..query.json_reader import JsonIndexReader
+
+        reader = _cached_reader(index_dir, JsonIndexReader)
+    else:
+        reader = nested_transcripts_index(sf_dir)
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
     n_inst = float(reader.kp_instance_count(kp))
     tok_total = float(reader.kp_token_total(kp))
@@ -498,7 +512,7 @@ def nested_kp_bm25_filtered(sf_dir: str, terms=("quick", "brown"),
                          "score": pa.array([], pa.float64())})
     avgdl = tok_total / n_inst
 
-    if reader.num_docs >= 5_000_000:
+    if n_inst >= 5_000_000:  # instances (turns) are the scoring unit
         import ray
 
         from ..query.distributed import worker_pool
