@@ -344,6 +344,23 @@ def _top_hits(sf_dir: str):
     return top_hits(sf_dir)
 
 
+def _terms_facet(sf_dir: str):
+    """Terms facet (ops/aggs.terms_facet): matched-doc counts per
+    `lang` value — per-range key-cardinality count partials summed."""
+    from noise_ray.ops.aggs import terms_facet
+
+    return terms_facet(sf_dir)
+
+
+def _cardinality_agg(sf_dir: str):
+    """Exact cardinality (ops/aggs.cardinality_agg): distinct `source`
+    values over the matched set — per-range distinct-value sets
+    unioned."""
+    from noise_ray.ops.aggs import cardinality_agg
+
+    return cardinality_agg(sf_dir)
+
+
 def _histogram_facet(sf_dir: str):
     """Histogram facet (ops/aggs.histogram_facet): matched-doc counts
     per 200-char n_chars bucket, per-range bincount partials summed."""
@@ -667,6 +684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "federated_bm25": _federated_bm25,
         "collapse_topk": _collapse_topk,
         "top_hits": _top_hits,
+        "terms_facet": _terms_facet,
+        "cardinality_agg": _cardinality_agg,
         "histogram_facet": _histogram_facet,
         "percentiles_agg": _percentiles_agg,
         "significant_terms": _significant_terms,
@@ -897,6 +916,10 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "scan"), "source", 10),
         "top_hits": _score_oracle().top_hits_sql(
             ("merge", "scan"), "source", 3, 10),
+        "terms_facet": _score_oracle().terms_facet_sql(
+            ("merge",), "lang", 10),
+        "cardinality_agg": _score_oracle().cardinality_agg_sql(
+            ("merge",), "source"),
         "histogram_facet": _score_oracle().histogram_facet_sql(
             ("merge",), "n_chars", 200),
         "significant_terms": _score_oracle().significant_terms_sql(

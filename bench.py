@@ -145,6 +145,8 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     from noise_ray.ops.rerank import rerank_topk as _rerank
 
     from noise_ray.ops.aggs import collapse_topk as _collapse
+    from noise_ray.ops.aggs import cardinality_agg as _card
+    from noise_ray.ops.aggs import terms_facet as _terms_facet
     from noise_ray.ops.aggs import top_hits as _tophits
     from noise_ray.ops.aggs import histogram_facet as _hist
     from noise_ray.ops.aggs import significant_terms as _sig
@@ -181,6 +183,8 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
                      lambda: _termdict.suggest_complete(SF_DIR)),
                     ("collapse_topk_sec", lambda: _collapse(SF_DIR)),
                     ("top_hits_sec", lambda: _tophits(SF_DIR)),
+                    ("terms_facet_sec", lambda: _terms_facet(SF_DIR)),
+                    ("cardinality_agg_sec", lambda: _card(SF_DIR)),
                     ("histogram_facet_sec", lambda: _hist(SF_DIR)),
                     ("significant_terms_sec", lambda: _sig(SF_DIR)),
                     ("bm25_msm_sec", lambda: _bm25(

@@ -603,3 +603,118 @@ def sig_counts_range_local(reader, fid, stemmed, vocab):
         bg_dfs.append(int(d.size))
         fg_dfs.append(int(np.isin(d, fg, assume_unique=True).sum()))
     return int(fg.size), fg_dfs, bg_dfs
+
+
+# ----------------------------------------------- terms facet / cardinality
+
+
+def terms_facet_range(index_dir, field, stemmed, group_field, lo, hi):
+    """Per-range (keys, counts) partial: matched-doc counts per
+    ``group_field`` value in [lo, hi)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    return _terms_facet_fold(reader, fid, stemmed, group_field, (lo, hi))
+
+
+def _terms_facet_fold(reader, fid, stemmed, group_field, doc_range):
+    docs = _matched_union(reader, fid, stemmed, doc_range)
+    if not docs.size:
+        return [], np.zeros(0, np.int64)
+    keys = np.asarray(
+        reader.fetch_docs(docs, [group_field]).column(group_field)
+        .to_pylist(), dtype=object)
+    uniq, cnt = np.unique(keys, return_counts=True)
+    return uniq.tolist(), cnt.astype(np.int64)
+
+
+def terms_facet(sf_dir: str, terms=("merge",),
+                group_field: str = "lang", top_n: int = 10,
+                field: str = "text", *,
+                index_dir: str | None = None) -> pa.Table:
+    """Terms facet (cf. Elasticsearch ``terms`` aggregation): matched-doc
+    (ANY query term) counts per value of a stored keyword field, the
+    ``top_n`` buckets by (count desc, key asc).  Per-range partials are
+    key-cardinality-sized count vectors; disjoint ranges sum exactly."""
+    from ..query.engine import _stem_one
+
+    reader = _reader_for(sf_dir, index_dir)
+    fid = reader.field_id[field]
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+
+    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        from .bm25_ext import _doc_ranges
+
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "aggs", "terms_facet_range",
+                (index_dir, field, stemmed, group_field, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+    else:
+        parts = [_terms_facet_fold(reader, fid, stemmed, group_field,
+                                   None)]
+    agg: dict = {}
+    for keys, cnts in parts:
+        for key, c in zip(keys, cnts.tolist()):
+            agg[key] = agg.get(key, 0) + c
+    rows = sorted(agg.items(), key=lambda p: (-p[1], p[0]))[:top_n]
+    return pa.table({"key": pa.array([str(k) for k, _ in rows],
+                                     pa.string()),
+                     "n": pa.array([c for _, c in rows], pa.int64())})
+
+
+def card_range(index_dir, field, stemmed, value_field, lo, hi):
+    """Per-range distinct-value partial (key-cardinality-sized set)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    keys, _ = _terms_facet_fold(reader, fid, stemmed, value_field,
+                                (lo, hi))
+    return keys
+
+
+def cardinality_agg(sf_dir: str, terms=("merge",),
+                    value_field: str = "source",
+                    field: str = "text", *,
+                    index_dir: str | None = None) -> pa.Table:
+    """Cardinality aggregation (cf. Elasticsearch ``cardinality``, here
+    EXACT): the number of distinct ``value_field`` values among docs
+    matching ANY query term.  Per-range partials are distinct-value
+    sets (bounded by the keyword field's cardinality, never doc-sized);
+    the union folds on the driver."""
+    from ..query.engine import _stem_one
+
+    reader = _reader_for(sf_dir, index_dir)
+    fid = reader.field_id[field]
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+
+    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        from .bm25_ext import _doc_ranges
+
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "aggs", "card_range",
+                (index_dir, field, stemmed, value_field, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+    else:
+        keys, _ = _terms_facet_fold(reader, fid, stemmed, value_field,
+                                    None)
+        parts = [keys]
+    distinct = set()
+    for keys in parts:
+        distinct.update(keys)
+    return pa.table({"n_distinct": pa.array([len(distinct)], pa.int64())})

@@ -441,21 +441,58 @@ def nested_kp_bm25(sf_dir: str, terms=("quick", "brown"), k: int = 20,
                      "score": pa.array(r4, pa.float64())})
 
 
+_FILTER_MUL = np.int64(1) << np.int64(32)
+
+
 def _kp_instance_filter(reader, docs, aps, r4, filter_kp: str,
-                        value: str):
+                        value: str,
+                        doc_range: tuple[int, int] | None = None):
     """Keep only instances whose SIBLING keypath instance (same doc,
     same arraypath prefix) equals ``value`` — the array-context
-    post-filter.  Candidate-pushdown read: only the matched docs'
-    values rows are decoded (values_kp_for_docs), never the corpus."""
+    post-filter.  Selective match sets use the candidate-pushdown read
+    (only the matched docs' values rows decode); broad ones read the kp
+    column once and cache the matching instance-key set ON THE READER
+    (readers are cached per index version, so the derived set inherits
+    the right invalidation), leaving warm queries a pure sorted
+    membership probe."""
     if not docs.size:
         return docs, aps, r4
-    vd, va, codes, _nums, strs, _bb = reader.values_kp_for_docs(
-        filter_kp, np.unique(docs))
-    sel = np.zeros(vd.size, bool) if not vd.size else (
-        (codes == "s") & (strs == value))
-    mul = np.int64(1) << np.int64(32)
-    want = vd[sel] * mul + va[sel, 0]
-    keep = np.isin(docs * mul + aps[:, 0], want)
+    uniq = np.unique(docs)
+    keys = docs * _FILTER_MUL + aps[:, 0]
+    lo, hi = doc_range if doc_range is not None else (0, reader.num_docs)
+    if uniq.size * 8 >= hi - lo:  # breadth vs THIS range, not the corpus
+        # broad match set: every partition qualifies anyway, so read the
+        # kp column once through the per-partition decoded cache
+        # (values_kp caches on FIRST read; the pushdown read only
+        # promotes after 3 visits) — the doc-span restriction still
+        # prunes partitions outside a range worker's slice
+        span = (lo, hi) if doc_range is not None else (
+            int(uniq[0]), int(uniq[-1]) + 1)
+        cache = getattr(reader, "_kp_filter_keys", None)
+        if cache is None:
+            cache = reader._kp_filter_keys = {}
+        ck = (filter_kp, value, span)
+        want = cache.get(ck)
+        if want is None:
+            vd, va, codes, _nums, strs, _bb = reader.values_kp(
+                filter_kp, doc_range=span)
+            sel = np.zeros(vd.size, bool) if not vd.size else (
+                (codes == "s") & (strs == value))
+            want = vd[sel] * _FILTER_MUL + va[sel, 0]  # sorted (doc, ap)
+            if len(cache) < 64:
+                cache[ck] = want
+        # sorted membership probe (want ascends with (doc, arraypath))
+        pos = np.searchsorted(want, keys)
+        keep = np.zeros(keys.size, bool)
+        inb = pos < want.size
+        keep[inb] = want[pos[inb]] == keys[inb]
+    else:
+        vd, va, codes, _nums, strs, _bb = reader.values_kp_for_docs(
+            filter_kp, uniq)
+        sel = np.zeros(vd.size, bool) if not vd.size else (
+            (codes == "s") & (strs == value))
+        want = vd[sel] * _FILTER_MUL + va[sel, 0]
+        keep = np.isin(keys, want)
     return docs[keep], aps[keep], r4[keep]
 
 
@@ -471,7 +508,7 @@ def kp_bm25_filtered_range(index_dir, kp, stemmed, dfs, n_inst, avgdl,
     docs, aps, r4 = _kp_bm25_fold(reader, kp, stemmed, dfs, n_inst,
                                   avgdl, k1, b, (lo, hi))
     docs, aps, r4 = _kp_instance_filter(reader, docs, aps, r4,
-                                        filter_kp, value)
+                                        filter_kp, value, (lo, hi))
     if docs.size > k:
         order = _kp_bm25_order(docs, aps, r4)
         cut = r4[order[k - 1]]

@@ -1145,6 +1145,34 @@ FROM {src} d JOIN m USING ({key})
 GROUP BY bucket ORDER BY bucket"""
 
 
+def terms_facet_sql(terms: tuple[str, ...], group_field: str,
+                    top_n: int, *, src: str = "documents",
+                    key: str = "doc_id") -> str:
+    """Terms-facet oracle (ops/aggs.terms_facet): matched-doc (ANY
+    query term) counts per ``group_field`` value, top buckets by
+    (count desc, key asc)."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_toks(src, key)},
+m AS (SELECT DISTINCT {key} FROM toks WHERE tok IN ({toks_in}))
+SELECT CAST(d.{group_field} AS VARCHAR) AS key, count(*) AS n
+FROM {src} d JOIN m USING ({key})
+GROUP BY key ORDER BY n DESC, key LIMIT {top_n}"""
+
+
+def cardinality_agg_sql(terms: tuple[str, ...], value_field: str, *,
+                        src: str = "documents",
+                        key: str = "doc_id") -> str:
+    """Cardinality oracle (ops/aggs.cardinality_agg): exact distinct
+    ``value_field`` count over the matched set."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_toks(src, key)},
+m AS (SELECT DISTINCT {key} FROM toks WHERE tok IN ({toks_in}))
+SELECT count(DISTINCT d.{value_field}) AS n_distinct
+FROM {src} d JOIN m USING ({key})"""
+
+
 def percentiles_agg_sql(terms: tuple[str, ...], value_column: str,
                         percentiles: tuple[int, ...], *,
                         src: str = "documents",

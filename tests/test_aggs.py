@@ -299,3 +299,49 @@ def test_percentiles_range_fold_matches_global(ray_session):
                     want.column("value").to_pylist()):
         i = int(np.searchsorted(cum * 100, p * tot, side="left"))
         assert int(uniq[min(i, uniq.size - 1)]) == v
+
+
+def test_terms_facet_matches_raw_recomputation(ray_session):
+    from noise_ray.ops.aggs import terms_facet
+
+    ids, toks, _, _ = _corpus()
+    import pyarrow.parquet as pq
+
+    langs = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["lang"]).column("lang").to_pylist()
+    counts = collections.Counter(
+        langs[d] for d, x in zip(ids, toks) if "merge" in x)
+    want = sorted(counts.items(), key=lambda p: (-p[1], p[0]))[:10]
+
+    got = terms_facet(SF)
+    assert list(zip(got.column("key").to_pylist(),
+                    got.column("n").to_pylist())) == want
+
+
+def test_terms_facet_range_fold_matches_global(ray_session):
+    from noise_ray.ops.aggs import terms_facet, terms_facet_range
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index(SF)
+    idx = reader.index_dir
+    n = reader.num_docs
+    cuts = [0, n // 3, 2 * n // 3, n]
+    parts = [terms_facet_range(idx, "text", ["merg"], "lang", lo, hi)
+             for lo, hi in zip(cuts, cuts[1:])]
+    agg = collections.Counter()
+    for keys, cnts in parts:
+        for key, c in zip(keys, cnts.tolist()):
+            agg[key] += c
+    want = terms_facet(SF)
+    rows = sorted(agg.items(), key=lambda p: (-p[1], p[0]))[:10]
+    assert rows == list(zip(want.column("key").to_pylist(),
+                            want.column("n").to_pylist()))
+
+
+def test_cardinality_matches_raw_recomputation(ray_session):
+    from noise_ray.ops.aggs import cardinality_agg
+
+    ids, toks, src, _ = _corpus()
+    want = len({src[d] for d, x in zip(ids, toks) if "merge" in x})
+    got = cardinality_agg(SF)
+    assert got.column("n_distinct").to_pylist() == [want]
