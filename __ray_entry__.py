@@ -326,6 +326,27 @@ def _federated_bm25(sf_dir: str):
     return federated_bm25(shard_documents_indexes(sf_dir, 3))
 
 
+def _merged_index_bm25(sf_dir: str):
+    """Posting-level index merge (build/merge.py): the 3 shard indexes
+    physically fused — first-varint doc shifts, gkey remap, stats
+    concat, docmap rewrite, NO re-tokenization — then queried as ONE
+    index.  Shards slice contiguous rows, so merged internal ids ==
+    the table's doc_id and the oracle is the plain BM25 SQL."""
+    import os
+
+    from noise_ray.build.merge import merge_indexes
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.ops.federated import shard_documents_indexes
+
+    dirs = shard_documents_indexes(sf_dir, 3)
+    out = os.path.join(os.path.dirname(dirs[0]), "merged")
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        for part in ("docmap", "segments", "stats"):
+            os.makedirs(os.path.join(out, part), exist_ok=True)
+        merge_indexes(dirs, out)
+    return bm25_topk(sf_dir, k=20, index_dir=out)
+
+
 def _collapse_topk(sf_dir: str):
     """Field collapsing (ops/aggs.collapse_topk): the BM25 top-k with
     at most ONE doc per `source` value — per-key best is an associative
@@ -682,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonyms": _bm25_synonyms,
         "bm25_value_boost": _bm25_value_boost,
         "federated_bm25": _federated_bm25,
+        "merged_index_bm25": _merged_index_bm25,
         "collapse_topk": _collapse_topk,
         "top_hits": _top_hits,
         "terms_facet": _terms_facet,
@@ -911,6 +933,9 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "scan"), 20),
         # federated == single-index ranking by construction (module doc)
         "federated_bm25": _score_oracle().bm25_topk_sql(
+            ("merge", "scan"), 20, 1.2, 0.75),
+        # posting-level merge == unified index by construction
+        "merged_index_bm25": _score_oracle().bm25_topk_sql(
             ("merge", "scan"), 20, 1.2, 0.75),
         "collapse_topk": _score_oracle().collapse_topk_sql(
             ("merge", "scan"), "source", 10),

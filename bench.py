@@ -164,6 +164,19 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     from noise_ray.ops.rerank import mmr_rerank as _mmr
 
     fed_dirs = _shards(SF_DIR, 3)  # build outside the timed region
+    # posting-level merge of the 3 shards (no re-tokenize): rate row
+    from noise_ray.build.merge import merge_indexes as _merge_idx
+
+    merge_out = tempfile.mkdtemp(prefix="bench_merge_", dir="/tmp")
+    merge_dir = os.path.join(merge_out, "idx")
+    for _part in ("docmap", "segments", "stats"):
+        os.makedirs(os.path.join(merge_dir, _part), exist_ok=True)
+    t0 = time.perf_counter()
+    _mman = _merge_idx(fed_dirs, merge_dir)
+    dt = time.perf_counter() - t0
+    out["index_merge_sec"] = round(dt, 3)
+    out["index_merge_docs_per_sec"] = round(_mman["num_docs"] / dt, 1)
+    shutil.rmtree(merge_out, ignore_errors=True)
     t0 = time.perf_counter()
     _chunks_index(SF_DIR)  # one-time chunk-index build (cached)
     out["chunk_index_build_sec"] = round(time.perf_counter() - t0, 3)

@@ -1,0 +1,132 @@
+"""Posting-level index merge (build/merge.py): merging the 3 document
+shards must be query-equivalent — BM25 scores, phrase positions, stats,
+docmap gathers — to the single unified index, without re-tokenizing."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def merged_dir(ray_session, tmp_path_factory):
+    from noise_ray.build.merge import merge_indexes
+    from noise_ray.ops.federated import shard_documents_indexes
+
+    dirs = shard_documents_indexes(SF, 3)
+    out = str(tmp_path_factory.mktemp("merged") / "idx")
+    for part in ("docmap", "segments", "stats"):
+        os.makedirs(os.path.join(out, part), exist_ok=True)
+    merge_indexes(dirs, out)
+    return out
+
+
+def test_merged_bm25_equals_unified(ray_session, merged_dir):
+    """Shard doc-id spaces are contiguous row slices, so merged internal
+    ids == the documents table's doc_id — scores and ids must equal the
+    single-index run bit-exactly."""
+    from noise_ray.ops.bm25 import bm25_topk
+
+    want = bm25_topk(SF, k=50)
+    got = bm25_topk(SF, k=50, index_dir=merged_dir)
+    assert got.equals(want)
+
+
+def test_merged_phrase_equals_unified(ray_session, merged_dir):
+    """Positions pass through the merge byte-identical."""
+    from noise_ray.ops.bm25 import bm25_phrase_topk
+
+    want = bm25_phrase_topk(SF, k=30)
+    got = bm25_phrase_topk(SF, k=30, index_dir=merged_dir)
+    assert got.equals(want)
+
+
+def test_merged_stats_and_postings(ray_session, merged_dir):
+    from noise_ray.pipelines import documents_index
+    from noise_ray.query.reader import IndexReader
+
+    uni = documents_index(SF)
+    mer = IndexReader(merged_dir)
+    assert mer.num_docs == uni.num_docs
+    for term in ("merg", "scan", "row"):
+        assert mer.term_stats("text", term) == uni.term_stats("text", term)
+        a = mer.postings("text", term)
+        b = uni.postings("text", term)
+        assert np.array_equal(a.docs, b.docs)
+        assert np.array_equal(a.tfs, b.tfs)
+        assert np.array_equal(a.lens, b.lens)
+        assert np.array_equal(a.pos_concat, b.pos_concat)
+
+
+def test_merged_docmap_gather_and_lookup(ray_session, merged_dir):
+    from noise_ray.pipelines import documents_index
+    from noise_ray.query.reader import IndexReader
+
+    uni = documents_index(SF)
+    mer = IndexReader(merged_dir)
+    ids = np.array([0, 1, uni.num_docs // 2, uni.num_docs - 1],
+                   dtype=np.int64)
+    a = mer.fetch_docs(ids, ["text", "source"])
+    b = uni.fetch_docs(ids, ["text", "source"])
+    assert a.equals(b)
+    # lookup_doc reads the REWRITTEN doc_id column
+    key = b.column("doc_id")[2].as_py()
+    assert mer.lookup_doc(key, 0) == uni.lookup_doc(key, 0)
+
+
+def test_merge_is_resumable(ray_session, merged_dir, tmp_path):
+    """Deleting the manifest and some outputs, then re-merging, must
+    reproduce the identical index (tmp+rename, skip-if-present)."""
+    from noise_ray.build.merge import merge_indexes
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.ops.federated import shard_documents_indexes
+
+    dirs = shard_documents_indexes(SF, 3)
+    out = str(tmp_path / "idx")
+    for part in ("docmap", "segments", "stats"):
+        os.makedirs(os.path.join(out, part), exist_ok=True)
+    merge_indexes(dirs, out)
+    os.remove(os.path.join(out, "manifest.json"))
+    segs = sorted(os.listdir(os.path.join(out, "segments")))
+    for f in segs[: len(segs) // 2]:
+        os.remove(os.path.join(out, "segments", f))
+    merge_indexes(dirs, out)
+    with open(os.path.join(out, "manifest.json")) as f:
+        m1 = json.load(f)
+    with open(os.path.join(merged_dir, "manifest.json")) as f:
+        m2 = json.load(f)
+    assert m1["segments"] == m2["segments"]
+    assert bm25_topk(SF, k=20, index_dir=out).equals(
+        bm25_topk(SF, k=20, index_dir=merged_dir))
+
+
+def test_merged_tombstones_shift(ray_session, tmp_path):
+    """Tombstones from each source land in the merged doc-id space."""
+    from noise_ray.build.merge import merge_indexes
+    from noise_ray.ops.federated import shard_documents_indexes
+    from noise_ray.query.reader import IndexReader
+
+    dirs = shard_documents_indexes(SF, 3)
+    staged = []
+    for i, d in enumerate(dirs):
+        c = str(tmp_path / f"src{i}")
+        shutil.copytree(d, c)
+        with open(os.path.join(c, "tombstones.json"), "w") as f:
+            json.dump([i], f)  # shard-local doc i
+        staged.append(c)
+    sizes = []
+    for d in staged:
+        with open(os.path.join(d, "manifest.json")) as f:
+            m = json.load(f)
+        sizes.append(m["doc_id_offset"] + m["num_docs"])
+    out = str(tmp_path / "idx")
+    for part in ("docmap", "segments", "stats"):
+        os.makedirs(os.path.join(out, part), exist_ok=True)
+    merge_indexes(staged, out)
+    mer = IndexReader(out)
+    want = sorted([0, sizes[0] + 1, sizes[0] + sizes[1] + 2])
+    assert mer.tombstones.tolist() == want
