@@ -1,4 +1,5 @@
-"""Posting-level index merge: N flat indexes → one, WITHOUT re-tokenizing.
+"""Posting-level index merge: N sealed indexes → one, WITHOUT re-tokenizing
+(flat and nested engines both).
 
 The Lucene segment-merge analogue (and the "merge" of the north rule's
 "posting-list construction, merge, compression, top-k scoring"): given N
@@ -98,8 +99,21 @@ def _copy_file(src: str, dst: str) -> None:
 
 
 def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
-    """Merge sealed flat indexes into ``out_dir`` (module docstring).
+    """Merge sealed FLAT indexes into ``out_dir`` (module docstring).
     Returns the merged manifest."""
+    return _merge(src_dirs, out_dir, nested=False)
+
+
+def merge_json_indexes(src_dirs: list[str], out_dir: str) -> dict:
+    """The NESTED twin: same block patching (nested posting blocks use
+    the identical docs-delta layout; arraypaths are plain varints with
+    no doc dependency, so they copy through), plus the values
+    partitions — rewritten with the shifted ``doc_id`` column while the
+    per-kp zone maps ride along in the preserved parquet KV metadata."""
+    return _merge(src_dirs, out_dir, nested=True)
+
+
+def _merge(src_dirs: list[str], out_dir: str, nested: bool) -> dict:
     import ray.data
 
     from .incremental import _epoch_dirs
@@ -110,12 +124,12 @@ def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
             mans.append(json.load(f))
         if _epoch_dirs(d):
             raise ValueError(f"{d} has live epochs — compact before merge")
-        if mans[-1].get("nested"):
-            raise ValueError("merge_indexes is flat-only (v1)")
+        if bool(mans[-1].get("nested")) != nested:
+            raise ValueError(f"{d}: nested flag != {nested}")
     base = mans[0]
     for key in ("version", "analyzer", "fields", "key_columns",
                 "num_buckets", "block_size"):
-        vals = {json.dumps(m[key]) for m in mans}
+        vals = {json.dumps(m.get(key)) for m in mans}
         if len(vals) != 1:
             raise ValueError(f"sources disagree on {key}: {vals}")
 
@@ -132,10 +146,13 @@ def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
     for r in nrs[:-1]:
         rng_base.append(rng_base[-1] + r)
 
-    for part in ("docmap", "segments", "stats"):
+    parts_list = ("docmap", "segments", "stats", "values") if nested \
+        else ("docmap", "segments", "stats")
+    for part in parts_list:
         os.makedirs(os.path.join(out_dir, part), exist_ok=True)
 
     items, man_docmap, man_segments, man_stats = [], [], [], []
+    man_values: list = []
     for i, (d, m) in enumerate(zip(src_dirs, mans)):
         off = offsets[i]
         for e in m["docmap"]:
@@ -144,6 +161,14 @@ def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
                           "src": os.path.join(d, e["path"]),
                           "dst": os.path.join(out_dir, rel)})
             man_docmap.append({"path": rel, "rows": e["rows"],
+                               "min_doc": e["min_doc"] + off,
+                               "max_doc": e["max_doc"] + off})
+        for e in m.get("values", []):
+            rel = f"values/m{i:02d}-{os.path.basename(e['path'])}"
+            items.append({"kind": "docmap", "off": off,  # same patch
+                          "src": os.path.join(d, e["path"]),
+                          "dst": os.path.join(out_dir, rel)})
+            man_values.append({"path": rel,
                                "min_doc": e["min_doc"] + off,
                                "max_doc": e["max_doc"] + off})
         nr_i = nrs[i]
@@ -197,7 +222,7 @@ def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
         "num_docs": int(sum(sizes)),
         "doc_id_offset": 0,
         "num_ranges": nr_merged,
-        "range_span": max(int(m["range_span"]) for m in mans),
+        "range_span": max(int(m.get("range_span", 0)) for m in mans),
         "field_k": field_k,
         "docmap": man_docmap,
         "segments": man_segments,
@@ -205,6 +230,8 @@ def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
         "metrics": {"merged_from": [os.path.abspath(d) for d in src_dirs],
                     "source_sizes": sizes},
     })
+    if nested:
+        man["values"] = man_values
     tmp = os.path.join(out_dir, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as f:
         json.dump(man, f)

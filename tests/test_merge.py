@@ -130,3 +130,48 @@ def test_merged_tombstones_shift(ray_session, tmp_path):
     mer = IndexReader(out)
     want = sorted([0, sizes[0] + 1, sizes[0] + sizes[1] + 2])
     assert mer.tombstones.tolist() == want
+
+
+def test_merged_nested_equals_unified(ray_session, tmp_path):
+    """Nested merge: split the transcript conversation shards in two,
+    build two independent nested indexes, merge — queries, values
+    (zone maps ride the preserved KV metadata), scoring and doc fetch
+    must equal the single nested build."""
+    from noise_ray.build.json_pipeline import build_json_index
+    from noise_ray.build.merge import merge_json_indexes
+    from noise_ray.ops.nested_docs import nested_transcripts_index
+    from noise_ray.query.json_executor import run_json_query
+    from noise_ray.query.json_reader import JsonIndexReader
+
+    uni = nested_transcripts_index(SF)
+    shard_dir = os.path.join(os.path.dirname(uni.index_dir), "..",
+                             "nested", "shards")
+    shards = sorted(
+        os.path.join(shard_dir, f) for f in os.listdir(shard_dir))
+    assert len(shards) >= 2
+    half = len(shards) // 2
+    dirs = []
+    for i, grp in enumerate((shards[:half], shards[half:])):
+        d = str(tmp_path / f"n{i}")
+        build_json_index(grp, d, local=True)
+        dirs.append(d)
+    out = str(tmp_path / "merged")
+    for part in ("docmap", "segments", "stats", "values"):
+        os.makedirs(os.path.join(out, part), exist_ok=True)
+    merge_json_indexes(dirs, out)
+    mer = JsonIndexReader(out)
+    assert mer.num_docs == uni.num_docs
+    q = ('find {turns: [{role: =="assistant", text: ~="of your"}]} '
+         "order score() desc, ._id asc return [._id, score()] limit 50 ;")
+    assert run_json_query(mer, q) == run_json_query(uni, q)
+    rq = "find {n_turns: >= 18.0} return ._id ;"  # values partitions
+    assert run_json_query(mer, rq) == run_json_query(uni, rq)
+    assert (mer.kp_instance_count(".turns$.text")
+            == uni.kp_instance_count(".turns$.text"))
+    assert (mer.kp_token_total(".turns$.text")
+            == uni.kp_token_total(".turns$.text"))
+    ids = np.array([0, uni.num_docs // 2, uni.num_docs - 1], np.int64)
+    assert mer.doc_json(ids) == uni.doc_json(ids)
+    assert mer.doc_id_strs(ids) == uni.doc_id_strs(ids)
+    some_id = uni.doc_id_strs(np.array([uni.num_docs - 1]))[0]
+    assert mer.lookup_id(some_id) == uni.lookup_id(some_id)
