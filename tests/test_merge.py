@@ -175,3 +175,64 @@ def test_merged_nested_equals_unified(ray_session, tmp_path):
     assert mer.doc_id_strs(ids) == uni.doc_id_strs(ids)
     some_id = uni.doc_id_strs(np.array([uni.num_docs - 1]))[0]
     assert mer.lookup_id(some_id) == uni.lookup_id(some_id)
+
+
+def test_split_then_queries_match_shard_builds(ray_session, tmp_path):
+    """split(unified, 3) must be query-equivalent to the 3 shard indexes
+    built independently over the same row slices — postings, positions,
+    stats, docmap — and merge(split(X)) must equal X."""
+    from noise_ray.build.merge import merge_indexes, split_index
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.ops.federated import shard_documents_indexes
+    from noise_ray.pipelines import documents_index
+    from noise_ray.query.reader import IndexReader
+
+    uni = documents_index(SF)
+    n = uni.num_docs
+    span = -(-n // 3)
+    cuts = [0, span, 2 * span, n]  # the shard builder's slicing
+    outs = [str(tmp_path / f"s{j}") for j in range(3)]
+    mans = split_index(uni.index_dir, outs, cuts)
+    assert [m["num_docs"] for m in mans] == [span, span, n - 2 * span]
+
+    shards = shard_documents_indexes(SF, 3)
+    for out, shard in zip(outs, shards):
+        a = IndexReader(out)
+        b = IndexReader(shard)
+        assert a.num_docs == b.num_docs
+        for term in ("merg", "scan"):
+            pa_, pb = a.postings("text", term), b.postings("text", term)
+            assert np.array_equal(pa_.docs, pb.docs)
+            assert np.array_equal(pa_.tfs, pb.tfs)
+            assert np.array_equal(pa_.lens, pb.lens)
+            assert np.array_equal(pa_.pos_concat, pb.pos_concat)
+            assert a.term_stats("text", term) == b.term_stats("text", term)
+        ids = np.arange(min(5, a.num_docs), dtype=np.int64)
+        assert (a.fetch_docs(ids, ["text"]).column("text").to_pylist()
+                == b.fetch_docs(ids, ["text"]).column("text").to_pylist())
+
+    # round-trip: merge the splits back; BM25 must equal the unified run
+    back = str(tmp_path / "back")
+    for part in ("docmap", "segments", "stats"):
+        os.makedirs(os.path.join(back, part), exist_ok=True)
+    merge_indexes(outs, back)
+    assert bm25_topk(SF, k=50, index_dir=back).equals(bm25_topk(SF, k=50))
+
+
+def test_split_tombstones_rebase(ray_session, tmp_path):
+    from noise_ray.build.merge import split_index
+    from noise_ray.pipelines import documents_index
+    from noise_ray.query.reader import IndexReader
+
+    uni = documents_index(SF)
+    src = str(tmp_path / "src")
+    shutil.copytree(uni.index_dir, src)
+    n = uni.num_docs
+    with open(os.path.join(src, "tombstones.json"), "w") as f:
+        json.dump([1, n // 2 + 1, n - 1], f)
+    outs = [str(tmp_path / "a"), str(tmp_path / "b")]
+    cuts = [0, n // 2, n]
+    split_index(src, outs, cuts)
+    a, b = IndexReader(outs[0]), IndexReader(outs[1])
+    assert a.tombstones.tolist() == [1]
+    assert b.tombstones.tolist() == [n // 2 + 1 - n // 2, n - 1 - n // 2]
