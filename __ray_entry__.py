@@ -347,6 +347,29 @@ def _merged_index_bm25(sf_dir: str):
     return bm25_topk(sf_dir, k=20, index_dir=out)
 
 
+def _split_index_bm25(sf_dir: str):
+    """Split-index query (build/merge.split_index): the unified index
+    physically repartitioned into 3 rebased doc-range splits; the first
+    split answers BM25 with its own SLICE-LOCAL stats (recomputed
+    exactly during the split), so the oracle is plain BM25 over the
+    doc_id slice."""
+    import os
+
+    from noise_ray.build.merge import split_index
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.pipelines import documents_index
+
+    uni = documents_index(sf_dir)
+    n = uni.num_docs
+    span = -(-n // 3)
+    root = uni.index_dir.rstrip("/") + "-split3"  # per-sf cache
+    outs = [os.path.join(root, f"s{j}") for j in range(3)]
+    if not all(os.path.exists(os.path.join(d, "manifest.json"))
+               for d in outs):
+        split_index(uni.index_dir, outs, [0, span, 2 * span, n])
+    return bm25_topk(sf_dir, k=20, index_dir=outs[0])
+
+
 def _collapse_topk(sf_dir: str):
     """Field collapsing (ops/aggs.collapse_topk): the BM25 top-k with
     at most ONE doc per `source` value — per-key best is an associative
@@ -704,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_value_boost": _bm25_value_boost,
         "federated_bm25": _federated_bm25,
         "merged_index_bm25": _merged_index_bm25,
+        "split_index_bm25": _split_index_bm25,
         "collapse_topk": _collapse_topk,
         "top_hits": _top_hits,
         "terms_facet": _terms_facet,
@@ -937,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         # posting-level merge == unified index by construction
         "merged_index_bm25": _score_oracle().bm25_topk_sql(
             ("merge", "scan"), 20, 1.2, 0.75),
+        "split_index_bm25": _score_oracle().split_bm25_sql(),
         "collapse_topk": _score_oracle().collapse_topk_sql(
             ("merge", "scan"), "source", 10),
         "top_hits": _score_oracle().top_hits_sql(

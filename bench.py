@@ -176,6 +176,15 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     dt = time.perf_counter() - t0
     out["index_merge_sec"] = round(dt, 3)
     out["index_merge_docs_per_sec"] = round(_mman["num_docs"] / dt, 1)
+    from noise_ray.build.merge import split_index as _split_idx
+
+    split_outs = [os.path.join(merge_out, f"s{j}") for j in range(3)]
+    t0 = time.perf_counter()
+    _smans = _split_idx(merge_dir, split_outs)
+    dt = time.perf_counter() - t0
+    out["index_split_sec"] = round(dt, 3)
+    out["index_split_docs_per_sec"] = round(
+        sum(m["num_docs"] for m in _smans) / dt, 1)
     shutil.rmtree(merge_out, ignore_errors=True)
     t0 = time.perf_counter()
     _chunks_index(SF_DIR)  # one-time chunk-index build (cached)

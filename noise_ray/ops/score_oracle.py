@@ -1057,6 +1057,25 @@ SELECT {key}, score FROM bs
 ORDER BY score DESC, {key} LIMIT {k}"""
 
 
+def split_bm25_sql(terms: tuple[str, ...] = ("merge", "scan"),
+                   k: int = 20,
+                   sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Oracle for the split-index query (build/merge.split_index): the
+    first of 3 doc-range splits is a standalone index with SLICE-LOCAL
+    statistics, so the oracle is plain BM25 over the doc_id slice (the
+    split's stats were recomputed exactly from the kept postings)."""
+    import math
+
+    import pyarrow.parquet as pq_
+
+    n = pq_.read_metadata(
+        f"{sf_dir.rstrip('/')}/documents.parquet").num_rows
+    span = math.ceil(n / 3)
+    return bm25_topk_sql(
+        terms, k, 1.2, 0.75,
+        src=f"(SELECT * FROM documents WHERE doc_id < {span})")
+
+
 def collapse_topk_sql(terms: tuple[str, ...], collapse_field: str, k: int,
                       k1: float = 1.2, b: float = 0.75, *,
                       src: str = "documents", key: str = "doc_id") -> str:
