@@ -370,6 +370,15 @@ def _split_index_bm25(sf_dir: str):
     return bm25_topk(sf_dir, k=20, index_dir=outs[0])
 
 
+def _rank_eval(sf_dir: str):
+    """Ranking-quality evaluation (ops/rank_eval.py, cf. ES _rank_eval):
+    BM25 top-50 per query scored against conjunctive unstated-intent
+    relevance labels — precision@k, recall@k, binary-gain NDCG@k."""
+    from noise_ray.ops.rank_eval import rank_eval
+
+    return rank_eval(sf_dir)
+
+
 def _collapse_topk(sf_dir: str):
     """Field collapsing (ops/aggs.collapse_topk): the BM25 top-k with
     at most ONE doc per `source` value — per-key best is an associative
@@ -728,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "federated_bm25": _federated_bm25,
         "merged_index_bm25": _merged_index_bm25,
         "split_index_bm25": _split_index_bm25,
+        "rank_eval": _rank_eval,
         "collapse_topk": _collapse_topk,
         "top_hits": _top_hits,
         "terms_facet": _terms_facet,
@@ -962,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
         "merged_index_bm25": _score_oracle().bm25_topk_sql(
             ("merge", "scan"), 20, 1.2, 0.75),
         "split_index_bm25": _score_oracle().split_bm25_sql(),
+        "rank_eval": _score_oracle().rank_eval_sql(),
         "collapse_topk": _score_oracle().collapse_topk_sql(
             ("merge", "scan"), "source", 10),
         "top_hits": _score_oracle().top_hits_sql(

@@ -1057,6 +1057,65 @@ SELECT {key}, score FROM bs
 ORDER BY score DESC, {key} LIMIT {k}"""
 
 
+def rank_eval_sql(queries=((("merge", "scan"), "row"),
+                           (("row", "group"), "merge"),
+                           (("sort", "filter"), "join")),
+                  k: int = 50, k1: float = 1.2, b: float = 0.75, *,
+                  src: str = "documents", key: str = "doc_id") -> str:
+    """Rank-eval oracle (ops/rank_eval.rank_eval): per query, BM25
+    top-k under (rounded score desc, id asc) scored against the
+    conjunctive (ALL query terms + the held-out intent term) relevance
+    labels — precision@k, recall@k, binary-gain NDCG@k, 4dp."""
+    blocks, selects = [], []
+    for qi, (terms, intent) in enumerate(queries):
+        toks_in = ", ".join(f"'{t}'" for t in terms)
+        inter = "\n        INTERSECT\n        ".join(
+            f"SELECT DISTINCT {key} FROM toks WHERE tok = '{t}'"
+            for t in (*terms, intent))
+        blocks.append(f"""
+tf{qi} AS (SELECT {key}, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({toks_in}) GROUP BY {key}, tok),
+df{qi} AS (SELECT tok, count(*) AS df FROM tf{qi} GROUP BY tok),
+s{qi} AS (SELECT t.{key},
+             sum(ln(1.0 + ((SELECT n FROM nn) - d.df + 0.5)
+                          / (d.df + 0.5))
+                 * t.tf * ({k1} + 1.0)
+                 / (t.tf + {k1} * (1.0 - {b}
+                                   + {b} * lens.len / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf{qi} t JOIN df{qi} d USING (tok) JOIN lens USING ({key})
+      GROUP BY t.{key}),
+top{qi} AS (SELECT {key}, row_number() OVER (
+               ORDER BY ROUND(score, 4) DESC, {key}) AS rnk
+            FROM s{qi}
+            ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}),
+rel{qi} AS ({inter}),
+m{qi} AS (SELECT
+    (SELECT count(*) FROM rel{qi}) AS n_rel,
+    (SELECT count(*) FROM top{qi} JOIN rel{qi} USING ({key})) AS hits,
+    (SELECT coalesce(sum(1.0 / log2(rnk + 1.0)), 0.0)
+     FROM top{qi} JOIN rel{qi} USING ({key})) AS dcg)""")
+        selects.append(f"""
+SELECT {qi} AS query_id, CAST(n_rel AS BIGINT) AS n_rel,
+       ROUND(hits / {float(k)}, 4) AS p_at_k,
+       ROUND(CASE WHEN n_rel = 0 THEN 0.0
+             ELSE hits / CAST(n_rel AS DOUBLE) END, 4) AS recall_at_k,
+       ROUND(CASE WHEN n_rel = 0 THEN 0.0 ELSE dcg /
+             (SELECT idcg FROM ig WHERE i = least(n_rel, {k})) END, 4)
+           AS ndcg_at_k
+FROM m{qi}""")
+    return (f"WITH {_toks(src, key)},\n"
+            + "nn AS (SELECT count(*) AS n FROM " + src + "),\n"
+            + "ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) "
+              "FROM nn) AS a FROM lens),\n"
+            + "ig AS (SELECT i, sum(1.0 / log2(i + 1.0)) "
+              f"OVER (ORDER BY i) AS idcg FROM generate_series(1, {k})"
+              " t(i)),"
+            + ",".join(blocks)
+            + "\nUNION ALL".join(selects)
+            + "\nORDER BY query_id")
+
+
 def split_bm25_sql(terms: tuple[str, ...] = ("merge", "scan"),
                    k: int = 20,
                    sf_dir: str = "/root/testdata/sf0.01") -> str:

@@ -814,3 +814,34 @@ def test_mmr_diversifies(ray_session):
         plain.column("doc_id").to_pylist()[0]
     assert mean_pairwise_cos(mmr.column("doc_id").to_pylist()) < \
         mean_pairwise_cos(plain.column("doc_id").to_pylist())
+
+
+def test_rank_eval_matches_oracle(ray_session):
+    """Rank-eval metrics (P@k, recall@k, NDCG@k) against the unstated-
+    intent conjunctive labels match the DuckDB oracle exactly."""
+    import duckdb
+
+    from noise_ray.ops.rank_eval import rank_eval
+    from noise_ray.ops.score_oracle import rank_eval_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = rank_eval(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(rank_eval_sql()).fetchdf()
+    assert got.astype(want.dtypes.to_dict()).equals(want)
+    # the labels discriminate: no metric pinned at 0 or 1
+    assert all(0.0 < p < 1.0 for p in got["p_at_k"])
+    assert all(0.0 < v < 1.0 for v in got["ndcg_at_k"])
+
+
+def test_rank_eval_perfect_when_labels_equal_query(ray_session):
+    """With intent == a query term the label set is the plain AND match,
+    which BM25 ranks on top at small k — NDCG must be 1."""
+    from noise_ray.ops.rank_eval import rank_eval
+
+    got = rank_eval("/root/testdata/sf0.001",
+                    queries=((("merge", "scan"), "merge"),), k=10)
+    assert got.column("ndcg_at_k").to_pylist() == [1.0]
+    assert got.column("p_at_k").to_pylist() == [1.0]
