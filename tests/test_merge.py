@@ -236,3 +236,53 @@ def test_split_tombstones_rebase(ray_session, tmp_path):
     a, b = IndexReader(outs[0]), IndexReader(outs[1])
     assert a.tombstones.tolist() == [1]
     assert b.tombstones.tolist() == [n // 2 + 1 - n // 2, n - 1 - n // 2]
+
+
+def test_merge_then_epoch_then_compact(ray_session, tmp_path):
+    """Lifecycle interop: a MERGED index accepts epoch adds and
+    compaction like any built index — after compact it answers exactly
+    like a fresh unified build over the concatenated live rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from noise_ray.build.compact import compact_index
+    from noise_ray.build.incremental import add_documents
+    from noise_ray.build.merge import merge_indexes
+    from noise_ray.build.pipeline import build_index
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.ops.federated import shard_documents_indexes
+
+    dirs = shard_documents_indexes(SF, 3)
+    out = str(tmp_path / "merged")
+    for part in ("docmap", "segments", "stats"):
+        os.makedirs(os.path.join(out, part), exist_ok=True)
+    merge_indexes(dirs, out)
+
+    base = pq.read_table(os.path.join(SF, "documents.parquet"))
+    n = base.num_rows
+    texts = ["merge scan merge epoch row",
+             "group row scan filter merge"]
+    delta = pa.table({
+        "doc_id": pa.array([n, n + 1], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "source": pa.array(["srcX", "srcX"], pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }).select(base.column_names)
+    dp = str(tmp_path / "delta.parquet")
+    pq.write_table(delta, dp)
+    add_documents(out, [dp])
+    # epoch visible before compaction
+    pre = bm25_topk(SF, k=60, index_dir=out)
+    assert n in pre.column("doc_id").to_pylist()
+
+    compact_index(out)
+
+    fresh_src = str(tmp_path / "all.parquet")
+    pq.write_table(pa.concat_tables([base, delta]), fresh_src)
+    fresh = str(tmp_path / "fresh")
+    build_index([fresh_src], fresh, fields=("text", "source", "lang"),
+                key_columns=("doc_id",))
+    a = bm25_topk(SF, k=60, index_dir=out)
+    b = bm25_topk(SF, k=60, index_dir=fresh)
+    assert a.equals(b)
