@@ -370,6 +370,15 @@ def _split_index_bm25(sf_dir: str):
     return bm25_topk(sf_dir, k=20, index_dir=outs[0])
 
 
+def _bm25_dismax(sf_dir: str):
+    """Disjunction-max multi-field query (ops/bm25_ext.bm25_dismax_topk,
+    cf. ES dis_max / multi_match best_fields): best field's weighted
+    BM25 + tie_breaker × the rest."""
+    from noise_ray.ops.bm25_ext import bm25_dismax_topk
+
+    return bm25_dismax_topk(sf_dir)
+
+
 def _rank_eval(sf_dir: str):
     """Ranking-quality evaluation (ops/rank_eval.py, cf. ES _rank_eval):
     BM25 top-50 per query scored against conjunctive unstated-intent
@@ -738,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merged_index_bm25": _merged_index_bm25,
         "split_index_bm25": _split_index_bm25,
         "rank_eval": _rank_eval,
+        "bm25_dismax": _bm25_dismax,
         "collapse_topk": _collapse_topk,
         "top_hits": _top_hits,
         "terms_facet": _terms_facet,
@@ -973,6 +983,9 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "scan"), 20, 1.2, 0.75),
         "split_index_bm25": _score_oracle().split_bm25_sql(),
         "rank_eval": _score_oracle().rank_eval_sql(),
+        "bm25_dismax": _score_oracle().bm25_dismax_sql(
+            ("merge", "src3", "en"),
+            (("text", 1.0), ("source", 0.7), ("lang", 0.3)), 0.3, 20),
         "collapse_topk": _score_oracle().collapse_topk_sql(
             ("merge", "scan"), "source", 10),
         "top_hits": _score_oracle().top_hits_sql(

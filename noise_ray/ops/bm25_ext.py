@@ -466,3 +466,165 @@ def _boost_distributed(index_dir: str, reader, stemmed, field: str,
     top = np.lexsort((docs, -r4))[:k]
     return pa.table({"doc_id": pa.array(docs[top], pa.int64()),
                      "score": pa.array(r4[top], pa.float64())})
+
+
+# ------------------------------------------------------------ dis_max
+
+
+def _dismax_fold(reader, fields, stemmed, dfs, avgdls, n_docs, k1, b,
+                 tie_breaker, doc_range):
+    """Per-doc dis_max combination: score = max_f(w_f·s_f) +
+    tie_breaker · (Σ_f w_f·s_f − max).  Per-field sums fold field-major
+    (matching the SQL's left-to-right `w1·c1 + w2·c2 + …` with 0.0 for
+    absent fields — adding exact zeros is an f64 no-op, so skipping
+    absent fields is bit-equal).  dfs/avgdls None → local stats."""
+    from .bm25 import _field_total_tokens, _fold_scores_raw
+
+    field_d, field_s = [], []
+    for field, w in fields:
+        fid = reader.field_id.get(field, -1)
+        if fid < 0:
+            continue
+        avgdl = (avgdls[field] if avgdls is not None
+                 else _field_total_tokens(reader, fid) / n_docs)
+        parts = []
+        for t in stemmed:
+            pl = reader.postings(fid, t, need_positions=False,
+                                 doc_range=doc_range)
+            d, tf, dl = pl.docs, pl.tfs, pl.lens
+            if doc_range is not None:
+                lo, hi = doc_range
+                m = (d >= lo) & (d < hi)
+                d, tf, dl = d[m], tf[m], dl[m]
+            df = (dfs.get((field, t), 0.0) if dfs is not None
+                  else float(d.size))
+            if d.size and df:
+                parts.append((d, tf, dl, df))
+        if not parts:
+            continue
+        uniq_f, sums_f = _fold_scores_raw(parts, n_docs, avgdl, k1, b)
+        field_d.append(uniq_f)
+        field_s.append(w * sums_f)
+    if not field_d:
+        z = np.zeros(0, np.int64)
+        return z, np.zeros(0, np.float64)
+    docs = np.concatenate(field_d)
+    scores = np.concatenate(field_s)
+    order = np.argsort(docs, kind="stable")  # stable: field-major order
+    docs, scores = docs[order], scores[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    sm = np.add.reduceat(scores, starts)
+    mx = np.maximum.reduceat(scores, starts)
+    combined = mx + tie_breaker * (sm - mx)
+    tomb = reader.tombstones
+    if tomb is not None and tomb.size:
+        live = ~np.isin(uniq, tomb)
+        uniq, combined = uniq[live], combined[live]
+    return uniq, np.round(combined, 4)
+
+
+def dismax_df_range(index_dir, fields, stemmed, lo, hi):
+    """Phase-1 worker body: per-(field, term) dfs in [lo, hi)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    out = {}
+    for field, _w in fields:
+        fid = reader.field_id.get(field, -1)
+        if fid < 0:
+            continue
+        for t in stemmed:
+            pl = reader.postings(fid, t, need_positions=False,
+                                 doc_range=(lo, hi))
+            d = pl.docs
+            out[f"{field}\x00{t}"] = (
+                int(((d >= lo) & (d < hi)).sum()) if d.size else 0)
+    return out
+
+
+def dismax_score_range(index_dir, fields, stemmed, dfs_flat, avgdls,
+                       n_docs, k1, b, tie_breaker, k, lo, hi):
+    """Phase-2 worker body: this range's dis_max scores under GLOBAL
+    stats, local top-k + rounded-score ties."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    dfs = {tuple(key.split("\x00")): v for key, v in dfs_flat.items()}
+    uniq, r4 = _dismax_fold(reader, fields, stemmed, dfs, avgdls,
+                            n_docs, k1, b, tie_breaker, (lo, hi))
+    if uniq.size > k:
+        order = np.lexsort((uniq, -r4))
+        cut = r4[order[k - 1]]
+        keep = order[:k + int(np.count_nonzero(r4[order[k:]] == cut))]
+        uniq, r4 = uniq[keep], r4[keep]
+    return uniq, r4
+
+
+def bm25_dismax_topk(sf_dir: str,
+                     terms: tuple[str, ...] = ("merge", "src3", "en"),
+                     fields: tuple[tuple[str, float], ...] = (
+                         ("text", 1.0), ("source", 0.7), ("lang", 0.3)),
+                     tie_breaker: float = 0.3, k: int = 20,
+                     k1: float = 1.2, b: float = 0.75, *,
+                     index_dir: str | None = None) -> pa.Table:
+    """Disjunction-max multi-field query (cf. Elasticsearch/Lucene
+    ``dis_max`` and the ``multi_match best_fields`` type): the doc's
+    score is its BEST field's weighted BM25 plus ``tie_breaker`` times
+    the other fields' — rewarding docs whose match concentrates in one
+    field over docs with scattered weak matches, the opposite bias from
+    ``bm25_fields_topk``'s pure weighted sum (tie_breaker=1 degenerates
+    to it).  Per-field stats (df, avgdl) as bm25_fields_topk; two-phase
+    range fan-out above 5M docs.  Returns (doc_id, score) by (rounded
+    score desc, doc_id asc)."""
+    from ..pipelines import documents_index
+    from ..query.engine import _stem_one
+
+    from .bm25 import _field_total_tokens
+
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        reader = _cached_reader(index_dir)
+    else:
+        reader = documents_index(sf_dir)
+    n_docs = float(reader.num_docs)
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+
+    if index_dir is not None and reader.num_docs >= 5_000_000:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        avgdls = {f: _field_total_tokens(reader, reader.field_id[f])
+                  / n_docs
+                  for f, _ in fields if f in reader.field_id}
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        df_parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "bm25_ext", "dismax_df_range",
+                (index_dir, fields, stemmed, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+        dfs_flat: dict = {}
+        for p in df_parts:
+            for key, v in p.items():
+                dfs_flat[key] = dfs_flat.get(key, 0) + v
+        dfs_flat = {key: float(v) for key, v in dfs_flat.items()}
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "bm25_ext", "dismax_score_range",
+                (index_dir, fields, stemmed, dfs_flat, avgdls, n_docs,
+                 k1, b, tie_breaker, k, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+        uniq = np.concatenate([p[0] for p in parts])
+        r4 = np.concatenate([p[1] for p in parts])
+    else:
+        uniq, r4 = _dismax_fold(reader, fields, stemmed, None, None,
+                                n_docs, k1, b, tie_breaker, None)
+    if not uniq.size:
+        from .bm25 import _empty_topk
+
+        return _empty_topk()
+    top = np.lexsort((uniq, -r4))[:k]
+    return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})

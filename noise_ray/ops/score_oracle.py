@@ -646,6 +646,68 @@ FROM ids
 ORDER BY ROUND({expr}, 4) DESC, ids.{key} LIMIT {k}"""
 
 
+def bm25_dismax_sql(terms: tuple[str, ...],
+                    weights: tuple[tuple[str, float], ...],
+                    tie_breaker: float, k: int,
+                    k1: float = 1.2, b: float = 0.75, *,
+                    src: str = "documents", key: str = "doc_id") -> str:
+    """Dis-max oracle (ops/bm25_ext.bm25_dismax_topk): per-field scores
+    exactly as bm25_fields_sql, combined as ``GREATEST(c_f) + tb ·
+    (Σ c_f − GREATEST(c_f))`` — the engine computes mx + tb·(sm − mx)
+    in the same f64 operand order."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    ctes, combines, joins = [], [], []
+    for f, w in weights:
+        if f == "text":
+            ctes.append(f"""
+tf_text AS (SELECT {key}, tok, count(*) AS tf FROM toks
+            WHERE tok IN ({toks_in}) GROUP BY {key}, tok),
+df_text AS (SELECT tok, count(*) AS df FROM tf_text GROUP BY tok),
+s_text AS (SELECT tf_text.{key},
+                  sum(ln(1.0 + ((SELECT n FROM nn) - df_text.df + 0.5)
+                               / (df_text.df + 0.5))
+                      * tf_text.tf * ({k1} + 1.0)
+                      / (tf_text.tf
+                         + {k1} * (1.0 - {b}
+                                   + {b} * lens.len / (SELECT a FROM ad)))
+                      ) AS sc
+           FROM tf_text JOIN df_text USING (tok)
+           JOIN lens USING ({key})
+           GROUP BY tf_text.{key})""")
+            combines.append(f"{w} * COALESCE(s_text.sc, 0.0)")
+            joins.append(f"LEFT JOIN s_text USING ({key})")
+        else:
+            ctes.append(f"""
+tf_{f} AS (SELECT {key}, {f} AS tok FROM {src}
+           WHERE {f} IN ({toks_in})),
+df_{f} AS (SELECT tok, count(*) AS df FROM tf_{f} GROUP BY tok),
+s_{f} AS (SELECT tf_{f}.{key},
+                 sum(ln(1.0 + ((SELECT n FROM nn) - df_{f}.df + 0.5)
+                              / (df_{f}.df + 0.5))
+                     * 1.0 * ({k1} + 1.0)
+                     / (1.0 + {k1} * (1.0 - {b} + {b} * 1.0 / 1.0))
+                     ) AS sc
+          FROM tf_{f} JOIN df_{f} USING (tok)
+          GROUP BY tf_{f}.{key})""")
+            combines.append(f"{w} * COALESCE(s_{f}.sc, 0.0)")
+            joins.append(f"LEFT JOIN s_{f} USING ({key})")
+    union = " UNION ".join(
+        f"SELECT {key} FROM s_{f}" for f, _ in weights)
+    mx = "GREATEST(" + ", ".join(combines) + ")"
+    sm = " + ".join(combines)
+    expr = f"{mx} + {tie_breaker} * (({sm}) - {mx})"
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),{",".join(ctes)},
+ids AS ({union})
+SELECT ids.{key}, ROUND({expr}, 4) AS score
+FROM ids
+{chr(10).join(joins)}
+ORDER BY ROUND({expr}, 4) DESC, ids.{key} LIMIT {k}"""
+
+
 def bm25_phrase_topk_sql(words: tuple[str, ...], k: int,
                          k1: float = 1.2, b: float = 0.75, *,
                          src: str = "documents",

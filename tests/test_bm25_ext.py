@@ -341,3 +341,65 @@ def test_boosting_range_fold_matches_global(ray_session):
     want = bm25_boosting_topk(SF, ("merge", "scan"), ("slow",), nb, k=k)
     assert docs[top].tolist() == want.column("doc_id").to_pylist()
     assert r4[top].tolist() == want.column("score").to_pylist()
+
+
+def test_dismax_matches_oracle(ray_session):
+    import duckdb
+
+    from noise_ray.ops.bm25_ext import bm25_dismax_topk
+    from noise_ray.ops.score_oracle import bm25_dismax_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = bm25_dismax_topk(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(bm25_dismax_sql(
+        ("merge", "src3", "en"),
+        (("text", 1.0), ("source", 0.7), ("lang", 0.3)), 0.3,
+        20)).fetchdf()
+    assert got.astype(want.dtypes.to_dict()).equals(want)
+
+
+def test_dismax_tiebreaker_one_equals_weighted_sum(ray_session):
+    """tie_breaker=1 degenerates dis_max to the plain weighted sum."""
+    from noise_ray.ops.bm25 import bm25_fields_topk
+    from noise_ray.ops.bm25_ext import bm25_dismax_topk
+
+    sf = "/root/testdata/sf0.001"
+    a = bm25_dismax_topk(sf, tie_breaker=1.0)
+    b = bm25_fields_topk(sf)
+    assert a.equals(b)
+
+
+def test_dismax_range_fold_matches_global(ray_session):
+    from noise_ray.ops.bm25_ext import (bm25_dismax_topk, dismax_df_range,
+                                        dismax_score_range)
+    from noise_ray.pipelines import documents_index
+    from noise_ray.ops.bm25 import _field_total_tokens
+
+    sf = "/root/testdata/sf0.001"
+    reader = documents_index(sf)
+    idx = reader.index_dir
+    fields = (("text", 1.0), ("source", 0.7), ("lang", 0.3))
+    stemmed = ["merg", "src3", "en"]
+    n = reader.num_docs
+    avgdls = {f: _field_total_tokens(reader, reader.field_id[f]) / n
+              for f, _ in fields}
+    cuts = [0, n // 3, 2 * n // 3, n]
+    ranges = list(zip(cuts, cuts[1:]))
+    dfs_flat = {}
+    for lo, hi in ranges:
+        for key, v in dismax_df_range(idx, fields, stemmed,
+                                      lo, hi).items():
+            dfs_flat[key] = dfs_flat.get(key, 0) + v
+    dfs_flat = {key: float(v) for key, v in dfs_flat.items()}
+    parts = [dismax_score_range(idx, fields, stemmed, dfs_flat, avgdls,
+                                float(n), 1.2, 0.75, 0.3, 20, lo, hi)
+             for lo, hi in ranges]
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:20]
+    want = bm25_dismax_topk(sf)
+    assert docs[top].tolist() == want.column("doc_id").to_pylist()
+    assert np.allclose(r4[top], want.column("score").to_numpy())
