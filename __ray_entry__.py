@@ -379,6 +379,15 @@ def _bm25_dismax(sf_dir: str):
     return bm25_dismax_topk(sf_dir)
 
 
+def _bm25_phrase_prefix(sf_dir: str):
+    """Search-as-you-type (ops/bm25_ext.bm25_phrase_prefix_topk, cf. ES
+    match_phrase_prefix): fixed words + any dictionary token with the
+    typed prefix, scored with the exact phrase kernel."""
+    from noise_ray.ops.bm25_ext import bm25_phrase_prefix_topk
+
+    return bm25_phrase_prefix_topk(sf_dir)
+
+
 def _rank_eval(sf_dir: str):
     """Ranking-quality evaluation (ops/rank_eval.py, cf. ES _rank_eval):
     BM25 top-50 per query scored against conjunctive unstated-intent
@@ -748,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_index_bm25": _split_index_bm25,
         "rank_eval": _rank_eval,
         "bm25_dismax": _bm25_dismax,
+        "bm25_phrase_prefix": _bm25_phrase_prefix,
         "collapse_topk": _collapse_topk,
         "top_hits": _top_hits,
         "terms_facet": _terms_facet,
@@ -986,6 +996,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dismax": _score_oracle().bm25_dismax_sql(
             ("merge", "src3", "en"),
             (("text", 1.0), ("source", 0.7), ("lang", 0.3)), 0.3, 20),
+        "bm25_phrase_prefix": _score_oracle().bm25_phrase_prefix_sql(
+            ("window",), "jo", 20),
         "collapse_topk": _score_oracle().collapse_topk_sql(
             ("merge", "scan"), "source", 10),
         "top_hits": _score_oracle().top_hits_sql(

@@ -158,6 +158,7 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     from noise_ray.ops.bm25 import bm25_spannear_topk as _spannear
     from noise_ray.ops.bm25_ext import bm25_boosting_topk as _boosting
     from noise_ray.ops.bm25_ext import bm25_dismax_topk as _dismax
+    from noise_ray.ops.bm25_ext import bm25_phrase_prefix_topk as _ppfx
     from noise_ray.ops.percolate import percolate as _perc
     from noise_ray.ops.rank_eval import rank_eval as _rank_eval
 
@@ -205,6 +206,7 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
                     ("percentiles_agg_sec", lambda: _pctl(SF_DIR)),
                     ("rank_eval_sec", lambda: _rank_eval(SF_DIR)),
                     ("bm25_dismax_sec", lambda: _dismax(SF_DIR)),
+                    ("phrase_prefix_sec", lambda: _ppfx(SF_DIR)),
                     ("suggest_complete_sec",
                      lambda: _termdict.suggest_complete(SF_DIR)),
                     ("collapse_topk_sec", lambda: _collapse(SF_DIR)),

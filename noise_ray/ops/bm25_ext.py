@@ -628,3 +628,91 @@ def bm25_dismax_topk(sf_dir: str,
     top = np.lexsort((uniq, -r4))[:k]
     return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
                      "score": pa.array(r4[top], pa.float64())})
+
+
+# ---------------------------------------------------- phrase-prefix
+
+
+def bm25_phrase_prefix_topk(sf_dir: str, words: tuple[str, ...] = ("window",),
+                            prefix: str = "jo", k: int = 20,
+                            max_expansions: int = 50, k1: float = 1.2,
+                            b: float = 0.75, field: str = "text",
+                            *, index_dir: str | None = None) -> pa.Table:
+    """Search-as-you-type phrase (cf. Elasticsearch
+    ``match_phrase_prefix``): the fixed ``words`` followed immediately by
+    ANY dictionary token starting with ``prefix`` — the last word the
+    user is still typing.  Expansion is a footer-pruned term-dictionary
+    read capped at ``max_expansions`` raw tokens in ascending order (the
+    ES cap, replicated in the oracle); tf = number of phrase-with-any-
+    expansion occurrences, df = docs with >= 1, then the exact phrase
+    kernel of ``bm25_phrase_topk``.  One position holds one token, so
+    summing adjacency counts over expansions never double-counts.
+
+    The expansion probe is |word postings| × n_expansions sorted key
+    lookups (doc<<32|pos keys) — vocabulary-bounded, never corpus-sized.
+    Returns (doc_id, score) by (rounded score desc, doc_id asc)."""
+    from ..build.dictionary import prefix_terms
+    from ..query.engine import _stem_one
+
+    from .bm25 import _field_total_tokens, _phrase_score
+    from .termdict import _reader_and_dict
+
+    if index_dir is not None:
+        raise NotImplementedError(
+            "phrase_prefix needs the term dictionary; pass sf_dir")
+    reader, ddir = _reader_and_dict(sf_dir)
+    n_docs = float(reader.num_docs)
+    fid = reader.field_id[field]
+    avgdl = _field_total_tokens(reader, fid) / n_docs
+    stemmed = [_stem_one(w) for w in words]
+
+    raw = sorted(prefix_terms(ddir, fid, prefix)
+                 .column("token").to_pylist())[:max_expansions]
+    expansions = list(dict.fromkeys(_stem_one(t) for t in raw))
+    if not expansions:
+        from .bm25 import _empty_topk
+
+        return _empty_topk()
+
+    # anchor: the fixed words as an exact sub-phrase — keys at the slot
+    # AFTER the last fixed word
+    mul = np.int64(1) << np.int64(32)
+    anchor_d = anchor_keys = None
+    for i, t in enumerate(stemmed):
+        pl = reader.postings(fid, t, need_positions=True)
+        if not pl.docs.size:
+            from .bm25 import _empty_topk
+
+            return _empty_topk()
+        d = np.repeat(pl.docs, pl.tfs)
+        keys = d * mul + (pl.pos_concat.astype(np.int64) - i)
+        if anchor_keys is None:
+            anchor_d, anchor_keys = d, keys
+            lens_map = (pl.docs, pl.lens)
+        else:
+            m = np.isin(anchor_keys, keys)
+            anchor_d, anchor_keys = anchor_d[m], anchor_keys[m]
+    # anchor_keys hold (doc, start_pos); the expansion must sit at
+    # start_pos + len(words)
+    probe = anchor_keys + np.int64(len(words))
+    hit = np.zeros(probe.size, bool)
+    for e in expansions:
+        pl = reader.postings(fid, e, need_positions=True)
+        if not pl.docs.size:
+            continue
+        keys = (np.repeat(pl.docs, pl.tfs) * mul
+                + pl.pos_concat.astype(np.int64))
+        hit |= np.isin(probe, keys)
+    docs = anchor_d[hit]
+    if not docs.size:
+        from .bm25 import _empty_topk
+
+        return _empty_topk()
+    uniq, tf = np.unique(docs, return_counts=True)
+    dl = lens_map[1][np.searchsorted(lens_map[0], uniq)]
+    uniq, r4 = _phrase_score(uniq, tf.astype(np.int64),
+                             dl.astype(np.int64), float(uniq.size),
+                             n_docs, avgdl, k1, b, reader.tombstones)
+    top = np.lexsort((uniq, -r4))[:k]
+    return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})

@@ -744,6 +744,46 @@ SELECT {key}, ROUND(score, 4) AS score FROM s
 ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
 
 
+def bm25_phrase_prefix_sql(words: tuple[str, ...], prefix: str, k: int,
+                           max_expansions: int = 50, k1: float = 1.2,
+                           b: float = 0.75, *, src: str = "documents",
+                           key: str = "doc_id") -> str:
+    """Phrase-prefix oracle (ops/bm25_ext.bm25_phrase_prefix_topk): the
+    fixed words followed by any token LIKE '<prefix>%' (capped at
+    ``max_expansions`` distinct tokens ascending — the engine's raw
+    dictionary cap), scored with the exact phrase kernel."""
+    n = len(words)
+    joins = "\n       ".join(
+        f"JOIN toks t{i} ON t{i}.{key} = t0.{key} "
+        f"AND t{i}.ord = t0.ord + {i}" for i in range(1, n))
+    conds = " AND ".join(f"t{i}.tok = '{w}'" for i, w in enumerate(words))
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+exp AS (SELECT DISTINCT tok FROM toks WHERE tok LIKE '{prefix}%'
+        ORDER BY tok LIMIT {max_expansions}),
+ph AS (SELECT t0.{key} AS {key}, count(*) AS tf
+       FROM toks t0
+       {joins}
+       JOIN toks te ON te.{key} = t0.{key} AND te.ord = t0.ord + {n}
+       JOIN exp ON te.tok = exp.tok
+       WHERE {conds}
+       GROUP BY t0.{key}),
+pdf AS (SELECT count(*) AS df FROM ph),
+s AS (SELECT ph.{key},
+             ln(1.0 + ((SELECT n FROM nn) - (SELECT df FROM pdf) + 0.5)
+                      / ((SELECT df FROM pdf) + 0.5))
+             * ph.tf * ({k1} + 1.0)
+             / (ph.tf + {k1} * (1.0 - {b}
+                                + {b} * lens.len / (SELECT a FROM ad)))
+               AS score
+      FROM ph JOIN lens USING ({key}))
+SELECT {key}, ROUND(score, 4) AS score FROM s
+ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
+
+
 def explain_score_sql(terms: tuple[str, ...], k1: float = 1.2,
                       b: float = 0.75, *, src: str = "documents",
                       key: str = "doc_id") -> str:

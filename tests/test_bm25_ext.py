@@ -403,3 +403,32 @@ def test_dismax_range_fold_matches_global(ray_session):
     want = bm25_dismax_topk(sf)
     assert docs[top].tolist() == want.column("doc_id").to_pylist()
     assert np.allclose(r4[top], want.column("score").to_numpy())
+
+
+def test_phrase_prefix_matches_oracle(ray_session):
+    import duckdb
+
+    from noise_ray.ops.bm25_ext import bm25_phrase_prefix_topk
+    from noise_ray.ops.score_oracle import bm25_phrase_prefix_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = bm25_phrase_prefix_topk(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(bm25_phrase_prefix_sql(("window",), "jo",
+                                              20)).fetchdf()
+    assert len(got) == 20
+    assert got.astype(want.dtypes.to_dict()).equals(want)
+
+
+def test_phrase_prefix_full_word_equals_phrase(ray_session):
+    """A prefix that matches exactly one dictionary token degenerates
+    to the exact two-word phrase query."""
+    from noise_ray.ops.bm25 import bm25_phrase_topk
+    from noise_ray.ops.bm25_ext import bm25_phrase_prefix_topk
+
+    sf = "/root/testdata/sf0.001"
+    a = bm25_phrase_prefix_topk(sf, words=("window",), prefix="join")
+    b = bm25_phrase_topk(sf, phrase=("window", "join"))
+    assert a.equals(b)
