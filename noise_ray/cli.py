@@ -11,6 +11,7 @@ failed job continues where it stopped:
     merge      <out_index> <src_index...>          # posting-level, flat
     merge-json <out_index> <src_index...>          # posting-level, nested
     split      <src_index> <out_index...> [--cuts a,b,...]  # rebalance
+    split-json <src_index> <out_index...> [--cuts a,b,...]  # nested
     compact    <index>                             # fold epochs+tombstones
     snapshot   <index> <snap_dir>                  # incremental hardlinks
     restore    <snap_dir> <dest_index>
@@ -155,10 +156,11 @@ def main(argv: list[str] | None = None) -> int:
         m.add_argument("index")
         m.add_argument("src", nargs="+")
 
-    sp = sub.add_parser("split")
-    sp.add_argument("index")
-    sp.add_argument("out", nargs="+")
-    sp.add_argument("--cuts", default=None)
+    for name in ("split", "split-json"):
+        sp = sub.add_parser(name)
+        sp.add_argument("index")
+        sp.add_argument("out", nargs="+")
+        sp.add_argument("--cuts", default=None)
 
     c = sub.add_parser("compact")
     c.add_argument("index")
@@ -194,12 +196,13 @@ def main(argv: list[str] | None = None) -> int:
             return _cmd_merge(a, nested=False)
         if a.cmd == "merge-json":
             return _cmd_merge(a, nested=True)
-        if a.cmd == "split":
-            from .build.merge import split_index
+        if a.cmd in ("split", "split-json"):
+            from .build.merge import split_index, split_json_index
 
             cuts = ([int(x) for x in a.cuts.split(",")]
                     if a.cuts else None)
-            mans = split_index(a.index, list(a.out), cuts)
+            fn = split_json_index if a.cmd == "split-json" else split_index
+            mans = fn(a.index, list(a.out), cuts)
             print(json.dumps([m["num_docs"] for m in mans]))
             return 0
         if a.cmd == "compact":

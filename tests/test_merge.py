@@ -286,3 +286,52 @@ def test_merge_then_epoch_then_compact(ray_session, tmp_path):
     a = bm25_topk(SF, k=60, index_dir=out)
     b = bm25_topk(SF, k=60, index_dir=fresh)
     assert a.equals(b)
+
+
+def test_split_json_matches_independent_builds(ray_session, tmp_path):
+    """Nested split: splitting the unified nested index at a shard
+    boundary must be query-equivalent to the independently built halves
+    — scored array-context queries, values ranges (zone maps
+    recomputed), keypath stats, doc fetch."""
+    from noise_ray.build.json_pipeline import build_json_index
+    from noise_ray.build.merge import split_json_index
+    from noise_ray.ops.nested_docs import nested_transcripts_index
+    from noise_ray.query.json_executor import run_json_query
+    from noise_ray.query.json_reader import JsonIndexReader
+
+    uni = nested_transcripts_index(SF)
+    shard_dir = os.path.join(os.path.dirname(uni.index_dir), "..",
+                             "nested", "shards")
+    shards = sorted(
+        os.path.join(shard_dir, f) for f in os.listdir(shard_dir))
+    half = len(shards) // 2
+    import pyarrow.parquet as pq
+
+    cut = sum(pq.read_metadata(p).num_rows for p in shards[:half])
+    outs = [str(tmp_path / "a"), str(tmp_path / "b")]
+    mans = split_json_index(uni.index_dir, outs,
+                            [0, cut, uni.num_docs])
+    assert [m["num_docs"] for m in mans] == [cut, uni.num_docs - cut]
+
+    builds = []
+    for i, grp in enumerate((shards[:half], shards[half:])):
+        d = str(tmp_path / f"ref{i}")
+        build_json_index(grp, d, local=True)
+        builds.append(d)
+
+    q = ('find {turns: [{role: =="assistant", text: ~="of your"}]} '
+         "order score() desc, ._id asc return [._id, score()] limit 20 ;")
+    rq = "find {n_turns: >= 18.0} return ._id ;"
+    for out, ref in zip(outs, builds):
+        a, b = JsonIndexReader(out), JsonIndexReader(ref)
+        assert a.num_docs == b.num_docs
+        assert run_json_query(a, q) == run_json_query(b, q)
+        assert run_json_query(a, rq) == run_json_query(b, rq)
+        assert (a.kp_instance_count(".turns$.text")
+                == b.kp_instance_count(".turns$.text"))
+        assert (a.kp_token_total(".turns$.text")
+                == b.kp_token_total(".turns$.text"))
+        assert a.field_k == b.field_k
+        ids = np.array([0, a.num_docs - 1], np.int64)
+        assert a.doc_json(ids) == b.doc_json(ids)
+        assert a.lookup_id(a.doc_id_strs(ids)[1]) == int(ids[1])
