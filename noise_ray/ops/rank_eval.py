@@ -18,7 +18,10 @@ on BOTH sides; metrics round once to 4dp in f64.  The ranking reuses
 ``ops.bm25.bm25_topk`` (two-phase distributed fan-out above 5M docs);
 the |rel| count and the top-k membership checks are posting reads —
 |rel| via the intersection of the terms' doc lists, membership via
-sorted ``np.isin`` of ≤k docs, nothing corpus-sized on the driver.
+sorted ``np.isin`` of ≤k docs.  Above 5M docs the label intersection
+fans out per doc range through the shared worker pool (rel counts and
+top-k hit masks are disjoint-range partials), so nothing corpus-sized
+is ever read on the driver.
 """
 
 from __future__ import annotations
@@ -42,6 +45,36 @@ def _rel_docs(reader, fid, stemmed) -> np.ndarray:
     if tomb is not None and tomb.size:
         rel = rel[~np.isin(rel, tomb)]
     return np.unique(rel)
+
+
+def rank_eval_range(index_dir, field, stemmed, topk_docs, lo, hi):
+    """Worker body: (|rel ∩ [lo,hi)|, hit mask of ``topk_docs`` whose
+    doc lies in this range) — disjoint ranges sum/OR exactly."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    rel = None
+    for t in stemmed:
+        pl = reader.postings(fid, t, need_positions=False,
+                             doc_range=(lo, hi))
+        d = pl.docs if pl is not None else np.zeros(0, np.int64)
+        if d.size:
+            d = d[(d >= lo) & (d < hi)]
+        rel = d if rel is None else rel[np.isin(rel, d)]
+        if not rel.size:
+            break
+    if rel is None:
+        rel = np.zeros(0, np.int64)
+    tomb = reader.tombstones
+    if tomb is not None and tomb.size:
+        rel = rel[~np.isin(rel, tomb)]
+    rel = np.unique(rel)
+    docs = np.asarray(topk_docs, np.int64)
+    in_range = (docs >= lo) & (docs < hi)
+    hit = np.zeros(docs.size, bool)
+    hit[in_range] = np.isin(docs[in_range], rel)
+    return int(rel.size), hit
 
 
 def rank_eval(sf_dir: str,
@@ -68,9 +101,28 @@ def rank_eval(sf_dir: str,
         top = bm25_topk(sf_dir, terms=tuple(terms), k=k,
                         k1=k1, b=b, field=field, index_dir=index_dir)
         docs = top.column("doc_id").to_numpy()
-        rel = _rel_docs(reader, fid, stemmed)
-        hit = np.isin(docs, rel)
-        n_rel = int(rel.size)
+        if index_dir is not None and reader.num_docs >= 5_000_000:
+            import ray
+
+            from ..query.distributed import worker_pool
+
+            from .bm25_ext import _doc_ranges
+
+            ranges = _doc_ranges(reader)
+            pool = worker_pool()
+            parts = ray.get([
+                pool[i % len(pool)].ops_call.remote(
+                    "rank_eval", "rank_eval_range",
+                    (index_dir, field, stemmed, docs, lo, hi))
+                for i, (lo, hi) in enumerate(ranges)])
+            n_rel = int(sum(p[0] for p in parts))
+            hit = np.zeros(docs.size, bool)
+            for p in parts:
+                hit |= p[1]
+        else:
+            rel = _rel_docs(reader, fid, stemmed)
+            hit = np.isin(docs, rel)
+            n_rel = int(rel.size)
         kk = float(k)
         p = float(hit.sum()) / kk
         r = (float(hit.sum()) / n_rel) if n_rel else 0.0

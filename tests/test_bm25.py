@@ -845,3 +845,29 @@ def test_rank_eval_perfect_when_labels_equal_query(ray_session):
                     queries=((("merge", "scan"), "merge"),), k=10)
     assert got.column("ndcg_at_k").to_pylist() == [1.0]
     assert got.column("p_at_k").to_pylist() == [1.0]
+
+
+def test_rank_eval_range_fold_matches_inprocess(ray_session):
+    """Per-range (n_rel, hit-mask) partials sum/OR to the in-process
+    label computation (disjoint ranges)."""
+    import numpy as np
+
+    from noise_ray.ops.rank_eval import _rel_docs, rank_eval_range
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index("/root/testdata/sf0.001")
+    idx = reader.index_dir
+    fid = reader.field_id["text"]
+    stemmed = ["merg", "scan", "row"]
+    n = reader.num_docs
+    cuts = [0, n // 3, 2 * n // 3, n]
+    docs = np.array([0, 5, n // 2, n - 1], np.int64)
+    parts = [rank_eval_range(idx, "text", stemmed, docs, lo, hi)
+             for lo, hi in zip(cuts, cuts[1:])]
+    n_rel = sum(p[0] for p in parts)
+    hit = np.zeros(docs.size, bool)
+    for p in parts:
+        hit |= p[1]
+    rel = _rel_docs(reader, fid, stemmed)
+    assert n_rel == rel.size
+    assert np.array_equal(hit, np.isin(docs, rel))
