@@ -802,3 +802,51 @@ def split_json_index(src_dir: str, out_dirs: list[str],
         os.replace(tmp, os.path.join(d, MANIFEST_NAME))
         mans.append(out_man)
     return mans
+
+
+def merge_dedup_keys(out_dir: str) -> int:
+    """Upsert semantics for merges of OVERLAPPING corpora: tombstone
+    every doc whose key columns collide with a higher merged doc id
+    (later source wins — the lookup rule).  One key-hash groupby over
+    the merged docmap's key columns (column-pruned read, only colliding
+    ids return to the driver); stats stay untouched until compaction —
+    the same Lucene hidden-delete semantics as the incremental upsert.
+    Returns the number of tombstoned docs."""
+    import ray.data
+
+    with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
+        man = json.load(f)
+    kc = list(man["key_columns"])
+    paths = [os.path.join(out_dir, e["path"]) for e in man["docmap"]]
+    schema_names = pq.read_schema(paths[0]).names
+    # when the key column IS doc_id, the source key rides as src_doc_id
+    # (the internal doc_id column was rewritten by the merge)
+    keycols = [("src_doc_id" if c == "doc_id"
+                and "src_doc_id" in schema_names else c) for c in kc]
+    cols = list(dict.fromkeys(["doc_id", *keycols]))
+
+    def dead_of(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id")
+        if g.num_rows <= 1:
+            return pa.table({"dead": pa.array([], pa.int64())})
+        mx = pa.compute.max(ids).as_py()
+        dead = [int(v.as_py()) for v in ids if v.as_py() != mx]
+        return pa.table({"dead": pa.array(dead, pa.int64())})
+
+    dead_rows = (ray.data.read_parquet(paths, columns=cols)
+                 .groupby(keycols)
+                 .map_groups(dead_of, batch_format="pyarrow")
+                 .take_all())
+    dead = sorted(int(r["dead"]) for r in dead_rows)
+    if not dead:
+        return 0
+    tp = os.path.join(out_dir, "tombstones.json")
+    prior = []
+    if os.path.exists(tp):
+        with open(tp) as f:
+            prior = json.load(f)
+    merged = sorted(set(prior) | set(dead))
+    with open(tp + ".tmp", "w") as f:
+        json.dump(merged, f)
+    os.replace(tp + ".tmp", tp)
+    return len(dead)

@@ -351,7 +351,13 @@ class IndexReader:
     def lookup_doc(self, conv_id: str, turn_idx: int) -> int | None:
         """Resolve a (key columns) identity to its doc_id (the analogue of
         the reference's I<id> lookup, src/key_builder.rs:104-109)."""
-        keys = self.manifest["key_columns"]
+        keys = list(self.manifest["key_columns"])
+        if keys[0] == "doc_id":
+            # the internal doc_id column shadows a doc_id key column;
+            # the SOURCE key rides as src_doc_id in the docmap
+            names = pq.read_schema(self._docmap[0]["path"]).names
+            if "src_doc_id" in names:
+                keys[0] = "src_doc_id"
         filters = [(keys[0], "==", conv_id)]
         if len(keys) > 1:
             filters.append((keys[1], "==", turn_idx))

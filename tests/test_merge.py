@@ -335,3 +335,32 @@ def test_split_json_matches_independent_builds(ray_session, tmp_path):
         ids = np.array([0, a.num_docs - 1], np.int64)
         assert a.doc_json(ids) == b.doc_json(ids)
         assert a.lookup_id(a.doc_id_strs(ids)[1]) == int(ids[1])
+
+
+def test_merge_overlapping_with_dedup_keys(ray_session, tmp_path):
+    """Merging a shard with a COPY of itself + merge_dedup_keys
+    tombstones the earlier copy (later source wins); after compaction
+    the result answers exactly like the single shard."""
+    from noise_ray.build.compact import compact_index
+    from noise_ray.build.merge import merge_dedup_keys, merge_indexes
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.ops.federated import shard_documents_indexes
+    from noise_ray.query.reader import IndexReader
+
+    shard = shard_documents_indexes(SF, 3)[0]
+    n = IndexReader(shard).num_docs
+    out = str(tmp_path / "m")
+    for part in ("docmap", "segments", "stats"):
+        os.makedirs(os.path.join(out, part), exist_ok=True)
+    merge_indexes([shard, shard], out)
+    dead = merge_dedup_keys(out)
+    assert dead == n  # every source-0 doc shadowed by its copy
+    mer = IndexReader(out)
+    assert mer.tombstones.tolist() == list(range(n))
+    # lookup resolves to the surviving (higher) copy
+    assert mer.lookup_doc(0, 0) >= n
+
+    compact_index(out)
+    a = bm25_topk(SF, k=20, index_dir=out)
+    b = bm25_topk(SF, k=20, index_dir=shard)
+    assert a.equals(b)
