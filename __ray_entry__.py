@@ -801,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topk": relational.orders_topk,
         "region_nations_concat": relational.region_nations_concat,
         "events_hourly": relational.events_hourly,
+        "events_hourly_ma": relational.events_hourly_ma,
         "orders_by_segment": relational.orders_by_segment,
         "shipdate_range_counts": relational.shipdate_range_counts,
         "sessionize": relational.sessionize,
@@ -1068,6 +1069,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2""",
+        # pipeline agg: trailing 3-existing-bucket moving average
+        "events_hourly_ma": """
+            WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                              count(*) AS n_events
+                       FROM events GROUP BY 1, 2)
+            SELECT hour, event_type, n_events,
+                   ROUND(AVG(CAST(n_events AS DOUBLE)) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                       AS ma
+            FROM h""",
         "orders_by_segment": """
             SELECT c_mktsegment, count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey

@@ -505,3 +505,33 @@ def order_priority_revenue(sf_dir: str, num_partitions: int | None = None):
                    Sum("cents", alias_name="revenue_cents"))
         .sort("o_orderpriority")
     )
+
+
+def events_hourly_ma(sf_dir: str, window: int = 3) -> pa.Table:
+    """Pipeline aggregation (cf. Elasticsearch ``moving_fn`` /
+    ``derivative`` over a date_histogram): the trailing ``window``-bucket
+    moving average of hourly event counts per event_type, computed over
+    the EXISTING buckets in hour order (the ES pipeline-agg contract —
+    sibling buckets, not wall-clock gaps).  The heavy work is
+    events_hourly's one windowed groupby; the pipeline pass runs over
+    the window-cardinality bucket table, never the event stream.
+    Returns (hour, event_type, n_events, ma) ordered (event_type, hour),
+    ma rounded 4dp."""
+    t = events_hourly(sf_dir).to_pandas()
+    t = t.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    hours = t["hour"].to_numpy()
+    ets = t["event_type"].to_numpy()
+    ns = t["n_events"].to_numpy().astype(np.float64)
+    ma = np.empty(len(t), np.float64)
+    start = 0
+    for i in range(len(t)):
+        if i and ets[i] != ets[i - 1]:
+            start = i
+        lo = max(start, i - window + 1)
+        ma[i] = ns[lo:i + 1].sum() / (i + 1 - lo)
+    return pa.table({
+        "hour": pa.array(hours),
+        "event_type": pa.array(ets.tolist(), pa.string()),
+        "n_events": pa.array(t["n_events"].to_numpy(), pa.int64()),
+        "ma": pa.array(np.round(ma, 4), pa.float64()),
+    })

@@ -103,3 +103,22 @@ def test_corpus_prep_matches_composition(ray_session):
            for r in corpus_prep(SF).take_all()]
     assert got == want
     assert 0 < len(want) < t.num_rows  # filter and dedup both fired
+
+
+def test_events_hourly_ma_matches_window_oracle(ray_session):
+    """Pipeline agg: trailing 3-existing-bucket moving average equals
+    the SQL window-function recomputation."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = entry.queries()["events_hourly_ma"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM read_parquet('{sf}/events.parquet')")
+    want = con.execute(entry.oracle_sql()["events_hourly_ma"]).fetchdf()
+    g = got.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    w = want.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    assert (g["ma"].to_numpy() == w["ma"].to_numpy()).all()
+    assert (g["n_events"].to_numpy() == w["n_events"].to_numpy()).all()
