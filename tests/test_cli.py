@@ -86,3 +86,24 @@ def test_cli_query_nested(ray_session, tmp_path):
     assert rc == 0
     rows = [json.loads(ln) for ln in out.strip().split("\n") if ln]
     assert rows and all(isinstance(r, str) for r in rows)
+
+
+def test_cli_split_json_and_merge_json(ray_session, tmp_path):
+    from noise_ray.ops.nested_docs import nested_transcripts_index
+    from noise_ray.query.json_executor import run_json_query
+    from noise_ray.query.json_reader import JsonIndexReader
+
+    uni = nested_transcripts_index(SF)
+    outs = [str(tmp_path / "a"), str(tmp_path / "b")]
+    rc, out = _run(["split-json", uni.index_dir, *outs])
+    assert rc == 0
+    sizes = json.loads(out)
+    assert sum(sizes) == uni.num_docs
+
+    back = str(tmp_path / "back")
+    rc, out = _run(["merge-json", back, *outs])
+    assert rc == 0
+    assert json.loads(out)["num_docs"] == uni.num_docs
+    q = "find {n_turns: >= 18.0} return ._id ;"
+    assert (run_json_query(JsonIndexReader(back), q)
+            == run_json_query(uni, q))

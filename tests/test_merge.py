@@ -364,3 +364,41 @@ def test_merge_overlapping_with_dedup_keys(ray_session, tmp_path):
     a = bm25_topk(SF, k=20, index_dir=out)
     b = bm25_topk(SF, k=20, index_dir=shard)
     assert a.equals(b)
+
+
+def test_split_random_cuts_property(ray_session, tmp_path):
+    """Property: for ANY cut points, each split's postings equal the
+    unified postings restricted to the range and rebased."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from noise_ray.pipelines import documents_index
+
+    uni = documents_index(SF)
+    n = uni.num_docs
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(1, n - 1), min_size=1, max_size=3,
+                    unique=True))
+    def check(mids):
+        from noise_ray.build.merge import split_index
+        from noise_ray.query.reader import IndexReader
+
+        cuts = [0] + sorted(mids) + [n]
+        counter[0] += 1
+        outs = [str(tmp_path / f"r{counter[0]}-{j}")
+                for j in range(len(cuts) - 1)]
+        split_index(uni.index_dir, outs, cuts)
+        for j, out in enumerate(outs):
+            lo, hi = cuts[j], cuts[j + 1]
+            r = IndexReader(out)
+            for term in ("merg", "scan"):
+                a = r.postings("text", term)
+                b = uni.postings("text", term)
+                m = (b.docs >= lo) & (b.docs < hi)
+                assert np.array_equal(a.docs, b.docs[m] - lo)
+                assert np.array_equal(a.tfs, b.tfs[m])
+                assert np.array_equal(a.lens, b.lens[m])
+
+    check()
