@@ -109,7 +109,11 @@ def merge_json_indexes(src_dirs: list[str], out_dir: str) -> dict:
     the identical docs-delta layout; arraypaths are plain varints with
     no doc dependency, so they copy through), plus the values
     partitions — rewritten with the shifted ``doc_id`` column while the
-    per-kp zone maps ride along in the preserved parquet KV metadata."""
+    per-kp zone maps ride along in the preserved parquet KV metadata.
+    Spatial sidecars are NOT carried (the merged values file names no
+    longer match a sidecar): bbox queries on geometry-bearing merged
+    partitions take the documented per-partition fallback scan until a
+    compaction rebuilds the sidecars."""
     return _merge(src_dirs, out_dir, nested=True)
 
 

@@ -34,14 +34,16 @@ def _closure(index_dir: str) -> list[str]:
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
     rel = ["manifest.json"]
-    for section in ("docmap", "segments", "stats"):
+    for section in ("docmap", "segments", "stats", "values"):
         rel.extend(entry["path"] for entry in manifest.get(section, []))
     if os.path.exists(os.path.join(index_dir, "tombstones.json")):
         rel.append("tombstones.json")
-    # derived term dictionary (ops/termdict) rides along when present
-    for p in sorted(glob.glob(os.path.join(index_dir,
-                                           "dictionary", "*.parquet"))):
-        rel.append(os.path.relpath(p, index_dir))
+    # derived sidecars ride along when present: the term dictionary
+    # (ops/termdict) and the nested spatial grid buckets (build/spatial)
+    for side in ("dictionary", "spatial"):
+        for p in sorted(glob.glob(os.path.join(index_dir, side,
+                                               "*.parquet"))):
+            rel.append(os.path.relpath(p, index_dir))
     # published epochs are self-contained sub-indexes (no nesting)
     from .incremental import _epoch_dirs
 

@@ -82,3 +82,26 @@ def test_snapshot_is_isolated_from_later_writes(tmp_path, ray_session):
     assert after.equals(before)
     live = bm25_topk("unused", ("alpha",), k=50, index_dir=idx)
     assert not live.equals(before)
+
+
+def test_nested_snapshot_restore_roundtrip(tmp_path, ray_session):
+    """Nested indexes snapshot their values partitions (and spatial
+    sidecars) too — the restored copy answers values-range and scored
+    queries identically."""
+    from noise_ray.build.snapshot import restore_index, snapshot_index
+    from noise_ray.ops.nested_docs import nested_transcripts_index
+    from noise_ray.query.json_executor import run_json_query
+    from noise_ray.query.json_reader import JsonIndexReader
+
+    uni = nested_transcripts_index("/root/testdata/sf0.001")
+    snap = str(tmp_path / "snap")
+    snapshot_index(uni.index_dir, snap)
+    dest = str(tmp_path / "restored")
+    restore_index(snap, dest)
+    r = JsonIndexReader(dest)
+    assert r.num_docs == uni.num_docs
+    for q in ("find {n_turns: >= 18.0} return ._id ;",
+              'find {turns: [{role: =="assistant", text: ~="of your"}]} '
+              "order score() desc, ._id asc return [._id, score()] "
+              "limit 20 ;"):
+        assert run_json_query(r, q) == run_json_query(uni, q)
