@@ -871,3 +871,49 @@ def test_rank_eval_range_fold_matches_inprocess(ray_session):
     rel = _rel_docs(reader, fid, stemmed)
     assert n_rel == rel.size
     assert np.array_equal(hit, np.isin(docs, rel))
+
+
+def test_search_batcher_matches_individual_queries(ray_session):
+    """SearchBatcher coalesces concurrent callers into msearch rounds;
+    every caller gets exactly its individual bm25_topk answer."""
+    import threading
+
+    from noise_ray.ops.bm25 import bm25_topk
+    from noise_ray.ops.search_server import SearchBatcher
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index("/root/testdata/sf0.001")
+    batcher = SearchBatcher(reader.index_dir, k=10)
+    queries = [("merge", "scan"), ("row", "group"), ("sort", "filter"),
+               ("join", "scan"), ("merge",), ("row", "merge")]
+    results = [None] * len(queries)
+
+    def call(i):
+        results[i] = batcher.search(queries[i])
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(len(queries))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    batcher.close()
+    for i, terms in enumerate(queries):
+        want = bm25_topk("/root/testdata/sf0.001", terms=terms, k=10,
+                         index_dir=reader.index_dir)
+        got = results[i].combine_chunks()
+        assert got.column("doc_id").to_pylist() == \
+            want.column("doc_id").to_pylist()
+        assert got.column("score").to_pylist() == \
+            want.column("score").to_pylist()
+
+
+def test_search_batcher_propagates_errors(ray_session):
+    from noise_ray.ops.search_server import SearchBatcher
+
+    b = SearchBatcher("/nonexistent/idx", k=5)
+    import pytest
+
+    with pytest.raises(Exception):
+        b.search(("merge",))
+    b.close()
