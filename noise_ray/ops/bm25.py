@@ -1205,12 +1205,24 @@ def _bm25_distributed(index_dir: str, reader, stemmed: list[str],
     ranges = [(lo, min(lo + span, reader.num_docs))
               for lo in range(0, reader.num_docs, span)]
     pool = worker_pool()
-    df_parts = ray.get([
-        pool[i % len(pool)].bm25_df.remote(index_dir, field, stemmed,
-                                           lo, hi)
-        for i, (lo, hi) in enumerate(ranges)])
-    dfs = [float(sum(p[j] for p in df_parts))
-           for j in range(len(stemmed))]
+    # term dfs are static per index version: cache them on the driver's
+    # version-keyed cached reader, so WARM repeated queries (and paging
+    # via search_after) skip the whole phase-1 fan-out round
+    cache = getattr(reader, "_df_cache", None)
+    if cache is None:
+        cache = reader._df_cache = {}
+    missing = [t for t in stemmed if (field, t) not in cache]
+    fresh: dict = {}
+    if missing:
+        df_parts = ray.get([
+            pool[i % len(pool)].bm25_df.remote(index_dir, field, missing,
+                                               lo, hi)
+            for i, (lo, hi) in enumerate(ranges)])
+        for j, t in enumerate(missing):
+            fresh[t] = float(sum(p[j] for p in df_parts))
+            if len(cache) < 65536:
+                cache[(field, t)] = fresh[t]
+    dfs = [cache.get((field, t), fresh.get(t, 0.0)) for t in stemmed]
     parts = ray.get([
         pool[i % len(pool)].bm25_score.remote(
             index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b, k,
