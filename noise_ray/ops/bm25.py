@@ -214,13 +214,34 @@ def _fold_scores(term_parts, n_docs, avgdl, k1, b, tomb):
     if not all_docs:
         z = np.zeros(0, np.int64)
         return z, np.zeros(0, np.float64), np.zeros(0, np.int64)
-    docs = np.concatenate(all_docs)
-    scores = np.concatenate(all_scores)
-    order = np.argsort(docs, kind="stable")
-    docs, scores = docs[order], scores[order]
-    uniq, starts = np.unique(docs, return_index=True)
-    summed = np.add.reduceat(scores, starts)
-    cnts = np.diff(np.append(starts, docs.size))
+    lo = min(int(d.min()) for d in all_docs)
+    hi = max(int(d.max()) for d in all_docs)
+    span = hi - lo + 1
+    # dense only where it measurably wins: summed entry density >= 1
+    # (stopword-heavy folds); sparser folds keep the sort path
+    total = sum(d.size for d in all_docs)
+    if span <= 4 << 20 and total >= span:
+        # dense fast path (range workers / stopword-scale runs): per-term
+        # docs are sorted UNIQUE, so fancy-assign += accumulates one add
+        # per (doc, term) in the SAME term order the sort path's stable
+        # reduceat uses — bit-equal f64 sums, no O(n log n) argsort
+        acc = np.zeros(span, np.float64)
+        cnt = np.zeros(span, np.int16)
+        for d, s in zip(all_docs, all_scores):
+            acc[d - lo] += s
+            cnt[d - lo] += 1
+        idx = np.flatnonzero(cnt)
+        uniq = idx + lo
+        summed = acc[idx]
+        cnts = cnt[idx].astype(np.int64)
+    else:
+        docs = np.concatenate(all_docs)
+        scores = np.concatenate(all_scores)
+        order = np.argsort(docs, kind="stable")
+        docs, scores = docs[order], scores[order]
+        uniq, starts = np.unique(docs, return_index=True)
+        summed = np.add.reduceat(scores, starts)
+        cnts = np.diff(np.append(starts, docs.size))
     if tomb is not None and tomb.size:
         live = ~np.isin(uniq, tomb)
         uniq, summed, cnts = uniq[live], summed[live], cnts[live]
