@@ -379,6 +379,15 @@ def _bm25_dismax(sf_dir: str):
     return bm25_dismax_topk(sf_dir)
 
 
+def _did_you_mean_phrase(sf_dir: str):
+    """Phrase suggester (ops/termdict.did_you_mean_phrase, cf. ES
+    phrase suggester): per-word fuzzy candidates re-ranked by corpus
+    bigram evidence from the positional postings."""
+    from noise_ray.ops.termdict import did_you_mean_phrase
+
+    return did_you_mean_phrase(sf_dir)
+
+
 def _bm25_phrase_prefix(sf_dir: str):
     """Search-as-you-type (ops/bm25_ext.bm25_phrase_prefix_topk, cf. ES
     match_phrase_prefix): fixed words + any dictionary token with the
@@ -758,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval": _rank_eval,
         "bm25_dismax": _bm25_dismax,
         "bm25_phrase_prefix": _bm25_phrase_prefix,
+        "did_you_mean_phrase": _did_you_mean_phrase,
         "collapse_topk": _collapse_topk,
         "top_hits": _top_hits,
         "terms_facet": _terms_facet,
@@ -999,6 +1009,8 @@ def oracle_sql() -> dict[str, str]:
             (("text", 1.0), ("source", 0.7), ("lang", 0.3)), 0.3, 20),
         "bm25_phrase_prefix": _score_oracle().bm25_phrase_prefix_sql(
             ("window",), "jo", 20),
+        "did_you_mean_phrase": _score_oracle().did_you_mean_phrase_sql(
+            ("mrge", "scn")),
         "collapse_topk": _score_oracle().collapse_topk_sql(
             ("merge", "scan"), "source", 10),
         "top_hits": _score_oracle().top_hits_sql(

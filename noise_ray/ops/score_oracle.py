@@ -494,6 +494,37 @@ ORDER BY dist, cf DESC, token
 LIMIT {limit}"""
 
 
+def did_you_mean_phrase_sql(words: tuple[str, str], max_dist: int = 1,
+                            k: int = 3, max_cand: int = 8, *,
+                            src: str = "documents",
+                            key: str = "doc_id") -> str:
+    """Phrase-suggester oracle (ops/termdict.did_you_mean_phrase):
+    per-word candidates capped by the same (dist, cf desc, token)
+    order, pairs ranked by (corpus bigram count desc, cf sum desc,
+    phrase asc) — integer-exact."""
+    cands = []
+    for i, w in enumerate(words):
+        cands.append(f"""
+cand{i} AS (SELECT token, cf FROM (
+    SELECT tok AS token, levenshtein(tok, '{w}') AS dist,
+           count(*) AS cf
+    FROM toks GROUP BY tok) c
+    WHERE dist <= {max_dist}
+    ORDER BY dist, cf DESC, token LIMIT {max_cand})""")
+    return f"""
+WITH {_toks(src, key)},{",".join(cands)},
+big AS (SELECT a.tok AS t0, b.tok AS t1, count(*) AS n
+        FROM toks a JOIN toks b
+        ON a.{key} = b.{key} AND b.ord = a.ord + 1
+        GROUP BY 1, 2)
+SELECT c0.token || ' ' || c1.token AS phrase,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS bigram_n,
+       CAST(c0.cf + c1.cf AS BIGINT) AS cf_sum
+FROM cand0 c0 CROSS JOIN cand1 c1
+LEFT JOIN big b ON b.t0 = c0.token AND b.t1 = c1.token
+ORDER BY bigram_n DESC, cf_sum DESC, phrase LIMIT {k}"""
+
+
 def hybrid_rrf_sql(term: str, query_vec_id: int, k: int, rrf_k: int,
                    topn: int, *, src: str = "documents",
                    key: str = "doc_id") -> str:

@@ -136,3 +136,61 @@ def did_you_mean(sf_dir: str, word: str = "qery", max_dist: int = 2,
         "dist": pa.array(dist[order], pa.int64()),
         "cf": pa.array(cf[order], pa.int64()),
     })
+
+
+def did_you_mean_phrase(sf_dir: str, words: tuple[str, str] = ("mrge",
+                                                               "scn"),
+                        max_dist: int = 1, k: int = 3,
+                        max_cand: int = 8,
+                        field: str = "text") -> pa.Table:
+    """Phrase suggester (cf. Elasticsearch ``phrase`` suggester): correct
+    a whole misspelled 2-word phrase by generating per-word candidates
+    (dictionary tokens within ``max_dist`` edits, capped at ``max_cand``
+    by (dist, cf desc, token) — the ES candidate-generator cap) and
+    re-ranking candidate PAIRS by corpus bigram evidence: (adjacency
+    count desc, cf sum desc, phrase asc), all integer-exact.  The
+    adjacency count comes from the positional postings (the exact-phrase
+    occurrence kernel summed corpus-wide), never a corpus re-scan.
+    Returns (phrase, bigram_n, cf_sum) top-``k``."""
+    import numpy as np
+
+    from ..analysis.porter2 import stem as _stem
+    from ..build.dictionary import fuzzy_terms
+
+    reader, ddir = _reader_and_dict(sf_dir)
+    fid = reader.field_id[field]
+
+    def cands(word):
+        t = fuzzy_terms(ddir, fid, word, max_dist)
+        toks = t.column("token").to_pylist()
+        dist = t.column("dist").to_numpy()
+        cf = t.column("cf").to_numpy()
+        arr = np.array(toks) if toks else np.array([], dtype=str)
+        order = np.lexsort((arr, -cf, dist))[:max_cand]
+        return [(toks[i], int(cf[i])) for i in order]
+
+    c0, c1 = cands(words[0]), cands(words[1])
+    mul = np.int64(1) << np.int64(32)
+
+    def keys_of(token, shift):
+        pl = reader.postings(fid, _stem(token), need_positions=True)
+        if not pl.docs.size:
+            return np.zeros(0, np.int64)
+        return (np.repeat(pl.docs, pl.tfs) * mul
+                + pl.pos_concat.astype(np.int64) - shift)
+
+    k0 = {t: keys_of(t, 0) for t, _ in c0}
+    k1 = {t: keys_of(t, 1) for t, _ in c1}
+    rows = []
+    for t0, cf0 in c0:
+        a = k0[t0]
+        for t1, cf1 in c1:
+            n = int(np.isin(a, k1[t1]).sum()) if a.size else 0
+            rows.append((f"{t0} {t1}", n, cf0 + cf1))
+    rows.sort(key=lambda r: (-r[1], -r[2], r[0]))
+    rows = rows[:k]
+    return pa.table({
+        "phrase": pa.array([r[0] for r in rows], pa.string()),
+        "bigram_n": pa.array([r[1] for r in rows], pa.int64()),
+        "cf_sum": pa.array([r[2] for r in rows], pa.int64()),
+    })

@@ -264,3 +264,20 @@ def test_chunk_documents_windows(ray_session):
             assert a[48:] == b[:len(a) - 48]
             multi += 1
     assert multi > 0
+
+
+def test_did_you_mean_phrase_matches_oracle(ray_session):
+    import duckdb
+
+    from noise_ray.ops.score_oracle import did_you_mean_phrase_sql
+    from noise_ray.ops.termdict import did_you_mean_phrase
+
+    sf = "/root/testdata/sf0.001"
+    got = did_you_mean_phrase(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(did_you_mean_phrase_sql(("mrge", "scn"))).fetchdf()
+    assert len(got) >= 1
+    assert got["phrase"].iloc[0] == "merge scan"
+    assert got.astype(want.dtypes.to_dict()).equals(want)
