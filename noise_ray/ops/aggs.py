@@ -29,8 +29,12 @@ top of ranked retrieval, computed straight off the index artifacts
   no posting payload), foreground intersections are per-range partial
   sums.
 
-All three fan out per doc range above 5M docs through the shared
-range-actor pool (query/distributed.worker_pool via ``ops_call``);
+Round 3 adds top-hits (per-group top-N, collapse generalized), the
+terms facet (matched-doc counts per keyword value), exact cardinality
+(distinct stored values over the matched set), and exact percentiles
+(see their docstrings).  Every aggregation fans out per doc range above
+5M docs through the shared range-actor pool
+(query/distributed.worker_pool via ``ops_call``);
 determinism contract as ops/bm25.py: f64 in fixed operand order,
 rounded once (4dp scores / 6dp significance), total tiebreak orders.
 """
