@@ -484,6 +484,17 @@ def sig_counts_range(index_dir, field, stemmed, vocab, lo, hi):
     fg = _matched_union(reader, fid, stemmed, rng)
     fg_dfs, bg_dfs = [], []
     tomb = reader.tombstones
+    # dense membership masks over the range span: per-term counts become
+    # one vectorized gather+sum instead of an O(n log m) isin per term —
+    # the vocab loop's former wall at 10^7-doc ranges
+    base = int(fg[0]) if fg.size else (lo or 0)
+    top = int(fg[-1]) + 1 if fg.size else base
+    fg_mask = np.zeros(top - base, bool)
+    if fg.size:
+        fg_mask[fg - base] = True
+    tomb_set = None
+    if tomb is not None and tomb.size:
+        tomb_set = tomb
     for t in vocab:
         pl = reader.postings(fid, t, need_positions=False, doc_range=rng)
         if pl is None or not pl.docs.size:
@@ -494,10 +505,11 @@ def sig_counts_range(index_dir, field, stemmed, vocab, lo, hi):
         if rng is not None:
             d = d[(d >= lo) & (d < hi)]
         d = np.unique(d)
-        if tomb is not None and tomb.size:
-            d = d[~np.isin(d, tomb)]
+        if tomb_set is not None:
+            d = d[~np.isin(d, tomb_set)]
         bg_dfs.append(int(d.size))
-        fg_dfs.append(int(np.isin(d, fg, assume_unique=True).sum()))
+        dd = d[(d >= base) & (d < top)]
+        fg_dfs.append(int(fg_mask[dd - base].sum()))
     return int(fg.size), fg_dfs, bg_dfs
 
 
