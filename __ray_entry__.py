@@ -379,6 +379,15 @@ def _bm25_dismax(sf_dir: str):
     return bm25_dismax_topk(sf_dir)
 
 
+def _winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprints (ops/text.winnow_fingerprints — the MOSS
+    local-sampling sketch): per-doc sliding-window minima over the
+    shared 3-gram shingle hashes, distinct (doc, fp)."""
+    from noise_ray.ops.text import winnow_fingerprints
+
+    return winnow_fingerprints(sf_dir)
+
+
 def _did_you_mean_phrase(sf_dir: str):
     """Phrase suggester (ops/termdict.did_you_mean_phrase, cf. ES
     phrase suggester): per-word fuzzy candidates re-ranked by corpus
@@ -768,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_dismax": _bm25_dismax,
         "bm25_phrase_prefix": _bm25_phrase_prefix,
         "did_you_mean_phrase": _did_you_mean_phrase,
+        "winnow_fingerprints": _winnow_fingerprints,
         "collapse_topk": _collapse_topk,
         "top_hits": _top_hits,
         "terms_facet": _terms_facet,
@@ -1161,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
         # exact SQL replicas of the LSH hash pipelines (see oracle_sqlgen)
         "minhash_lsh_pairs": _sqlgen().minhash_lsh_pairs_sql(),
+        "winnow_fingerprints": _sqlgen().winnow_fingerprints_sql(),
         "simhash_pairs": _sqlgen().simhash_pairs_sql(),
         "langid": _sqlgen().langid_sql(),
         "ann_bucketed": _sqlgen().ann_bucketed_sql(),

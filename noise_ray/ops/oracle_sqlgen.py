@@ -683,3 +683,55 @@ def hll_distinct_sql(p: int = 9) -> str:
     FROM mx JOIN est USING (source)
     ORDER BY mx.source, mx.register
     """
+
+
+def winnow_fingerprints_sql(window: int = 4) -> str:
+    """Exact oracle for ``ops.text.winnow_fingerprints``: the shared
+    shingle-hash CTEs (token hash → 3/5/7 combine → splitmix64), then a
+    per-doc sliding MIN over ``window`` consecutive shingles (windows
+    fully inside the doc), distinct; docs with fewer shingles keep the
+    single minimum."""
+    return f"""
+    WITH RECURSIVE
+    {_TOKEN_HASH_CTES},
+    ndoc AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+    shw AS (
+        SELECT doc_id, ti,
+               CAST((3 * CAST(h AS HUGEINT)
+                     + 5 * CAST(lead(h, 1) OVER w AS HUGEINT)
+                     + 7 * CAST(lead(h, 2) OVER w AS HUGEINT))
+                    % {_M64} AS UBIGINT) AS c0,
+               lead(h, 2) OVER w IS NOT NULL AS full3
+        FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY ti)
+    ),
+    shshort AS (
+        SELECT th.doc_id,
+               CAST(SUM(CAST(h AS HUGEINT) * (2 * (ti - 1) + 3))
+                    % {_M64} AS UBIGINT) AS c0
+        FROM th JOIN ndoc ON ndoc.doc_id = th.doc_id AND ndoc.n < 3
+        GROUP BY th.doc_id
+    ),
+    shord AS (
+        SELECT doc_id, ti, {_sm('c0')} AS s FROM shw WHERE full3
+        UNION ALL
+        SELECT doc_id, 1 AS ti, {_sm('c0')} AS s FROM shshort
+    ),
+    idx AS (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY ti) AS i,
+               count(*) OVER (PARTITION BY doc_id) AS cnt
+        FROM shord
+    ),
+    wins AS (
+        SELECT doc_id, i, cnt,
+               min(s) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN {window - 1} PRECEDING
+                            AND CURRENT ROW) AS fp
+        FROM idx
+    )
+    SELECT DISTINCT doc_id, fp FROM wins WHERE i >= {window}
+    UNION
+    SELECT doc_id, min(s) AS fp FROM idx WHERE cnt < {window}
+    GROUP BY doc_id
+    ORDER BY doc_id, fp
+    """

@@ -1005,3 +1005,54 @@ def kmv_distinct(sf_dir: str, k: int = 16):
         .map_groups(finalize, batch_format="pyarrow")
         .sort(["source", "rank"])
     )
+
+
+def winnow_fingerprints(sf_dir: str, window: int = 4) -> "ray.data.Dataset":
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS scheme): over each doc's 3-gram shingle-hash sequence
+    (ops/hashing — the SAME position-weighted combine + splitmix64 the
+    MinHash path uses, so the SQL replication is shared), keep the MIN
+    hash of every ``window`` consecutive shingles, distinct per doc.
+    Guarantees every match of length >= window+2 tokens shares a
+    fingerprint while storing ~2/(window+1) of the shingles — the
+    standard local-sampling dedup/plagiarism sketch.  Docs with fewer
+    than ``window`` shingles keep their single minimum; empty docs emit
+    nothing.  One streaming map_batches, doc-local, no shuffle.
+    Returns (doc_id, fp[uint64]) distinct per doc."""
+    from .dedup import _shingle_hashes
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sh, offs = _shingle_hashes(batch.column("text"))
+        counts = offs[1:] - offs[:-1]
+        out_d, out_f = [], []
+        # long docs: sliding-window minima, vectorized across the batch
+        m = sh.copy()
+        for k in range(1, window):
+            np.minimum(m[k:], sh[:-k], out=m[k:])
+        pos = np.arange(sh.size) - np.repeat(offs[:-1], counts)
+        valid = pos >= window - 1  # window fully inside the doc
+        doc_of = np.repeat(np.arange(counts.size), counts)
+        long_mask = np.repeat(counts >= window, counts) & valid
+        if long_mask.any():
+            out_d.append(ids[doc_of[long_mask]])
+            out_f.append(m[long_mask])
+        # short docs (1 <= s < window): one fingerprint, the min shingle
+        short = np.flatnonzero((counts > 0) & (counts < window))
+        if short.size:
+            mins = np.minimum.reduceat(sh, offs[:-1][short])
+            out_d.append(ids[short])
+            out_f.append(mins)
+        if not out_d:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.uint64())})
+        d = np.concatenate(out_d)
+        f = np.concatenate(out_f)
+        key = np.stack([d.astype(np.uint64), f], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table({"doc_id": pa.array(uniq[:, 0].astype(np.int64),
+                                            pa.int64()),
+                         "fp": pa.array(uniq[:, 1], pa.uint64())})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow")

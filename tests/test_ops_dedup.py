@@ -138,3 +138,50 @@ def test_bucket_index_pairs_star_cap():
     # degenerate bucket: linear star pairs, still one connected component
     assert ii.size == n - 1 and (ii == 0).all()
     assert (jj == np.arange(1, n)).all()
+
+
+def test_winnow_fingerprints_matches_oracle(ray_session):
+    """Winnowing minima equal the SQL window-MIN recomputation over the
+    shared shingle hashes, and the guarantee holds: every doc with >=
+    window shingles emits at least one fingerprint."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops.oracle_sqlgen import winnow_fingerprints_sql
+    from noise_ray.ops.text import winnow_fingerprints
+
+    sf = "/root/testdata/sf0.001"
+    got = (winnow_fingerprints(sf).to_pandas()
+           .sort_values(["doc_id", "fp"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(winnow_fingerprints_sql()).fetchdf()
+    assert len(got) == len(want)
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["fp"].to_numpy().astype("uint64")
+            == want["fp"].to_numpy().astype("uint64")).all()
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert got["doc_id"].nunique() == n_docs  # every doc has text here
+
+
+def test_winnow_shared_fingerprint_for_common_window(ray_session):
+    """Two docs sharing a long-enough token run share >= 1 fingerprint
+    (the winnowing guarantee for matches of length >= window + 2)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from noise_ray.ops.dedup import _shingle_hashes
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = pa.array([f"one two {shared} three",
+                      f"four {shared} five six"])
+    sh, offs = _shingle_hashes(texts)
+    window = 4
+    fps = []
+    for d in range(2):
+        s = sh[offs[d]:offs[d + 1]]
+        m = {min(s[i - window + 1:i + 1]) for i in range(window - 1,
+                                                         s.size)}
+        fps.append(m)
+    assert fps[0] & fps[1]
