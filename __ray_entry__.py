@@ -388,6 +388,15 @@ def _winnow_fingerprints(sf_dir: str):
     return winnow_fingerprints(sf_dir)
 
 
+def _winnow_dup_pairs(sf_dir: str):
+    """Winnow near-dup candidates (ops/text.winnow_dup_pairs): pairs
+    sharing >= 2 fingerprints through bounded buckets — the MOSS match
+    step as two bounded groupbys."""
+    from noise_ray.ops.text import winnow_dup_pairs
+
+    return winnow_dup_pairs(sf_dir)
+
+
 def _did_you_mean_phrase(sf_dir: str):
     """Phrase suggester (ops/termdict.did_you_mean_phrase, cf. ES
     phrase suggester): per-word fuzzy candidates re-ranked by corpus
@@ -778,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase_prefix": _bm25_phrase_prefix,
         "did_you_mean_phrase": _did_you_mean_phrase,
         "winnow_fingerprints": _winnow_fingerprints,
+        "winnow_dup_pairs": _winnow_dup_pairs,
         "collapse_topk": _collapse_topk,
         "top_hits": _top_hits,
         "terms_facet": _terms_facet,
@@ -1172,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
         # exact SQL replicas of the LSH hash pipelines (see oracle_sqlgen)
         "minhash_lsh_pairs": _sqlgen().minhash_lsh_pairs_sql(),
         "winnow_fingerprints": _sqlgen().winnow_fingerprints_sql(),
+        "winnow_dup_pairs": _sqlgen().winnow_dup_pairs_sql(),
         "simhash_pairs": _sqlgen().simhash_pairs_sql(),
         "langid": _sqlgen().langid_sql(),
         "ann_bucketed": _sqlgen().ann_bucketed_sql(),

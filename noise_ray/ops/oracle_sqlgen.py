@@ -735,3 +735,24 @@ def winnow_fingerprints_sql(window: int = 4) -> str:
     GROUP BY doc_id
     ORDER BY doc_id, fp
     """
+
+
+def winnow_dup_pairs_sql(window: int = 4, min_shared: int = 2,
+                         max_bucket: int = 256) -> str:
+    """Exact oracle for ``ops.text.winnow_dup_pairs``: shared-
+    fingerprint counts through buckets of 2..max_bucket docs only (the
+    operator's deterministic hub exclusion), pairs with >= min_shared."""
+    inner = winnow_fingerprints_sql(window)
+    inner = inner.rsplit("ORDER BY doc_id, fp", 1)[0]
+    return f"""
+    WITH fps AS ({inner}),
+    ok AS (SELECT fp FROM fps GROUP BY fp
+           HAVING count(*) BETWEEN 2 AND {max_bucket}),
+    p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          JOIN ok ON ok.fp = a.fp
+          GROUP BY 1, 2)
+    SELECT a_id, b_id, CAST(shared AS BIGINT) AS shared FROM p
+    WHERE shared >= {min_shared}
+    ORDER BY a_id, b_id
+    """

@@ -1056,3 +1056,45 @@ def winnow_fingerprints(sf_dir: str, window: int = 4) -> "ray.data.Dataset":
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow")
+
+
+def winnow_dup_pairs(sf_dir: str, window: int = 4, min_shared: int = 2,
+                     max_bucket: int = 256) -> pa.Table:
+    """Near-duplicate candidates from the winnowing sketch: doc pairs
+    sharing >= ``min_shared`` fingerprints, counted only through
+    fingerprint buckets of 2..``max_bucket`` docs (hub fingerprints —
+    minima of ubiquitous trigrams — generate quadratic candidate noise
+    and are EXCLUDED deterministically; the cap is part of the operator
+    contract and is replicated verbatim in the SQL oracle, so nothing is
+    silently dropped).  Shape: one fp groupby emits per-bucket pairs,
+    one (a, b) groupby sums shared counts — both bounded, nothing
+    corpus-sized on the driver.  Returns (a_id, b_id, shared) ordered."""
+    from ray.data.aggregate import Count
+
+    fps = winnow_fingerprints(sf_dir, window=window)
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("doc_id").to_numpy())
+        if not 2 <= ids.size <= max_bucket:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64())})
+        i, j = np.triu_indices(ids.size, k=1)
+        return pa.table({"a_id": pa.array(ids[i], pa.int64()),
+                         "b_id": pa.array(ids[j], pa.int64())})
+
+    pairs = fps.groupby("fp").map_groups(bucket_pairs,
+                                         batch_format="pyarrow")
+    counted = (pairs.groupby(["a_id", "b_id"])
+               .aggregate(Count(alias_name="shared")))
+    t = pa.Table.from_pandas(counted.to_pandas(), preserve_index=False)
+    t = t.filter(pa.compute.greater_equal(t.column("shared"),
+                                          min_shared))
+    order = np.lexsort((t.column("b_id").to_numpy(),
+                        t.column("a_id").to_numpy()))
+    return pa.table({
+        "a_id": pa.array(t.column("a_id").to_numpy()[order], pa.int64()),
+        "b_id": pa.array(t.column("b_id").to_numpy()[order], pa.int64()),
+        "shared": pa.array(
+            t.column("shared").to_numpy()[order].astype(np.int64),
+            pa.int64()),
+    })

@@ -185,3 +185,19 @@ def test_winnow_shared_fingerprint_for_common_window(ray_session):
                                                          s.size)}
         fps.append(m)
     assert fps[0] & fps[1]
+
+
+def test_winnow_dup_pairs_matches_oracle(ray_session):
+    import duckdb
+
+    from noise_ray.ops.oracle_sqlgen import winnow_dup_pairs_sql
+    from noise_ray.ops.text import winnow_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    got = winnow_dup_pairs(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(winnow_dup_pairs_sql()).fetchdf()
+    assert len(got) > 0
+    assert got.astype(want.dtypes.to_dict()).equals(want)
