@@ -273,6 +273,7 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     from noise_ray.ops import text as _text
 
     for key, fn in (("pii_redact_sec", _text.pii_redact),
+                    ("winnow_fp_sec", _text.winnow_fingerprints),
                     ("pack_sequences_sec", _mixing.pack_sequences),
                     ("repetition_stats_sec", _text.repetition_stats),
                     ("quality_gopher_sec", _text.quality_filter_gopher),
