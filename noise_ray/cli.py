@@ -8,7 +8,7 @@ failed job continues where it stopped:
 
     build      <out_index> <src.parquet...> [--fields a,b] [--key-cols ...]
     build-json <out_index> <shards.parquet...>     # (_id, json) rows
-    merge      <out_index> <src_index...>          # posting-level, flat
+    merge      <out_index> <src_index...> [--dedup-keys]  # posting-level
     merge-json <out_index> <src_index...>          # posting-level, nested
     split      <src_index> <out_index...> [--cuts a,b,...]  # rebalance
     split-json <src_index> <out_index...> [--cuts a,b,...]  # nested
@@ -63,7 +63,8 @@ def _cmd_build_json(a) -> int:
 
 
 def _cmd_merge(a, nested: bool) -> int:
-    from .build.merge import merge_indexes, merge_json_indexes
+    from .build.merge import (merge_dedup_keys, merge_indexes,
+                              merge_json_indexes)
 
     parts = ("docmap", "segments", "stats") + (("values",) if nested
                                                else ())
@@ -71,8 +72,10 @@ def _cmd_merge(a, nested: bool) -> int:
         os.makedirs(os.path.join(a.index, p), exist_ok=True)
     fn = merge_json_indexes if nested else merge_indexes
     man = fn(list(a.src), a.index)
-    print(json.dumps({"num_docs": man["num_docs"],
-                      "merged_from": len(a.src)}))
+    out = {"num_docs": man["num_docs"], "merged_from": len(a.src)}
+    if getattr(a, "dedup_keys", False):
+        out["tombstoned"] = merge_dedup_keys(a.index)
+    print(json.dumps(out))
     return 0
 
 
@@ -155,6 +158,9 @@ def main(argv: list[str] | None = None) -> int:
         m = sub.add_parser(name)
         m.add_argument("index")
         m.add_argument("src", nargs="+")
+        m.add_argument("--dedup-keys", action="store_true",
+                       help="upsert semantics for overlapping corpora: "
+                            "tombstone key collisions (later source wins)")
 
     for name in ("split", "split-json"):
         sp = sub.add_parser(name)

@@ -107,3 +107,16 @@ def test_cli_split_json_and_merge_json(ray_session, tmp_path):
     q = "find {n_turns: >= 18.0} return ._id ;"
     assert (run_json_query(JsonIndexReader(back), q)
             == run_json_query(uni, q))
+
+
+def test_cli_merge_dedup_keys(ray_session, tmp_path):
+    from noise_ray.ops.federated import shard_documents_indexes
+    from noise_ray.query.reader import IndexReader
+
+    shard = shard_documents_indexes(SF, 3)[0]
+    n = IndexReader(shard).num_docs
+    out = str(tmp_path / "m")
+    rc, outp = _run(["merge", out, shard, shard, "--dedup-keys"])
+    assert rc == 0
+    r = json.loads(outp)
+    assert r["tombstoned"] == n
