@@ -657,10 +657,7 @@ def bm25_phrase_prefix_topk(sf_dir: str, words: tuple[str, ...] = ("window",),
     from .bm25 import _field_total_tokens, _phrase_score
     from .termdict import _reader_and_dict
 
-    if index_dir is not None:
-        raise NotImplementedError(
-            "phrase_prefix needs the term dictionary; pass sf_dir")
-    reader, ddir = _reader_and_dict(sf_dir)
+    reader, ddir = _reader_and_dict(sf_dir, index_dir)
     n_docs = float(reader.num_docs)
     fid = reader.field_id[field]
     avgdl = _field_total_tokens(reader, fid) / n_docs

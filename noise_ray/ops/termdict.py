@@ -31,8 +31,21 @@ from ..build.dictionary import (build_term_dictionary, fuzzy_terms,
                                 prefix_terms)
 
 
-def _reader_and_dict(sf_dir: str):
-    """The documents index plus its (lazily built) term dictionary."""
+def _reader_and_dict(sf_dir: str, index_dir: str | None = None):
+    """The documents index plus its (lazily built) term dictionary.
+    With ``index_dir``, ANY flat index serves: the dictionary builds
+    from the index's own docmap partitions (they carry the stored
+    source columns), written beside the index — so the whole termdict
+    family (prefix / fuzzy / suggest / did-you-mean) runs against
+    arbitrary indexes, not just the sf-cached documents one."""
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        reader = _cached_reader(index_dir)
+        ddir = os.path.join(index_dir, "dictionary")
+        build_term_dictionary([e["path"] for e in reader._docmap], ddir,
+                              fields=tuple(reader.fields))
+        return reader, ddir
     from ..pipelines import documents_index
 
     reader = documents_index(sf_dir)
@@ -66,18 +79,20 @@ def _scored_or_topk(reader, raw_terms: list[str], k: int) -> pa.Table:
 
 
 def search_prefix(sf_dir: str, prefix: str = "s", k: int = 10,
-                  field: str = "text") -> pa.Table:
+                  field: str = "text", *,
+                  index_dir: str | None = None) -> pa.Table:
     """(doc_id, score): top-k docs under the engine's TF-IDF OR scoring
     of every dictionary term starting with ``prefix`` — the wildcard
     query ``text: ~="<prefix>*"``.  Expansion is a footer-pruned
     dictionary read (build/dictionary.prefix_terms)."""
-    reader, ddir = _reader_and_dict(sf_dir)
+    reader, ddir = _reader_and_dict(sf_dir, index_dir)
     terms = prefix_terms(ddir, reader.field_id[field], prefix)
     return _scored_or_topk(reader, terms.column("token").to_pylist(), k)
 
 
 def suggest_complete(sf_dir: str, prefix: str = "s", n: int = 10,
-                     field: str = "text") -> pa.Table:
+                     field: str = "text", *,
+                     index_dir: str | None = None) -> pa.Table:
     """Completion suggester (cf. Elasticsearch ``completion``): the
     top-``n`` raw dictionary tokens starting with ``prefix``, weighted
     by document frequency, (df desc, token asc).  Pure vocabulary-
@@ -85,7 +100,7 @@ def suggest_complete(sf_dir: str, prefix: str = "s", n: int = 10,
     parquet statistics, no posting or corpus access at all, which is
     what makes type-ahead viable against a 100 TB corpus: the
     dictionary is metadata-sized and the prefix prunes it further."""
-    reader, ddir = _reader_and_dict(sf_dir)
+    reader, ddir = _reader_and_dict(sf_dir, index_dir)
     t = prefix_terms(ddir, reader.field_id[field], prefix)
     toks = np.asarray(t.column("token").to_pylist(), dtype=object)
     df = t.column("df").to_numpy()
@@ -97,34 +112,37 @@ def suggest_complete(sf_dir: str, prefix: str = "s", n: int = 10,
 
 
 def search_fuzzy(sf_dir: str, word: str = "sart", max_dist: int = 1,
-                 k: int = 10, field: str = "text") -> pa.Table:
+                 k: int = 10, field: str = "text", *,
+                 index_dir: str | None = None) -> pa.Table:
     """(doc_id, score): top-k docs matching any dictionary term within
     Levenshtein distance ``max_dist`` of ``word`` (fuzzy query
     ``text: ~="<word>"~1`` in Lucene terms), scored as one OR."""
-    reader, ddir = _reader_and_dict(sf_dir)
+    reader, ddir = _reader_and_dict(sf_dir, index_dir)
     terms = fuzzy_terms(ddir, reader.field_id[field], word, max_dist)
     return _scored_or_topk(reader, terms.column("token").to_pylist(), k)
 
 
 def search_regex(sf_dir: str, pattern: str = "[a-z]{3}", k: int = 10,
-                 field: str = "text") -> pa.Table:
+                 field: str = "text", *,
+                 index_dir: str | None = None) -> pa.Table:
     """(doc_id, score): top-k docs matching any dictionary term that
     FULLY matches ``pattern`` (Lucene RegexpQuery), scored as one OR.
     RE2 on both sides: pyarrow's match_substring_regex anchored, DuckDB's
     regexp_full_match."""
     from ..build.dictionary import regex_terms
 
-    reader, ddir = _reader_and_dict(sf_dir)
+    reader, ddir = _reader_and_dict(sf_dir, index_dir)
     terms = regex_terms(ddir, reader.field_id[field], pattern)
     return _scored_or_topk(reader, terms.column("token").to_pylist(), k)
 
 
 def did_you_mean(sf_dir: str, word: str = "qery", max_dist: int = 2,
-                 k: int = 5, field: str = "text") -> pa.Table:
+                 k: int = 5, field: str = "text", *,
+                 index_dir: str | None = None) -> pa.Table:
     """(token, dist, cf): spell-correction candidates — dictionary terms
     within ``max_dist`` edits of ``word``, ranked closest-first then by
     collection frequency (the standard did-you-mean ranking)."""
-    reader, ddir = _reader_and_dict(sf_dir)
+    reader, ddir = _reader_and_dict(sf_dir, index_dir)
     t = fuzzy_terms(ddir, reader.field_id[field], word, max_dist)
     toks = t.column("token").to_pylist()
     dist = t.column("dist").to_numpy()
@@ -138,11 +156,11 @@ def did_you_mean(sf_dir: str, word: str = "qery", max_dist: int = 2,
     })
 
 
-def did_you_mean_phrase(sf_dir: str, words: tuple[str, str] = ("mrge",
-                                                               "scn"),
+def did_you_mean_phrase(sf_dir: str,
+                        words: tuple[str, str] = ("mrge", "scn"),
                         max_dist: int = 1, k: int = 3,
-                        max_cand: int = 8,
-                        field: str = "text") -> pa.Table:
+                        max_cand: int = 8, field: str = "text", *,
+                        index_dir: str | None = None) -> pa.Table:
     """Phrase suggester (cf. Elasticsearch ``phrase`` suggester): correct
     a whole misspelled 2-word phrase by generating per-word candidates
     (dictionary tokens within ``max_dist`` edits, capped at ``max_cand``
@@ -157,7 +175,7 @@ def did_you_mean_phrase(sf_dir: str, words: tuple[str, str] = ("mrge",
     from ..analysis.porter2 import stem as _stem
     from ..build.dictionary import fuzzy_terms
 
-    reader, ddir = _reader_and_dict(sf_dir)
+    reader, ddir = _reader_and_dict(sf_dir, index_dir)
     fid = reader.field_id[field]
 
     def cands(word):
