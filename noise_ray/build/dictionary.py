@@ -216,12 +216,31 @@ def fuzzy_terms(dict_dir: str, field_id: int, word: str,
     Distributed: a pruned Ray scan (``tlen`` within ±max_dist is pushed
     into the parquet read) and a per-batch vectorized DP; only matches
     (vocabulary-bounded) are collected."""
+    import glob as _glob
+
     import pyarrow.dataset as pads
     import ray
 
     from ..ops.collect import arrow_blocks
 
     lo, hi = len(word) - max_dist, len(word) + max_dist
+
+    # small dictionaries (closed vocabularies): the Ray scan's fixed
+    # per-job overhead dwarfs the work — read + DP in-process instead
+    files = sorted(_glob.glob(os.path.join(dict_dir, "*.parquet")))
+    total = sum(pq.read_metadata(p).num_rows for p in files)
+    if total <= 100_000:
+        t = pq.read_table(files, columns=["field", "tlen"] + _COLS,
+                          filters=[("field", "==", field_id),
+                                   ("tlen", ">=", lo),
+                                   ("tlen", "<=", hi)])
+        toks = t.column("token").to_pylist()
+        dist = levenshtein_batch(toks, word)
+        keep = dist <= max_dist
+        t = (t.filter(pa.array(keep))
+             .append_column("dist",
+                            pa.array(dist[keep], pa.int64())))
+        return t.select(_COLS + ["dist"]).sort_by("token")
 
     def score(batch: pa.Table) -> pa.Table:
         # exact residue of the pushdown, in case it pruned at row-group
