@@ -459,6 +459,15 @@ def _cardinality_agg(sf_dir: str):
     return cardinality_agg(sf_dir)
 
 
+def _filters_agg(sf_dir: str):
+    """Filters aggregation (ops/aggs.filters_agg, cf. ES filters): one
+    matched-doc count per named query bucket, disjoint-range partials
+    summed."""
+    from noise_ray.ops.aggs import filters_agg
+
+    return filters_agg(sf_dir)
+
+
 def _histogram_facet(sf_dir: str):
     """Histogram facet (ops/aggs.histogram_facet): matched-doc counts
     per 200-char n_chars bucket, per-range bincount partials summed."""
@@ -792,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits": _top_hits,
         "terms_facet": _terms_facet,
         "cardinality_agg": _cardinality_agg,
+        "filters_agg": _filters_agg,
         "histogram_facet": _histogram_facet,
         "percentiles_agg": _percentiles_agg,
         "significant_terms": _significant_terms,
@@ -1039,6 +1049,22 @@ def oracle_sql() -> dict[str, str]:
             ("merge",), "lang", 10),
         "cardinality_agg": _score_oracle().cardinality_agg_sql(
             ("merge",), "source"),
+        "filters_agg": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS tok
+              FROM documents)
+            SELECT * FROM (
+              SELECT 'merge_docs' AS name,
+                     count(DISTINCT doc_id) AS n FROM toks
+              WHERE tok = 'merge'
+              UNION ALL
+              SELECT 'scan_docs', count(DISTINCT doc_id) FROM toks
+              WHERE tok = 'scan'
+              UNION ALL
+              SELECT 'either', count(DISTINCT doc_id) FROM toks
+              WHERE tok IN ('merge', 'scan'))""",
         "histogram_facet": _score_oracle().histogram_facet_sql(
             ("merge",), "n_chars", 200),
         "significant_terms": _score_oracle().significant_terms_sql(

@@ -734,3 +734,55 @@ def cardinality_agg(sf_dir: str, terms=("merge",),
     for keys in parts:
         distinct.update(keys)
     return pa.table({"n_distinct": pa.array([len(distinct)], pa.int64())})
+
+
+def filters_agg_range(index_dir, field, named, lo, hi):
+    """Per-range matched-doc counts for each named term-bag filter."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    return [int(_matched_union(reader, fid, list(stemmed),
+                               (lo, hi)).size)
+            for _name, stemmed in named]
+
+
+def filters_agg(sf_dir: str,
+                filters: tuple = (("merge_docs", ("merge",)),
+                                  ("scan_docs", ("scan",)),
+                                  ("either", ("merge", "scan"))),
+                field: str = "text", *,
+                index_dir: str | None = None) -> pa.Table:
+    """Filters aggregation (cf. Elasticsearch ``filters``): one matched-
+    doc count per NAMED query bucket (each an any-term match), answered
+    from posting metadata + union sizes — disjoint-range partials sum.
+    Returns (name, n) in the given filter order."""
+    from ..query.engine import _stem_one
+
+    reader = _reader_for(sf_dir, index_dir)
+    fid = reader.field_id[field]
+    named = [(name, tuple(dict.fromkeys(_stem_one(t) for t in terms)))
+             for name, terms in filters]
+
+    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        from .bm25_ext import _doc_ranges
+
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "aggs", "filters_agg_range",
+                (index_dir, field, named, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+        counts = [sum(p[j] for p in parts) for j in range(len(named))]
+    else:
+        counts = [int(_matched_union(reader, fid, list(st), None).size)
+                  for _n, st in named]
+    return pa.table({
+        "name": pa.array([n for n, _ in named], pa.string()),
+        "n": pa.array(counts, pa.int64()),
+    })

@@ -345,3 +345,28 @@ def test_cardinality_matches_raw_recomputation(ray_session):
     want = len({src[d] for d, x in zip(ids, toks) if "merge" in x})
     got = cardinality_agg(SF)
     assert got.column("n_distinct").to_pylist() == [want]
+
+
+def test_filters_agg_matches_raw_and_range_fold(ray_session):
+    from noise_ray.ops.aggs import filters_agg, filters_agg_range
+    from noise_ray.pipelines import documents_index
+
+    ids, toks, _, _ = _corpus()
+    want = {
+        "merge_docs": sum(1 for x in toks if "merge" in x),
+        "scan_docs": sum(1 for x in toks if "scan" in x),
+        "either": sum(1 for x in toks if "merge" in x or "scan" in x),
+    }
+    got = filters_agg(SF)
+    assert dict(zip(got.column("name").to_pylist(),
+                    got.column("n").to_pylist())) == want
+
+    reader = documents_index(SF)
+    n = reader.num_docs
+    named = [("merge_docs", ("merg",)), ("scan_docs", ("scan",)),
+             ("either", ("merg", "scan"))]
+    cuts = [0, n // 3, 2 * n // 3, n]
+    parts = [filters_agg_range(reader.index_dir, "text", named, lo, hi)
+             for lo, hi in zip(cuts, cuts[1:])]
+    folded = [sum(p[j] for p in parts) for j in range(3)]
+    assert folded == got.column("n").to_pylist()
