@@ -459,6 +459,15 @@ def _cardinality_agg(sf_dir: str):
     return cardinality_agg(sf_dir)
 
 
+def _adjacency_matrix(sf_dir: str):
+    """Adjacency matrix (ops/aggs.adjacency_matrix, cf. ES
+    adjacency_matrix): singles + pairwise filter-intersection counts,
+    dense-mask set algebra per doc range."""
+    from noise_ray.ops.aggs import adjacency_matrix
+
+    return adjacency_matrix(sf_dir)
+
+
 def _filters_agg(sf_dir: str):
     """Filters aggregation (ops/aggs.filters_agg, cf. ES filters): one
     matched-doc count per named query bucket, disjoint-range partials
@@ -802,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_facet": _terms_facet,
         "cardinality_agg": _cardinality_agg,
         "filters_agg": _filters_agg,
+        "adjacency_matrix": _adjacency_matrix,
         "histogram_facet": _histogram_facet,
         "percentiles_agg": _percentiles_agg,
         "significant_terms": _significant_terms,
@@ -1065,6 +1075,25 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'either', count(DISTINCT doc_id) FROM toks
               WHERE tok IN ('merge', 'scan'))""",
+        "adjacency_matrix": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS tok
+              FROM documents),
+            m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge'),
+            s AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'scan'),
+            r AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'row')
+            SELECT * FROM (
+              SELECT 'merge_docs' AS key, count(*) AS n FROM m
+              UNION ALL SELECT 'scan_docs', count(*) FROM s
+              UNION ALL SELECT 'row_docs', count(*) FROM r
+              UNION ALL SELECT 'merge_docs&scan_docs', count(*)
+                        FROM m JOIN s USING (doc_id)
+              UNION ALL SELECT 'merge_docs&row_docs', count(*)
+                        FROM m JOIN r USING (doc_id)
+              UNION ALL SELECT 'scan_docs&row_docs', count(*)
+                        FROM s JOIN r USING (doc_id))""",
         "histogram_facet": _score_oracle().histogram_facet_sql(
             ("merge",), "n_chars", 200),
         "significant_terms": _score_oracle().significant_terms_sql(

@@ -786,3 +786,74 @@ def filters_agg(sf_dir: str,
         "name": pa.array([n for n, _ in named], pa.string()),
         "n": pa.array(counts, pa.int64()),
     })
+
+
+def adjacency_matrix_range(index_dir, field, named, lo, hi):
+    """Per-range single + pairwise intersection counts (dense-mask ANDs
+    over the range span — set algebra on postings, no doc payload)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    masks = []
+    for _name, stemmed in named:
+        docs = _matched_union(reader, fid, list(stemmed), (lo, hi))
+        m = np.zeros(hi - lo, bool)
+        if docs.size:
+            m[docs - lo] = True
+        masks.append(m)
+    out = []
+    for i in range(len(named)):
+        out.append(int(masks[i].sum()))
+    for i in range(len(named)):
+        for j in range(i + 1, len(named)):
+            out.append(int((masks[i] & masks[j]).sum()))
+    return out
+
+
+def adjacency_matrix(sf_dir: str,
+                     filters: tuple = (("merge_docs", ("merge",)),
+                                       ("scan_docs", ("scan",)),
+                                       ("row_docs", ("row",))),
+                     field: str = "text", *,
+                     index_dir: str | None = None) -> pa.Table:
+    """Adjacency-matrix aggregation (cf. Elasticsearch
+    ``adjacency_matrix``): matched-doc counts for every named filter AND
+    every pairwise intersection ("a&b") — the co-occurrence matrix shape
+    behind graph/Venn analytics.  Pure posting-set algebra per doc range
+    (dense boolean masks, one AND + popcount per pair), disjoint-range
+    partials sum.  Returns (key, n): singles in filter order, then pairs
+    "name_i&name_j" for i < j."""
+    from ..query.engine import _stem_one
+
+    reader = _reader_for(sf_dir, index_dir)
+    fid = reader.field_id[field]
+    named = [(name, tuple(dict.fromkeys(_stem_one(t) for t in terms)))
+             for name, terms in filters]
+    keys = [n for n, _ in named] + [
+        f"{named[i][0]}&{named[j][0]}"
+        for i in range(len(named)) for j in range(i + 1, len(named))]
+
+    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        from .bm25_ext import _doc_ranges
+
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "aggs", "adjacency_matrix_range",
+                (index_dir, field, named, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+        counts = [sum(p[j] for p in parts) for j in range(len(keys))]
+    else:
+        sets = [set(_matched_union(reader, fid, list(st), None).tolist())
+                for _n, st in named]
+        counts = [len(s) for s in sets] + [
+            len(sets[i] & sets[j])
+            for i in range(len(sets)) for j in range(i + 1, len(sets))]
+    return pa.table({"key": pa.array(keys, pa.string()),
+                     "n": pa.array(counts, pa.int64())})

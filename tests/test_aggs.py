@@ -370,3 +370,32 @@ def test_filters_agg_matches_raw_and_range_fold(ray_session):
              for lo, hi in zip(cuts, cuts[1:])]
     folded = [sum(p[j] for p in parts) for j in range(3)]
     assert folded == got.column("n").to_pylist()
+
+
+def test_adjacency_matrix_matches_raw_and_range_fold(ray_session):
+    from noise_ray.ops.aggs import adjacency_matrix, adjacency_matrix_range
+    from noise_ray.pipelines import documents_index
+
+    ids, toks, _, _ = _corpus()
+    m = {d for d, x in zip(ids, toks) if "merge" in x}
+    s = {d for d, x in zip(ids, toks) if "scan" in x}
+    r = {d for d, x in zip(ids, toks) if "row" in x}
+    want = [len(m), len(s), len(r), len(m & s), len(m & r), len(s & r)]
+
+    got = adjacency_matrix(SF)
+    assert got.column("n").to_pylist() == want
+    assert got.column("key").to_pylist() == [
+        "merge_docs", "scan_docs", "row_docs",
+        "merge_docs&scan_docs", "merge_docs&row_docs",
+        "scan_docs&row_docs"]
+
+    reader = documents_index(SF)
+    n = reader.num_docs
+    named = [("merge_docs", ("merg",)), ("scan_docs", ("scan",)),
+             ("row_docs", ("row",))]
+    cuts = [0, n // 3, 2 * n // 3, n]
+    parts = [adjacency_matrix_range(reader.index_dir, "text", named,
+                                    lo, hi)
+             for lo, hi in zip(cuts, cuts[1:])]
+    folded = [sum(p[j] for p in parts) for j in range(6)]
+    assert folded == want
