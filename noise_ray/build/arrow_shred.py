@@ -183,6 +183,13 @@ def shred_table_fast(ids: list[str], texts: list[str], offset: int):
         _walk(root, "", docs, ap0, out, is_root_id=True)
     except _Bail:
         return None
+    except pa.ArrowInvalid:
+        return None
+    except pa.lib.ArrowIndexError:
+        # pyarrow edge: combine_chunks on some json-parsed list columns
+        # with nulls raises "array slice would exceed array length" —
+        # the per-document shredder handles these shards
+        return None
     # root _id entries: prefer the embedded _id when parsed (it equals
     # the id column for shards written by docs_to_parquet), else the
     # supplied per-row id — matching shred()'s the_id fallback

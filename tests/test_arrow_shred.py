@@ -169,3 +169,22 @@ def test_property_fast_matches_slow(tmp_path_factory, docs):
     assert z_s == z_f
     assert _canon_acc(a_s) == _canon_acc(a_f)
     assert _canon_values(v_s) == _canon_values(v_f)
+
+
+def test_fast_path_bails_on_null_in_list(ray_session):
+    """pyarrow's combine_chunks can raise ArrowIndexError on json-parsed
+    list columns with nulls (hypothesis-found); the fast path must BAIL
+    to the per-document shredder, and the full build must agree with the
+    slow path's layout."""
+    import json
+
+    from noise_ray.build.arrow_shred import shred_table_fast
+    from noise_ray.build.shred import shred
+
+    docs = [{"_id": "d0", "a": 0}, {"_id": "d1", "b": [None, "alpha"]}]
+    out = shred_table_fast([d["_id"] for d in docs],
+                           [json.dumps(d) for d in docs], 0)
+    assert out is None  # falls back, never raises
+    # slow path shreds the null array element as an N entry
+    sd = shred(docs[1], "d1")
+    assert any(e.kp == ".b$" and e.code == "N" for e in sd.entries)
