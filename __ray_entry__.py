@@ -477,6 +477,16 @@ def _filters_agg(sf_dir: str):
     return filters_agg(sf_dir)
 
 
+def _composite_agg(sf_dir: str):
+    """Composite aggregation (ops/aggs.composite_agg, cf. ES
+    composite): paginated source × n_chars-histogram buckets, composite
+    key ascending, page strictly after the ('src12', 200) cursor —
+    the cursor pushes down into the per-range folds."""
+    from noise_ray.ops.aggs import composite_agg
+
+    return composite_agg(sf_dir)
+
+
 def _histogram_facet(sf_dir: str):
     """Histogram facet (ops/aggs.histogram_facet): matched-doc counts
     per 200-char n_chars bucket, per-range bincount partials summed."""
@@ -813,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filters_agg": _filters_agg,
         "adjacency_matrix": _adjacency_matrix,
         "histogram_facet": _histogram_facet,
+        "composite_agg": _composite_agg,
         "percentiles_agg": _percentiles_agg,
         "significant_terms": _significant_terms,
         "rerank_topk": _rerank_topk,
@@ -1096,6 +1107,8 @@ def oracle_sql() -> dict[str, str]:
                         FROM s JOIN r USING (doc_id))""",
         "histogram_facet": _score_oracle().histogram_facet_sql(
             ("merge",), "n_chars", 200),
+        "composite_agg": _score_oracle().composite_agg_sql(
+            ("merge",), "source", "n_chars", 100, 15, ("src12", 200)),
         "significant_terms": _score_oracle().significant_terms_sql(
             ("merge",), 10),
         "percentiles_agg": _score_oracle().percentiles_agg_sql(

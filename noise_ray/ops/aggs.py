@@ -857,3 +857,97 @@ def adjacency_matrix(sf_dir: str,
             for i in range(len(sets)) for j in range(i + 1, len(sets))]
     return pa.table({"key": pa.array(keys, pa.string()),
                      "n": pa.array(counts, pa.int64())})
+
+
+def composite_range(index_dir, field, stemmed, group_field, value_column,
+                    interval, after, lo, hi):
+    """Per-range composite-bucket partial (after-key pre-filtered)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    return _composite_fold(reader, fid, stemmed, group_field, value_column,
+                           interval, after, (lo, hi))
+
+
+def _composite_fold(reader, fid, stemmed, group_field, value_column,
+                    interval, after, doc_range):
+    empty = ([], np.zeros(0, np.int64), np.zeros(0, np.int64))
+    docs = _matched_union(reader, fid, stemmed, doc_range)
+    if not docs.size:
+        return empty
+    t = reader.fetch_docs(docs, [group_field, value_column])
+    keys = np.asarray(t.column(group_field).to_pylist(), dtype=object)
+    v = (t.column(value_column).to_numpy(zero_copy_only=False)
+         .astype(np.float64))
+    buckets = (np.floor(v / interval) * interval).astype(np.int64)
+    if after is not None:
+        a_key, a_bucket = after
+        keep = (keys > a_key) | ((keys == a_key) & (buckets > a_bucket))
+        keys, buckets = keys[keep], buckets[keep]
+    if not keys.size:
+        return empty
+    u_keys, codes = np.unique(keys, return_inverse=True)
+    order = np.lexsort((buckets, codes))
+    sc, sb = codes[order], buckets[order]
+    starts = np.flatnonzero(
+        np.r_[True, (sc[1:] != sc[:-1]) | (sb[1:] != sb[:-1])])
+    cnts = np.diff(np.append(starts, sc.size)).astype(np.int64)
+    return (u_keys[sc[starts]].tolist(), sb[starts], cnts)
+
+
+def composite_agg(sf_dir: str, terms=("merge",),
+                  group_field: str = "source",
+                  value_column: str = "n_chars", interval: int = 100,
+                  size: int = 15, after: tuple | None = ("src12", 200),
+                  field: str = "text", *,
+                  index_dir: str | None = None) -> pa.Table:
+    """Composite aggregation (cf. Elasticsearch ``composite``): paginated
+    multi-source buckets — here ``terms(group_field)`` ×
+    ``histogram(value_column, interval)`` — over the matched set,
+    ordered by the composite key ascending, the page strictly AFTER
+    ``after`` (an exclusive (key, bucket) cursor; ``None`` = first
+    page), at most ``size`` buckets.  The caller pages by feeding the
+    last returned row back as ``after``.
+
+    Exactness: the composite key is per-doc deterministic, so the
+    ``after`` cursor pushes down into the per-range fold (each range
+    drops cursor-≤ docs before counting); disjoint ranges then sum per
+    bucket and the global key-ascending sort + ``size`` cut happen on
+    bucket-cardinality-sized partials, never doc-sized.  Returns
+    (key, bucket, n)."""
+    from ..query.engine import _stem_one
+
+    reader = _reader_for(sf_dir, index_dir)
+    fid = reader.field_id[field]
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+
+    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        from .bm25_ext import _doc_ranges
+
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "aggs", "composite_range",
+                (index_dir, field, stemmed, group_field, value_column,
+                 interval, after, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+    else:
+        parts = [_composite_fold(reader, fid, stemmed, group_field,
+                                 value_column, interval, after, None)]
+    agg: dict = {}
+    for keys, bks, cnts in parts:
+        for k, bkt, c in zip(keys, bks.tolist(), cnts.tolist()):
+            kk = (k, bkt)
+            agg[kk] = agg.get(kk, 0) + c
+    rows = sorted(agg.items())[:size]
+    return pa.table({
+        "key": pa.array([str(k) for (k, _b), _n in rows], pa.string()),
+        "bucket": pa.array([b for (_k, b), _n in rows], pa.int64()),
+        "n": pa.array([n for _kk, n in rows], pa.int64()),
+    })

@@ -1371,6 +1371,32 @@ FROM {src} d JOIN m USING ({key})
 GROUP BY key ORDER BY n DESC, key LIMIT {top_n}"""
 
 
+def composite_agg_sql(terms: tuple[str, ...], group_field: str,
+                      value_column: str, interval: int, size: int,
+                      after: tuple | None, *, src: str = "documents",
+                      key: str = "doc_id") -> str:
+    """Composite-aggregation oracle (ops/aggs.composite_agg): paginated
+    terms × histogram buckets over the matched set, composite key
+    ascending, strictly after the exclusive ``after`` cursor."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    cursor = ""
+    if after is not None:
+        a_key, a_bucket = after
+        cursor = (f"WHERE key > '{a_key}' "
+                  f"OR (key = '{a_key}' AND bucket > {a_bucket})")
+    return f"""
+WITH {_toks(src, key)},
+m AS (SELECT DISTINCT {key} FROM toks WHERE tok IN ({toks_in})),
+b AS (SELECT CAST(d.{group_field} AS VARCHAR) AS key,
+             CAST(floor(d.{value_column} / {interval}) * {interval}
+                  AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM {src} d JOIN m USING ({key})
+      GROUP BY 1, 2)
+SELECT key, bucket, n FROM b {cursor}
+ORDER BY key, bucket LIMIT {size}"""
+
+
 def cardinality_agg_sql(terms: tuple[str, ...], value_field: str, *,
                         src: str = "documents",
                         key: str = "doc_id") -> str:

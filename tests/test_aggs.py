@@ -399,3 +399,74 @@ def test_adjacency_matrix_matches_raw_and_range_fold(ray_session):
              for lo, hi in zip(cuts, cuts[1:])]
     folded = [sum(p[j] for p in parts) for j in range(6)]
     assert folded == want
+
+
+def test_composite_agg_matches_raw_recomputation(ray_session):
+    from noise_ray.ops.aggs import composite_agg
+
+    ids, toks, src, n_chars = _corpus()
+    counts = collections.Counter(
+        (src[d], (n_chars[d] // 100) * 100)
+        for d, x in zip(ids, toks) if "merge" in x)
+    after = ("src12", 200)
+    want = sorted(
+        (kk, c) for kk, c in counts.items()
+        if kk[0] > after[0] or (kk[0] == after[0] and kk[1] > after[1])
+    )[:15]
+
+    got = composite_agg(SF)
+    rows = list(zip(
+        zip(got.column("key").to_pylist(),
+            got.column("bucket").to_pylist()),
+        got.column("n").to_pylist()))
+    assert rows == want
+
+
+def test_composite_agg_pagination_stitches(ray_session):
+    """Paging with the last row of each page as the next cursor
+    reconstructs the unpaged bucket list exactly, without overlap."""
+    from noise_ray.ops.aggs import composite_agg
+
+    full = composite_agg(SF, size=10**9, after=None)
+    full_rows = list(zip(full.column("key").to_pylist(),
+                         full.column("bucket").to_pylist(),
+                         full.column("n").to_pylist()))
+    assert full_rows == sorted(full_rows)
+
+    pages, cursor = [], None
+    while True:
+        page = composite_agg(SF, size=7, after=cursor)
+        rows = list(zip(page.column("key").to_pylist(),
+                        page.column("bucket").to_pylist(),
+                        page.column("n").to_pylist()))
+        if not rows:
+            break
+        pages.extend(rows)
+        cursor = (rows[-1][0], rows[-1][1])
+        if len(rows) < 7:
+            break
+    assert pages == full_rows
+
+
+def test_composite_agg_range_fold_matches_global(ray_session):
+    from noise_ray.ops.aggs import composite_agg, composite_range
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index(SF)
+    idx = reader.index_dir
+    n = reader.num_docs
+    cuts = [0, n // 3, 2 * n // 3, n]
+    after = ("src12", 200)
+    parts = [composite_range(idx, "text", ["merg"], "source", "n_chars",
+                             100, after, lo, hi)
+             for lo, hi in zip(cuts, cuts[1:])]
+    agg = collections.Counter()
+    for keys, bks, cnts in parts:
+        for key, bkt, c in zip(keys, bks.tolist(), cnts.tolist()):
+            agg[(key, bkt)] += c
+    rows = sorted(agg.items())[:15]
+    want = composite_agg(SF)
+    assert rows == list(zip(
+        zip(want.column("key").to_pylist(),
+            want.column("bucket").to_pylist()),
+        want.column("n").to_pylist()))
