@@ -913,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_gopher": text.quality_filter_gopher,
         "quality_filter_c4": text.quality_filter_c4,
         "surprising_bigrams": text.surprising_bigrams,
+        "lm_perplexity": text.lm_perplexity,
         "tfidf_keywords": text.tfidf_keywords,
         "vocab_growth": text.vocab_growth,
         "kmv_distinct": text.kmv_distinct,
@@ -1540,6 +1541,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(rank AS BIGINT) AS rank, bigram,
                CAST(cb AS BIGINT) AS c_bigram, CAST(cp AS BIGINT) AS c_prefix
         FROM s WHERE rank <= 3 ORDER BY doc_id, rank"""
+    # bigram-LM perplexity: same MLE model as surprising_bigrams; the
+    # per-doc mean of log2 terms is rounded to 4dp on both sides (the
+    # score-oracle contract) and `keep` compares the ROUNDED value
+    sqls["lm_perplexity"] = f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        g AS (SELECT doc_id, ts[CAST(i AS INT)] AS w1,
+                     ts[CAST(i AS INT) + 1] AS w2
+              FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+              WHERE len(ts) >= 2),
+        bc AS (SELECT w1, w2, count(*) AS cb FROM g GROUP BY 1, 2),
+        uc AS (SELECT w1, sum(cb) AS cp FROM bc GROUP BY w1),
+        s AS (SELECT doc_id,
+                     log2(CAST(cp AS DOUBLE)) - log2(CAST(cb AS DOUBLE))
+                         AS nll
+              FROM g JOIN bc USING (w1, w2) JOIN uc USING (w1))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(sum(nll) / count(*), 4) AS bits,
+               CAST((round(sum(nll) / count(*), 4) <= 4.885)::INT
+                    AS BIGINT) AS keep
+        FROM s GROUP BY doc_id ORDER BY doc_id"""
     sqls["vocab_growth"] = f"""
         WITH t AS (SELECT source, unnest({_TOK}) AS term FROM documents),
         c AS (SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2)

@@ -816,6 +816,83 @@ def quality_filter_c4(sf_dir: str):
         rules, batch_format="pyarrow")
 
 
+def _mix_bigram(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    from .hashing import _B2, splitmix64
+
+    with np.errstate(over="ignore"):
+        return splitmix64(h1 * _B2 + h2)
+
+
+_BG_EMPTY = pa.table({"hb": pa.array([], pa.int64()),
+                      "h1": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+
+
+def _doc_bigram_arrays(batch: pa.Table):
+    """(token values, first-token index of each bigram, bigram hash hb,
+    first-token hash h1, per-token doc row ids)."""
+    from .hashing import hash_string_array, tokenize_values
+
+    values, doc_offs = tokenize_values(batch.column("text"))
+    h = hash_string_array(values)
+    if h.size < 2:
+        return values, None, None, None, None
+    n_docs = doc_offs.size - 1
+    row_ids = np.repeat(np.arange(n_docs, dtype=np.int64),
+                        np.diff(doc_offs))
+    j = np.flatnonzero(row_ids[:-1] == row_ids[1:])  # within-doc pairs
+    if j.size == 0:
+        return values, None, None, None, None
+    hb = _mix_bigram(h[j], h[j + 1]).view(np.int64)
+    return values, j, hb, h[j].view(np.int64), row_ids
+
+
+def _bigram_count_partial(batch: pa.Table) -> pa.Table:
+    _values, j, hb, h1, _ = _doc_bigram_arrays(batch)
+    if j is None:
+        return _BG_EMPTY
+    so = np.argsort(hb, kind="stable")
+    sh = hb[so]
+    starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+    return pa.table({
+        "hb": pa.array(sh[starts], pa.int64()),
+        "h1": pa.array(h1[so][starts], pa.int64()),
+        "n": pa.array(np.diff(np.r_[starts, sh.size]), pa.int64()),
+    })
+
+
+def _bigram_model(sf_dir: str):
+    """Corpus maximum-likelihood bigram LM: per-batch count partials
+    folded in ONE groupby (keys are 64-bit mixed hashes, int64 bit
+    views), prefix counts derived from the (already vocabulary-sized)
+    folded table.  Returns (hb_sorted, cb_sorted, u1, cp1) — broadcast
+    it once with ``ray.put``; shard by hash range if the vocabulary
+    outgrows a worker heap."""
+    from ray.data.aggregate import Min, Sum
+
+    from .collect import collect_table
+
+    bg_t = collect_table(
+        _read_docs(sf_dir, ["text"])
+        # big batches: bigram partials dedupe ~quadratically better with
+        # batch size, shrinking what the fold shuffles
+        .map_batches(_bigram_count_partial, batch_format="pyarrow",
+                     batch_size=16384)
+        .groupby("hb")  # h1 is functionally dependent on hb: Min = the value
+        .aggregate(Min("h1", alias_name="h1"), Sum("n", alias_name="n")),
+        ["hb", "h1", "n"])
+    if bg_t is None:
+        bg_t = _BG_EMPTY
+    hb_all = bg_t.column("hb").to_numpy()
+    h1_all = bg_t.column("h1").to_numpy()
+    n_all = bg_t.column("n").to_numpy()
+    bo = np.argsort(hb_all)
+    u1, inv1 = np.unique(h1_all, return_inverse=True)
+    cp1 = np.zeros(u1.size, np.int64)
+    np.add.at(cp1, inv1, n_all)
+    return hb_all[bo], n_all[bo], u1, cp1
+
+
 def surprising_bigrams(sf_dir: str, k: int = 3):
     """Bigram-LM surprise scoring: each document's ``k`` most surprising
     word bigrams under the corpus's own maximum-likelihood bigram model
@@ -825,80 +902,15 @@ def surprising_bigrams(sf_dir: str, k: int = 3):
     break on the bigram string; the space separator sorts below
     ``[a-z0-9]`` so string order equals (w1, w2) pair order).
 
-    Scale shape mirrors :func:`tfidf_keywords`: pass 1 folds per-batch
-    bigram-count partials in ONE groupby (keys are 64-bit mixed hashes,
-    int64 bit views), derives prefix counts from the folded table, and
-    broadcasts both with ``ray.put``; pass 2 ranks per-doc distinct
-    bigrams with a vectorized top-k (lexsort + run-length rank).  The
-    broadcast is bounded by bigram vocabulary, not corpus; shard it by
-    hash range if vocabulary outgrows a worker heap."""
+    Scale shape mirrors :func:`tfidf_keywords`: pass 1 is the shared
+    :func:`_bigram_model` fold broadcast via ``ray.put``; pass 2 ranks
+    per-doc distinct bigrams with a vectorized top-k (lexsort +
+    run-length rank)."""
     import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Sum
 
-    from .hashing import _B2, hash_string_array, splitmix64, tokenize_values
-
-    def _mix(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            return splitmix64(h1 * _B2 + h2)
-
-    bg_empty = pa.table({"hb": pa.array([], pa.int64()),
-                         "h1": pa.array([], pa.int64()),
-                         "n": pa.array([], pa.int64())})
-
-    def _doc_bigrams(batch: pa.Table):
-        """(token values, first-token index of each bigram, hb, h1,
-        per-token doc row ids)."""
-        values, doc_offs = tokenize_values(batch.column("text"))
-        h = hash_string_array(values)
-        if h.size < 2:
-            return values, None, None, None, None
-        n_docs = doc_offs.size - 1
-        row_ids = np.repeat(np.arange(n_docs, dtype=np.int64),
-                            np.diff(doc_offs))
-        j = np.flatnonzero(row_ids[:-1] == row_ids[1:])  # within-doc pairs
-        if j.size == 0:
-            return values, None, None, None, None
-        hb = _mix(h[j], h[j + 1]).view(np.int64)
-        return values, j, hb, h[j].view(np.int64), row_ids
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        values, j, hb, h1, _ = _doc_bigrams(batch)
-        if j is None:
-            return bg_empty
-        so = np.argsort(hb, kind="stable")
-        sh = hb[so]
-        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
-        return pa.table({
-            "hb": pa.array(sh[starts], pa.int64()),
-            "h1": pa.array(h1[so][starts], pa.int64()),
-            "n": pa.array(np.diff(np.r_[starts, sh.size]), pa.int64()),
-        })
-
-    from ray.data.aggregate import Min
-
-    from .collect import collect_table
-
-    bg_t = collect_table(
-        _read_docs(sf_dir, ["text"])
-        # big batches: bigram partials dedupe ~quadratically better with
-        # batch size, shrinking what the fold shuffles
-        .map_batches(count_partial, batch_format="pyarrow",
-                     batch_size=16384)
-        .groupby("hb")  # h1 is functionally dependent on hb: Min = the value
-        .aggregate(Min("h1", alias_name="h1"), Sum("n", alias_name="n")),
-        ["hb", "h1", "n"])
-    if bg_t is None:
-        bg_t = bg_empty
-    hb_all = bg_t.column("hb").to_numpy()
-    h1_all = bg_t.column("h1").to_numpy()
-    n_all = bg_t.column("n").to_numpy()
-    bo = np.argsort(hb_all)
-    # prefix counts: fold the (already vocabulary-sized) bigram table
-    u1, inv1 = np.unique(h1_all, return_inverse=True)
-    cp1 = np.zeros(u1.size, np.int64)
-    np.add.at(cp1, inv1, n_all)
-    model_ref = ray.put((hb_all[bo], n_all[bo], u1, cp1))
+    _doc_bigrams = _doc_bigram_arrays
+    model_ref = ray.put(_bigram_model(sf_dir))
 
     out_empty = pa.table({
         "doc_id": pa.array([], pa.int64()),
@@ -947,6 +959,62 @@ def surprising_bigrams(sf_dir: str, k: int = 3):
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(topk, batch_format="pyarrow")
         .sort(["doc_id", "rank"])
+    )
+
+
+def lm_perplexity(sf_dir: str, threshold: float = 4.885):
+    """CCNet-style n-gram-LM perplexity quality filter: score every
+    document by the mean negative log2 conditional probability of its
+    word-bigram INSTANCES under the corpus's own maximum-likelihood
+    bigram model — ``bits = (1/N) Σ (log2 c(w1·) − log2 c(w1 w2))`` —
+    and keep docs at or below ``threshold`` bits (low perplexity =
+    fluent, in-distribution text; CCNet runs this with a pretrained
+    5-gram KenLM, here the LM is corpus-trained so the oracle is
+    self-contained).  Every in-document bigram is in the training
+    counts, so MLE needs no smoothing (c ≥ 1).
+
+    Scale shape: pass 1 is the shared :func:`_bigram_model` fold (ONE
+    groupby, vocabulary-sized, broadcast once via ``ray.put``); pass 2
+    is one streaming map_batches — two searchsorted lookups + one
+    segmented reduceat per batch, log terms summed in document bigram
+    order.  Determinism: counts are exact integers (hash-collision
+    caveat as token_stats); the per-doc mean is rounded once to 4dp —
+    the same contract as the score oracles — and ``keep`` compares the
+    ROUNDED value on both sides.  Docs with < 2 tokens have no bigrams
+    and emit no row, matching the oracle's UNNEST semantics."""
+    import ray
+
+    model_ref = ray.put(_bigram_model(sf_dir))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_bigrams": pa.array([], pa.int64()),
+                      "bits": pa.array([], pa.float64()),
+                      "keep": pa.array([], pa.int64())})
+
+    def score(batch: pa.Table) -> pa.Table:
+        hb_s, cb_s, u1_s, cp_s = ray.get(model_ref)
+        _values, j, hb, h1, row_ids = _doc_bigram_arrays(batch)
+        if j is None:
+            return empty
+        cb = cb_s[np.searchsorted(hb_s, hb)].astype(np.float64)
+        cp = cp_s[np.searchsorted(u1_s, h1)].astype(np.float64)
+        nll = np.log2(cp) - np.log2(cb)
+        gr = row_ids[j]  # doc row per bigram instance, nondecreasing
+        starts = np.flatnonzero(np.r_[True, gr[1:] != gr[:-1]])
+        n_bg = np.diff(np.append(starts, gr.size)).astype(np.int64)
+        bits = np.round(np.add.reduceat(nll, starts) / n_bg, 4)
+        rows = gr[starts]
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(pa.array(rows)),
+            "n_bigrams": pa.array(n_bg, pa.int64()),
+            "bits": pa.array(bits, pa.float64()),
+            "keep": pa.array((bits <= threshold).astype(np.int64),
+                             pa.int64()),
+        })
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .sort("doc_id")
     )
 
 

@@ -281,3 +281,37 @@ def test_did_you_mean_phrase_matches_oracle(ray_session):
     assert len(got) >= 1
     assert got["phrase"].iloc[0] == "merge scan"
     assert got.astype(want.dtypes.to_dict()).equals(want)
+
+
+def test_lm_perplexity_matches_reference(ray_session):
+    import math
+
+    from noise_ray.ops.text import lm_perplexity
+
+    t = _docs(["doc_id", "text"])
+    bc = collections.Counter()
+    per_doc = {}
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        toks = _WORD.findall(txt.lower())
+        per_doc[did] = list(zip(toks, toks[1:]))
+        bc.update(per_doc[did])
+    cp = collections.Counter()
+    for (w1, _), n in bc.items():
+        cp[w1] += n
+    want = []
+    for did in sorted(per_doc):
+        bgs = per_doc[did]
+        if not bgs:
+            continue
+        tot = 0.0
+        for b in bgs:  # document bigram order, like the op's reduceat
+            tot += math.log2(cp[b[0]]) - math.log2(bc[b])
+        bits = round(tot / len(bgs), 4)
+        want.append((did, len(bgs), bits, int(bits <= 4.885)))
+    got = [(r["doc_id"], r["n_bigrams"], r["bits"], r["keep"])
+           for r in lm_perplexity(SF).take_all()]
+    assert got == want
+    # the threshold splits the corpus (filter is non-degenerate)
+    keeps = {k for _, _, _, k in got}
+    assert keeps == {0, 1}
