@@ -477,6 +477,24 @@ def _filters_agg(sf_dir: str):
     return filters_agg(sf_dir)
 
 
+def _extended_stats(sf_dir: str):
+    """Extended stats (ops/aggs.extended_stats, cf. ES extended_stats):
+    exact per-range integer moments folded, floats derived once from
+    the folded integers in fixed operand order, 4dp."""
+    from noise_ray.ops.aggs import extended_stats
+
+    return extended_stats(sf_dir)
+
+
+def _rare_terms(sf_dir: str):
+    """Rare terms (ops/aggs.rare_terms, cf. ES rare_terms): long-tail
+    matched-set vocabulary (doc count <= 100) from exact per-range
+    posting-df partials."""
+    from noise_ray.ops.aggs import rare_terms
+
+    return rare_terms(sf_dir)
+
+
 def _composite_agg(sf_dir: str):
     """Composite aggregation (ops/aggs.composite_agg, cf. ES
     composite): paginated source × n_chars-histogram buckets, composite
@@ -824,6 +842,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adjacency_matrix": _adjacency_matrix,
         "histogram_facet": _histogram_facet,
         "composite_agg": _composite_agg,
+        "extended_stats": _extended_stats,
+        "rare_terms": _rare_terms,
         "percentiles_agg": _percentiles_agg,
         "significant_terms": _significant_terms,
         "rerank_topk": _rerank_topk,
@@ -1110,6 +1130,9 @@ def oracle_sql() -> dict[str, str]:
             ("merge",), "n_chars", 200),
         "composite_agg": _score_oracle().composite_agg_sql(
             ("merge",), "source", "n_chars", 100, 15, ("src12", 200)),
+        "extended_stats": _score_oracle().extended_stats_sql(
+            ("merge",), "n_chars"),
+        "rare_terms": _score_oracle().rare_terms_sql(("merge",), 100, 20),
         "significant_terms": _score_oracle().significant_terms_sql(
             ("merge",), 10),
         "percentiles_agg": _score_oracle().percentiles_agg_sql(

@@ -951,3 +951,143 @@ def composite_agg(sf_dir: str, terms=("merge",),
         "bucket": pa.array([b for (_k, b), _n in rows], pa.int64()),
         "n": pa.array([n for _kk, n in rows], pa.int64()),
     })
+
+
+def extended_stats_range(index_dir, field, stemmed, value_column, lo, hi):
+    """Per-range exact integer moments (n, min, max, sum, sumsq)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    return _extended_stats_fold(reader, fid, stemmed, value_column,
+                                (lo, hi))
+
+
+def _extended_stats_fold(reader, fid, stemmed, value_column, doc_range):
+    docs = _matched_union(reader, fid, stemmed, doc_range)
+    if not docs.size:
+        return 0, None, None, 0, 0
+    v = (reader.fetch_docs(docs, [value_column]).column(value_column)
+         .to_numpy(zero_copy_only=False).astype(np.int64))
+    return (int(v.size), int(v.min()), int(v.max()), int(v.sum()),
+            int((v * v).sum()))
+
+
+def extended_stats(sf_dir: str, terms=("merge",),
+                   value_column: str = "n_chars", field: str = "text", *,
+                   index_dir: str | None = None) -> pa.Table:
+    """Extended stats (cf. Elasticsearch ``extended_stats``): count /
+    min / max / sum / avg / population variance / std deviation of a
+    stored integer field over the matched set.
+
+    Exactness: the per-range partials are integer moments (n, min, max,
+    Σv, Σv²) — exact int64, disjoint ranges fold exactly — and the
+    floats are derived ONCE from the folded integers in a fixed operand
+    order (``avg = Σv/n``; ``var = Σv²/n − avg·avg``; the oracle spells
+    the same expressions instead of VAR_POP), rounded to 4dp."""
+    import math
+
+    from ..query.engine import _stem_one
+
+    reader = _reader_for(sf_dir, index_dir)
+    fid = reader.field_id[field]
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+
+    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        from .bm25_ext import _doc_ranges
+
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "aggs", "extended_stats_range",
+                (index_dir, field, stemmed, value_column, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+    else:
+        parts = [_extended_stats_fold(reader, fid, stemmed, value_column,
+                                      None)]
+    n = sum(p[0] for p in parts)
+    if not n:
+        return pa.table({"n": pa.array([0], pa.int64()),
+                         "lo": pa.array([None], pa.int64()),
+                         "hi": pa.array([None], pa.int64()),
+                         "total": pa.array([None], pa.int64()),
+                         "mean": pa.array([None], pa.float64()),
+                         "variance": pa.array([None], pa.float64()),
+                         "std_dev": pa.array([None], pa.float64())})
+    lo_v = min(p[1] for p in parts if p[0])
+    hi_v = max(p[2] for p in parts if p[0])
+    s = sum(p[3] for p in parts)
+    sq = sum(p[4] for p in parts)
+    mean = float(s) / n
+    var = float(sq) / n - mean * mean
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "lo": pa.array([lo_v], pa.int64()),
+        "hi": pa.array([hi_v], pa.int64()),
+        "total": pa.array([s], pa.int64()),
+        "mean": pa.array([round(mean, 4)], pa.float64()),
+        "variance": pa.array([round(var, 4)], pa.float64()),
+        "std_dev": pa.array([round(math.sqrt(var), 4)], pa.float64()),
+    })
+
+
+def rare_terms(sf_dir: str, terms=("merge",), max_doc_count: int = 100,
+               top_n: int = 20, field: str = "text", *,
+               index_dir: str | None = None) -> pa.Table:
+    """Rare terms (cf. Elasticsearch ``rare_terms``): the long-tail
+    vocabulary of the matched set — terms appearing in at least one but
+    at most ``max_doc_count`` matched docs, ordered (doc count asc,
+    term asc), at most ``top_n`` buckets, query terms excluded.
+
+    Reuses the significant_terms per-range fold (``sig_counts_range``):
+    per-vocab-term foreground doc counts are exact disjoint-range sums
+    read from the postings, never a corpus scan; ES approximates this
+    with a CuckooFilter at scale, here counts are exact.  ``term`` is
+    the surface token when the index carries a dictionary, else the
+    stem."""
+    from ..query.engine import _stem_one
+
+    if index_dir is None:
+        from .termdict import _reader_and_dict
+
+        reader, _ = _reader_and_dict(sf_dir)
+    else:
+        reader = _reader_for(sf_dir, index_dir)
+    fid = reader.field_id[field]
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+    vocab = [t for t in _vocab_terms(reader, fid) if t not in set(stemmed)]
+
+    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+        import ray
+
+        from ..query.distributed import worker_pool
+
+        from .bm25_ext import _doc_ranges
+
+        ranges = _doc_ranges(reader)
+        pool = worker_pool()
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "aggs", "sig_counts_range",
+                (index_dir, field, stemmed, vocab, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+    else:
+        parts = [sig_counts_range_local(reader, fid, stemmed, vocab)]
+    fg_df = np.array([sum(p[1][j] for p in parts)
+                      for j in range(len(vocab))], np.int64)
+    keep = (fg_df > 0) & (fg_df <= max_doc_count)
+    vocab = [t for t, m in zip(vocab, keep) if m]
+    fg_df = fg_df[keep]
+    names = _stem_to_token(reader, fid)
+    vocab = [names.get(t, t) for t in vocab]
+    top = np.lexsort((np.array(vocab) if vocab else
+                      np.array([], dtype=object), fg_df))[:top_n]
+    return pa.table({
+        "term": pa.array([vocab[i] for i in top], pa.string()),
+        "n": pa.array(fg_df[top], pa.int64()),
+    })

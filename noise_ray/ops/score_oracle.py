@@ -1457,6 +1457,44 @@ WHERE fd.tok NOT IN ({toks_in})
 ORDER BY score DESC, term LIMIT {top_n}"""
 
 
+def extended_stats_sql(terms: tuple[str, ...], value_column: str, *,
+                       src: str = "documents",
+                       key: str = "doc_id") -> str:
+    """Extended-stats oracle (ops/aggs.extended_stats): integer moments
+    over the matched set, floats derived in the engine's exact operand
+    order (avg = Σv/n; var = Σv²/n − avg·avg), 4dp."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    mean = "CAST(sum(v) AS DOUBLE) / count(*)"
+    var = f"CAST(sum(v * v) AS DOUBLE) / count(*) - ({mean}) * ({mean})"
+    return f"""
+WITH {_toks(src, key)},
+m AS (SELECT DISTINCT {key} FROM toks WHERE tok IN ({toks_in})),
+vv AS (SELECT CAST(d.{value_column} AS BIGINT) AS v
+       FROM {src} d JOIN m USING ({key}))
+SELECT count(*) AS n, CAST(min(v) AS BIGINT) AS lo,
+       CAST(max(v) AS BIGINT) AS hi, CAST(sum(v) AS BIGINT) AS total,
+       round({mean}, 4) AS mean, round({var}, 4) AS variance,
+       round(sqrt({var}), 4) AS std_dev
+FROM vv"""
+
+
+def rare_terms_sql(terms: tuple[str, ...], max_doc_count: int,
+                   top_n: int, *, src: str = "documents",
+                   key: str = "doc_id") -> str:
+    """Rare-terms oracle (ops/aggs.rare_terms): matched-set vocabulary
+    with doc count ≤ max_doc_count, (count asc, term asc), query terms
+    excluded."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_toks(src, key)},
+fg AS (SELECT DISTINCT {key} FROM toks WHERE tok IN ({toks_in})),
+fd AS (SELECT tok, count(DISTINCT t.{key}) AS n
+       FROM toks t JOIN fg USING ({key}) GROUP BY tok)
+SELECT tok AS term, CAST(n AS BIGINT) AS n FROM fd
+WHERE n <= {max_doc_count} AND tok NOT IN ({toks_in})
+ORDER BY n, term LIMIT {top_n}"""
+
+
 def percolate_sql(qspec, *, src: str = "documents",
                   key: str = "doc_id") -> str:
     """Percolator oracle (ops/percolate.py): (doc, query) pairs where

@@ -470,3 +470,54 @@ def test_composite_agg_range_fold_matches_global(ray_session):
         zip(want.column("key").to_pylist(),
             want.column("bucket").to_pylist()),
         want.column("n").to_pylist()))
+
+
+def test_extended_stats_matches_raw_and_range_fold(ray_session):
+    from noise_ray.ops.aggs import (_extended_stats_fold, extended_stats,
+                                    extended_stats_range)
+    from noise_ray.pipelines import documents_index
+
+    ids, toks, _, n_chars = _corpus()
+    vals = [n_chars[d] for d, x in zip(ids, toks) if "merge" in x]
+    n = len(vals)
+    s, sq = sum(vals), sum(v * v for v in vals)
+    mean = float(s) / n
+    var = float(sq) / n - mean * mean
+
+    got = extended_stats(SF)
+    assert got.column("n")[0].as_py() == n
+    assert got.column("lo")[0].as_py() == min(vals)
+    assert got.column("hi")[0].as_py() == max(vals)
+    assert got.column("total")[0].as_py() == s
+    assert got.column("mean")[0].as_py() == round(mean, 4)
+    assert got.column("variance")[0].as_py() == round(var, 4)
+    assert got.column("std_dev")[0].as_py() == round(math.sqrt(var), 4)
+
+    reader = documents_index(SF)
+    cuts = [0, reader.num_docs // 3, 2 * reader.num_docs // 3,
+            reader.num_docs]
+    parts = [extended_stats_range(reader.index_dir, "text", ["merg"],
+                                  "n_chars", lo, hi)
+             for lo, hi in zip(cuts, cuts[1:])]
+    assert sum(p[0] for p in parts) == n
+    assert min(p[1] for p in parts if p[0]) == min(vals)
+    assert max(p[2] for p in parts if p[0]) == max(vals)
+    assert sum(p[3] for p in parts) == s
+    assert sum(p[4] for p in parts) == sq
+
+
+def test_rare_terms_matches_raw_recomputation(ray_session):
+    from noise_ray.ops.aggs import rare_terms
+
+    ids, toks, _, _ = _corpus()
+    fg = [x for x in toks if "merge" in x]
+    df = collections.Counter()
+    for x in fg:
+        df.update(set(x))
+    want = sorted(((t, c) for t, c in df.items()
+                   if c <= 100 and t != "merge"),
+                  key=lambda p: (p[1], p[0]))[:20]
+    got = rare_terms(SF)
+    assert list(zip(got.column("term").to_pylist(),
+                    got.column("n").to_pylist())) == want
+    assert len(want) >= 1  # the corpus has a genuine long-tail term
