@@ -934,6 +934,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_c4": text.quality_filter_c4,
         "surprising_bigrams": text.surprising_bigrams,
         "lm_perplexity": text.lm_perplexity,
+        "dsir_select": text.dsir_select,
+        "nb_classify": text.nb_classify,
         "tfidf_keywords": text.tfidf_keywords,
         "vocab_growth": text.vocab_growth,
         "kmv_distinct": text.kmv_distinct,
@@ -1498,6 +1500,46 @@ def oracle_sql() -> dict[str, str]:
     sqls["bpe_train"] = _sqlgen().bpe_train_sql()
     sqls["bpe_encode_counts"] = _sqlgen().bpe_encode_counts_sql()
     sqls["kmv_distinct"] = _sqlgen().kmv_distinct_sql()
+    sqls["dsir_select"] = _sqlgen().dsir_select_sql()
+    # multinomial NB: V from the whole corpus vocabulary so unseen
+    # tokens smooth identically; logodds 4dp, pred on the ROUNDED value
+    sqls["nb_classify"] = f"""
+        WITH toks AS (SELECT doc_id,
+                             unnest(regexp_extract_all(lower(text),
+                                                       '[a-z0-9]+')) AS tok
+                      FROM documents),
+        vt AS (SELECT DISTINCT tok FROM toks),
+        nv AS (SELECT count(*) AS v FROM vt),
+        pc AS (SELECT t.tok, count(*) AS n FROM toks t
+               JOIN documents d USING (doc_id)
+               WHERE d.source = 'src0' GROUP BY t.tok),
+        nc AS (SELECT t.tok, count(*) AS n FROM toks t
+               JOIN documents d USING (doc_id)
+               WHERE d.source = 'src1' GROUP BY t.tok),
+        tp AS (SELECT coalesce(sum(n), 0) AS n FROM pc),
+        tn AS (SELECT coalesce(sum(n), 0) AS n FROM nc),
+        dp AS (SELECT count(*) AS n FROM documents WHERE source = 'src0'),
+        dn AS (SELECT count(*) AS n FROM documents WHERE source = 'src1'),
+        lr AS (SELECT vt.tok,
+                      ln((coalesce(pc.n, 0) + 1.0)
+                         / (CAST((SELECT n FROM tp) AS DOUBLE)
+                            + (SELECT v FROM nv)))
+                    - ln((coalesce(nc.n, 0) + 1.0)
+                         / (CAST((SELECT n FROM tn) AS DOUBLE)
+                            + (SELECT v FROM nv))) AS r
+               FROM vt LEFT JOIN pc USING (tok) LEFT JOIN nc USING (tok)),
+        s AS (SELECT doc_id, sum(r) AS ts, count(*) AS ntok
+              FROM toks JOIN lr USING (tok) GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(s.ntok, 0) AS BIGINT) AS n_tokens,
+               round(ln(CAST((SELECT n FROM dp) AS DOUBLE)
+                        / (SELECT n FROM dn))
+                     + coalesce(s.ts, 0.0), 4) AS logodds,
+               CAST((round(ln(CAST((SELECT n FROM dp) AS DOUBLE)
+                              / (SELECT n FROM dn))
+                           + coalesce(s.ts, 0.0), 4) > 0)::INT AS BIGINT)
+                   AS pred
+        FROM documents d LEFT JOIN s USING (doc_id)
+        ORDER BY d.doc_id"""
     sqls["sliding_window_stats"] = """
         WITH e AS (SELECT event_id, user_id, ts,
                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -756,3 +756,41 @@ def winnow_dup_pairs_sql(window: int = 4, min_shared: int = 2,
     WHERE shared >= {min_shared}
     ORDER BY a_id, b_id
     """
+
+
+def dsir_select_sql(target_source: str = "src0", k: int = 50,
+                    n_buckets: int = 256) -> str:
+    """Exact oracle for ops.text.dsir_select: the same splitmix64
+    unigram hashes (shared _TOKEN_HASH_CTES) and bigram mixes
+    (splitmix64(h1·B2 + h2), the ops.hashing._B2 base), bucketed mod
+    ``n_buckets``; add-one-smoothed target/raw log-ratios summed per
+    doc, rounded to 4dp BEFORE ranking (the score-oracle contract)."""
+    b2 = 0x9E3779B97F4A7C15 | 1
+    mix_in = (f"CAST(((CAST({_mm('a.h', b2)} AS HUGEINT)"
+              f" + CAST(b.h AS HUGEINT)) % {_M64}) AS UBIGINT)")
+    return f"""
+    WITH RECURSIVE
+    {_TOKEN_HASH_CTES},
+    bgr AS (SELECT a.doc_id, {_sm(mix_in)} AS h
+            FROM th a JOIN th b
+              ON a.doc_id = b.doc_id AND b.ti = a.ti + 1),
+    feat AS (SELECT doc_id, CAST(h % {n_buckets} AS BIGINT) AS b FROM th
+             UNION ALL
+             SELECT doc_id, CAST(h % {n_buckets} AS BIGINT) FROM bgr),
+    tc AS (SELECT b, count(*) AS n FROM feat JOIN documents USING (doc_id)
+           WHERE source = '{target_source}' GROUP BY b),
+    rc AS (SELECT b, count(*) AS n FROM feat GROUP BY b),
+    tt AS (SELECT count(*) AS n FROM feat JOIN documents USING (doc_id)
+           WHERE source = '{target_source}'),
+    rt AS (SELECT count(*) AS n FROM feat),
+    lr AS (SELECT rc.b,
+                  ln((coalesce(tc.n, 0) + 1.0)
+                     / ((SELECT n FROM tt) + {float(n_buckets)}))
+                - ln((rc.n + 1.0)
+                     / ((SELECT n FROM rt) + {float(n_buckets)})) AS r
+           FROM rc LEFT JOIN tc USING (b))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(r), 4) AS logw
+    FROM feat JOIN lr USING (b)
+    GROUP BY doc_id ORDER BY logw DESC, doc_id LIMIT {k}
+    """

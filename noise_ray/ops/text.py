@@ -1166,3 +1166,228 @@ def winnow_dup_pairs(sf_dir: str, window: int = 4, min_shared: int = 2,
             t.column("shared").to_numpy()[order].astype(np.int64),
             pa.int64()),
     })
+
+
+def _dsir_features(batch: pa.Table, n_buckets: int):
+    """Hashed unigram+bigram feature-bucket instances per doc:
+    (bucket[int64], doc-row per instance, n_docs).  Unigrams first,
+    then within-doc bigrams — the order the per-doc log-ratio sum
+    folds in."""
+    from .hashing import _B2, splitmix64, tokenize_hashes
+
+    h, offs = tokenize_hashes(batch.column("text"))
+    n_docs = offs.size - 1
+    row_ids = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+    if h.size >= 2:
+        j = np.flatnonzero(row_ids[:-1] == row_ids[1:])
+        with np.errstate(over="ignore"):
+            hb = splitmix64(h[j] * _B2 + h[j + 1])
+    else:
+        j = np.zeros(0, np.int64)
+        hb = np.zeros(0, np.uint64)
+    nb = np.uint64(n_buckets)
+    fb = np.concatenate([(h % nb).astype(np.int64),
+                         (hb % nb).astype(np.int64)])
+    fr = np.concatenate([row_ids, row_ids[j]])
+    return fb, fr, n_docs
+
+
+def dsir_select(sf_dir: str, target_source: str = "src0", k: int = 50,
+                n_buckets: int = 256):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): rank raw-corpus docs
+    by importance weight under hashed n-gram feature distributions —
+    ``log w(x) = Σ_instances [ln p̂(b) − ln q̂(b)]`` with p̂ the target
+    distribution (here: docs from ``target_source``), q̂ the raw
+    distribution (the whole corpus), features = unigram+bigram hashes
+    into ``n_buckets`` buckets, add-one smoothing.  Returns the top
+    ``k`` docs by (logw desc, doc_id asc) — the selection DSIR keeps
+    for training.
+
+    Scale shape: pass 1 folds dense ``n_buckets``-sized per-batch count
+    partials (a map-side combiner: each batch emits exactly n_buckets
+    rows) in ONE groupby, and broadcasts the n_buckets log-ratio floats
+    via ``ray.put``; pass 2 is one streaming map_batches with a gather
+    + segmented reduceat per doc and a LOCAL top-k — only k rows per
+    batch reach the driver merge.  Determinism: counts are exact
+    integers; log-ratio terms fold per doc in (unigrams, bigrams)
+    order, rounded once to 4dp BEFORE ranking (both sides rank the
+    rounded value — the score-oracle contract)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_table
+
+    B = n_buckets
+    arange_b = np.arange(B, dtype=np.int64)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        fb, fr, _n = _dsir_features(batch, B)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        is_t = (src == target_source)[fr]
+        return pa.table({
+            "b": pa.array(arange_b, pa.int64()),
+            "tn": pa.array(np.bincount(fb[is_t], minlength=B)
+                           .astype(np.int64), pa.int64()),
+            "rn": pa.array(np.bincount(fb, minlength=B).astype(np.int64),
+                           pa.int64()),
+        })
+
+    ct = collect_table(
+        _read_docs(sf_dir, ["text", "source"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("tn", alias_name="tn"), Sum("rn", alias_name="rn")),
+        ["b", "tn", "rn"])
+    tgt = np.zeros(B, np.int64)
+    raw = np.zeros(B, np.int64)
+    if ct is not None:
+        bb = ct.column("b").to_numpy()
+        tgt[bb] = ct.column("tn").to_numpy()
+        raw[bb] = ct.column("rn").to_numpy()
+    tgt_tot, raw_tot = int(tgt.sum()), int(raw.sum())
+    ratio = (np.log((tgt + 1.0) / (tgt_tot + float(B)))
+             - np.log((raw + 1.0) / (raw_tot + float(B))))
+    ratio_ref = ray.put(ratio)
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_feats": pa.array([], pa.int64()),
+                      "logw": pa.array([], pa.float64())})
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        r = ray.get(ratio_ref)
+        fb, fr, _n = _dsir_features(batch, B)
+        if not fb.size:
+            return empty
+        order = np.argsort(fr, kind="stable")
+        sfb, sfr = fb[order], fr[order]
+        starts = np.flatnonzero(np.r_[True, sfr[1:] != sfr[:-1]])
+        nf = np.diff(np.append(starts, sfr.size)).astype(np.int64)
+        logw = np.round(np.add.reduceat(r[sfb], starts), 4)
+        doc_ids = (batch.column("doc_id").to_numpy(zero_copy_only=False)
+                   [sfr[starts]])
+        oo = np.lexsort((doc_ids, -logw))[:k]
+        return pa.table({"doc_id": pa.array(doc_ids[oo], pa.int64()),
+                         "n_feats": pa.array(nf[oo], pa.int64()),
+                         "logw": pa.array(logw[oo], pa.float64())})
+
+    parts = collect_table(
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score_partial, batch_format="pyarrow"),
+        ["doc_id", "n_feats", "logw"])
+    if parts is None:
+        return empty
+    doc_ids = parts.column("doc_id").to_numpy()
+    logw = parts.column("logw").to_numpy()
+    oo = np.lexsort((doc_ids, -logw))[:k]
+    return parts.take(pa.array(oo))
+
+
+def nb_classify(sf_dir: str, pos_source: str = "src0",
+                neg_source: str = "src1"):
+    """Naive-Bayes quality classifier (the GPT-3/CCNet-style linear
+    filter: score unlabeled text against a small labeled seed): train
+    multinomial NB with add-one smoothing on seed classes — positive =
+    docs from ``pos_source``, negative = ``neg_source`` — and score
+    EVERY doc with the log-odds ``ln(Dpos/Dneg) + Σ_tokens
+    [ln((cpos_t+1)/(Tpos+V)) − ln((cneg_t+1)/(Tneg+V))]`` (V = corpus
+    distinct-token vocabulary, so unseen tokens smooth identically on
+    both sides).  Returns (doc_id, n_tokens, logodds 4dp, pred) for all
+    docs; ``pred`` thresholds the ROUNDED log-odds at 0.
+
+    Scale shape: pass 1 folds per-batch (token-hash, pos_n, neg_n)
+    vocabulary partials in ONE groupby plus a source-cardinality doc
+    count; the per-token log-ratio array broadcasts via ``ray.put``
+    (vocabulary-bounded); pass 2 is one streaming map_batches —
+    searchsorted gather + offsets-cumsum per-doc sums (empty docs score
+    the prior alone).  Same determinism contract as dsir_select."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_table
+    from .hashing import tokenize_hashes
+
+    vempty = pa.table({"h": pa.array([], pa.int64()),
+                       "pn": pa.array([], pa.int64()),
+                       "nn": pa.array([], pa.int64())})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        h, offs = tokenize_hashes(batch.column("text"))
+        if not h.size:
+            return vempty
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        row_src = np.repeat(src, np.diff(offs))
+        hi = h.view(np.int64)
+        so = np.argsort(hi, kind="stable")
+        sh = hi[so]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        seg = np.zeros(sh.size, np.int64)
+        seg[starts] = 1
+        seg = np.cumsum(seg) - 1
+        pn = np.zeros(starts.size, np.int64)
+        nn = np.zeros(starts.size, np.int64)
+        np.add.at(pn, seg, (row_src[so] == pos_source).astype(np.int64))
+        np.add.at(nn, seg, (row_src[so] == neg_source).astype(np.int64))
+        return pa.table({"h": pa.array(sh[starts], pa.int64()),
+                         "pn": pa.array(pn, pa.int64()),
+                         "nn": pa.array(nn, pa.int64())})
+
+    vt = collect_table(
+        _read_docs(sf_dir, ["text", "source"])
+        .map_batches(count_partial, batch_format="pyarrow",
+                     batch_size=16384)
+        .groupby("h")
+        .aggregate(Sum("pn", alias_name="pn"), Sum("nn", alias_name="nn")),
+        ["h", "pn", "nn"])
+    if vt is None:
+        vt = vempty
+    hs = vt.column("h").to_numpy()
+    pn = vt.column("pn").to_numpy()
+    nn = vt.column("nn").to_numpy()
+    so = np.argsort(hs)
+    hs, pn, nn = hs[so], pn[so], nn[so]
+    v_size = hs.size
+    t_pos, t_neg = int(pn.sum()), int(nn.sum())
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        u, c = np.unique(src, return_counts=True)
+        return pa.table({"s": pa.array(u.tolist(), pa.string()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    st = collect_table(
+        _read_docs(sf_dir, ["source"])
+        .map_batches(src_partial, batch_format="pyarrow")
+        .groupby("s").aggregate(Sum("n", alias_name="n")), ["s", "n"])
+    d_cnt = dict(zip(st.column("s").to_pylist(),
+                     st.column("n").to_pylist()))
+    prior = np.log(float(d_cnt[pos_source]) / float(d_cnt[neg_source]))
+
+    lr = (np.log((pn + 1.0) / (t_pos + float(v_size)))
+          - np.log((nn + 1.0) / (t_neg + float(v_size))))
+    model_ref = ray.put((hs, lr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        hs_s, lr_s = ray.get(model_ref)
+        h, offs = tokenize_hashes(batch.column("text"))
+        terms = lr_s[np.searchsorted(hs_s, h.view(np.int64))]
+        # per-doc direct sums (reduceat), not a batch-wide cumsum diff —
+        # the oracle's per-group sum has no cross-doc rounding carry
+        lens = np.diff(offs)
+        tok_sum = np.zeros(lens.size, np.float64)
+        nz = np.flatnonzero(lens)
+        if nz.size:
+            tok_sum[nz] = np.add.reduceat(terms, offs[:-1][nz])
+        logodds = np.round(prior + tok_sum, 4)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(np.diff(offs), pa.int64()),
+            "logodds": pa.array(logodds, pa.float64()),
+            "pred": pa.array((logodds > 0).astype(np.int64), pa.int64()),
+        })
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .sort("doc_id")
+    )

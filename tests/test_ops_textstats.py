@@ -315,3 +315,106 @@ def test_lm_perplexity_matches_reference(ray_session):
     # the threshold splits the corpus (filter is non-degenerate)
     keeps = {k for _, _, _, k in got}
     assert keeps == {0, 1}
+
+
+def test_dsir_select_matches_reference(ray_session):
+    import math
+
+    from noise_ray.ops.hashing import _B2, hash_string_array, splitmix64
+    from noise_ray.ops.text import dsir_select
+
+    t = _docs(["doc_id", "text", "source"])
+    B = 256
+
+    def feats(txt):
+        toks = _WORD.findall(txt.lower())
+        import numpy as np
+        h = hash_string_array(__import__("pyarrow").array(toks))
+        out = [int(x % np.uint64(B)) for x in h]  # uint64 % int -> f64!
+        import numpy as np
+        for a, b in zip(h, h[1:]):
+            with np.errstate(over="ignore"):
+                out.append(int(splitmix64(
+                    np.uint64(a) * _B2 + np.uint64(b)) % np.uint64(B)))
+        return out
+
+    per_doc = {}
+    tgt = collections.Counter()
+    raw = collections.Counter()
+    for did, txt, src in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist(),
+                             t.column("source").to_pylist()):
+        f = feats(txt)
+        per_doc[did] = f
+        raw.update(f)
+        if src == "src0":
+            tgt.update(f)
+    tt, rt = sum(tgt.values()), sum(raw.values())
+    ratio = {b: math.log((tgt.get(b, 0) + 1.0) / (tt + float(B)))
+             - math.log((raw.get(b, 0) + 1.0) / (rt + float(B)))
+             for b in range(B)}
+    want = []
+    for did in sorted(per_doc):
+        f = per_doc[did]
+        if not f:
+            continue
+        import numpy as np
+        logw = round(float(np.add.reduce(
+            np.array([ratio[b] for b in f], np.float64))), 4)
+        want.append((did, len(f), logw))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    want = want[:50]
+
+    gt = dsir_select(SF)
+    got = list(zip(gt.column("doc_id").to_pylist(),
+                   gt.column("n_feats").to_pylist(),
+                   gt.column("logw").to_pylist()))
+    assert got == want
+    # target-source docs dominate the selection (the filter selects)
+    srcs = dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("source").to_pylist()))
+    n_tgt = sum(1 for d, _, _ in got if srcs[d] == "src0")
+    base = 50 * sum(1 for s in srcs.values() if s == "src0") / len(srcs)
+    assert n_tgt > 4 * base  # 5% base rate -> far overrepresented
+
+
+def test_nb_classify_matches_reference(ray_session):
+    import math
+
+    from noise_ray.ops.text import nb_classify
+
+    t = _docs(["doc_id", "text", "source"])
+    docs = list(zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist(),
+                    t.column("source").to_pylist()))
+    toks = {d: _WORD.findall(txt.lower()) for d, txt, _ in docs}
+    vocab = set()
+    pc = collections.Counter()
+    nc = collections.Counter()
+    dp = dn = 0
+    for d, _txt, src in docs:
+        vocab.update(toks[d])
+        if src == "src0":
+            pc.update(toks[d])
+            dp += 1
+        elif src == "src1":
+            nc.update(toks[d])
+            dn += 1
+    v = len(vocab)
+    tp, tn = sum(pc.values()), sum(nc.values())
+    prior = math.log(float(dp) / float(dn))
+    want = []
+    for d, _txt, _src in sorted(docs):
+        import numpy as np
+        terms = np.array([
+            math.log((pc.get(w, 0) + 1.0) / (tp + float(v)))
+            - math.log((nc.get(w, 0) + 1.0) / (tn + float(v)))
+            for w in toks[d]], np.float64)
+        lo = round(prior + (float(np.add.reduce(terms))
+                            if terms.size else 0.0), 4)
+        want.append((d, len(toks[d]), lo, int(lo > 0)))
+    got = [(r["doc_id"], r["n_tokens"], r["logodds"], r["pred"])
+           for r in nb_classify(SF).take_all()]
+    assert got == want
+    # both classes predicted somewhere (the classifier separates)
+    assert {p for _, _, _, p in got} == {0, 1}
