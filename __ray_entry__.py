@@ -314,6 +314,26 @@ def _bm25_value_boost(sf_dir: str):
     return bm25_value_boost(sf_dir)
 
 
+def _bm25_span_first(sf_dir: str):
+    """Span-first query (ops/bm25.bm25_span_first_topk, cf. Lucene
+    SpanFirstQuery): the term within the first 10 kept-token positions,
+    tf = in-window occurrences, span df — one positional posting read
+    plus a vectorized mask."""
+    from noise_ray.ops.bm25 import bm25_span_first_topk
+
+    return bm25_span_first_topk(sf_dir)
+
+
+def _bm25_decay(sf_dir: str):
+    """Gauss-decay function score (ops/bm25_ext.bm25_decay):
+    score' = bm25 · 0.5^((max(0,|n_chars−300|−50)/150)²) — the ES
+    function_score decay shape (recency / geo-distance) over a stored
+    numeric field."""
+    from noise_ray.ops.bm25_ext import bm25_decay
+
+    return bm25_decay(sf_dir)
+
+
 def _federated_bm25(sf_dir: str):
     """Federated search (ops/federated.py): the documents corpus split
     into 3 INDEPENDENTLY built shard indexes (own doc-id spaces), one
@@ -825,6 +845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_msm": _bm25_msm,
         "bm25_synonyms": _bm25_synonyms,
         "bm25_value_boost": _bm25_value_boost,
+        "bm25_decay": _bm25_decay,
+        "bm25_span_first": _bm25_span_first,
         "federated_bm25": _federated_bm25,
         "merged_index_bm25": _merged_index_bm25,
         "split_index_bm25": _split_index_bm25,
@@ -1070,6 +1092,10 @@ def oracle_sql() -> dict[str, str]:
             (("merge", "join"), ("scan",)), 20),
         "bm25_value_boost": _score_oracle().bm25_value_boost_sql(
             ("merge", "scan"), 20),
+        "bm25_decay": _score_oracle().bm25_decay_sql(
+            ("merge", "scan"), 20),
+        "bm25_span_first": _score_oracle().bm25_span_first_sql(
+            "merge", 10, 20),
         # federated == single-index ranking by construction (module doc)
         "federated_bm25": _score_oracle().bm25_topk_sql(
             ("merge", "scan"), 20, 1.2, 0.75),

@@ -1254,3 +1254,123 @@ def _bm25_distributed(index_dir: str, reader, stemmed: list[str],
     top = np.lexsort((docs, -r4))[:k]
     return pa.table({"doc_id": pa.array(docs[top], pa.int64()),
                      "score": pa.array(r4[top], pa.float64())})
+
+
+def _span_first_occ(reader, fid: int, stem: str, end: int,
+                    doc_range: tuple[int, int] | None = None):
+    """(uniq_docs, tf, dl) of term occurrences at 0-based kept-token
+    position < ``end`` — Lucene SpanFirstQuery matches.  One positional
+    posting read + a vectorized mask; no per-doc work."""
+    pl = reader.postings(fid, stem, need_positions=True,
+                         doc_range=doc_range)
+    if pl is None or not pl.docs.size:
+        return None
+    docs_rep = np.repeat(pl.docs, pl.tfs).astype(np.int64)
+    m = pl.pos_concat < end
+    if doc_range is not None:
+        lo, hi = doc_range
+        m &= (docs_rep >= lo) & (docs_rep < hi)
+    d = docs_rep[m]
+    if not d.size:
+        return None
+    uniq, starts = np.unique(d, return_index=True)
+    tf = np.diff(np.append(starts, d.size)).astype(np.float64)
+    dl = pl.lens[np.searchsorted(pl.docs, uniq)].astype(np.float64)
+    return uniq, tf, dl
+
+
+def bm25_span_first_topk(sf_dir: str, term: str = "merge",
+                         end: int = 10, k: int = 20, k1: float = 1.2,
+                         b: float = 0.75, field: str = "text", *,
+                         index_dir: str | None = None) -> pa.Table:
+    """BM25 top-``k`` for a span-first "term" (cf. Lucene
+    ``SpanFirstQuery`` / ES ``span_first``): the term within the first
+    ``end`` kept-token positions of the field — "matches near the start
+    of the document".  tf = in-window occurrences, df = docs with >= 1
+    (the span df, not the term df), same Okapi kernel / 4dp / (score
+    desc, id asc) contract as the phrase kernels.  Large indexes fan
+    out per doc range like :func:`bm25_phrase_topk` (phase 1 sums
+    per-range span dfs, phase 2 scores with the global df)."""
+    from ..pipelines import documents_index
+    from ..query.engine import _stem_one
+
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        reader = _cached_reader(index_dir)
+    else:
+        reader = documents_index(sf_dir)
+    n_docs = float(reader.num_docs)
+    fid = reader.field_id[field]
+    avgdl = _field_total_tokens(reader, fid) / n_docs
+    stem = _stem_one(term)
+
+    if index_dir is not None and reader.num_docs >= 5_000_000:
+        return _span_first_distributed(index_dir, reader, stem, end,
+                                       field, k, k1, b, n_docs, avgdl)
+
+    res = _span_first_occ(reader, fid, stem, end)
+    if res is None:
+        return _empty_topk()
+    uniq, tf, dl = res
+    uniq, r4 = _phrase_score(uniq, tf, dl, float(uniq.size), n_docs,
+                             avgdl, k1, b, reader.tombstones)
+    top = np.lexsort((uniq, -r4))[:k]
+    return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})
+
+
+def span_first_df_range(index_dir, field, stem, end, lo, hi) -> int:
+    """Phase-1 worker body: span-first df in [lo, hi)."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    res = _span_first_occ(reader, fid, stem, end, (lo, hi))
+    return 0 if res is None else int(res[0].size)
+
+
+def span_first_score_range(index_dir, field, stem, end, df, n_docs,
+                           avgdl, k1, b, k, lo, hi):
+    """Phase-2 worker body: this range's span-first scores under the
+    GLOBAL span df, local top-k out."""
+    from ..query.distributed import _cached_reader
+
+    reader = _cached_reader(index_dir)
+    fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
+    res = _span_first_occ(reader, fid, stem, end, (lo, hi))
+    if res is None:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    uniq, tf, dl = res
+    uniq, r4 = _phrase_score(uniq, tf, dl, df, n_docs, avgdl, k1, b,
+                             reader.tombstones)
+    top = np.lexsort((uniq, -r4))[:k]
+    return uniq[top], r4[top]
+
+
+def _span_first_distributed(index_dir, reader, stem, end, field, k, k1,
+                            b, n_docs, avgdl) -> pa.Table:
+    import ray
+
+    from ..query.distributed import worker_pool
+
+    from .bm25_ext import _doc_ranges
+
+    ranges = _doc_ranges(reader)
+    pool = worker_pool()
+    df = float(sum(ray.get([
+        pool[i % len(pool)].ops_call.remote(
+            "bm25", "span_first_df_range",
+            (index_dir, field, stem, end, lo, hi))
+        for i, (lo, hi) in enumerate(ranges)])))
+    parts = ray.get([
+        pool[i % len(pool)].ops_call.remote(
+            "bm25", "span_first_score_range",
+            (index_dir, field, stem, end, df, n_docs, avgdl, k1, b, k,
+             lo, hi))
+        for i, (lo, hi) in enumerate(ranges)])
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:k]
+    return pa.table({"doc_id": pa.array(docs[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})

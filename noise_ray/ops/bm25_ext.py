@@ -378,10 +378,53 @@ def bm25_value_boost(sf_dir: str, terms=("merge", "scan"),
 
     if index_dir is not None and reader.num_docs >= 5_000_000:
         return _boost_distributed(index_dir, reader, stemmed, field, k,
-                                  k1, b, n_docs, avgdl, value_column, lam)
+                                  k1, b, n_docs, avgdl, value_column,
+                                  ("recip", lam))
 
     uniq, r4 = _boost_fold(reader, fid, stemmed, None, n_docs, avgdl,
-                           k1, b, value_column, lam, None)
+                           k1, b, value_column, ("recip", lam), None)
+    if not uniq.size:
+        return _empty_topk()
+    top = np.lexsort((uniq, -r4))[:k]
+    return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
+                     "score": pa.array(r4[top], pa.float64())})
+
+
+def bm25_decay(sf_dir: str, terms=("merge", "scan"), k: int = 20,
+               k1: float = 1.2, b: float = 0.75, field: str = "text",
+               value_column: str = "n_chars", origin: float = 300.0,
+               offset: float = 50.0, scale: float = 150.0, *,
+               index_dir: str | None = None) -> pa.Table:
+    """Gauss-decay function score (cf. Elasticsearch ``function_score``
+    decay functions): ``score'(d) = bm25(d) · 0.5^((max(0, |v −
+    origin| − offset) / scale)²)`` — full score inside ``offset`` of
+    ``origin``, halved at ``origin ± (offset + scale)``; the ES recency
+    / geo-distance decay shape over any stored numeric field (docmap
+    gather, no corpus read).  Same two-phase fan-out and determinism
+    contract as bm25_value_boost (one 4dp rounding AFTER the
+    multiply)."""
+    from ..pipelines import documents_index
+    from ..query.engine import _stem_one
+
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        reader = _cached_reader(index_dir)
+    else:
+        reader = documents_index(sf_dir)
+    n_docs = float(reader.num_docs)
+    fid = reader.field_id[field]
+    avgdl = _field_total_tokens(reader, fid) / n_docs
+    stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
+    spec = ("gauss", origin, offset, scale)
+
+    if index_dir is not None and reader.num_docs >= 5_000_000:
+        return _boost_distributed(index_dir, reader, stemmed, field, k,
+                                  k1, b, n_docs, avgdl, value_column,
+                                  spec)
+
+    uniq, r4 = _boost_fold(reader, fid, stemmed, None, n_docs, avgdl,
+                           k1, b, value_column, spec, None)
     if not uniq.size:
         return _empty_topk()
     top = np.lexsort((uniq, -r4))[:k]
@@ -390,7 +433,7 @@ def bm25_value_boost(sf_dir: str, terms=("merge", "scan"),
 
 
 def boost_score_range(index_dir, field, stemmed, dfs, n_docs, avgdl,
-                      k1, b, value_column, lam, k, lo, hi):
+                      k1, b, value_column, spec, k, lo, hi):
     """Phase-2 worker body: fold one doc range's boosted scores with the
     GLOBAL dfs, return the local top-k.  The per-range docmap gather
     happens on the worker that owns the range (fetch_docs is a
@@ -400,13 +443,25 @@ def boost_score_range(index_dir, field, stemmed, dfs, n_docs, avgdl,
     reader = _cached_reader(index_dir)
     fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
     uniq, r4 = _boost_fold(reader, fid, stemmed, dfs, n_docs, avgdl,
-                           k1, b, value_column, lam, (lo, hi))
+                           k1, b, value_column, spec, (lo, hi))
     top = np.lexsort((uniq, -r4))[:k]
     return uniq[top], r4[top]
 
 
+def _boost_multiplier(v: np.ndarray, spec) -> np.ndarray:
+    """Per-doc function-score multiplier over the stored values ``v``.
+    ``("recip", λ)`` → 1/(1 + λ·v); ``("gauss", origin, offset, scale)``
+    → 0.5^((max(0, |v − origin| − offset) / scale)²) — ES's gauss decay
+    with decay=0.5 at distance offset+scale."""
+    if spec[0] == "recip":
+        return 1.0 / (1.0 + spec[1] * v)
+    _kind, origin, offset, scale = spec
+    dist = np.maximum(np.abs(v - origin) - offset, 0.0)
+    return np.power(0.5, (dist / scale) ** 2)
+
+
 def _boost_fold(reader, fid, stemmed, dfs, n_docs, avgdl, k1, b,
-                value_column, lam, doc_range):
+                value_column, spec, doc_range):
     """Boosted per-doc scores for one range (or the whole index when
     ``doc_range`` is None; dfs=None takes them from the local posting
     lists — only valid index-wide)."""
@@ -435,13 +490,13 @@ def _boost_fold(reader, fid, stemmed, dfs, n_docs, avgdl, k1, b,
         return uniq, summed
     vals = reader.fetch_docs(uniq, [value_column]).column(value_column)
     v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
-    return uniq, np.round(summed * (1.0 / (1.0 + lam * v)), 4)
+    return uniq, np.round(summed * _boost_multiplier(v, spec), 4)
 
 
 def _boost_distributed(index_dir: str, reader, stemmed, field: str,
                        k: int, k1: float, b: float, n_docs: float,
                        avgdl: float, value_column: str,
-                       lam: float) -> pa.Table:
+                       spec) -> pa.Table:
     """Two-phase fan-out: global term dfs (phase 1 reuses bm25_df),
     then per-range boosted scoring with local top-k."""
     import ray
@@ -459,7 +514,7 @@ def _boost_distributed(index_dir: str, reader, stemmed, field: str,
         pool[i % len(pool)].ops_call.remote(
             "bm25_ext", "boost_score_range",
             (index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b,
-             value_column, lam, k, lo, hi))
+             value_column, spec, k, lo, hi))
         for i, (lo, hi) in enumerate(ranges)])
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])

@@ -775,6 +775,32 @@ SELECT {key}, ROUND(score, 4) AS score FROM s
 ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
 
 
+def bm25_span_first_sql(term: str, end: int, k: int, k1: float = 1.2,
+                        b: float = 0.75, *, src: str = "documents",
+                        key: str = "doc_id") -> str:
+    """Span-first oracle (ops/bm25.bm25_span_first_topk): tf = term
+    occurrences with 1-based ordinal <= ``end`` (the engine's 0-based
+    position < end), df = docs with >= 1, phrase-kernel scoring."""
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+sp AS (SELECT {key}, count(*) AS tf FROM toks
+       WHERE tok = '{term}' AND ord <= {end} GROUP BY {key}),
+pdf AS (SELECT count(*) AS df FROM sp),
+s AS (SELECT sp.{key},
+             ln(1.0 + ((SELECT n FROM nn) - (SELECT df FROM pdf) + 0.5)
+                      / ((SELECT df FROM pdf) + 0.5))
+             * sp.tf * ({k1} + 1.0)
+             / (sp.tf + {k1} * (1.0 - {b}
+                                + {b} * lens.len / (SELECT a FROM ad)))
+               AS score
+      FROM sp JOIN lens USING ({key}))
+SELECT {key}, ROUND(score, 4) AS score FROM s
+ORDER BY ROUND(score, 4) DESC, {key} LIMIT {k}"""
+
+
 def bm25_phrase_prefix_sql(words: tuple[str, ...], prefix: str, k: int,
                            max_expansions: int = 50, k1: float = 1.2,
                            b: float = 0.75, *, src: str = "documents",
@@ -1185,6 +1211,41 @@ s AS (SELECT tf.{key},
 bs AS (SELECT s.{key},
               ROUND(s.score * (1.0 / (1.0 + {lam}
                     * CAST(d.{value_column} AS DOUBLE))), 4) AS score
+       FROM s JOIN {src} d USING ({key}))
+SELECT {key}, score FROM bs
+ORDER BY score DESC, {key} LIMIT {k}"""
+
+
+def bm25_decay_sql(terms: tuple[str, ...], k: int,
+                   k1: float = 1.2, b: float = 0.75,
+                   value_column: str = "n_chars",
+                   origin: float = 300.0, offset: float = 50.0,
+                   scale: float = 150.0, *, src: str = "documents",
+                   key: str = "doc_id") -> str:
+    """Gauss-decay function-score oracle (ops/bm25_ext.bm25_decay):
+    bm25 × 0.5^((max(0, |v−origin|−offset)/scale)²), multiplied BEFORE
+    the single 4dp rounding in the engine's operand order."""
+    toks_in = ", ".join(f"'{t}'" for t in terms)
+    mult = (f"power(0.5, pow(greatest(abs(CAST(d.{value_column} AS DOUBLE)"
+            f" - {origin}) - {offset}, 0.0) / {scale}, 2))")
+    return f"""
+WITH {_toks(src, key)},
+nn AS (SELECT count(*) AS n FROM {src}),
+ad AS (SELECT sum(len) / (SELECT CAST(n AS DOUBLE) FROM nn) AS a
+       FROM lens),
+tf AS (SELECT {key}, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({toks_in}) GROUP BY {key}, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+s AS (SELECT tf.{key},
+             sum(ln(1.0 + ((SELECT n FROM nn) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b}
+                                    + {b} * lens.len / (SELECT a FROM ad)))
+                 ) AS score
+      FROM tf JOIN df USING (tok) JOIN lens USING ({key})
+      GROUP BY tf.{key}),
+bs AS (SELECT s.{key}, ROUND(s.score * {mult}, 4) AS score
        FROM s JOIN {src} d USING ({key}))
 SELECT {key}, score FROM bs
 ORDER BY score DESC, {key} LIMIT {k}"""

@@ -198,7 +198,8 @@ def test_value_boost_range_fold_matches_global(ray_session):
     dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
     avgdl = _field_total_tokens(reader, reader.field_id["text"]) / float(n)
     parts = [boost_score_range(idx, "text", stemmed, dfs, float(n), avgdl,
-                               1.2, 0.75, "n_chars", 0.001, 20, lo, hi)
+                               1.2, 0.75, "n_chars", ("recip", 0.001),
+                               20, lo, hi)
              for lo, hi in ranges]
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])
@@ -432,3 +433,112 @@ def test_phrase_prefix_full_word_equals_phrase(ray_session):
     a = bm25_phrase_prefix_topk(sf, words=("window",), prefix="join")
     b = bm25_phrase_topk(sf, phrase=("window", "join"))
     assert a.equals(b)
+
+
+def test_decay_matches_raw_recomputation(ray_session):
+    from noise_ray.ops.bm25_ext import bm25_decay
+
+    terms = ("merge", "scan")
+    origin, offset, scale = 300.0, 50.0, 150.0
+    ids, toks, chars = _tokenized()
+    n = len(ids)
+    avgdl = sum(len(x) for x in toks) / n
+    df = collections.Counter()
+    for x in toks:
+        for term in set(x) & set(terms):
+            df[term] += 1
+    import numpy as np
+    scores = {}
+    for d, x, v in zip(ids, toks, chars):
+        cnt = collections.Counter(x)
+        s = sum(_kernel(cnt[t], df[t], n, len(x), avgdl)
+                for t in terms if cnt.get(t, 0))
+        if s > 0.0:
+            dist = max(abs(float(v) - origin) - offset, 0.0)
+            mult = float(np.power(0.5, (dist / scale) ** 2))
+            scores[d] = round(s * mult, 4)
+    want = sorted(scores.items(), key=lambda p: (-p[1], p[0]))[:20]
+
+    got = bm25_decay(SF, terms)
+    assert list(zip(got.column("doc_id").to_pylist(),
+                    got.column("score").to_pylist())) == want
+    # full score inside the offset window, decayed outside
+    assert any(abs(chars[d] - origin) > offset + scale for d in scores)
+
+
+def test_decay_range_fold_matches_global(ray_session):
+    from noise_ray.ops.bm25 import _field_total_tokens, bm25_df_range
+    from noise_ray.ops.bm25_ext import bm25_decay, boost_score_range
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index(SF)
+    idx = reader.index_dir
+    stemmed = ["merg", "scan"]
+    n = reader.num_docs
+    cuts = [0, n // 2, n]
+    ranges = list(zip(cuts, cuts[1:]))
+    df_parts = [bm25_df_range(idx, "text", stemmed, lo, hi)
+                for lo, hi in ranges]
+    dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
+    avgdl = _field_total_tokens(reader, reader.field_id["text"]) / float(n)
+    spec = ("gauss", 300.0, 50.0, 150.0)
+    import numpy as np
+    parts = [boost_score_range(idx, "text", stemmed, dfs, float(n), avgdl,
+                               1.2, 0.75, "n_chars", spec, 20, lo, hi)
+             for lo, hi in ranges]
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:20]
+    want = bm25_decay(SF)
+    assert docs[top].tolist() == want.column("doc_id").to_pylist()
+    assert r4[top].tolist() == want.column("score").to_pylist()
+
+
+def test_span_first_matches_raw_recomputation(ray_session):
+    from noise_ray.ops.bm25 import bm25_span_first_topk
+
+    term, end = "merge", 10
+    ids, toks, _ = _tokenized()
+    n = len(ids)
+    avgdl = sum(len(x) for x in toks) / n
+    occ = {d: sum(1 for w in x[:end] if w == term)
+           for d, x in zip(ids, toks)}
+    occ = {d: c for d, c in occ.items() if c}
+    df = len(occ)
+    scores = {d: round(_kernel(c, df, n, len(toks[d]), avgdl), 4)
+              for d, c in occ.items()}
+    want = sorted(scores.items(), key=lambda p: (-p[1], p[0]))[:20]
+
+    got = bm25_span_first_topk(SF, term, end)
+    assert list(zip(got.column("doc_id").to_pylist(),
+                    got.column("score").to_pylist())) == want
+    # span df is strictly smaller than the term df on this corpus
+    term_df = sum(1 for x in toks if term in x)
+    assert df < term_df
+
+
+def test_span_first_range_fold_matches_global(ray_session):
+    from noise_ray.ops.bm25 import (_field_total_tokens,
+                                    bm25_span_first_topk,
+                                    span_first_df_range,
+                                    span_first_score_range)
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index(SF)
+    idx = reader.index_dir
+    n = reader.num_docs
+    cuts = [0, n // 2, n]
+    ranges = list(zip(cuts, cuts[1:]))
+    df = float(sum(span_first_df_range(idx, "text", "merg", 10, lo, hi)
+                   for lo, hi in ranges))
+    avgdl = _field_total_tokens(reader, reader.field_id["text"]) / float(n)
+    import numpy as np
+    parts = [span_first_score_range(idx, "text", "merg", 10, df, float(n),
+                                    avgdl, 1.2, 0.75, 20, lo, hi)
+             for lo, hi in ranges]
+    docs = np.concatenate([p[0] for p in parts])
+    r4 = np.concatenate([p[1] for p in parts])
+    top = np.lexsort((docs, -r4))[:20]
+    want = bm25_span_first_topk(SF)
+    assert docs[top].tolist() == want.column("doc_id").to_pylist()
+    assert r4[top].tolist() == want.column("score").to_pylist()
