@@ -314,6 +314,16 @@ def _bm25_value_boost(sf_dir: str):
     return bm25_value_boost(sf_dir)
 
 
+def _term_vectors(sf_dir: str):
+    """Term vectors with term statistics (ops/introspect.term_vectors,
+    cf. ES _termvectors): requested docs re-analyzed with the engine's
+    own tokenizer, df/cf from posting headers — per-doc diagnostic,
+    never a corpus scan."""
+    from noise_ray.ops.introspect import term_vectors
+
+    return term_vectors(sf_dir)
+
+
 def _bm25_span_first(sf_dir: str):
     """Span-first query (ops/bm25.bm25_span_first_topk, cf. Lucene
     SpanFirstQuery): the term within the first 10 kept-token positions,
@@ -871,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_topk": _rerank_topk,
         "mmr_rerank": _mmr_rerank,
         "explain_score": _explain_score,
+        "term_vectors": _term_vectors,
         "index_stats": _index_stats,
         "percolate": _percolate,
         "search_term_topk": _search_documents(
@@ -1096,6 +1107,21 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "scan"), 20),
         "bm25_span_first": _score_oracle().bm25_span_first_sql(
             "merge", 10, 20),
+        "term_vectors": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(regexp_extract_all(lower(text),
+                                                           '[a-z0-9]+'))
+                                     AS tok
+                          FROM documents),
+            sel AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                    WHERE doc_id IN (3, 7, 11) GROUP BY 1, 2),
+            stat AS (SELECT tok, count(DISTINCT doc_id) AS df,
+                            count(*) AS cf
+                     FROM toks GROUP BY tok)
+            SELECT sel.doc_id, sel.tok AS term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf
+            FROM sel JOIN stat USING (tok)
+            ORDER BY sel.doc_id, term""",
         # federated == single-index ranking by construction (module doc)
         "federated_bm25": _score_oracle().bm25_topk_sql(
             ("merge", "scan"), 20, 1.2, 0.75),

@@ -279,11 +279,16 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
                     ("quality_gopher_sec", _text.quality_filter_gopher),
                     ("tfidf_keywords_sec", _text.tfidf_keywords),
                     ("vocab_growth_sec", _text.vocab_growth),
+                    ("lm_perplexity_sec", _text.lm_perplexity),
+                    ("dsir_select_sec", _text.dsir_select),
+                    ("nb_classify_sec", _text.nb_classify),
                     ("corpus_prep_sec", _mixing.corpus_prep)):
         best = None
         for _ in range(2):  # best-of-2, same host-contention rationale
             t0 = time.perf_counter()
-            fn(SF_DIR).count()
+            r = fn(SF_DIR)
+            if hasattr(r, "count"):
+                r.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         out[key] = round(best, 3)

@@ -105,3 +105,86 @@ def index_stats(sf_dir: str, fields=("text", "lang", "source"), *,
     return pa.table({"field": pa.array(out_f, pa.string()),
                      "n_docs": pa.array(out_n, pa.int64()),
                      "total_tokens": pa.array(out_tok, pa.int64())})
+
+
+def term_vectors(sf_dir: str, doc_ids=(3, 7, 11), field: str = "text", *,
+                 index_dir: str | None = None):
+    """Term vectors with term statistics (cf. Elasticsearch
+    ``_termvectors`` with ``term_statistics=true``): for each requested
+    doc, its distinct terms with in-doc tf, corpus df (docs containing
+    the term) and corpus cf (total occurrences).  Returns (doc_id,
+    term, tf, df, cf) ordered (doc_id, term).
+
+    ES re-analyzes the stored field, and so does this: doc text comes
+    from the docmap (a vectorized partition-local gather), tf from the
+    engine's own tokenize+stem analyzer, cf from the stats sidecar (a
+    metadata read), df from the per-term posting headers.  Work is
+    bounded by Σ requested docs' vocabularies — a per-doc diagnostic
+    surface, never a corpus scan, so it needs no fan-out at any index
+    size."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..analysis.tokenizer import tokenize
+
+    if index_dir is not None:
+        from ..query.distributed import _cached_reader
+
+        reader = _cached_reader(index_dir)
+    else:
+        # the dictionary backs surface naming (stem -> raw token),
+        # exactly like significant_terms
+        from .termdict import _reader_and_dict
+
+        reader, _ = _reader_and_dict(sf_dir)
+    fid = reader.field_id[field]
+    ids = np.array(sorted(doc_ids), np.int64)
+    texts = (reader.fetch_docs(ids, [field]).column(field)
+             .to_pylist())
+
+    # per-doc stem tfs from the engine's own analyzer
+    per_doc: list[dict[str, int]] = []
+    vocab: set[str] = set()
+    for txt in texts:
+        tf: dict[str, int] = {}
+        for _pos, stem in tokenize(txt):
+            tf[stem] = tf.get(stem, 0) + 1
+        per_doc.append(tf)
+        vocab.update(tf)
+
+    # corpus stats for exactly the touched vocabulary
+    tomb = reader.tombstones
+    df: dict[str, int] = {}
+    cf: dict[str, int] = {}
+    for t in sorted(vocab):
+        pl = reader.postings(fid, t, need_positions=False)
+        if pl is None or not pl.docs.size:
+            df[t], cf[t] = 0, 0
+            continue
+        d = np.unique(pl.docs)
+        if tomb is not None and tomb.size:
+            d = d[~np.isin(d, tomb)]
+        df[t] = int(d.size)
+        cf[t] = int(pl.tfs.sum())
+
+    from .aggs import _stem_to_token
+
+    names = _stem_to_token(reader, fid)
+    rows_d, rows_t, rows_tf, rows_df, rows_cf = [], [], [], [], []
+    for did, tf_map in zip(ids.tolist(), per_doc):
+        # surface naming BEFORE the per-doc sort: order is on the
+        # reported name (the stem itself when no dictionary exists)
+        named = sorted((names.get(t, t), t) for t in tf_map)
+        for name, t in named:
+            rows_d.append(did)
+            rows_t.append(name)
+            rows_tf.append(tf_map[t])
+            rows_df.append(df[t])
+            rows_cf.append(cf[t])
+    return pa.table({
+        "doc_id": pa.array(rows_d, pa.int64()),
+        "term": pa.array(rows_t, pa.string()),
+        "tf": pa.array(rows_tf, pa.int64()),
+        "df": pa.array(rows_df, pa.int64()),
+        "cf": pa.array(rows_cf, pa.int64()),
+    })

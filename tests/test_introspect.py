@@ -42,3 +42,36 @@ def test_index_stats_token_conservation(ray_session):
         toks = sum(len(re.findall(r"[a-z0-9]+", s.lower()))
                    for s in t.column(f).to_pylist())
         assert got[f] == (n, toks)
+
+
+def test_term_vectors_matches_raw_recomputation(ray_session):
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops.introspect import term_vectors
+
+    SF = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    toks = {d: re.findall(r"[a-z0-9]+", s.lower())
+            for d, s in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist())}
+    df = collections.Counter()
+    cf = collections.Counter()
+    for x in toks.values():
+        df.update(set(x))
+        cf.update(x)
+    want = []
+    for d in (3, 7, 11):
+        tf = collections.Counter(toks[d])
+        for w in sorted(tf):
+            want.append((d, w, tf[w], df[w], cf[w]))
+
+    got = term_vectors(SF)
+    assert list(zip(got.column("doc_id").to_pylist(),
+                    got.column("term").to_pylist(),
+                    got.column("tf").to_pylist(),
+                    got.column("df").to_pylist(),
+                    got.column("cf").to_pylist())) == want
