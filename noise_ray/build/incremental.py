@@ -33,6 +33,12 @@ from .pipeline import MANIFEST_NAME, build_index
 _EPOCH_RE = re.compile(r"^epoch-(\d{4})(?:-(\d{4}))?$")
 
 
+def _dist_min_docs() -> int:
+    from ..query.distributed import dist_min_docs
+
+    return dist_min_docs()
+
+
 def _epoch_span(name: str) -> tuple[int, int] | None:
     """(first, last) epoch numbers a directory covers — a plain
     ``epoch-0007`` covers (7, 7); a merged ``epoch-0001-0006`` covers
@@ -403,7 +409,7 @@ def delete_by_query(index_dir: str, query: str,
                              "(no aggregate return clause)")
 
     reader = IndexReader(index_dir)
-    if reader.num_docs >= 5_000_000:
+    if reader.num_docs >= _dist_min_docs():
         import ray
 
         from ..query.distributed import worker_pool

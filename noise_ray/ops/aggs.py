@@ -24,10 +24,12 @@ top of ranked retrieval, computed straight off the index artifacts
   set (foreground) vs the whole corpus (background), scored with the
   per-term relative-entropy contribution ``(fg_df/fg_n) ·
   ln((fg_df/fg_n)/(bg_df/N))`` (the population term of Kullback-Leibler
-  divergence; deterministic, SQL-expressible).  The vocabulary
-  enumerates from the stats sidecar (term-cardinality-sized metadata,
-  no posting payload), foreground intersections are per-range partial
-  sums.
+  divergence; deterministic, SQL-expressible).  Foreground counts come
+  from per-range re-analysis of the matched docs (a forward docmap
+  gather, O(matched) — the ES fielddata strategy); background df is the
+  stats sidecar's per-term posting count restricted to the foreground
+  vocabulary — no global vocabulary ever materializes on the driver or
+  rides in task args.
 
 Round 3 adds top-hits (per-group top-N, collapse generalized), the
 terms facet (matched-doc counts per keyword value), exact cardinality
@@ -46,7 +48,10 @@ import pyarrow as pa
 
 from .bm25 import _field_total_tokens, _fold_scores
 
-_DIST_MIN_DOCS = 5_000_000
+def _dist_min_docs() -> int:
+    from ..query.distributed import dist_min_docs
+
+    return dist_min_docs()
 
 
 def _reader_for(sf_dir: str, index_dir: str | None):
@@ -138,7 +143,7 @@ def collapse_topk(sf_dir: str, terms=("merge", "scan"),
     avgdl = _field_total_tokens(reader, fid) / n_docs
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
 
-    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         return _collapse_distributed(index_dir, reader, stemmed, field,
                                      collapse_field, k, k1, b, n_docs,
                                      avgdl)
@@ -211,7 +216,7 @@ def histogram_facet(sf_dir: str, terms=("merge",),
     fid = reader.field_id[field]
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
 
-    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
         from ..query.distributed import worker_pool
@@ -335,7 +340,7 @@ def top_hits(sf_dir: str, terms=("merge", "scan"),
     avgdl = _field_total_tokens(reader, fid) / n_docs
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
 
-    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
         from ..query.distributed import worker_pool
@@ -418,7 +423,7 @@ def percentiles_agg(sf_dir: str, terms=("merge",),
     fid = reader.field_id[field]
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
 
-    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
         from ..query.distributed import worker_pool
@@ -457,67 +462,99 @@ def percentiles_agg(sf_dir: str, terms=("merge",),
 # -------------------------------------------------- significant terms
 
 
-def _vocab_terms(reader, fid: int) -> list[str]:
-    """All terms of one field from the stats sidecar (metadata-sized
-    read; epochs union in).  Sorted for determinism."""
-    import pyarrow.parquet as pq
+def _fg_term_counts(reader, fid: int, docs: np.ndarray,
+                    exclude: set) -> dict[str, int]:
+    """Distinct-term doc counts over ``docs`` via the forward path: a
+    docmap gather of the stored field text + the SAME analyzer the build
+    ran (analysis/tokenizer.tokenize_grouped, whose term list is already
+    per-doc-distinct).  Cost is O(matched docs), independent of the
+    vocabulary — the Elasticsearch fielddata strategy, vs the former
+    O(vocabulary) posting loop."""
+    from ..analysis.tokenizer import tokenize_grouped
 
-    terms: set[str] = set()
-    for paths in reader._stats_by_bucket.values():
-        for p in paths:
-            t = pq.read_table(p, columns=["term"],
-                              filters=[("field", "==", fid)])
-            terms.update(t.column("term").to_pylist())
-    for e in getattr(reader, "_epochs", ()):
-        terms.update(_vocab_terms(e, fid))
-    return sorted(terms)
+    counts: dict[str, int] = {}
+    if not docs.size:
+        return counts
+    fname = reader.fields[fid]
+    for v in reader.fetch_docs(docs, [fname]).column(fname).to_pylist():
+        if v is None:
+            continue
+        for t in tokenize_grouped(v)[0]:
+            if t not in exclude:
+                counts[t] = counts.get(t, 0) + 1
+    return counts
 
 
-def sig_counts_range(index_dir, field, stemmed, vocab, lo, hi):
-    """Worker body: (fg_n, [fg_df per vocab term], [bg_df per term])
-    within [lo, hi) — disjoint ranges sum to the global counts."""
+def sig_fg_range(index_dir, field, stemmed, lo, hi):
+    """Worker body: (fg_n, terms, counts) within [lo, hi) — per-term
+    counts of matched docs containing the term, from re-analysis of the
+    range's matched docs only.  Disjoint ranges sum to the global
+    counts; the return is foreground-vocabulary-sized and NO vocabulary
+    rides in the task args."""
     from ..query.distributed import _cached_reader
 
     reader = _cached_reader(index_dir)
     fid = reader.field_id.get(field, -1) if isinstance(field, str) else field
     rng = None if lo is None else (lo, hi)
     fg = _matched_union(reader, fid, stemmed, rng)
-    fg_dfs, bg_dfs = [], []
+    counts = _fg_term_counts(reader, fid, fg, set(stemmed))
+    terms = sorted(counts)
+    return int(fg.size), terms, [counts[t] for t in terms]
+
+
+def _merge_fg_parts(parts) -> tuple[float, list[str], np.ndarray]:
+    """Fold per-range (fg_n, terms, counts) partials: disjoint ranges
+    sum exactly."""
+    fg_n = float(sum(p[0] for p in parts))
+    acc: dict[str, int] = {}
+    for p in parts:
+        for t, c in zip(p[1], p[2]):
+            acc[t] = acc.get(t, 0) + int(c)
+    vocab = sorted(acc)
+    return fg_n, vocab, np.array([acc[t] for t in vocab], np.float64)
+
+
+def _bg_df_for_terms(reader, fid: int, terms: list[str]) -> np.ndarray:
+    """Background df per term, aligned to ``terms``: the per-(field,
+    term) posting count ``k`` the build already materialized in the
+    stats sidecar (build/pipeline.py segment-writer reduceat) summed
+    across partitions and epochs — a metadata fold with a ``term IN``
+    pushdown, never a posting read.  Tombstoned docs (deletes AND
+    superseded upsert versions — both live in reader.tombstones) are
+    corrected by re-analyzing just those bounded-count docs."""
+    import pyarrow.parquet as pq
+
+    want = set(terms)
+    acc = {t: 0 for t in terms}
+
+    def fold(r):
+        for paths in r._stats_by_bucket.values():
+            for p in paths:
+                t = pq.read_table(p, columns=["term", "k"],
+                                  filters=[("field", "==", fid),
+                                           ("term", "in", want)])
+                for tt, kk in zip(t.column("term").to_pylist(),
+                                  t.column("k").to_pylist()):
+                    acc[tt] += int(kk)
+        for e in getattr(r, "_epochs", ()):
+            fold(e)
+
+    fold(reader)
     tomb = reader.tombstones
-    # dense membership masks over the range span: per-term counts become
-    # one vectorized gather+sum instead of an O(n log m) isin per term —
-    # the vocab loop's former wall at 10^7-doc ranges
-    base = int(fg[0]) if fg.size else (lo or 0)
-    top = int(fg[-1]) + 1 if fg.size else base
-    fg_mask = np.zeros(top - base, bool)
-    if fg.size:
-        fg_mask[fg - base] = True
-    tomb_set = None
     if tomb is not None and tomb.size:
-        tomb_set = tomb
-    for t in vocab:
-        pl = reader.postings(fid, t, need_positions=False, doc_range=rng)
-        if pl is None or not pl.docs.size:
-            fg_dfs.append(0)
-            bg_dfs.append(0)
-            continue
-        d = pl.docs
-        if rng is not None:
-            d = d[(d >= lo) & (d < hi)]
-        d = np.unique(d)
-        if tomb_set is not None:
-            d = d[~np.isin(d, tomb_set)]
-        bg_dfs.append(int(d.size))
-        dd = d[(d >= base) & (d < top)]
-        fg_dfs.append(int(fg_mask[dd - base].sum()))
-    return int(fg.size), fg_dfs, bg_dfs
+        for t, c in _fg_term_counts(reader, fid, tomb, set()).items():
+            if t in acc:
+                acc[t] -= c
+    return np.array([acc[t] for t in terms], np.float64)
 
 
-def _stem_to_token(reader, fid: int) -> dict[str, str]:
-    """Surface-form naming: stem -> lexicographically-least raw token,
-    from the index's (lazily built, ops/termdict) term dictionary.
-    Empty when no dictionary exists — callers then report the stem
-    itself (the indexed term, Elasticsearch's behavior)."""
+def _surface_names_for(reader, fid: int, stems: list[str]) -> dict[str, str]:
+    """Surface-form naming for ONLY the given stems: stem ->
+    lexicographically-least raw token from the index's (lazily built,
+    ops/termdict) term dictionary, with a ``stem IN`` parquet pushdown —
+    the driver holds a kept-vocabulary-sized dict, never the whole
+    dictionary.  Empty when no dictionary exists — callers then report
+    the stem itself (the indexed term, Elasticsearch's behavior)."""
     import glob
     import os
 
@@ -526,9 +563,13 @@ def _stem_to_token(reader, fid: int) -> dict[str, str]:
     ddir = os.path.join(reader.index_dir, "dictionary")
     paths = sorted(glob.glob(os.path.join(ddir, "*.parquet")))
     out: dict[str, str] = {}
+    if not paths or not stems:
+        return out
+    want = set(stems)
     for p in paths:
         t = pq.read_table(p, columns=["token", "stem"],
-                          filters=[("field", "==", fid)])
+                          filters=[("field", "==", fid),
+                                   ("stem", "in", want)])
         for tok, stem in zip(t.column("token").to_pylist(),
                              t.column("stem").to_pylist()):
             if stem not in out or tok < out[stem]:
@@ -544,7 +585,15 @@ def significant_terms(sf_dir: str, terms=("merge",), top_n: int = 10,
     the 6dp KL contribution, ordered (score desc, term asc), query
     terms excluded, fg_df = 0 rows dropped.  ``term`` is the surface
     token when the index carries a term dictionary (built lazily here
-    for the documents-table path, like ops/termdict), else the stem."""
+    for the documents-table path, like ops/termdict), else the stem.
+
+    Scale shape (round 4): the foreground fold is a per-range
+    re-analysis of the MATCHED docs (sig_fg_range — O(matched docs), no
+    vocabulary in task args or on the driver), the background df is the
+    stats-sidecar ``k`` fold restricted to the foreground vocabulary
+    (_bg_df_for_terms), and surface naming is a ``stem IN`` filtered
+    dictionary read (_surface_names_for).  Driver state is
+    foreground-vocabulary-sized throughout."""
     from ..query.engine import _stem_one
 
     if index_dir is None:
@@ -557,9 +606,8 @@ def significant_terms(sf_dir: str, terms=("merge",), top_n: int = 10,
     n_docs = float(reader.num_docs)
     fid = reader.field_id[field]
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
-    vocab = [t for t in _vocab_terms(reader, fid) if t not in set(stemmed)]
 
-    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
         from ..query.distributed import worker_pool
@@ -570,28 +618,22 @@ def significant_terms(sf_dir: str, terms=("merge",), top_n: int = 10,
         pool = worker_pool()
         parts = ray.get([
             pool[i % len(pool)].ops_call.remote(
-                "aggs", "sig_counts_range",
-                (index_dir, field, stemmed, vocab, lo, hi))
+                "aggs", "sig_fg_range",
+                (index_dir, field, stemmed, lo, hi))
             for i, (lo, hi) in enumerate(ranges)])
     else:
-        parts = [sig_counts_range_local(reader, fid, stemmed, vocab)]
-    fg_n = float(sum(p[0] for p in parts))
-    if not fg_n:
+        parts = [sig_fg_range_local(reader, fid, stemmed)]
+    fg_n, vocab, fg_df = _merge_fg_parts(parts)
+    if not fg_n or not vocab:
         return pa.table({"term": pa.array([], pa.string()),
                          "fg_df": pa.array([], pa.int64()),
                          "bg_df": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
-    fg_df = np.array([sum(p[1][j] for p in parts)
-                      for j in range(len(vocab))], np.float64)
-    bg_df = np.array([sum(p[2][j] for p in parts)
-                      for j in range(len(vocab))], np.float64)
-    keep = fg_df > 0
-    vocab = [t for t, m in zip(vocab, keep) if m]
-    fg_df, bg_df = fg_df[keep], bg_df[keep]
+    bg_df = _bg_df_for_terms(reader, fid, vocab)
     score = np.round((fg_df / fg_n)
                      * np.log((fg_df / fg_n) / (bg_df / n_docs)), 6)
     # surface naming BEFORE the sort: ties break on the reported name
-    names = _stem_to_token(reader, fid)
+    names = _surface_names_for(reader, fid, vocab)
     vocab = [names.get(t, t) for t in vocab]
     top = np.lexsort((np.array(vocab), -score))[:top_n]
     return pa.table({"term": pa.array([vocab[i] for i in top], pa.string()),
@@ -602,23 +644,13 @@ def significant_terms(sf_dir: str, terms=("merge",), top_n: int = 10,
                      "score": pa.array(score[top], pa.float64())})
 
 
-def sig_counts_range_local(reader, fid, stemmed, vocab):
-    """Index-wide counts on an open reader (in-process path)."""
+def sig_fg_range_local(reader, fid, stemmed):
+    """Index-wide foreground counts on an open reader (in-process
+    path); same return shape as sig_fg_range."""
     fg = _matched_union(reader, fid, stemmed, None)
-    tomb = reader.tombstones
-    fg_dfs, bg_dfs = [], []
-    for t in vocab:
-        pl = reader.postings(fid, t, need_positions=False)
-        if pl is None or not pl.docs.size:
-            fg_dfs.append(0)
-            bg_dfs.append(0)
-            continue
-        d = np.unique(pl.docs)
-        if tomb is not None and tomb.size:
-            d = d[~np.isin(d, tomb)]
-        bg_dfs.append(int(d.size))
-        fg_dfs.append(int(np.isin(d, fg, assume_unique=True).sum()))
-    return int(fg.size), fg_dfs, bg_dfs
+    counts = _fg_term_counts(reader, fid, fg, set(stemmed))
+    terms = sorted(counts)
+    return int(fg.size), terms, [counts[t] for t in terms]
 
 
 # ----------------------------------------------- terms facet / cardinality
@@ -659,7 +691,7 @@ def terms_facet(sf_dir: str, terms=("merge",),
     fid = reader.field_id[field]
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
 
-    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
         from ..query.distributed import worker_pool
@@ -712,7 +744,7 @@ def cardinality_agg(sf_dir: str, terms=("merge",),
     fid = reader.field_id[field]
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
 
-    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
         from ..query.distributed import worker_pool
@@ -764,7 +796,7 @@ def filters_agg(sf_dir: str,
     named = [(name, tuple(dict.fromkeys(_stem_one(t) for t in terms)))
              for name, terms in filters]
 
-    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
         from ..query.distributed import worker_pool
@@ -834,7 +866,7 @@ def adjacency_matrix(sf_dir: str,
         f"{named[i][0]}&{named[j][0]}"
         for i in range(len(named)) for j in range(i + 1, len(named))]
 
-    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
         from ..query.distributed import worker_pool
@@ -922,7 +954,7 @@ def composite_agg(sf_dir: str, terms=("merge",),
     fid = reader.field_id[field]
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
 
-    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
         from ..query.distributed import worker_pool
@@ -993,7 +1025,7 @@ def extended_stats(sf_dir: str, terms=("merge",),
     fid = reader.field_id[field]
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
 
-    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
         from ..query.distributed import worker_pool
@@ -1032,7 +1064,11 @@ def extended_stats(sf_dir: str, terms=("merge",),
         "total": pa.array([s], pa.int64()),
         "mean": pa.array([round(mean, 4)], pa.float64()),
         "variance": pa.array([round(var, 4)], pa.float64()),
-        "std_dev": pa.array([round(math.sqrt(var), 4)], pa.float64()),
+        # max(var, 0): Σv²/n − mean² can underflow to a tiny negative
+        # under catastrophic cancellation (large near-constant values);
+        # the variance column keeps the raw value for oracle parity
+        "std_dev": pa.array([round(math.sqrt(max(var, 0.0)), 4)],
+                            pa.float64()),
     })
 
 
@@ -1044,11 +1080,12 @@ def rare_terms(sf_dir: str, terms=("merge",), max_doc_count: int = 100,
     at most ``max_doc_count`` matched docs, ordered (doc count asc,
     term asc), at most ``top_n`` buckets, query terms excluded.
 
-    Reuses the significant_terms per-range fold (``sig_counts_range``):
-    per-vocab-term foreground doc counts are exact disjoint-range sums
-    read from the postings, never a corpus scan; ES approximates this
-    with a CuckooFilter at scale, here counts are exact.  ``term`` is
-    the surface token when the index carries a dictionary, else the
+    Reuses the significant_terms per-range foreground fold
+    (``sig_fg_range``): per-term matched-doc counts are exact
+    disjoint-range sums from re-analysis of the matched docs only,
+    never a corpus or vocabulary scan; ES approximates this with a
+    CuckooFilter at scale, here counts are exact.  ``term`` is the
+    surface token when the index carries a dictionary, else the
     stem."""
     from ..query.engine import _stem_one
 
@@ -1060,9 +1097,8 @@ def rare_terms(sf_dir: str, terms=("merge",), max_doc_count: int = 100,
         reader = _reader_for(sf_dir, index_dir)
     fid = reader.field_id[field]
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
-    vocab = [t for t in _vocab_terms(reader, fid) if t not in set(stemmed)]
 
-    if index_dir is not None and reader.num_docs >= _DIST_MIN_DOCS:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
         from ..query.distributed import worker_pool
@@ -1073,17 +1109,17 @@ def rare_terms(sf_dir: str, terms=("merge",), max_doc_count: int = 100,
         pool = worker_pool()
         parts = ray.get([
             pool[i % len(pool)].ops_call.remote(
-                "aggs", "sig_counts_range",
-                (index_dir, field, stemmed, vocab, lo, hi))
+                "aggs", "sig_fg_range",
+                (index_dir, field, stemmed, lo, hi))
             for i, (lo, hi) in enumerate(ranges)])
     else:
-        parts = [sig_counts_range_local(reader, fid, stemmed, vocab)]
-    fg_df = np.array([sum(p[1][j] for p in parts)
-                      for j in range(len(vocab))], np.int64)
-    keep = (fg_df > 0) & (fg_df <= max_doc_count)
+        parts = [sig_fg_range_local(reader, fid, stemmed)]
+    _, vocab, fg_f64 = _merge_fg_parts(parts)
+    fg_df = fg_f64.astype(np.int64)
+    keep = fg_df <= max_doc_count  # fg_df > 0 by construction
     vocab = [t for t, m in zip(vocab, keep) if m]
     fg_df = fg_df[keep]
-    names = _stem_to_token(reader, fid)
+    names = _surface_names_for(reader, fid, vocab)
     vocab = [names.get(t, t) for t in vocab]
     top = np.lexsort((np.array(vocab) if vocab else
                       np.array([], dtype=object), fg_df))[:top_n]

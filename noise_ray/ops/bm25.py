@@ -51,6 +51,12 @@ DEFAULT_TERMS = ("merge", "scan")
 _EMPTY_TOPK = None
 
 
+def _dist_min_docs() -> int:
+    from ..query.distributed import dist_min_docs
+
+    return dist_min_docs()
+
+
 def _empty_topk() -> pa.Table:
     global _EMPTY_TOPK
     if _EMPTY_TOPK is None:
@@ -143,7 +149,7 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
     # both boolean modes reduce to a matched-term-count floor
     m_req = len(stemmed) if mode == "and" else max(1, min_match or 1)
-    if index_dir is not None and reader.num_docs >= 5_000_000:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         return _bm25_distributed(index_dir, reader, stemmed, field,
                                  k, k1, b, n_docs, avgdl, filter_query,
                                  min_match=m_req, search_after=search_after)
@@ -445,7 +451,7 @@ def bm25_fields_topk(sf_dir: str,
     n_docs = float(reader.num_docs)
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
 
-    if index_dir is not None and reader.num_docs >= 5_000_000:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         return _bm25_fields_distributed(index_dir, reader, stemmed,
                                         weights, k, k1, b, n_docs)
 
@@ -752,7 +758,7 @@ def bm25_phrase_topk(sf_dir: str, phrase: tuple[str, ...] = ("row", "scan"),
     avgdl = _field_total_tokens(reader, fid) / n_docs
     stemmed = [_stem_one(w) for w in phrase]
 
-    if index_dir is not None and reader.num_docs >= 5_000_000:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         return _bm25_phrase_distributed(index_dir, reader, stemmed, field,
                                         k, k1, b, n_docs, avgdl)
 
@@ -794,7 +800,7 @@ def bm25_msearch(sf_dir: str, queries=DEFAULT_MSEARCH, k: int = 10,
     qlists = [list(dict.fromkeys(_stem_one(t) for t in q))
               for q in queries]
 
-    if index_dir is not None and reader.num_docs >= 5_000_000:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         n_docs = float(reader.num_docs)
         fid = reader.field_id[field]
         avgdl = _field_total_tokens(reader, fid) / n_docs
@@ -941,7 +947,7 @@ def bm25_spannear_topk(sf_dir: str, phrase: tuple[str, ...] = ("row", "scan"),
     avgdl = _field_total_tokens(reader, fid) / n_docs
     stemmed = [_stem_one(w) for w in phrase]
 
-    if index_dir is not None and reader.num_docs >= 5_000_000:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         return _bm25_spannear_distributed(index_dir, reader, stemmed, slop,
                                           field, k, k1, b, n_docs, avgdl)
 
@@ -1305,7 +1311,7 @@ def bm25_span_first_topk(sf_dir: str, term: str = "merge",
     avgdl = _field_total_tokens(reader, fid) / n_docs
     stem = _stem_one(term)
 
-    if index_dir is not None and reader.num_docs >= 5_000_000:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         return _span_first_distributed(index_dir, reader, stem, end,
                                        field, k, k1, b, n_docs, avgdl)
 

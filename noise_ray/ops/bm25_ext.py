@@ -46,6 +46,12 @@ from .bm25 import (
 )
 
 
+def _dist_min_docs() -> int:
+    from ..query.distributed import dist_min_docs
+
+    return dist_min_docs()
+
+
 def _stem_groups(groups) -> list[list[str]]:
     from ..query.engine import _stem_one
 
@@ -139,7 +145,7 @@ def bm25_synonyms_topk(sf_dir: str,
     avgdl = _field_total_tokens(reader, fid) / n_docs
     sgroups = _stem_groups(groups)
 
-    if index_dir is not None and reader.num_docs >= 5_000_000:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         return _synonyms_distributed(index_dir, reader, sgroups, field,
                                      k, k1, b, n_docs, avgdl)
 
@@ -245,7 +251,7 @@ def bm25_boosting_topk(sf_dir: str, terms=("merge", "scan"),
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
     neg = list(dict.fromkeys(_stem_one(t) for t in negative))
 
-    if index_dir is not None and reader.num_docs >= 5_000_000:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         return _boosting_distributed(index_dir, reader, stemmed, neg,
                                      negative_boost, field, k, k1, b,
                                      n_docs, avgdl)
@@ -376,7 +382,7 @@ def bm25_value_boost(sf_dir: str, terms=("merge", "scan"),
     avgdl = _field_total_tokens(reader, fid) / n_docs
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
 
-    if index_dir is not None and reader.num_docs >= 5_000_000:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         return _boost_distributed(index_dir, reader, stemmed, field, k,
                                   k1, b, n_docs, avgdl, value_column,
                                   ("recip", lam))
@@ -418,7 +424,7 @@ def bm25_decay(sf_dir: str, terms=("merge", "scan"), k: int = 20,
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
     spec = ("gauss", origin, offset, scale)
 
-    if index_dir is not None and reader.num_docs >= 5_000_000:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         return _boost_distributed(index_dir, reader, stemmed, field, k,
                                   k1, b, n_docs, avgdl, value_column,
                                   spec)
@@ -645,7 +651,7 @@ def bm25_dismax_topk(sf_dir: str,
     n_docs = float(reader.num_docs)
     stemmed = list(dict.fromkeys(_stem_one(t) for t in terms))
 
-    if index_dir is not None and reader.num_docs >= 5_000_000:
+    if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
         from ..query.distributed import worker_pool

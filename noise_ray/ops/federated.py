@@ -52,6 +52,12 @@ _CACHE_ROOT = os.environ.get("NOISE_RAY_CACHE", "/tmp/noise_ray_cache")
 _LOCK = threading.Lock()
 
 
+def _dist_min_docs() -> int:
+    from ..query.distributed import dist_min_docs
+
+    return dist_min_docs()
+
+
 def shard_documents_indexes(sf_dir: str, n_shards: int = 2) -> list[str]:
     """Split the documents table into ``n_shards`` contiguous row
     slices and build one INDEPENDENT index per slice (own doc-id space
@@ -121,7 +127,7 @@ def federated_bm25(index_dirs: list[str], terms=("merge", "scan"),
                     for r in readers)
     avgdl = tok_total / n_docs
     pool = worker_pool()
-    big = [r.num_docs >= 5_000_000 for r in readers]
+    big = [r.num_docs >= _dist_min_docs() for r in readers]
     shard_ranges = [_doc_ranges(r) if bg else [(0, r.num_docs)]
                     for r, bg in zip(readers, big)]
 

@@ -167,9 +167,9 @@ def term_vectors(sf_dir: str, doc_ids=(3, 7, 11), field: str = "text", *,
         df[t] = int(d.size)
         cf[t] = int(pl.tfs.sum())
 
-    from .aggs import _stem_to_token
+    from .aggs import _surface_names_for
 
-    names = _stem_to_token(reader, fid)
+    names = _surface_names_for(reader, fid, sorted(vocab))
     rows_d, rows_t, rows_tf, rows_df, rows_cf = [], [], [], [], []
     for did, tf_map in zip(ids.tolist(), per_doc):
         # surface naming BEFORE the per-doc sort: order is on the

@@ -28,6 +28,12 @@ import ray.data
 _CACHE = "/tmp/noise_ray_cache"
 
 
+def _dist_min_docs() -> int:
+    from ..query.distributed import dist_min_docs
+
+    return dist_min_docs()
+
+
 def _orders_index(sf_dir: str) -> str:
     """Build (once) the nested orders corpus + index for ``sf_dir``."""
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
@@ -404,7 +410,7 @@ def nested_kp_bm25(sf_dir: str, terms=("quick", "brown"), k: int = 20,
                          "score": pa.array([], pa.float64())})
     avgdl = tok_total / n_inst
 
-    if n_inst >= 5_000_000:  # instances (turns) are the scoring unit
+    if n_inst >= _dist_min_docs():  # instances (turns) are the scoring unit
         import ray
 
         from ..query.distributed import worker_pool
@@ -549,7 +555,7 @@ def nested_kp_bm25_filtered(sf_dir: str, terms=("quick", "brown"),
                          "score": pa.array([], pa.float64())})
     avgdl = tok_total / n_inst
 
-    if n_inst >= 5_000_000:  # instances (turns) are the scoring unit
+    if n_inst >= _dist_min_docs():  # instances (turns) are the scoring unit
         import ray
 
         from ..query.distributed import worker_pool

@@ -32,6 +32,12 @@ import pyarrow as pa
 from .aggs import _reader_for
 
 
+def _dist_min_docs() -> int:
+    from ..query.distributed import dist_min_docs
+
+    return dist_min_docs()
+
+
 def _rel_docs(reader, fid, stemmed) -> np.ndarray:
     """Sorted live docs containing ALL terms (the relevance label)."""
     rel = None
@@ -101,7 +107,7 @@ def rank_eval(sf_dir: str,
         top = bm25_topk(sf_dir, terms=tuple(terms), k=k,
                         k1=k1, b=b, field=field, index_dir=index_dir)
         docs = top.column("doc_id").to_numpy()
-        if index_dir is not None and reader.num_docs >= 5_000_000:
+        if index_dir is not None and reader.num_docs >= _dist_min_docs():
             import ray
 
             from ..query.distributed import worker_pool

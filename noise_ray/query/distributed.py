@@ -42,6 +42,17 @@ from .reader import IndexReader
 _READER_CACHE: dict[tuple, object] = {}
 
 
+def dist_min_docs() -> int:
+    """Document-count threshold above which ops fan out through the
+    range-actor pool instead of evaluating in-process.  Overridable via
+    ``NOISE_RAY_DIST_MIN_DOCS`` so the correctness harness can force the
+    distributed dispatch end-to-end at small scale (the worker bodies
+    are equality-tested regardless; this gates the *dispatch* itself)."""
+    import os
+
+    return int(os.environ.get("NOISE_RAY_DIST_MIN_DOCS", 5_000_000))
+
+
 def _cached_reader(index_dir: str, cls: type = IndexReader):
     """Per-worker-process reader cache, shared by the flat AND nested
     (``cls=JsonIndexReader``) distributed paths: one open per worker per

@@ -229,25 +229,71 @@ def test_significant_terms_matches_raw_recomputation(ray_session):
 
 
 def test_significant_terms_range_fold_matches_global(ray_session):
-    """Per-range (fg_n, fg_df, bg_df) partials sum to the index-wide
-    counts (disjoint ranges)."""
-    from noise_ray.ops.aggs import (_vocab_terms, sig_counts_range,
-                                    sig_counts_range_local)
+    """Per-range (fg_n, terms, counts) foreground partials merge to the
+    index-wide counts (disjoint ranges), and no vocabulary-sized object
+    rides in the per-range call args (scale contract: args are just
+    (index_dir, field, query stems, lo, hi))."""
+    from noise_ray.ops.aggs import (_merge_fg_parts, sig_fg_range,
+                                    sig_fg_range_local)
     from noise_ray.pipelines import documents_index
 
     reader = documents_index(SF)
     idx = reader.index_dir
     fid = reader.field_id["text"]
-    vocab = [t for t in _vocab_terms(reader, fid) if t != "merg"]
     n = reader.num_docs
     cuts = [0, n // 3, 2 * n // 3, n]
-    parts = [sig_counts_range(idx, "text", ["merg"], vocab, lo, hi)
+    parts = [sig_fg_range(idx, "text", ["merg"], lo, hi)
              for lo, hi in zip(cuts, cuts[1:])]
-    want = sig_counts_range_local(reader, fid, ["merg"], vocab)
-    assert sum(p[0] for p in parts) == want[0]
-    for j in range(len(vocab)):
-        assert sum(p[1][j] for p in parts) == want[1][j]
-        assert sum(p[2][j] for p in parts) == want[2][j]
+    fg_n, vocab, fg_df = _merge_fg_parts(parts)
+    w_n, w_terms, w_counts = sig_fg_range_local(reader, fid, ["merg"])
+    assert fg_n == w_n
+    assert vocab == w_terms
+    assert fg_df.astype(int).tolist() == w_counts
+    import inspect
+
+    sig = inspect.signature(sig_fg_range)
+    assert list(sig.parameters) == ["index_dir", "field", "stemmed",
+                                    "lo", "hi"]
+
+
+def test_sig_bg_df_matches_posting_scan(ray_session):
+    """The stats-sidecar background fold equals a direct posting scan
+    for every foreground term (the former per-vocab-term loop)."""
+    from noise_ray.ops.aggs import (_bg_df_for_terms, _matched_union,
+                                    sig_fg_range_local)
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index(SF)
+    fid = reader.field_id["text"]
+    _, vocab, _ = sig_fg_range_local(reader, fid, ["merg"])
+    got = _bg_df_for_terms(reader, fid, vocab)
+    for t, g in zip(vocab, got):
+        pl = reader.postings(fid, t, need_positions=False)
+        d = np.unique(pl.docs)
+        tomb = reader.tombstones
+        if tomb is not None and tomb.size:
+            d = d[~np.isin(d, tomb)]
+        assert int(g) == int(d.size), t
+
+
+def test_significant_terms_forced_distributed_dispatch(ray_session,
+                                                       monkeypatch):
+    """NOISE_RAY_DIST_MIN_DOCS=1 forces the worker_pool() dispatch at
+    small scale; results are identical to the in-process path."""
+    from noise_ray.ops.aggs import rare_terms, significant_terms
+    from noise_ray.pipelines import documents_index
+
+    reader = documents_index(SF)
+    local_sig = significant_terms(SF)
+    local_rare = rare_terms(SF)
+    monkeypatch.setenv("NOISE_RAY_DIST_MIN_DOCS", "1")
+    dist_sig = significant_terms(SF, index_dir=reader.index_dir)
+    dist_rare = rare_terms(SF, index_dir=reader.index_dir)
+    # the index_dir path reports stems when no dictionary was built via
+    # _reader_and_dict; documents_index shares the same dir, so the
+    # lazily-built dictionary from the local run backs naming here too
+    assert dist_sig.equals(local_sig)
+    assert dist_rare.equals(local_rare)
 
 
 def test_percentiles_agg_exact_disc(ray_session):
