@@ -1127,7 +1127,7 @@ def winnow_fingerprints(sf_dir: str, window: int = 4) -> "ray.data.Dataset":
 
 
 def winnow_dup_pairs(sf_dir: str, window: int = 4, min_shared: int = 2,
-                     max_bucket: int = 256) -> pa.Table:
+                     max_bucket: int = 256) -> "ray.data.Dataset":
     """Near-duplicate candidates from the winnowing sketch: doc pairs
     sharing >= ``min_shared`` fingerprints, counted only through
     fingerprint buckets of 2..``max_bucket`` docs (hub fingerprints —
@@ -1135,8 +1135,12 @@ def winnow_dup_pairs(sf_dir: str, window: int = 4, min_shared: int = 2,
     and are EXCLUDED deterministically; the cap is part of the operator
     contract and is replicated verbatim in the SQL oracle, so nothing is
     silently dropped).  Shape: one fp groupby emits per-bucket pairs,
-    one (a, b) groupby sums shared counts — both bounded, nothing
-    corpus-sized on the driver.  Returns (a_id, b_id, shared) ordered."""
+    one (a, b) groupby sums shared counts, and the ``min_shared``
+    filter runs INSIDE the dataset before anything leaves the workers —
+    the pre-filter candidate-pair table (orders of magnitude larger
+    than the answer on near-dup-heavy corpora) never reaches the
+    driver.  Returns a streaming Dataset of (a_id, b_id, shared)
+    ordered (a_id, b_id)."""
     from ray.data.aggregate import Count
 
     fps = winnow_fingerprints(sf_dir, window=window)
@@ -1150,22 +1154,19 @@ def winnow_dup_pairs(sf_dir: str, window: int = 4, min_shared: int = 2,
         return pa.table({"a_id": pa.array(ids[i], pa.int64()),
                          "b_id": pa.array(ids[j], pa.int64())})
 
+    def keep_shared(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.compute.greater_equal(
+            batch.column("shared"), min_shared))
+        return batch.set_column(
+            batch.schema.get_field_index("shared"), "shared",
+            batch.column("shared").cast(pa.int64()))
+
     pairs = fps.groupby("fp").map_groups(bucket_pairs,
                                          batch_format="pyarrow")
-    counted = (pairs.groupby(["a_id", "b_id"])
-               .aggregate(Count(alias_name="shared")))
-    t = pa.Table.from_pandas(counted.to_pandas(), preserve_index=False)
-    t = t.filter(pa.compute.greater_equal(t.column("shared"),
-                                          min_shared))
-    order = np.lexsort((t.column("b_id").to_numpy(),
-                        t.column("a_id").to_numpy()))
-    return pa.table({
-        "a_id": pa.array(t.column("a_id").to_numpy()[order], pa.int64()),
-        "b_id": pa.array(t.column("b_id").to_numpy()[order], pa.int64()),
-        "shared": pa.array(
-            t.column("shared").to_numpy()[order].astype(np.int64),
-            pa.int64()),
-    })
+    return (pairs.groupby(["a_id", "b_id"])
+            .aggregate(Count(alias_name="shared"))
+            .map_batches(keep_shared, batch_format="pyarrow")
+            .sort(["a_id", "b_id"]))
 
 
 def _dsir_features(batch: pa.Table, n_buckets: int):

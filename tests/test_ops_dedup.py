@@ -201,3 +201,19 @@ def test_winnow_dup_pairs_matches_oracle(ray_session):
     want = con.execute(winnow_dup_pairs_sql()).fetchdf()
     assert len(got) > 0
     assert got.astype(want.dtypes.to_dict()).equals(want)
+
+
+def test_winnow_dup_pairs_streams(ray_session):
+    """Scale contract: the pre-filter candidate-pair table never
+    reaches the driver — the op returns a lazy Dataset and its body
+    contains no driver-side collect."""
+    import inspect
+
+    import ray.data
+
+    from noise_ray.ops import text
+
+    ds = text.winnow_dup_pairs("/root/testdata/sf0.001")
+    assert isinstance(ds, ray.data.Dataset)
+    src = inspect.getsource(text.winnow_dup_pairs)
+    assert "to_pandas" not in src and "take_all" not in src
