@@ -20,14 +20,22 @@ The fast path REFUSES (returns None) whenever column-wise semantics
 could diverge from the reference shredder, and the caller falls back to
 the per-document walk:
 
-- any null anywhere (Arrow cannot distinguish an absent key from an
-  explicit JSON ``null``, which must shred as code ``N``),
 - any ``type`` / ``coordinates`` key (the GeoJSON bbox state machine,
   src/json_shred.rs:55-61, is event-ordered and stays in the slow path),
 - any inferred type outside {struct, list, string, int, double, bool}
   (pyarrow.json infers timestamps from ISO-looking strings; re-rendering
   them is lossy, so temporal columns bail),
 - a parse error (heterogeneous types across documents, giant ints, …).
+
+Nulls are handled with a PER-ROW split (round 4; real corpora are full
+of optional keys): a raw-token scan routes every document whose text
+contains the substring ``null`` (conservative superset of documents
+with an explicit JSON ``null``, which must shred as code ``N``) to the
+per-document walk, and the rest shred column-wise with Arrow nulls
+dropped at every level — for those rows an Arrow null can ONLY mean an
+absent key (emit nothing), never an explicit null.  ``shred_table_fast``
+returns the slow-routed row indices alongside the fast outputs and the
+caller (json_pipeline.ShredTokenize) merges the two shreds.
 
 Output is exactly what ShredTokenize builds row-by-row: the values
 partition table (same schema, same per-kp zone maps, doc-sorted row
@@ -88,8 +96,15 @@ class _Chunks:
 def _walk(arr: pa.Array, kp: str, docs: np.ndarray, ap: np.ndarray,
           out: _Chunks, is_root_id: bool = False):
     t = arr.type
+    if pa.types.is_null(t):
+        return  # key absent in every fast row (all-null inferred column)
     if arr.null_count:
-        raise _Bail("nulls present")
+        # the caller routed every explicit-JSON-null document to the
+        # per-doc walk, so a null here can only be an absent key (or an
+        # absent ancestor): emit nothing for those rows
+        valid = np.asarray(arr.is_valid())
+        arr = arr.filter(pa.array(valid))
+        docs, ap = docs[valid], ap[valid]
     if pa.types.is_struct(t):
         if t.num_fields == 0:
             if len(docs):
@@ -151,17 +166,36 @@ def _ap_list_array(ap: np.ndarray) -> pa.Array:
 
 
 def shred_table_fast(ids: list[str], texts: list[str], offset: int):
-    """Shred a whole homogeneous shard column-wise.
+    """Shred a (mostly) homogeneous shard column-wise.
 
-    Returns ``(values_table, zones_meta, text_groups)`` or None when the
-    shard's shape needs the per-document shredder.  ``values_table`` has
-    the exact ShredTokenize values schema (doc-sorted);
-    ``zones_meta`` the per-kp zone dicts; ``text_groups`` is
-    ``[(kp, docs int64[n], ap int64[n, d], strings pa.Array)]``.
+    Returns ``(values_table, zones_meta, text_groups, slow_rows)`` or
+    None when the whole shard needs the per-document shredder.
+    ``values_table`` has the exact ShredTokenize values schema
+    (doc-sorted) covering the FAST rows only; ``zones_meta`` their
+    per-kp zone dicts; ``text_groups`` is ``[(kp, docs int64[n],
+    ap int64[n, d], strings pa.Array)]``; ``slow_rows`` the original
+    row indices the caller must run through the per-document walk
+    (documents whose raw text contains the token ``null`` — explicit
+    JSON nulls shred as code ``N``, which has no column-wise form).
     """
-    n = len(texts)
-    if n == 0:
+    if len(texts) == 0:
         return None
+    # conservative raw scan: any doc that MIGHT hold an explicit JSON
+    # null goes to the per-doc walk; the rest can treat Arrow nulls as
+    # absent keys.  Substring (not token) match: false positives only
+    # cost the slow walk for that row, never correctness.
+    slow_rows = [i for i, s in enumerate(texts) if "null" in s]
+    if len(slow_rows) == len(texts):
+        return None
+    if slow_rows:
+        slow_set = set(slow_rows)
+        fast_idx = np.array([i for i in range(len(texts))
+                             if i not in slow_set], dtype=np.int64)
+        ids = [ids[i] for i in fast_idx]
+        texts = [texts[i] for i in fast_idx]
+    else:
+        fast_idx = np.arange(len(texts), dtype=np.int64)
+    n = len(texts)
     buf = ("\n".join(texts)).encode("utf-8")
     try:
         table = pj.read_json(
@@ -173,7 +207,7 @@ def shred_table_fast(ids: list[str], texts: list[str], offset: int):
         return None
     if table.num_rows != n:
         return None
-    docs = np.arange(offset, offset + n, dtype=np.int64)
+    docs = offset + fast_idx
     ap0 = np.zeros((n, 0), dtype=np.int64)
     out = _Chunks()
     try:
@@ -248,7 +282,7 @@ def shred_table_fast(ids: list[str], texts: list[str], offset: int):
     zmeta = {kp: {**{k: v for k, v in z.items() if k != "codes"},
                   "codes": sorted(z["codes"])}
              for kp, z in zones.items()}
-    return vt, zmeta, out.texts
+    return vt, zmeta, out.texts, slow_rows
 
 
 def accumulate_postings(text_groups, acc, tokenize_grouped):

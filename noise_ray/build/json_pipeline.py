@@ -146,6 +146,23 @@ def _pack_ap_order(doc_ids: np.ndarray, aps: list[tuple[int, ...]]):
     return np.lexsort(tuple(reversed(cols)))
 
 
+def _kp_rank_codes(col) -> np.ndarray:
+    """Alphabetical-rank codes per row for a dictionary-encoded kp
+    column (chunked, possibly with per-chunk dictionaries): the rank
+    map is DISTINCT-kp-sized, row work is one vectorized gather."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    dicts = [c.dictionary.to_pylist() for c in chunks]
+    rank = {k: i for i, k in enumerate(sorted(set().union(*map(set, dicts))))}
+    out = np.empty(len(col), np.int64)
+    off = 0
+    for c, d in zip(chunks, dicts):
+        codes = np.array([rank[k] for k in d], np.int64)
+        idx = c.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        out[off:off + len(c)] = codes[idx]
+        off += len(c)
+    return out
+
+
 class ShredTokenize:
     """Fused shred + tokenize + map-side combiner for one batch of plan
     rows.  Writes the docmap and values partitions as side effects
@@ -190,31 +207,38 @@ class ShredTokenize:
         ids = t.column("_id").to_pylist()
         texts = t.column("json").to_pylist()
 
+        vt_fast = zmeta_fast = None
+        slow_sel = range(rows)
         if self.fast:
             fast = shred_table_fast(ids, texts, offset)
             if fast is not None:
-                vt, zmeta, text_groups = fast
+                vt_fast, zmeta_fast, text_groups, slow_rows = fast
                 accumulate_postings(text_groups, acc, tokenize_grouped)
-                if not os.path.exists(values_path):
-                    vt = vt.replace_schema_metadata(
-                        {"noise_kp_zones": json.dumps(zmeta,
-                                                      sort_keys=True)})
-                    _atomic_write_table(vt, values_path,
-                                        row_group_size=16384)
-                if not os.path.exists(docmap_path):
-                    cols = {
-                        "doc_id": pa.array(
-                            np.arange(offset, offset + rows,
-                                      dtype=np.int64)),
-                        "_id": pa.array(ids, pa.string()),
-                        "json": pa.array(texts, pa.string()),
-                    }
-                    if have_seq:
-                        cols["seq"] = t.column("seq")
-                    _atomic_write_table(pa.table(cols), docmap_path,
-                                        row_group_size=65536)
-                return
+                slow_sel = slow_rows
+                if not slow_rows:
+                    # purely fast shard: write artifacts directly
+                    if not os.path.exists(values_path):
+                        vt = vt_fast.replace_schema_metadata(
+                            {"noise_kp_zones": json.dumps(zmeta_fast,
+                                                          sort_keys=True)})
+                        _atomic_write_table(vt, values_path,
+                                            row_group_size=16384)
+                    if not os.path.exists(docmap_path):
+                        cols = {
+                            "doc_id": pa.array(
+                                np.arange(offset, offset + rows,
+                                          dtype=np.int64)),
+                            "_id": pa.array(ids, pa.string()),
+                            "json": pa.array(texts, pa.string()),
+                        }
+                        if have_seq:
+                            cols["seq"] = t.column("seq")
+                        _atomic_write_table(pa.table(cols), docmap_path,
+                                            row_group_size=65536)
+                    return
 
+        # per-document walk: the whole shard when the fast path bailed,
+        # else just the null-bearing rows the fast path routed here
         v_doc: list[int] = []
         v_kp: list[str] = []
         v_ap: list[list[int]] = []
@@ -222,7 +246,8 @@ class ShredTokenize:
         v_num: list[float | None] = []
         v_str: list[str | None] = []
         v_bbox: list[list[float] | None] = []
-        for i, (the_id, text) in enumerate(zip(ids, texts)):
+        for i in slow_sel:
+            the_id, text = ids[i], texts[i]
             doc = offset + i
             sd = shred(json.loads(text), docid=the_id, sort=False)
             for e in sd.entries:
@@ -294,6 +319,34 @@ class ShredTokenize:
             zmeta = {kp: {**{k: v for k, v in z.items() if k != "codes"},
                           "codes": sorted(z["codes"])}
                      for kp, z in zones.items()}
+            if vt_fast is not None:
+                # mixed shard: merge the column-wise shred of the
+                # null-free rows with the per-doc shred of the rest.
+                # np.lexsort is stable, and a doc is in exactly one
+                # source, so within-(kp, doc) arraypath order survives.
+                # kp sort keys come from the dictionary chunks (a rank
+                # per DISTINCT kp), never a per-row string gather
+                vt = pa.concat_tables([vt_fast, vt],
+                                      promote_options="default")
+                m_inv = _kp_rank_codes(vt.column("kp"))
+                m_doc = vt.column("doc_id").to_numpy()
+                vt = vt.take(pa.array(np.lexsort((m_doc, m_inv))))
+                for kp, zf in zmeta_fast.items():
+                    z = zones.get(kp)
+                    if z is None:
+                        zmeta[kp] = zf
+                        continue
+                    merged = {"n": z["n"] + zf["n"],
+                              "codes": sorted(set(z["codes"])
+                                              | set(zf["codes"]))}
+                    fmins = [v for v in (z.get("fmin"), zf.get("fmin"))
+                             if v is not None]
+                    fmaxs = [v for v in (z.get("fmax"), zf.get("fmax"))
+                             if v is not None]
+                    if fmins:
+                        merged["fmin"] = min(fmins)
+                        merged["fmax"] = max(fmaxs)
+                    zmeta[kp] = merged
             vt = vt.replace_schema_metadata(
                 {"noise_kp_zones": json.dumps(zmeta, sort_keys=True)})
             _atomic_write_table(vt, values_path, row_group_size=16384)
@@ -515,6 +568,7 @@ def build_json_index(
     doc_id_offset: int = 0,
     docs_per_ingest_task: int | None = None,
     local: bool | None = None,
+    fast: bool = True,
 ) -> dict[str, Any]:
     """Build (or resume) a nested-JSON index; returns the manifest.
 
@@ -581,7 +635,7 @@ def build_json_index(
     ]
     shredder = ShredTokenize(docmap_dir, values_dir, num_buckets,
                              num_ranges, range_span, doc_id_offset,
-                             block_size)
+                             block_size, fast=fast)
     if local is None:
         local = num_docs < 5_000
     if local:

@@ -107,13 +107,30 @@ def test_parity_generated_ids(tmp_path):
     _assert_parity(tmp_path, docs, "genid")
 
 
+def test_null_and_missing_key_split(tmp_path):
+    # round 4: null-bearing docs are routed per-row to the slow walk
+    # (slow_rows) while the rest shred column-wise; docs with absent
+    # keys stay fully on the fast path (Arrow nulls = absent key)
+    null_docs = [{"_id": "a", "x": None}, {"_id": "b", "x": 1.0}]
+    out = shred_table_fast(
+        [d["_id"] for d in null_docs],
+        [json.dumps(d) for d in null_docs], 0)
+    assert out is not None and out[3] == [0]
+    _assert_parity(tmp_path, null_docs, "null_split")
+
+    miss_docs = [{"_id": "a", "x": 1.0, "y": "s"}, {"_id": "b", "x": 2.0}]
+    out = shred_table_fast(
+        [d["_id"] for d in miss_docs],
+        [json.dumps(d) for d in miss_docs], 0)
+    assert out is not None and out[3] == []
+    _assert_parity(tmp_path, miss_docs, "missing_key")
+
+
 def test_bails_fall_back_to_slow_path(tmp_path):
     # each unsafe shape must (a) make shred_table_fast return None and
     # (b) still produce correct output through ShredTokenize's fallback
     cases = {
-        "null": [{"_id": "a", "x": None}, {"_id": "b", "x": 1.0}],
-        "missing_key": [{"_id": "a", "x": 1.0, "y": "s"},
-                        {"_id": "b", "x": 2.0}],
+        "all_null_rows": [{"_id": "a", "x": None}, {"_id": "b", "y": None}],
         "hetero": [{"_id": "a", "x": 1.0}, {"_id": "b", "x": "s"}],
         "geojson": [{"_id": "a",
                      "geometry": {"type": "Point",
@@ -133,6 +150,7 @@ def test_bails_fall_back_to_slow_path(tmp_path):
 
 
 _scalar = st.one_of(
+    st.none(),  # explicit JSON null: per-row routed to the slow walk
     st.booleans(),
     st.floats(allow_nan=False, allow_infinity=False, width=32),
     st.text(
@@ -171,20 +189,17 @@ def test_property_fast_matches_slow(tmp_path_factory, docs):
     assert _canon_values(v_s) == _canon_values(v_f)
 
 
-def test_fast_path_bails_on_null_in_list(ray_session):
-    """pyarrow's combine_chunks can raise ArrowIndexError on json-parsed
-    list columns with nulls (hypothesis-found); the fast path must BAIL
-    to the per-document shredder, and the full build must agree with the
-    slow path's layout."""
-    import json
-
-    from noise_ray.build.arrow_shred import shred_table_fast
+def test_null_in_list_routes_row_to_slow_walk(tmp_path):
+    """An explicit null inside an array must shred as code N — the raw
+    token scan routes that row to the per-document walk and the merged
+    output matches the slow path."""
     from noise_ray.build.shred import shred
 
     docs = [{"_id": "d0", "a": 0}, {"_id": "d1", "b": [None, "alpha"]}]
     out = shred_table_fast([d["_id"] for d in docs],
                            [json.dumps(d) for d in docs], 0)
-    assert out is None  # falls back, never raises
+    assert out is not None and out[3] == [1]
     # slow path shreds the null array element as an N entry
     sd = shred(docs[1], "d1")
     assert any(e.kp == ".b$" and e.code == "N" for e in sd.entries)
+    _assert_parity(tmp_path, docs, "null_in_list", expect_fast=True)
