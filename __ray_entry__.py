@@ -979,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix_split": mixing.domain_mix_split,
         "corpus_prep": mixing.corpus_prep,
         # --- multimodal plumbing
+        "payload_decode": multimodal.payload_decode,
         "payload_metadata": multimodal.payload_metadata,
         "payload_features": multimodal.payload_features_flat,
         "payload_resize": multimodal.payload_resize,
@@ -1384,6 +1385,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS digest
             FROM documents""",
+        # real-PNG decode: the engine round-trips genuine PNG bytes
+        # (ops/png.py encode → chunk-walk/CRC/inflate/unfilter decode);
+        # the oracle recomputes the synthetic image's closed-form pixel
+        # sums without touching bytes — a decode bug cannot cancel out
+        "payload_decode": """
+            WITH dims AS (
+                SELECT doc_id,
+                       8 + doc_id % 9 AS width,
+                       8 + (doc_id * 7) % 9 AS height
+                FROM documents),
+            px AS (
+                SELECT d.doc_id, d.width, d.height,
+                       ((d.doc_id * 31 + y.y * 17 + x.x * 5) % 256) AS r,
+                       ((d.doc_id * 31 + y.y * 17 + x.x * 5 + 11) % 256) AS g,
+                       ((d.doc_id * 31 + y.y * 17 + x.x * 5 + 22) % 256) AS b
+                FROM dims d,
+                     UNNEST(range(0, d.height)) AS y(y),
+                     UNNEST(range(0, d.width)) AS x(x))
+            SELECT doc_id, CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS channels,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id, width, height""",
         "payload_features": """
             SELECT doc_id,
                    CAST(length(text) AS DOUBLE) AS f_len,

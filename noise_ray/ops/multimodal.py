@@ -1,17 +1,24 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video decoding libraries are not available in this environment,
-so the decode step is a clearly-marked stub — but the Ray-side plumbing is
-real and tested: binary columns flow through the object store zero-copy,
-the decoder is an actor-pool ``map_batches`` stage with setup in
-``__init__``, batch sizes are kept small for large payloads, and the output
-layout is a typed metadata table.
+Binary columns flow through the object store zero-copy, every decode /
+feature / resize / frame-sample step is an actor-pool ``map_batches``
+stage with setup in ``__init__``, batch sizes are kept small for large
+payloads, and the output layout is a typed metadata table.
+
+The image decode is REAL (round 4): no imaging library ships here, so
+``ops/png.py`` carries a spec-compliant pure-numpy PNG codec —
+``synthesize_image_payloads`` writes genuine deterministic PNG files
+into the binary column and ``PayloadDecoder(decode=True)`` performs an
+actual chunk-walk + CRC-check + inflate + scanline-unfilter decode,
+emitting per-image dims and channel statistics that a SQL oracle
+recomputes in closed form.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -33,19 +40,65 @@ def synthesize_payloads(sf_dir: str):
     ).map_batches(make, batch_format="pyarrow")
 
 
+def synthesize_image_payloads(sf_dir: str):
+    """Deterministic REAL PNG payloads per document (ops/png.synth_image
+    → encode_png): schema (doc_id, payload:binary, mime:string).  The
+    pixel content is closed-form in (doc_id, x, y, channel), so decode
+    statistics are SQL-recomputable without touching the bytes."""
+    from .png import encode_png, synth_image
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [encode_png(synth_image(int(d))) for d in ids]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/png"] * len(payloads)),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(make, batch_format="pyarrow", batch_size=256)
+
+
 class PayloadDecoder:
-    """Actor-pool decode stage.  A real deployment loads the codec/model
-    here once per actor; this stub extracts byte-level metadata only."""
+    """Actor-pool decode stage.  ``decode=True`` runs the real PNG
+    decode (ops/png.decode_png — chunk walk, CRC verify, inflate,
+    unfilter) and emits per-image dims + channel means; ``decode=False``
+    extracts byte-level metadata only.  The codec import happens once
+    per actor in ``__init__`` — the model-load slot of a real
+    deployment."""
 
     def __init__(self, decode: bool = False):
         self.decode = decode
         if decode:
-            raise NotImplementedError(
-                "real image/audio decoding is stubbed in this environment; "
-                "plug a codec in here (loaded once per actor)"
-            )
+            from .png import decode_png  # once per actor
+
+            self._decode = decode_png
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode:
+            ws, hs, cs, sums = [], [], [], []
+            for buf in batch.column("payload"):
+                img = self._decode(buf.as_py())
+                h, w, c = img.shape
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                # integer channel sums: exact, so the SQL oracle's
+                # closed-form recomputation matches bit-for-bit
+                sums.append(img.reshape(-1, c).sum(axis=0,
+                                                   dtype=np.int64))
+            sums = np.asarray(sums, np.int64).reshape(len(ws), -1)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "channels": pa.array(cs, pa.int64()),
+                "sum_r": pa.array(sums[:, 0], pa.int64()),
+                "sum_g": pa.array(sums[:, 1], pa.int64()),
+                "sum_b": pa.array(sums[:, 2], pa.int64()),
+            })
         metas = []
         digests = []
         for buf in batch.column("payload"):
@@ -57,6 +110,16 @@ class PayloadDecoder:
             "n_bytes": pa.array(metas, pa.int64()),
             "digest": pa.array(digests, pa.string()),
         })
+
+
+def payload_decode(sf_dir: str):
+    """doc_id → decoded image dims + per-channel means via the real PNG
+    decode in the actor pool (small batch_size: binary payloads are
+    memory-heavy at scale)."""
+    return synthesize_image_payloads(sf_dir).map_batches(
+        PayloadDecoder, fn_constructor_kwargs={"decode": True},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    )
 
 
 def payload_metadata(sf_dir: str):

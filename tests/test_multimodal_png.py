@@ -1,0 +1,115 @@
+"""Real PNG decode (ops/png.py): codec round-trips, decoder coverage of
+all five scanline filters (the decoder must handle filters the encoder
+never writes), malformed-input failure modes, and the payload_decode
+pipeline vs its closed-form DuckDB oracle."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from noise_ray.ops.png import (_SIG, _chunk, decode_png, encode_png,
+                               synth_image)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rand_img(rng, h, w, c):
+    a = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    return a
+
+
+def test_round_trip_all_channel_counts():
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        img = _rand_img(rng, 11, 13, c)
+        out = decode_png(encode_png(img))
+        assert out.shape == (11, 13, c)
+        assert np.array_equal(out, img)
+
+
+def _encode_with_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Hand-build a PNG whose every scanline uses ``ftype`` — exercises
+    decoder paths our encoder (filter 0 only) never produces."""
+    h, w, c = img.shape
+    rows = img.reshape(h, w * c).astype(np.int16)
+    stride = w * c
+    out = bytearray()
+    prev = np.zeros(stride, np.int16)
+    for y in range(h):
+        cur = rows[y]
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+            filt = (cur - left) % 256
+        elif ftype == 2:
+            filt = (cur - prev) % 256
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+            filt = (cur - ((left + prev) // 2)) % 256
+        else:  # Paeth
+            filt = np.empty(stride, np.int16)
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (
+                    b if pb <= pc else cc)
+                filt[x] = (int(cur[x]) - pred) % 256
+        out.append(ftype)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_decoder_reconstructs_every_filter_type(ftype):
+    rng = np.random.default_rng(ftype)
+    img = _rand_img(rng, 9, 7, 3)
+    assert np.array_equal(decode_png(_encode_with_filter(img, ftype)), img)
+
+
+def test_malformed_inputs_raise():
+    img = synth_image(5)
+    buf = encode_png(img)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JUNK" + buf[4:])
+    corrupt = bytearray(buf)
+    corrupt[40] ^= 0xFF  # flip a byte inside IDAT payload
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+    with pytest.raises(ValueError):
+        decode_png(buf[:30])
+
+
+def test_synth_image_matches_closed_form():
+    img = synth_image(17)
+    h, w, _ = img.shape
+    assert (w, h) == (8 + 17 % 9, 8 + (17 * 7) % 9)
+    assert img[3, 2, 1] == (17 * 31 + 3 * 17 + 2 * 5 + 11) % 256
+
+
+def test_payload_decode_matches_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+    from noise_ray.ops.multimodal import payload_decode
+
+    got = payload_decode(SF).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(e.oracle_sql()["payload_decode"]).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    got = got[want.columns.tolist()].astype(want.dtypes.to_dict())
+    assert len(got) > 0
+    assert got.equals(want)
