@@ -314,13 +314,47 @@ def _bm25_value_boost(sf_dir: str):
     return bm25_value_boost(sf_dir)
 
 
+def _assert_stem_fold_covers(sf_dir: str) -> None:
+    """Corpus invariant behind the term_vectors oracle (ADVICE round 3):
+    every stem-collision group in the ACTUAL corpus must be covered by
+    the static _docs_stem_fold CASE (built from the generator
+    vocabulary).  Collisions outside it would silently desync engine
+    (stem-merged) and oracle (raw-token) statistics — fail loudly
+    instead."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from noise_ray.analysis.porter2 import stem as _stem
+    from noise_ray.sources.transcripts import _VOCAB, FIXTURE_TEXTS
+
+    known = {str(w).lower() for w in _VOCAB}
+    for t in FIXTURE_TEXTS:
+        known.update(_re.findall(r"[a-z0-9]+", t.lower()))
+    toks: set[str] = set()
+    for txt in pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["text"]).column("text").to_pylist():
+        toks.update(_re.findall(r"[a-z0-9]+", txt.lower()))
+    by_stem: dict[str, list[str]] = {}
+    for w in sorted(toks):
+        by_stem.setdefault(_stem(w), []).append(w)
+    bad = {s: ws for s, ws in by_stem.items()
+           if len(ws) > 1 and not set(ws) <= known}
+    assert not bad, (
+        f"stem collisions outside the generator vocabulary: {bad} — "
+        "extend _docs_stem_fold or regenerate the corpus")
+
+
 def _term_vectors(sf_dir: str):
     """Term vectors with term statistics (ops/introspect.term_vectors,
     cf. ES _termvectors): requested docs re-analyzed with the engine's
     own tokenizer, df/cf from posting headers — per-doc diagnostic,
-    never a corpus scan."""
+    never a corpus scan.  The oracle's stem fold is asserted to cover
+    the actual corpus's collision groups first (the correctness wrapper
+    may scan; the op itself never does)."""
     from noise_ray.ops.introspect import term_vectors
 
+    _assert_stem_fold_covers(sf_dir)
     return term_vectors(sf_dir)
 
 
@@ -518,11 +552,16 @@ def _extended_stats(sf_dir: str):
 
 def _rare_terms(sf_dir: str):
     """Rare terms (ops/aggs.rare_terms, cf. ES rare_terms): long-tail
-    matched-set vocabulary (doc count <= 100) from exact per-range
-    posting-df partials."""
+    matched-set vocabulary from exact per-range foreground partials.
+    The doc-count ceiling scales with the corpus (max(100, N/10), same
+    formula in the SQL oracle) so the correctness check stays
+    non-vacuous at every sf."""
+    import pyarrow.parquet as pq
+
     from noise_ray.ops.aggs import rare_terms
 
-    return rare_terms(sf_dir)
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return rare_terms(sf_dir, max_doc_count=max(100, n // 10))
 
 
 def _composite_agg(sf_dir: str):
@@ -562,6 +601,47 @@ def _significant_terms(sf_dir: str):
     from noise_ray.ops.aggs import significant_terms
 
     return significant_terms(sf_dir)
+
+
+def _forced_dist(op_module: str, op_name: str, doc: str, *,
+                 needs_index_dir: bool = True, pre_dictionary: bool = False,
+                 kwargs_fn=None):
+    """Wrap an op so its distributed dispatch (worker_pool fan-out)
+    executes end-to-end at small scale: NOISE_RAY_DIST_MIN_DOCS=1 for
+    the duration of the call (driver-side dispatch knob,
+    query/distributed.dist_min_docs).  Results must be bit-identical to
+    the in-process path — these entries share the plain entries'
+    oracles, so the driver's gate checks the DISPATCH itself, not just
+    the (separately equality-tested) worker bodies."""
+    def run(sf_dir: str):
+        import importlib
+        import os
+
+        kw = dict(kwargs_fn(sf_dir)) if kwargs_fn is not None else {}
+        if pre_dictionary:
+            # surface naming reads the term dictionary; build it first so
+            # results don't depend on which entry the driver ran earlier
+            from noise_ray.ops.termdict import _reader_and_dict
+
+            _reader_and_dict(sf_dir)
+        if needs_index_dir:
+            from noise_ray.pipelines import documents_index
+
+            kw["index_dir"] = documents_index(sf_dir).index_dir
+        fn = getattr(importlib.import_module(f"noise_ray.ops.{op_module}"),
+                     op_name)
+        old = os.environ.get("NOISE_RAY_DIST_MIN_DOCS")
+        os.environ["NOISE_RAY_DIST_MIN_DOCS"] = "1"
+        try:
+            return fn(sf_dir, **kw)
+        finally:
+            if old is None:
+                os.environ.pop("NOISE_RAY_DIST_MIN_DOCS", None)
+            else:
+                os.environ["NOISE_RAY_DIST_MIN_DOCS"] = old
+
+    run.__doc__ = doc
+    return run
 
 
 def _ann_ivf_filtered_indexed(sf_dir: str):
@@ -878,6 +958,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms": _rare_terms,
         "percentiles_agg": _percentiles_agg,
         "significant_terms": _significant_terms,
+        # --- forced distributed dispatch (one per worker_pool family):
+        #     NOISE_RAY_DIST_MIN_DOCS=1 routes the SAME computation
+        #     through the range-actor fan-out; shared oracles
+        "dist_bm25_topk": _forced_dist(
+            "bm25", "bm25_topk",
+            "bm25_topk through the two-phase distributed fan-out "
+            "(ops/bm25._bm25_distributed) forced at small scale."),
+        "dist_bm25_synonyms": _forced_dist(
+            "bm25_ext", "bm25_synonyms_topk",
+            "bm25_synonyms through the per-range pool dispatch "
+            "(ops/bm25_ext) forced at small scale."),
+        "dist_significant_terms": _forced_dist(
+            "aggs", "significant_terms",
+            "significant_terms through the per-range sig_fg_range "
+            "fan-out forced at small scale.", pre_dictionary=True),
+        "dist_rare_terms": _forced_dist(
+            "aggs", "rare_terms",
+            "rare_terms through the per-range sig_fg_range fan-out "
+            "forced at small scale.", pre_dictionary=True,
+            kwargs_fn=lambda sf: {"max_doc_count": max(100, __import__(
+                "pyarrow.parquet", fromlist=["parquet"]).read_metadata(
+                f"{sf}/documents.parquet").num_rows // 10)}),
+        "dist_terms_facet": _forced_dist(
+            "aggs", "terms_facet",
+            "terms_facet through the per-range partial-fold dispatch "
+            "forced at small scale."),
+        "dist_rank_eval": _forced_dist(
+            "rank_eval", "rank_eval",
+            "rank_eval through the per-range hit-mask fold forced at "
+            "small scale."),
+        "dist_nested_kp_bm25": _forced_dist(
+            "nested_docs", "nested_kp_bm25",
+            "nested_kp_bm25 through the per-range nested pool dispatch "
+            "(instances >= threshold) forced at small scale.",
+            needs_index_dir=False),
         "rerank_topk": _rerank_topk,
         "mmr_rerank": _mmr_rerank,
         "explain_score": _explain_score,
@@ -999,6 +1114,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
+def _docs_stem_fold() -> str:
+    """CASE expression folding raw tokens that share a Porter2 stem to
+    the group's lexicographically-least member — the engine's surface
+    name for the merged stem row (ops/aggs._surface_names_for
+    semantics).  Built from the closed generator vocabulary
+    (sources/transcripts._VOCAB + fixture texts), which is the surface
+    the documents table draws from; tokens outside it pass through
+    (the term_vectors wrapper asserts the bijection for those)."""
+    import re as _re
+
+    from noise_ray.analysis.porter2 import stem as _stem
+    from noise_ray.sources.transcripts import _VOCAB, FIXTURE_TEXTS
+
+    vocab = {str(w).lower() for w in _VOCAB}
+    for t in FIXTURE_TEXTS:
+        vocab.update(_re.findall(r"[a-z0-9]+", t.lower()))
+    by_stem: dict[str, list[str]] = {}
+    for w in sorted(vocab):
+        by_stem.setdefault(_stem(w), []).append(w)
+    cases = []
+    for _s, ws in sorted(by_stem.items()):
+        if len(ws) > 1:
+            target = min(ws)
+            for w in ws:
+                if w != target:
+                    cases.append(f"WHEN '{w}' THEN '{target}'")
+    return ("CASE tok " + " ".join(cases) + " ELSE tok END") if cases \
+        else "tok"
+
+
 def _sqlgen():
     from noise_ray.ops import oracle_sqlgen
 
@@ -1108,12 +1253,16 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "scan"), 20),
         "bm25_span_first": _score_oracle().bm25_span_first_sql(
             "merge", 10, 20),
-        "term_vectors": """
-            WITH toks AS (SELECT doc_id,
-                                 unnest(regexp_extract_all(lower(text),
-                                                           '[a-z0-9]+'))
-                                     AS tok
-                          FROM documents),
+        # stem-aware (round 4, ADVICE): raw tokens sharing a Porter2 stem
+        # fold to the group's lexicographically-least member — exactly
+        # the engine's surface naming of a stem row — via a CASE built
+        # from the closed generator vocabulary (_docs_stem_fold)
+        "term_vectors": f"""
+            WITH toks AS (SELECT doc_id, {_docs_stem_fold()} AS tok
+                          FROM (SELECT doc_id,
+                                       unnest(regexp_extract_all(
+                                           lower(text), '[a-z0-9]+')) AS tok
+                                FROM documents)),
             sel AS (SELECT doc_id, tok, count(*) AS tf FROM toks
                     WHERE doc_id IN (3, 7, 11) GROUP BY 1, 2),
             stat AS (SELECT tok, count(DISTINCT doc_id) AS df,
@@ -1187,7 +1336,9 @@ def oracle_sql() -> dict[str, str]:
             ("merge",), "source", "n_chars", 100, 15, ("src12", 200)),
         "extended_stats": _score_oracle().extended_stats_sql(
             ("merge",), "n_chars"),
-        "rare_terms": _score_oracle().rare_terms_sql(("merge",), 100, 20),
+        "rare_terms": _score_oracle().rare_terms_sql(
+            ("merge",),
+            "GREATEST(100, (SELECT count(*) FROM documents) // 10)", 20),
         "significant_terms": _score_oracle().significant_terms_sql(
             ("merge",), 10),
         "percentiles_agg": _score_oracle().percentiles_agg_sql(
@@ -1435,6 +1586,12 @@ def oracle_sql() -> dict[str, str]:
     # duplicate-cluster closures: the same pair SQL each operator's pair
     # stage is oracled by, wrapped in a recursive-CTE connected-components
     # closure (ops/oracle_sqlgen.py)
+    # forced-distributed entries compute the SAME result through the
+    # worker_pool dispatch — they share the plain entries' oracles
+    for plain in ("bm25_topk", "bm25_synonyms", "significant_terms",
+                  "rare_terms", "terms_facet", "rank_eval",
+                  "nested_kp_bm25"):
+        sqls[f"dist_{plain}"] = sqls[plain]
     sqls["dedup_clusters"] = _sqlgen().closure_sql(sqls["ngram_jaccard_pairs"])
     sqls["dedup_clusters_lsh"] = _sqlgen().closure_sql(
         sqls["minhash_lsh_pairs"])

@@ -1539,7 +1539,7 @@ SELECT count(*) AS n, CAST(min(v) AS BIGINT) AS lo,
 FROM vv"""
 
 
-def rare_terms_sql(terms: tuple[str, ...], max_doc_count: int,
+def rare_terms_sql(terms: tuple[str, ...], max_doc_count,
                    top_n: int, *, src: str = "documents",
                    key: str = "doc_id") -> str:
     """Rare-terms oracle (ops/aggs.rare_terms): matched-set vocabulary

@@ -75,3 +75,59 @@ def test_term_vectors_matches_raw_recomputation(ray_session):
                     got.column("tf").to_pylist(),
                     got.column("df").to_pylist(),
                     got.column("cf").to_pylist())) == want
+
+
+def test_term_vectors_stem_collision_fold(ray_session, tmp_path):
+    """A corpus holding both 'it' and 'its' (stem 'it') must merge them
+    into one engine row with summed tf and union df/cf, and the oracle's
+    stem fold (_docs_stem_fold) must agree — the ADVICE round-3 gap."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from noise_ray.ops.introspect import term_vectors
+
+    texts = [
+        "it runs now",            # doc 0
+        "its engine runs it",     # doc 1
+        "engine merge scan",      # doc 2
+        "it it its merge",        # doc 3 (requested)
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["src0"] * len(texts), pa.string()),
+    }), f"{sf}/documents.parquet")
+
+    # explicit index build: the sf-keyed documents_index cache must not
+    # swallow a tmp-dir corpus
+    from noise_ray.build.pipeline import build_index
+    from noise_ray.ops.termdict import _reader_and_dict
+
+    idx = f"{sf}/idx"
+    build_index([f"{sf}/documents.parquet"], idx,
+                fields=("text", "lang", "source"),
+                key_columns=("doc_id",), num_buckets=8)
+    _reader_and_dict(sf, index_dir=idx)  # dictionary for surface naming
+    got = term_vectors(sf, doc_ids=(0, 3), index_dir=idx).to_pandas()
+    # doc 3: 'it'×2 + 'its'×1 merge to term 'it' with tf 3
+    row = got[(got.doc_id == 3) & (got.term == "it")]
+    assert len(row) == 1 and int(row.tf.iloc[0]) == 3
+    assert "its" not in set(got.term)
+    # df: docs 0,1,3 contain the stem group; cf: 2+1+3 = 6
+    assert int(row.df.iloc[0]) == 3 and int(row.cf.iloc[0]) == 6
+
+    # the static oracle fold reproduces the same merged rows
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    sql = e.oracle_sql()["term_vectors"].replace("IN (3, 7, 11)",
+                                                 "IN (0, 3)")
+    want = con.execute(sql).fetchdf()
+    got = got.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    assert got[want.columns.tolist()].astype(
+        want.dtypes.to_dict()).equals(want)
