@@ -328,23 +328,35 @@ def _write_segment_group(group: pa.Table, seg_dir: str, stats_dir: str,
     # ever decoded or re-encoded here (runs are doc-disjoint per (field,
     # term); each block's encodings are self-contained).
     r_field = group.column("field").to_numpy()
-    r_term = group.column("term").to_pandas().to_numpy()  # object array
     r_min = group.column("min_doc").to_numpy()
-    order = np.lexsort((r_min, r_term, r_field))
+    # dictionary codes replace per-row term strings: the sort key is the
+    # sorted rank of each DISTINCT term (distinct terms << rows), so no
+    # object array of row strings ever materializes
+    enc = pa.compute.dictionary_encode(group.column("term")
+                                       .combine_chunks())
+    t_codes = enc.indices.to_numpy().astype(np.int64)
+    t_dict = enc.dictionary.to_pylist()
+    rank_of = np.empty(len(t_dict), np.int64)
+    rank_of[np.argsort(np.asarray(t_dict, dtype=object))] = np.arange(
+        len(t_dict))
+    r_rank = rank_of[t_codes] if len(t_dict) else t_codes
+    order = np.lexsort((r_min, r_rank, r_field))
     ordered = group.take(pa.array(order))
 
     # term stats over the sorted rows (one reduceat per column): C = Σ tf,
     # K-contribution = Σ postings — the reference's merge-summed counters
     # (/root/reference/src/json_shred.rs:191-199)
     s_field = r_field[order]
-    s_term = r_term[order]
+    s_rank = r_rank[order]
+    s_code = t_codes[order]
     s_cnt = group.column("cnt").to_numpy()[order].astype(np.int64)
     s_cblk = group.column("c_block").to_numpy()[order]
     n = len(order)
     if n:
         new_term = np.empty(n, dtype=bool)
         new_term[0] = True
-        new_term[1:] = (s_field[1:] != s_field[:-1]) | (s_term[1:] != s_term[:-1])
+        new_term[1:] = ((s_field[1:] != s_field[:-1])
+                        | (s_rank[1:] != s_rank[:-1]))
         t_starts = np.flatnonzero(new_term)
         stat_c = np.add.reduceat(s_cblk, t_starts)
         stat_k = np.add.reduceat(s_cnt, t_starts)
@@ -354,7 +366,8 @@ def _write_segment_group(group: pa.Table, seg_dir: str, stats_dir: str,
             field_k[str(int(fi))] = int(s_cnt[s_field == fi].sum())
         stats = pa.table({
             "field": pa.array(stat_field_np.astype(np.int32)),
-            "term": pa.array(s_term[t_starts].tolist(), pa.string()),
+            "term": pa.array([t_dict[c] for c in s_code[t_starts]],
+                             pa.string()),
             "c": pa.array(stat_c.astype(np.int64)),
             "k": pa.array(stat_k.astype(np.int64)),
         })

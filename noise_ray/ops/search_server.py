@@ -10,35 +10,43 @@ concurrency: this module's ``SearchBatcher`` gives concurrent callers
 a blocking ``search(terms)`` that transparently coalesces in-flight
 requests into msearch rounds.
 
-One dispatcher thread drains the queue: it takes everything queued at
-that moment (up to ``max_batch``), runs ONE ``bm25_msearch``, and
-delivers per-caller results.  Callers block on a per-request event —
-under load the batch fills naturally between rounds (no artificial
-latency window needed; an idle server executes a lone query
-immediately).  Exactness: msearch results are identical to individual
-``bm25_topk`` calls (test_msearch_matches_individual_queries), so
-batching changes throughput, never answers.
+One collector thread drains the queue into rounds (everything queued
+at that moment, up to ``max_batch``) and hands each round to a small
+executor with ``inflight`` slots (default 2, double buffering): while
+round N's two-phase fan-out blocks in ``ray.get``, round N+1 is
+already collecting AND dispatching — its phase-1 tasks fill the pool
+bubbles left by round N's stragglers, so the pool never idles between
+rounds.  Callers block on a per-request event — under load batches
+fill naturally between rounds (no artificial latency window; an idle
+server executes a lone query immediately).  Exactness: msearch results
+are identical to individual ``bm25_topk`` calls
+(test_msearch_matches_individual_queries), so batching changes
+throughput, never answers.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 
 class SearchBatcher:
     """Blocking BM25 search facade that coalesces concurrent callers
-    into msearch rounds against one index."""
+    into msearch rounds against one index, with ``inflight`` rounds
+    pipelined (double-buffered fan-outs)."""
 
     def __init__(self, index_dir: str, k: int = 10, max_batch: int = 32,
-                 field: str = "text"):
+                 field: str = "text", inflight: int = 2):
         self._index_dir = index_dir
         self._k = k
         self._field = field
         self._max_batch = max_batch
         self._q: queue.Queue = queue.Queue()
         self._closed = False
-        self._thread = threading.Thread(target=self._dispatch, daemon=True)
+        self._sem = threading.Semaphore(max(1, inflight))
+        self._pool = ThreadPoolExecutor(max_workers=max(1, inflight))
+        self._thread = threading.Thread(target=self._collect, daemon=True)
         self._thread.start()
 
     def search(self, terms: tuple[str, ...]):
@@ -55,12 +63,11 @@ class SearchBatcher:
         self._closed = True
         self._q.put(None)
         self._thread.join()
+        self._pool.shutdown(wait=True)
 
-    # ------------------------------------------------------- dispatcher
+    # ------------------------------------------------------- collector
 
-    def _dispatch(self):
-        from .bm25 import bm25_msearch
-
+    def _collect(self):
         while True:
             first = self._q.get()
             if first is None:
@@ -75,20 +82,30 @@ class SearchBatcher:
                     self._closed = True
                     break
                 batch.append(item)
-            try:
-                import pyarrow.compute as pc
-
-                res = bm25_msearch("", queries=tuple(b[0] for b in batch),
-                                   k=self._k, field=self._field,
-                                   index_dir=self._index_dir)
-                for i, (_terms, ev, box) in enumerate(batch):
-                    box[0] = res.filter(pc.equal(
-                        res.column("query_id"), i)).drop_columns(
-                            ["query_id"])
-                    ev.set()
-            except Exception as e:  # deliver the failure to every caller
-                for _terms, ev, box in batch:
-                    box[1] = e
-                    ev.set()
+            # backpressure: at most ``inflight`` rounds in the air —
+            # acquire BEFORE submit so queue drains track real capacity
+            self._sem.acquire()
+            self._pool.submit(self._run_round, batch)
             if self._closed:
                 return
+
+    def _run_round(self, batch):
+        from .bm25 import bm25_msearch
+
+        try:
+            import pyarrow.compute as pc
+
+            res = bm25_msearch("", queries=tuple(b[0] for b in batch),
+                               k=self._k, field=self._field,
+                               index_dir=self._index_dir)
+            for i, (_terms, ev, box) in enumerate(batch):
+                box[0] = res.filter(pc.equal(
+                    res.column("query_id"), i)).drop_columns(
+                        ["query_id"])
+                ev.set()
+        except Exception as e:  # deliver the failure to every caller
+            for _terms, ev, box in batch:
+                box[1] = e
+                ev.set()
+        finally:
+            self._sem.release()

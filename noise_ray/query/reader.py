@@ -178,19 +178,26 @@ class _SegBlockIndex:
             self.max_tf = np.zeros(t.num_rows, np.int64)
             self.min_len = np.zeros(t.num_rows, np.int64)
         # rows are (field, term, min_doc)-sorted: record each (field,
-        # term) run's [start, end) once, vectorized over change points
-        terms = t.column("term").to_pandas().to_numpy()
+        # term) run's [start, end) once, vectorized over change points.
+        # dictionary codes stand in for the strings (equal term ⇔ equal
+        # code), so only the distinct-term dictionary leaves Arrow
         n = t.num_rows
         self.runs: dict[tuple[int, str], tuple[int, int]] = {}
         if n:
+            import pyarrow.compute as pc
+
+            enc = pc.dictionary_encode(t.column("term").combine_chunks())
+            codes = enc.indices.to_numpy().astype(np.int64)
+            dict_vals = enc.dictionary.to_pylist()
             new = np.empty(n, dtype=bool)
             new[0] = True
             new[1:] = ((self.field[1:] != self.field[:-1])
-                       | (terms[1:] != terms[:-1]))
+                       | (codes[1:] != codes[:-1]))
             starts = np.flatnonzero(new)
             ends = np.append(starts[1:], n)
             for s, e in zip(starts.tolist(), ends.tolist()):
-                self.runs[(int(self.field[s]), terms[s])] = (s, e)
+                self.runs[(int(self.field[s]),
+                           dict_vals[codes[s]])] = (s, e)
         # uniform row groups (last may be short): ordinal -> group is a
         # division, no per-group scan
         self._rg_rows = (self.pf.metadata.row_group(0).num_rows
