@@ -1095,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": mixing.corpus_prep,
         # --- multimodal plumbing
         "payload_decode": multimodal.payload_decode,
+        "audio_decode": multimodal.audio_decode,
         "payload_metadata": multimodal.payload_metadata,
         "payload_features": multimodal.payload_features_flat,
         "payload_resize": multimodal.payload_resize,
@@ -1561,6 +1562,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(g) AS BIGINT) AS sum_g,
                    CAST(sum(b) AS BIGINT) AS sum_b
             FROM px GROUP BY doc_id, width, height""",
+        # real-WAV decode: RIFF chunk walk + PCM16 validation in the
+        # engine; the oracle recomputes the closed-form sample stats
+        "audio_decode": """
+            WITH dims AS (
+                SELECT doc_id,
+                       256 + (doc_id * 13) % 256 AS n_samples,
+                       8000 + (doc_id % 4) * 4000 AS sample_rate
+                FROM documents),
+            smp AS (
+                SELECT d.doc_id, d.n_samples, d.sample_rate,
+                       abs(((d.doc_id * 37 + i.i * 71) % 4096) - 2048) AS a
+                FROM dims d, UNNEST(range(0, d.n_samples)) AS i(i))
+            SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+                   CAST(sample_rate AS BIGINT) AS sample_rate,
+                   CAST(1 AS BIGINT) AS channels,
+                   CAST(sum(a) AS BIGINT) AS sum_abs,
+                   CAST(max(a) AS BIGINT) AS peak
+            FROM smp GROUP BY doc_id, n_samples, sample_rate""",
         "payload_features": """
             SELECT doc_id,
                    CAST(length(text) AS DOUBLE) AS f_len,

@@ -122,6 +122,69 @@ def payload_decode(sf_dir: str):
     )
 
 
+def synthesize_audio_payloads(sf_dir: str):
+    """Deterministic REAL WAV payloads per document (ops/wav.synth_audio
+    → encode_wav): schema (doc_id, payload:binary, mime:string), sample
+    content closed-form in (doc_id, i) for SQL recomputation."""
+    from .wav import encode_wav, synth_audio
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            samples, rate = synth_audio(int(d))
+            payloads.append(encode_wav(samples, rate))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * len(payloads)),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(make, batch_format="pyarrow", batch_size=256)
+
+
+class AudioDecoder:
+    """Actor-pool audio decode stage: the real RIFF/PCM16 chunk walk
+    (ops/wav.decode_wav, imported once per actor) emitting per-clip
+    sample stats — integer-exact so the SQL oracle matches bit-for-bit."""
+
+    def __init__(self):
+        from .wav import decode_wav  # once per actor
+
+        self._decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, rates, chs, sums, peaks = [], [], [], [], []
+        for buf in batch.column("payload"):
+            samples, rate = self._decode(buf.as_py())
+            n, ch = samples.shape
+            s64 = samples.astype(np.int64)
+            ns.append(n)
+            rates.append(rate)
+            chs.append(ch)
+            sums.append(int(np.abs(s64).sum()))
+            peaks.append(int(np.abs(s64).max()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_samples": pa.array(ns, pa.int64()),
+            "sample_rate": pa.array(rates, pa.int64()),
+            "channels": pa.array(chs, pa.int64()),
+            "sum_abs": pa.array(sums, pa.int64()),
+            "peak": pa.array(peaks, pa.int64()),
+        })
+
+
+def audio_decode(sf_dir: str):
+    """doc_id → decoded WAV stats via the real RIFF/PCM16 decode in the
+    actor pool."""
+    return synthesize_audio_payloads(sf_dir).map_batches(
+        AudioDecoder, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
 def payload_metadata(sf_dir: str):
     """doc_id → payload byte size + digest via the actor-pool decoder
     (small batch_size: binary payloads are memory-heavy at scale)."""

@@ -113,3 +113,65 @@ def test_payload_decode_matches_oracle(ray_session):
     got = got[want.columns.tolist()].astype(want.dtypes.to_dict())
     assert len(got) > 0
     assert got.equals(want)
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def test_wav_round_trip_and_chunk_skipping():
+    import struct
+
+    from noise_ray.ops.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(5)
+    for ch in (1, 2):
+        s = rng.integers(-32768, 32768, size=(501, ch)).astype(np.int16)
+        out, rate = decode_wav(encode_wav(s, 16000))
+        assert rate == 16000 and np.array_equal(out, s)
+    # a LIST chunk between fmt and data must be skipped (RIFF contract)
+    s = rng.integers(-32768, 32768, size=33).astype(np.int16)
+    buf = encode_wav(s, 8000)
+    fmt_at = buf.index(b"fmt ")
+    fmt_end = fmt_at + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd+pad
+    patched = buf[:fmt_end] + extra + buf[fmt_end:]
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8) + patched[8:]
+    out, rate = decode_wav(patched)
+    assert rate == 8000 and np.array_equal(out[:, 0], s)
+
+
+def test_wav_malformed_inputs_raise():
+    import struct
+
+    from noise_ray.ops.wav import decode_wav, encode_wav, synth_audio
+
+    s, rate = synth_audio(9)
+    buf = encode_wav(s, rate)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"JUNK" + buf[4:])
+    with pytest.raises(ValueError):
+        decode_wav(buf[:40])
+    # non-PCM format code
+    fmt_at = buf.index(b"fmt ") + 8
+    bad = buf[:fmt_at] + struct.pack("<H", 3) + buf[fmt_at + 2:]
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bad)
+
+
+def test_audio_decode_matches_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+    from noise_ray.ops.multimodal import audio_decode
+
+    got = audio_decode(SF).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(e.oracle_sql()["audio_decode"]).fetchdf()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    got = got[want.columns.tolist()].astype(want.dtypes.to_dict())
+    assert len(got) > 0
+    assert got.equals(want)
