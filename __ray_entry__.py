@@ -1096,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing
         "payload_decode": multimodal.payload_decode,
         "audio_decode": multimodal.audio_decode,
+        "video_frames": multimodal.video_frames,
         "payload_metadata": multimodal.payload_metadata,
         "payload_features": multimodal.payload_features_flat,
         "payload_resize": multimodal.payload_resize,
@@ -1580,6 +1581,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(a) AS BIGINT) AS sum_abs,
                    CAST(max(a) AS BIGINT) AS peak
             FROM smp GROUP BY doc_id, n_samples, sample_rate""",
+        # container parse + per-frame real PNG decode; oracle recomputes
+        # every sampled frame's pixel sums in closed form
+        "video_frames": """
+            WITH clips AS (
+                SELECT doc_id,
+                       4 + doc_id % 5 AS n_frames,
+                       8 + doc_id % 5 AS width,
+                       8 + (doc_id * 3) % 5 AS height
+                FROM documents),
+            fr AS (
+                SELECT c.doc_id, f.f AS frame_idx, c.width, c.height
+                FROM clips c, UNNEST(range(0, c.n_frames)) AS f(f)
+                WHERE f.f % 2 = 0),
+            px AS (
+                SELECT fr.doc_id, fr.frame_idx, fr.width, fr.height,
+                       ((fr.doc_id * 31 + fr.frame_idx * 131
+                         + y.y * 17 + x.x * 5) % 256) AS r,
+                       ((fr.doc_id * 31 + fr.frame_idx * 131
+                         + y.y * 17 + x.x * 5 + 11) % 256) AS g,
+                       ((fr.doc_id * 31 + fr.frame_idx * 131
+                         + y.y * 17 + x.x * 5 + 22) % 256) AS b
+                FROM fr,
+                     UNNEST(range(0, fr.height)) AS y(y),
+                     UNNEST(range(0, fr.width)) AS x(x))
+            SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id, frame_idx, width, height""",
         "payload_features": """
             SELECT doc_id,
                    CAST(length(text) AS DOUBLE) AS f_len,

@@ -273,6 +273,117 @@ def payload_resize(sf_dir: str):
             .select_columns(["doc_id", "n_bytes_out"]))
 
 
+_VIDEO_MAGIC = b"NVC1"
+
+
+def synth_frame(doc_id: int, f: int) -> "np.ndarray":
+    """Deterministic frame ``f`` of doc ``doc_id``'s synthetic clip:
+    per-doc constant dims (a video's frames share geometry), pixels
+    closed-form in (doc_id, f, x, y, channel)."""
+    w = 8 + doc_id % 5
+    h = 8 + (doc_id * 3) % 5
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.empty((h, w, 3), np.uint8)
+    for ch in range(3):
+        img[:, :, ch] = (doc_id * 31 + f * 131 + y * 17 + x * 5
+                         + ch * 11) % 256
+    return img
+
+
+def synthesize_video_payloads(sf_dir: str):
+    """Deterministic multi-frame binary containers: magic + u32 frame
+    count + u32 offset table + concatenated REAL PNG frames (4 +
+    doc_id % 5 frames per doc).  The container format is parsed — not
+    assumed — by FrameExtractor."""
+    import struct
+
+    from .png import encode_png
+
+    def make(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for d in batch.column("doc_id").to_pylist():
+            d = int(d)
+            frames = [encode_png(synth_frame(d, f))
+                      for f in range(4 + d % 5)]
+            offs, pos = [], 0
+            for fr in frames:
+                offs.append(pos)
+                pos += len(fr)
+            head = (_VIDEO_MAGIC + struct.pack("<I", len(frames))
+                    + b"".join(struct.pack("<I", o) for o in offs))
+            payloads.append(head + b"".join(frames))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-noise-container"]
+                             * batch.num_rows),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(make, batch_format="pyarrow", batch_size=128)
+
+
+class FrameExtractor:
+    """Actor-pool frame-sampling stage: parses the container header
+    (magic, count, offset table — ValueError on malformed input),
+    slices every ``stride``-th frame and runs the REAL PNG decode on
+    it, emitting per-frame dims + channel sums.  One input row fans out
+    to many frame rows — the video frame-sample shape."""
+
+    def __init__(self, stride: int = 2):
+        import struct
+
+        from .png import decode_png  # once per actor
+
+        self._decode = decode_png
+        self._struct = struct
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        struct = self._struct
+        d_out, f_out, ws, hs, sums = [], [], [], [], []
+        for did, buf in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("payload")):
+            b = buf.as_py()
+            if b[:4] != _VIDEO_MAGIC:
+                raise ValueError("bad container magic")
+            (n_frames,) = struct.unpack("<I", b[4:8])
+            head = 8 + 4 * n_frames
+            offs = list(struct.unpack(f"<{n_frames}I", b[8:head]))
+            offs.append(len(b) - head)
+            for f in range(0, n_frames, self.stride):
+                img = self._decode(b[head + offs[f]:head + offs[f + 1]])
+                h, w, c = img.shape
+                d_out.append(did)
+                f_out.append(f)
+                ws.append(w)
+                hs.append(h)
+                sums.append(img.reshape(-1, c).sum(axis=0,
+                                                   dtype=np.int64))
+        sums = np.asarray(sums, np.int64).reshape(len(d_out), -1) \
+            if d_out else np.zeros((0, 3), np.int64)
+        return pa.table({
+            "doc_id": pa.array(d_out, pa.int64()),
+            "frame_idx": pa.array(f_out, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "sum_r": pa.array(sums[:, 0], pa.int64()),
+            "sum_g": pa.array(sums[:, 1], pa.int64()),
+            "sum_b": pa.array(sums[:, 2], pa.int64()),
+        })
+
+
+def video_frames(sf_dir: str, stride: int = 2):
+    """doc_id → sampled decoded frames via container parse + real PNG
+    decode in the actor pool (small batches: multi-frame payloads are
+    the heaviest rows in the suite)."""
+    return synthesize_video_payloads(sf_dir).map_batches(
+        FrameExtractor, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 4),
+    )
+
+
 def frame_sample(sf_dir: str, frame_chars: int = 16, stride: int = 4):
     """Explode each payload into fixed-size frames and keep every
     ``stride``-th one — the video frame-sampling shape (one input row →

@@ -175,3 +175,39 @@ def test_audio_decode_matches_oracle(ray_session):
     got = got[want.columns.tolist()].astype(want.dtypes.to_dict())
     assert len(got) > 0
     assert got.equals(want)
+
+
+# ------------------------------------------------------------- video
+
+
+def test_video_frames_matches_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+    from noise_ray.ops.multimodal import video_frames
+
+    got = video_frames(SF).to_pandas().sort_values(
+        ["doc_id", "frame_idx"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(e.oracle_sql()["video_frames"]).fetchdf()
+    want = want.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    got = got[want.columns.tolist()].astype(want.dtypes.to_dict())
+    assert len(got) > len(set(got.doc_id))  # real fan-out: >1 frame/doc
+    assert got.equals(want)
+
+
+def test_frame_extractor_rejects_bad_container():
+    import pytest as _pytest
+
+    from noise_ray.ops.multimodal import FrameExtractor
+
+    import pyarrow as _pa
+
+    fx = FrameExtractor(stride=1)
+    batch = _pa.table({"doc_id": _pa.array([1], _pa.int64()),
+                       "payload": _pa.array([b"XXXX\x00\x00\x00\x00"],
+                                            _pa.binary())})
+    with _pytest.raises(ValueError, match="magic"):
+        fx(batch)
