@@ -881,7 +881,7 @@ def _write_turns(dirpath, rows):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from noise_ray.ops import (
-        bpe, cluster, dedup, mixing, multimodal, nested_docs, pca,
+        bpe, cluster, dedup, geo, mixing, multimodal, nested_docs, pca,
         relational, similarity, sketch, text,
     )
 
@@ -1097,6 +1097,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_decode": multimodal.payload_decode,
         "audio_decode": multimodal.audio_decode,
         "video_frames": multimodal.video_frames,
+        # --- geospatial (grid-bucketed sidecar under the oracle gate)
+        "geo_bbox": geo.geo_bbox,
+        "geo_distance": geo.geo_distance,
         "payload_metadata": multimodal.payload_metadata,
         "payload_features": multimodal.payload_features_flat,
         "payload_resize": multimodal.payload_resize,
@@ -1612,6 +1615,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(g) AS BIGINT) AS sum_g,
                    CAST(sum(b) AS BIGINT) AS sum_b
             FROM px GROUP BY doc_id, frame_idx, width, height""",
+        # geospatial: closed-form point per doc (ops/geo._lonlat), so
+        # bbox membership / radius distance recompute without the index
+        "geo_bbox": """
+            WITH pts AS (
+                SELECT doc_id,
+                       -180.0 + (doc_id * 7919 % 36000) / 100.0 AS lon,
+                       -90.0 + (doc_id * 104729 % 18000) / 100.0 AS lat
+                FROM documents)
+            SELECT 'p' || CAST(doc_id AS VARCHAR) AS _id
+            FROM pts
+            WHERE lon BETWEEN -60.0 AND 40.0
+              AND lat BETWEEN -25.0 AND 35.0
+            ORDER BY _id""",
+        "geo_distance": """
+            WITH pts AS (
+                SELECT doc_id,
+                       -180.0 + (doc_id * 7919 % 36000) / 100.0 AS lon,
+                       -90.0 + (doc_id * 104729 % 18000) / 100.0 AS lat
+                FROM documents),
+            d AS (
+                SELECT 'p' || CAST(doc_id AS VARCHAR) AS _id,
+                       ROUND(sqrt((lon - 10.0) * (lon - 10.0)
+                                  + (lat - 5.0) * (lat - 5.0)), 6) AS dist
+                FROM pts
+                WHERE (lon - 10.0) * (lon - 10.0)
+                      + (lat - 5.0) * (lat - 5.0) <= 1600.0)
+            SELECT _id, dist FROM d ORDER BY dist, _id LIMIT 50""",
         "payload_features": """
             SELECT doc_id,
                    CAST(length(text) AS DOUBLE) AS f_len,

@@ -1,0 +1,116 @@
+"""Geospatial queries over the grid-bucketed spatial sidecar.
+
+The nested build already materializes the reference's rtree analogue
+(`build/spatial.py`: ``r`` rows replicated per intersected grid cell,
+``cell IN`` parquet pushdown — SURVEY §2.2 `add_rtree_entries`,
+/root/reference/src/json_shred.rs:55-61 + src/filters.rs:503-586).
+This module puts that surface under the ORACLE GATE with a
+deterministic geo corpus and adds the natural extension every search
+engine pairs with bbox: radius (geo-distance) search.
+
+- ``geo_corpus``: closed-form GeoJSON points per documents-table row
+  (lon/lat are pure functions of doc_id), packed and indexed by the
+  nested build — so a SQL oracle recomputes membership without reading
+  the index.
+- ``geo_bbox``: the reference's ``&&`` bbox query END TO END (noise
+  parser → BboxFilter → grid-pruned sidecar read → exact predicate).
+- ``geo_distance``: points within ``radius`` (euclidean degrees — the
+  deterministic, SQL-replicable metric; haversine would oracle too but
+  adds nothing to the execution shape) of a center.  Candidates come
+  from the sidecar pruned to the circle's bounding box — the same cell
+  pushdown bbox uses — then one vectorized exact verify; ordered
+  (distance asc, _id asc), distance rounded 6dp.
+
+At 100 TB the shape holds: the sidecar is cell-partitioned parquet, a
+query touches only intersected cells' row groups, and the exact verify
+is per-candidate vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+def _lonlat(doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Closed-form point per doc: two coprime multipliers spread points
+    over the full lon/lat range at 0.01° resolution."""
+    d = doc_ids.astype(np.int64)
+    lon = -180.0 + (d * 7919 % 36000) / 100.0
+    lat = -90.0 + (d * 104729 % 18000) / 100.0
+    return lon, lat
+
+
+def geo_corpus(sf_dir: str) -> str:
+    """Build (cached) the nested geo index: one GeoJSON point feature
+    per documents-table row, ``{_id, geometry: {type: Point,
+    coordinates: [lon, lat]}}`` — the bbox state machine in the nested
+    shredder emits the ``r`` row + spatial sidecar."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ..build.json_pipeline import build_json_index, docs_to_parquet
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/noise_ray_cache/geo-{tag}-v1"
+    idx = os.path.join(root, "idx")
+    if os.path.exists(os.path.join(idx, "manifest.json")):
+        return idx
+    os.makedirs(root, exist_ok=True)
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_numpy()
+    lon, lat = _lonlat(ids)
+    docs = [json.dumps({"_id": f"p{int(d)}",
+                        "geometry": {"type": "Point",
+                                     "coordinates": [float(x), float(y)]}})
+            for d, x, y in zip(ids, lon, lat)]
+    shard = os.path.join(root, "docs.parquet")
+    docs_to_parquet(docs, shard)
+    build_json_index([shard], idx)
+    return idx
+
+
+def geo_bbox(sf_dir: str, west: float = -60.0, east: float = 40.0,
+             south: float = -25.0, north: float = 35.0) -> pa.Table:
+    """The reference's bbox intersection query (``&&``) end to end
+    through parser + BboxFilter + grid sidecar; returns matched _ids
+    ordered ascending."""
+    from ..query.json_executor import run_json_query
+    from ..query.json_reader import JsonIndexReader
+
+    idx = geo_corpus(sf_dir)
+    reader = JsonIndexReader(idx)
+    q = (f"find {{geometry: && [{west}, {south}, {east}, {north}]}} "
+         "order ._id asc return ._id ;")
+    rows = run_json_query(reader, q)
+    return pa.table({"_id": pa.array([r for r in rows], pa.string())})
+
+
+def geo_distance(sf_dir: str, lon0: float = 10.0, lat0: float = 5.0,
+                 radius: float = 40.0, k: int = 50) -> pa.Table:
+    """Top-``k`` points within ``radius`` degrees (euclidean) of
+    (lon0, lat0): sidecar candidates pruned to the circle's bounding
+    box, exact squared-distance verify, (distance asc, _id asc)."""
+    from ..query.json_reader import JsonIndexReader
+
+    idx = geo_corpus(sf_dir)
+    reader = JsonIndexReader(idx)
+    docs, _aps, bboxes = reader.bbox_rows(
+        ".geometry", (lon0 - radius, lon0 + radius,
+                      lat0 - radius, lat0 + radius), None)
+    if not docs.size:
+        return pa.table({"_id": pa.array([], pa.string()),
+                         "dist": pa.array([], pa.float64())})
+    lon = bboxes[:, 0]  # degenerate point boxes: west == east
+    lat = bboxes[:, 2]
+    d2 = (lon - lon0) ** 2 + (lat - lat0) ** 2
+    keep = d2 <= radius * radius
+    docs, d2 = docs[keep], d2[keep]
+    dist = np.round(np.sqrt(d2), 6)
+    ids = np.asarray(reader.doc_id_strs(docs), dtype=object)
+    top = np.lexsort((ids, dist))[:k]
+    return pa.table({"_id": pa.array(ids[top].tolist(), pa.string()),
+                     "dist": pa.array(dist[top], pa.float64())})
