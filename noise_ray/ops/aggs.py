@@ -514,32 +514,72 @@ def _merge_fg_parts(parts) -> tuple[float, list[str], np.ndarray]:
     return fg_n, vocab, np.array([acc[t] for t in vocab], np.float64)
 
 
-def _bg_df_for_terms(reader, fid: int, terms: list[str]) -> np.ndarray:
+def _stats_paths_of(reader) -> list[str]:
+    """Every stats-sidecar partition of an index, epochs included."""
+    out: list[str] = []
+    for paths in reader._stats_by_bucket.values():
+        out.extend(paths)
+    for e in getattr(reader, "_epochs", ()):
+        out.extend(_stats_paths_of(e))
+    return out
+
+
+def bg_df_paths(paths: list[str], fid: int, terms_ref) -> dict[str, int]:
+    """Worker body: fold ``k`` per term over a slice of stats files.
+    ``terms_ref`` is a ray.put ObjectRef of the foreground vocabulary —
+    broadcast once, never re-serialized per task (a plain set also
+    accepted for the in-process path)."""
+    import pyarrow.parquet as pq
+
+    want = terms_ref
+    if not isinstance(want, (set, frozenset)):
+        import ray
+
+        want = ray.get(want)
+    acc: dict[str, int] = {}
+    for p in paths:
+        t = pq.read_table(p, columns=["term", "k"],
+                          filters=[("field", "==", fid),
+                                   ("term", "in", want)])
+        for tt, kk in zip(t.column("term").to_pylist(),
+                          t.column("k").to_pylist()):
+            acc[tt] = acc.get(tt, 0) + int(kk)
+    return acc
+
+
+def _bg_df_for_terms(reader, fid: int, terms: list[str],
+                     distributed: bool = False) -> np.ndarray:
     """Background df per term, aligned to ``terms``: the per-(field,
     term) posting count ``k`` the build already materialized in the
     stats sidecar (build/pipeline.py segment-writer reduceat) summed
     across partitions and epochs — a metadata fold with a ``term IN``
-    pushdown, never a posting read.  Tombstoned docs (deletes AND
-    superseded upsert versions — both live in reader.tombstones) are
-    corrected by re-analyzing just those bounded-count docs."""
-    import pyarrow.parquet as pq
-
+    pushdown, never a posting read.  ``distributed=True`` fans the
+    fold over the range-actor pool (one task per stats-path slice, the
+    vocabulary broadcast once via ray.put).  Tombstoned docs (deletes
+    AND superseded upsert versions — both live in reader.tombstones)
+    are corrected by re-analyzing just those bounded-count docs."""
     want = set(terms)
+    paths = _stats_paths_of(reader)
     acc = {t: 0 for t in terms}
+    if distributed and len(paths) > 1:
+        import ray
 
-    def fold(r):
-        for paths in r._stats_by_bucket.values():
-            for p in paths:
-                t = pq.read_table(p, columns=["term", "k"],
-                                  filters=[("field", "==", fid),
-                                           ("term", "in", want)])
-                for tt, kk in zip(t.column("term").to_pylist(),
-                                  t.column("k").to_pylist()):
-                    acc[tt] += int(kk)
-        for e in getattr(r, "_epochs", ()):
-            fold(e)
+        from ..query.distributed import worker_pool
 
-    fold(reader)
+        pool = worker_pool()
+        terms_ref = ray.put(want)
+        n = min(len(pool), len(paths))
+        slices = [paths[i::n] for i in range(n)]
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "aggs", "bg_df_paths", (sl, fid, terms_ref))
+            for i, sl in enumerate(slices)])
+        for part in parts:
+            for t, k in part.items():
+                acc[t] += k
+    else:
+        for t, k in bg_df_paths(paths, fid, want).items():
+            acc[t] += k
     tomb = reader.tombstones
     if tomb is not None and tomb.size:
         for t, c in _fg_term_counts(reader, fid, tomb, set()).items():
@@ -629,7 +669,10 @@ def significant_terms(sf_dir: str, terms=("merge",), top_n: int = 10,
                          "fg_df": pa.array([], pa.int64()),
                          "bg_df": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
-    bg_df = _bg_df_for_terms(reader, fid, vocab)
+    bg_df = _bg_df_for_terms(
+        reader, fid, vocab,
+        distributed=(index_dir is not None
+                     and reader.num_docs >= _dist_min_docs()))
     score = np.round((fg_df / fg_n)
                      * np.log((fg_df / fg_n) / (bg_df / n_docs)), 6)
     # surface naming BEFORE the sort: ties break on the reported name
