@@ -293,6 +293,26 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
             best = dt if best is None else min(best, dt)
         out[key] = round(best, 3)
 
+    # real multimodal decodes (PNG/WAV/frame container, ops/png+wav) and
+    # the geospatial sidecar queries (ops/geo)
+    from noise_ray.ops import geo as _geo
+    from noise_ray.ops import multimodal as _mm
+
+    for key, fn in (("payload_decode_sec", _mm.payload_decode),
+                    ("audio_decode_sec", _mm.audio_decode),
+                    ("video_frames_sec", _mm.video_frames),
+                    ("geo_bbox_sec", _geo.geo_bbox),
+                    ("geo_distance_sec", _geo.geo_distance)):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = fn(SF_DIR)
+            if hasattr(r, "count"):
+                r.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[key] = round(best, 3)
+
     # sketch family + PCA (countmin_heavy returns an in-memory table)
     from noise_ray.ops import pca as _pca
     from noise_ray.ops import sketch as _sketch
