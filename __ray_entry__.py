@@ -1048,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_bucketed": dedup.embedding_dup_pairs_bucketed,
         "dedup_clusters": cluster.dedup_clusters,
         "substring_dup_clusters": dedup.substring_dup_clusters,
+        "duplicate_spans": dedup.duplicate_spans,
         "dedup_clusters_lsh": cluster.dedup_clusters_lsh,
         "dedup_keep_first": cluster.dedup_keep_first,
         # --- similarity search
@@ -1664,6 +1665,31 @@ def oracle_sql() -> dict[str, str]:
                  UNNEST(range(0, CAST(ceil(length(d.text) / 16.0) AS INT), 4))
                      AS u(f)""",
     }
+    # span-level exact-substring dedup (Lee et al.): literal window
+    # strings + gaps-and-islands merge — the engine's 64-bit window
+    # hashes and vectorized island fold must reproduce this exactly
+    sqls["duplicate_spans"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+        win AS (SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS s,
+                       array_to_string(t[i.i:i.i+11], ' ') AS w
+                FROM toks, UNNEST(range(1, array_length(t) - 10)) AS i(i)
+                WHERE array_length(t) >= 12),
+        dup AS (SELECT w FROM win GROUP BY w
+                HAVING count(DISTINCT doc_id) >= 2),
+        kept AS (SELECT win.doc_id, win.s FROM win JOIN dup USING (w)),
+        num AS (SELECT doc_id, s,
+                       CASE WHEN s - LAG(s) OVER (
+                                PARTITION BY doc_id ORDER BY s) <= 12
+                            THEN 0 ELSE 1 END AS brk
+                FROM kept),
+        grp AS (SELECT doc_id, s,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS UNBOUNDED PRECEDING) AS g
+                FROM num)
+        SELECT doc_id, MIN(s) AS start_tok,
+               CAST(MAX(s) + 11 AS BIGINT) AS end_tok,
+               count(*) AS n_windows
+        FROM grp GROUP BY doc_id, g ORDER BY doc_id, start_tok"""
     # duplicate-cluster closures: the same pair SQL each operator's pair
     # stage is oracled by, wrapped in a recursive-CTE connected-components
     # closure (ops/oracle_sqlgen.py)

@@ -612,3 +612,86 @@ def substring_dup_clusters(sf_dir: str, window: int = 12):
         .map_groups(star_edges, batch_format="pyarrow")
     )
     return connected_components(edges)
+
+
+def duplicate_spans(sf_dir: str, window: int = 12) -> "ray.data.Dataset":
+    """Span-level exact-substring dedup (Lee et al., ACL'22): for each
+    doc, the MAXIMAL token spans covered by ``window``-token runs that
+    also occur in at least one OTHER document — the regions a
+    span-removal dedup pass would cut, not just which docs collide
+    (that is substring_dup_clusters).
+
+    Shape: one rolling-hash pass emits (bucket, whash, doc, start);
+    one groupby over the hash bucket keeps windows with >= 2 distinct
+    docs (vectorized per-group fold, star-free — positions pass
+    through); one groupby(doc) merges each doc's surviving window
+    intervals [s, s+window-1] into maximal islands (overlap-or-adjacent
+    union) — all three stages bounded, nothing corpus-sized on the
+    driver.  Returns (doc_id, start_tok, end_tok, n_windows) ordered;
+    token positions are 0-based over the ``[a-z0-9]+`` token stream.
+    The oracle replicates with literal window STRINGS (collision-free
+    by construction) and a gaps-and-islands window-function merge, so
+    a 64-bit hash collision would surface as a mismatch."""
+    from .cluster import _bucket_of
+
+    def emit(batch: pa.Table) -> pa.Table:
+        wh, offs = _window_hashes(batch.column("text"), window)
+        counts = offs[1:] - offs[:-1]
+        docs = np.repeat(batch.column("doc_id").to_numpy(), counts)
+        pos = (np.arange(wh.size, dtype=np.int64)
+               - np.repeat(offs[:-1], counts))
+        return pa.table({
+            "bucket": pa.array(_bucket_of(wh)),
+            "whash": pa.array(wh, pa.uint64()),
+            "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+            "start": pa.array(pos, pa.int64()),
+        })
+
+    def keep_dup(group: pa.Table) -> pa.Table:
+        wh = group.column("whash").to_numpy()
+        docs = group.column("doc_id").to_numpy()
+        pos = group.column("start").to_numpy()
+        order = np.lexsort((pos, docs, wh))
+        wh, docs, pos = wh[order], docs[order], pos[order]
+        # distinct-doc count per whash run (docs sorted within run)
+        new_w = np.r_[True, wh[1:] != wh[:-1]]
+        new_d = new_w | np.r_[True, docs[1:] != docs[:-1]]
+        w_ids = np.cumsum(new_w) - 1
+        ndocs = np.bincount(w_ids[new_d])
+        keep = ndocs[w_ids] >= 2
+        return pa.table({
+            "doc_id": pa.array(docs[keep], pa.int64()),
+            "start": pa.array(pos[keep], pa.int64()),
+        })
+
+    def merge_spans(group: pa.Table) -> pa.Table:
+        s = np.sort(group.column("start").to_numpy())
+        did = group.column("doc_id")[0].as_py()
+        if not s.size:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "start_tok": pa.array([], pa.int64()),
+                             "end_tok": pa.array([], pa.int64()),
+                             "n_windows": pa.array([], pa.int64())})
+        # islands over covered intervals [s, s+window-1]: break when a
+        # start exceeds the running covered end + 1
+        brk = np.r_[True, s[1:] > s[:-1] + window]
+        g = np.cumsum(brk) - 1
+        firsts = np.flatnonzero(brk)
+        counts = np.diff(np.r_[firsts, s.size])
+        return pa.table({
+            "doc_id": pa.array(np.full(firsts.size, did), pa.int64()),
+            "start_tok": pa.array(s[firsts], pa.int64()),
+            "end_tok": pa.array(s[firsts + counts - 1] + window - 1,
+                                pa.int64()),
+            "n_windows": pa.array(counts, pa.int64()),
+        })
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keep_dup, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(merge_spans, batch_format="pyarrow")
+        .sort(["doc_id", "start_tok"])
+    )

@@ -217,3 +217,40 @@ def test_winnow_dup_pairs_streams(ray_session):
     assert isinstance(ds, ray.data.Dataset)
     src = inspect.getsource(text.winnow_dup_pairs)
     assert "to_pandas" not in src and "take_all" not in src
+
+
+def test_duplicate_spans_matches_bruteforce(ray_session):
+    """Span merge vs a pure-python recomputation on the raw corpus:
+    windows shared across >=2 docs, covered intervals unioned."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops.dedup import duplicate_spans
+
+    sf = "/root/testdata/sf0.001"
+    L = 12
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    toks = {d: re.findall(r"[a-z0-9]+", s.lower())
+            for d, s in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist())}
+    owners = {}
+    for d, tk in toks.items():
+        for i in range(len(tk) - L + 1):
+            owners.setdefault(" ".join(tk[i:i + L]), set()).add(d)
+    want = []
+    for d, tk in sorted(toks.items()):
+        starts = [i for i in range(len(tk) - L + 1)
+                  if len(owners[" ".join(tk[i:i + L])]) >= 2]
+        run = []
+        for s in starts:
+            if run and s <= run[-1][-1] + L:
+                run[-1].append(s)
+            else:
+                run.append([s])
+        for r in run:
+            want.append((d, r[0], r[-1] + L - 1, len(r)))
+    got = duplicate_spans(sf).to_pandas()
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    assert len(want) > 0
