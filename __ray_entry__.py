@@ -1101,6 +1101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- geospatial (grid-bucketed sidecar under the oracle gate)
         "geo_bbox": geo.geo_bbox,
         "geo_distance": geo.geo_distance,
+        "geo_grid_agg": geo.geo_grid_agg,
+        "geo_centroid": geo.geo_centroid,
         "payload_metadata": multimodal.payload_metadata,
         "payload_features": multimodal.payload_features_flat,
         "payload_resize": multimodal.payload_resize,
@@ -1643,6 +1645,35 @@ def oracle_sql() -> dict[str, str]:
                 WHERE (lon - 10.0) * (lon - 10.0)
                       + (lat - 5.0) * (lat - 5.0) <= 1600.0)
             SELECT _id, dist FROM d ORDER BY dist, _id LIMIT 50""",
+        "geo_grid_agg": """
+            WITH pts AS (
+                SELECT doc_id,
+                       -180.0 + (doc_id * 7919 % 36000) / 100.0 AS lon,
+                       -90.0 + (doc_id * 104729 % 18000) / 100.0 AS lat
+                FROM documents),
+            cells AS (
+                SELECT CAST(floor((lon + 180.0) / 10.0) AS BIGINT) AS tile_x,
+                       CAST(floor((lat + 90.0) / 10.0) AS BIGINT) AS tile_y,
+                       count(*) AS n
+                FROM pts GROUP BY 1, 2)
+            SELECT tile_x, tile_y, CAST(n AS BIGINT) AS n FROM cells
+            ORDER BY n DESC, tile_x, tile_y LIMIT 30""",
+        # integer grid indices (doc_id*7919 % 36000 IS rint((lon+180)*100))
+        # keep the centroid sums exact; one identical f64 division + round
+        "geo_centroid": """
+            WITH pts AS (
+                SELECT doc_id,
+                       doc_id * 7919 % 36000 AS klon,
+                       doc_id * 104729 % 18000 AS klat,
+                       -180.0 + (doc_id * 7919 % 36000) / 100.0 AS lon,
+                       -90.0 + (doc_id * 104729 % 18000) / 100.0 AS lat
+                FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   ROUND(SUM(klon) / (100.0 * count(*)) - 180.0, 6) AS lon,
+                   ROUND(SUM(klat) / (100.0 * count(*)) - 90.0, 6) AS lat
+            FROM pts
+            WHERE lon BETWEEN -60.0 AND 40.0
+              AND lat BETWEEN -25.0 AND 35.0""",
         "payload_features": """
             SELECT doc_id,
                    CAST(length(text) AS DOUBLE) AS f_len,

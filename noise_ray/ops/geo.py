@@ -114,3 +114,65 @@ def geo_distance(sf_dir: str, lon0: float = 10.0, lat0: float = 5.0,
     top = np.lexsort((ids, dist))[:k]
     return pa.table({"_id": pa.array(ids[top].tolist(), pa.string()),
                      "dist": pa.array(dist[top], pa.float64())})
+
+
+def geo_grid_agg(sf_dir: str, res: float = 10.0,
+                 top_n: int = 30) -> pa.Table:
+    """Grid-bucket counts (cf. Elasticsearch ``geotile_grid`` /
+    ``geohash_grid``, on an equirectangular lon/lat grid — the
+    deterministic SQL-replicable tiling): point counts per ``res``°
+    cell over the whole corpus, top ``top_n`` buckets by (count desc,
+    tile_x asc, tile_y asc).  The fold reads the spatial sidecar rows
+    once (vectorized floor-divide + bincount per partition at scale);
+    no per-point Python."""
+    from ..query.json_reader import JsonIndexReader
+
+    idx = geo_corpus(sf_dir)
+    reader = JsonIndexReader(idx)
+    _docs, _aps, bboxes = reader.bbox_rows(
+        ".geometry", (-180.0, 180.0, -90.0, 90.0), None)
+    lon = bboxes[:, 0]
+    lat = bboxes[:, 2]
+    tx = np.floor((lon + 180.0) / res).astype(np.int64)
+    ty = np.floor((lat + 90.0) / res).astype(np.int64)
+    key = tx * 100000 + ty
+    uniq, cnt = np.unique(key, return_counts=True)
+    order = np.lexsort((uniq % 100000, uniq // 100000, -cnt))[:top_n]
+    return pa.table({
+        "tile_x": pa.array((uniq // 100000)[order], pa.int64()),
+        "tile_y": pa.array((uniq % 100000)[order], pa.int64()),
+        "n": pa.array(cnt[order].astype(np.int64), pa.int64()),
+    })
+
+
+def geo_centroid(sf_dir: str, west: float = -60.0, east: float = 40.0,
+                 south: float = -25.0, north: float = 35.0) -> pa.Table:
+    """Centroid of the points inside a bbox (cf. ES ``geo_centroid``
+    sub-aggregation): integer-exact via the 0.01°-grid coordinates —
+    lon/lat recover their integer grid index with one rint, sums fold
+    as int64, and the mean divides once at the end (both sides of the
+    oracle compute the identical f64 division)."""
+    from ..query.json_reader import JsonIndexReader
+
+    idx = geo_corpus(sf_dir)
+    reader = JsonIndexReader(idx)
+    _docs, _aps, bboxes = reader.bbox_rows(
+        ".geometry", (west, east, south, north), None)
+    lon = bboxes[:, 0]
+    lat = bboxes[:, 2]
+    keep = (lon >= west) & (lon <= east) & (lat >= south) & (lat <= north)
+    lon, lat = lon[keep], lat[keep]
+    n = int(lon.size)
+    if not n:
+        return pa.table({"n": pa.array([0], pa.int64()),
+                         "lon": pa.array([None], pa.float64()),
+                         "lat": pa.array([None], pa.float64())})
+    klon = np.rint((lon + 180.0) * 100.0).astype(np.int64)
+    klat = np.rint((lat + 90.0) * 100.0).astype(np.int64)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "lon": pa.array([round(float(klon.sum()) / (100.0 * n) - 180.0,
+                               6)], pa.float64()),
+        "lat": pa.array([round(float(klat.sum()) / (100.0 * n) - 90.0,
+                               6)], pa.float64()),
+    })

@@ -39,3 +39,32 @@ def test_geo_distance_matches_bruteforce(ray_session):
         top = np.lexsort((names, dist))[:50]
         assert got.column("_id").to_pylist() == names[top].tolist()
         assert got.column("dist").to_pylist() == dist[top].tolist()
+
+
+def test_geo_grid_and_centroid_match_bruteforce(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops.geo import (_lonlat, geo_centroid, geo_grid_agg)
+
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_numpy()
+    lon, lat = _lonlat(ids)
+    cnt = collections.Counter(
+        (int(np.floor((x + 180.0) / 10.0)), int(np.floor((y + 90.0) / 10.0)))
+        for x, y in zip(lon, lat))
+    want = sorted(((n, tx, ty) for (tx, ty), n in cnt.items()),
+                  key=lambda r: (-r[0], r[1], r[2]))[:30]
+    got = geo_grid_agg(SF)
+    assert [(r["n"], r["tile_x"], r["tile_y"])
+            for r in got.to_pylist()] == want
+
+    keep = (lon >= -60) & (lon <= 40) & (lat >= -25) & (lat <= 35)
+    klon = np.rint((lon[keep] + 180.0) * 100.0).astype(np.int64)
+    klat = np.rint((lat[keep] + 90.0) * 100.0).astype(np.int64)
+    n = int(keep.sum())
+    c = geo_centroid(SF).to_pylist()[0]
+    assert c["n"] == n
+    assert c["lon"] == round(float(klon.sum()) / (100.0 * n) - 180.0, 6)
+    assert c["lat"] == round(float(klat.sum()) / (100.0 * n) - 90.0, 6)
