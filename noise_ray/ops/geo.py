@@ -54,22 +54,43 @@ def geo_corpus(sf_dir: str) -> str:
 
     from ..build.json_pipeline import build_json_index, docs_to_parquet
 
+    import glob
+
+    import ray.data
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = f"/tmp/noise_ray_cache/geo-{tag}-v1"
     idx = os.path.join(root, "idx")
     if os.path.exists(os.path.join(idx, "manifest.json")):
         return idx
     os.makedirs(root, exist_ok=True)
-    ids = pq.read_table(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id"]).column("doc_id").to_numpy()
-    lon, lat = _lonlat(ids)
-    docs = [json.dumps({"_id": f"p{int(d)}",
-                        "geometry": {"type": "Point",
-                                     "coordinates": [float(x), float(y)]}})
-            for d, x, y in zip(ids, lon, lat)]
-    shard = os.path.join(root, "docs.parquet")
-    docs_to_parquet(docs, shard)
-    build_json_index([shard], idx)
+    shard_dir = os.path.join(root, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+
+    # shard construction streams: one task per input batch renders its
+    # GeoJSON docs and writes a build-ready shard — only ack paths reach
+    # the driver (shard names carry the batch's first doc_id, so file
+    # order == doc order at any batch split)
+    def write_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        ids = batch.column("doc_id").to_numpy()
+        lon, lat = _lonlat(ids)
+        docs = [json.dumps({"_id": f"p{int(d)}",
+                            "geometry": {"type": "Point",
+                                         "coordinates": [float(x),
+                                                         float(y)]}})
+                for d, x, y in zip(ids, lon, lat)]
+        p = os.path.join(shard_dir, f"docs-{int(ids[0]):012d}.parquet")
+        docs_to_parquet(docs, p)
+        return pa.table({"path": pa.array([p])})
+
+    (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+     .map_batches(write_shard, batch_format="pyarrow", batch_size=8192)
+     .take_all())  # ack rows only
+    paths = sorted(glob.glob(os.path.join(shard_dir, "*.parquet")))
+    build_json_index(paths, idx)
     return idx
 
 
@@ -122,26 +143,50 @@ def geo_grid_agg(sf_dir: str, res: float = 10.0,
     ``geohash_grid``, on an equirectangular lon/lat grid — the
     deterministic SQL-replicable tiling): point counts per ``res``°
     cell over the whole corpus, top ``top_n`` buckets by (count desc,
-    tile_x asc, tile_y asc).  The fold reads the spatial sidecar rows
-    once (vectorized floor-divide + bincount per partition at scale);
-    no per-point Python."""
-    from ..query.json_reader import JsonIndexReader
+    tile_x asc, tile_y asc).  A corpus-wide aggregation, so it runs as
+    a streaming Ray Data fold over the spatial sidecar partitions —
+    per-batch vectorized floor-divide partials, one cell-cardinality
+    groupby sum — and only the (bounded) cell table reaches the driver.
+    Point geometries occupy exactly one sidecar grid cell, so raw rows
+    count 1:1 (box geometries would need a per-doc distinct first)."""
+    import glob
+
+    import ray.data
+    from ray.data.aggregate import Sum
 
     idx = geo_corpus(sf_dir)
-    reader = JsonIndexReader(idx)
-    _docs, _aps, bboxes = reader.bbox_rows(
-        ".geometry", (-180.0, 180.0, -90.0, 90.0), None)
-    lon = bboxes[:, 0]
-    lat = bboxes[:, 2]
-    tx = np.floor((lon + 180.0) / res).astype(np.int64)
-    ty = np.floor((lat + 90.0) / res).astype(np.int64)
-    key = tx * 100000 + ty
-    uniq, cnt = np.unique(key, return_counts=True)
-    order = np.lexsort((uniq % 100000, uniq // 100000, -cnt))[:top_n]
+    files = sorted(glob.glob(os.path.join(idx, "spatial", "*.parquet")))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kp = batch.column("kp")
+        if kp.type != pa.string():
+            kp = kp.cast(pa.string())
+        batch = batch.filter(pa.compute.equal(kp, ".geometry"))
+        bb = np.array(batch.column("bbox").to_pylist(), np.float64) \
+            if batch.num_rows else np.zeros((0, 4))
+        tx = np.floor((bb[:, 0] + 180.0) / res).astype(np.int64)
+        ty = np.floor((bb[:, 2] + 90.0) / res).astype(np.int64)
+        key = tx * 100000 + ty
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "tile_x": pa.array(uniq // 100000, pa.int64()),
+            "tile_y": pa.array(uniq % 100000, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    t = (ray.data.read_parquet(files, columns=["kp", "bbox"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["tile_x", "tile_y"])
+         .aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    tx = t["tile_x"].to_numpy()
+    ty = t["tile_y"].to_numpy()
+    n = t["n"].to_numpy().astype(np.int64)
+    order = np.lexsort((ty, tx, -n))[:top_n]
     return pa.table({
-        "tile_x": pa.array((uniq // 100000)[order], pa.int64()),
-        "tile_y": pa.array((uniq % 100000)[order], pa.int64()),
-        "n": pa.array(cnt[order].astype(np.int64), pa.int64()),
+        "tile_x": pa.array(tx[order], pa.int64()),
+        "tile_y": pa.array(ty[order], pa.int64()),
+        "n": pa.array(n[order], pa.int64()),
     })
 
 
