@@ -1031,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_nations_concat": relational.region_nations_concat,
         "events_hourly": relational.events_hourly,
         "events_hourly_ma": relational.events_hourly_ma,
+        "events_hourly_pipeline": relational.events_hourly_pipeline,
         "orders_by_segment": relational.orders_by_segment,
         "shipdate_range_counts": relational.shipdate_range_counts,
         "sessionize": relational.sessionize,
@@ -1417,6 +1418,20 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type ORDER BY hour
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
                        AS ma
+            FROM h""",
+        # pipeline aggs: derivative vs previous existing bucket +
+        # running cumulative sum (ES derivative / cumulative_sum)
+        "events_hourly_pipeline": """
+            WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                              count(*) AS n_events
+                       FROM events GROUP BY 1, 2)
+            SELECT hour, event_type, CAST(n_events AS BIGINT) AS n_events,
+                   CAST(n_events - LAG(n_events) OVER (
+                       PARTITION BY event_type ORDER BY hour) AS DOUBLE)
+                       AS deriv,
+                   CAST(SUM(n_events) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
             FROM h""",
         "orders_by_segment": """
             SELECT c_mktsegment, count(*) AS n_orders

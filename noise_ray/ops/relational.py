@@ -535,3 +535,38 @@ def events_hourly_ma(sf_dir: str, window: int = 3) -> pa.Table:
         "n_events": pa.array(t["n_events"].to_numpy(), pa.int64()),
         "ma": pa.array(np.round(ma, 4), pa.float64()),
     })
+
+
+def events_hourly_pipeline(sf_dir: str) -> pa.Table:
+    """Derivative + cumulative-sum pipeline aggregations (cf.
+    Elasticsearch ``derivative`` / ``cumulative_sum`` over a
+    date_histogram): per-type hour buckets from events_hourly's one
+    windowed groupby, then bucket-table passes — the derivative of
+    n_events vs the PREVIOUS EXISTING bucket (null for each type's
+    first bucket, the ES sibling-bucket contract) and the running
+    cumulative sum.  All post-groupby work runs over the
+    window-cardinality bucket table, never the event stream.  Returns
+    (hour, event_type, n_events, deriv, cum) ordered (event_type,
+    hour)."""
+    t = events_hourly(sf_dir).to_pandas()
+    t = t.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    ns = t["n_events"].to_numpy().astype(np.int64)
+    ets = t["event_type"].to_numpy()
+    new_et = np.r_[True, ets[1:] != ets[:-1]]
+    deriv = np.empty(len(t), np.float64)
+    deriv[0] = np.nan
+    deriv[1:] = (ns[1:] - ns[:-1]).astype(np.float64)
+    deriv[new_et] = np.nan
+    grp = np.cumsum(new_et) - 1
+    cum = np.cumsum(ns)
+    base = np.zeros(len(t), np.int64)
+    firsts = np.flatnonzero(new_et)
+    base = np.repeat(cum[firsts] - ns[firsts], np.diff(np.r_[firsts, len(t)]))
+    return pa.table({
+        "hour": pa.array(t["hour"].to_numpy()),
+        "event_type": pa.array(ets.tolist(), pa.string()),
+        "n_events": pa.array(ns, pa.int64()),
+        "deriv": pa.array([None if np.isnan(d) else float(d)
+                           for d in deriv], pa.float64()),
+        "cum": pa.array(cum - base, pa.int64()),
+    })

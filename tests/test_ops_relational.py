@@ -122,3 +122,30 @@ def test_events_hourly_ma_matches_window_oracle(ray_session):
     w = want.sort_values(["event_type", "hour"]).reset_index(drop=True)
     assert (g["ma"].to_numpy() == w["ma"].to_numpy()).all()
     assert (g["n_events"].to_numpy() == w["n_events"].to_numpy()).all()
+
+
+def test_events_hourly_pipeline_derivative_and_cum(ray_session):
+    """Derivative nulls at each type's first bucket; cum is the running
+    per-type sum — recomputed from events_hourly's own buckets."""
+    from noise_ray.ops.relational import (events_hourly,
+                                          events_hourly_pipeline)
+
+    sf = "/root/testdata/sf0.001"
+    base = (events_hourly(sf).to_pandas()
+            .sort_values(["event_type", "hour"]).reset_index(drop=True))
+    got = events_hourly_pipeline(sf).to_pandas()
+    assert len(got) == len(base)
+    run_type, run_cum, prev_n = None, 0, None
+    for r, b in zip(got.itertuples(index=False),
+                    base.itertuples(index=False)):
+        assert (r.hour, r.event_type, r.n_events) == \
+            (b.hour, b.event_type, b.n_events)
+        if r.event_type != run_type:
+            run_type, run_cum, prev_n = r.event_type, 0, None
+        run_cum += r.n_events
+        assert r.cum == run_cum
+        if prev_n is None:
+            assert r.deriv != r.deriv  # NaN/null
+        else:
+            assert r.deriv == r.n_events - prev_n
+        prev_n = r.n_events
