@@ -1050,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": cluster.dedup_clusters,
         "substring_dup_clusters": dedup.substring_dup_clusters,
         "duplicate_spans": dedup.duplicate_spans,
+        "remove_duplicate_spans": dedup.remove_duplicate_spans,
         "dedup_clusters_lsh": cluster.dedup_clusters_lsh,
         "dedup_keep_first": cluster.dedup_keep_first,
         # --- similarity search
@@ -1736,6 +1737,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(s) + 11 AS BIGINT) AS end_tok,
                count(*) AS n_windows
         FROM grp GROUP BY doc_id, g ORDER BY doc_id, start_tok"""
+    # span REMOVAL: the same spans CTE, then token-position anti-join +
+    # ordered string_agg rebuild of the cleaned analyzer-normalized text
+    sqls["remove_duplicate_spans"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+        win AS (SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS s,
+                       array_to_string(t[i.i:i.i+11], ' ') AS w
+                FROM toks, UNNEST(range(1, array_length(t) - 10)) AS i(i)
+                WHERE array_length(t) >= 12),
+        dup AS (SELECT w FROM win GROUP BY w
+                HAVING count(DISTINCT doc_id) >= 2),
+        kept AS (SELECT win.doc_id, win.s FROM win JOIN dup USING (w)),
+        num AS (SELECT doc_id, s,
+                       CASE WHEN s - LAG(s) OVER (
+                                PARTITION BY doc_id ORDER BY s) <= 12
+                            THEN 0 ELSE 1 END AS brk
+                FROM kept),
+        grp AS (SELECT doc_id, s,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS UNBOUNDED PRECEDING) AS g
+                FROM num),
+        spans AS (SELECT doc_id, MIN(s) AS s0, MAX(s) + 11 AS e0
+                  FROM grp GROUP BY doc_id, g),
+        tk AS (SELECT doc_id, unnest(t) AS tok,
+                      CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS p
+               FROM toks),
+        rem AS (SELECT DISTINCT tk.doc_id, tk.p
+                FROM tk JOIN spans s
+                  ON tk.doc_id = s.doc_id AND tk.p BETWEEN s.s0 AND s.e0),
+        keptk AS (SELECT tk.doc_id, tk.tok, tk.p
+                  FROM tk LEFT JOIN rem
+                    ON tk.doc_id = rem.doc_id AND tk.p = rem.p
+                  WHERE rem.p IS NULL),
+        agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct
+                FROM keptk GROUP BY doc_id),
+        remc AS (SELECT doc_id, count(*) AS n_removed
+                 FROM rem GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.ct, '') AS clean_text,
+               CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+        FROM documents d
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN remc r USING (doc_id)
+        ORDER BY d.doc_id"""
     # duplicate-cluster closures: the same pair SQL each operator's pair
     # stage is oracled by, wrapped in a recursive-CTE connected-components
     # closure (ops/oracle_sqlgen.py)

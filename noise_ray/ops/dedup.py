@@ -695,3 +695,73 @@ def duplicate_spans(sf_dir: str, window: int = 12) -> "ray.data.Dataset":
         .map_groups(merge_spans, batch_format="pyarrow")
         .sort(["doc_id", "start_tok"])
     )
+
+
+def remove_duplicate_spans(sf_dir: str,
+                           window: int = 12) -> "ray.data.Dataset":
+    """The Lee et al. span-REMOVAL transform: excise every duplicated
+    region found by :func:`duplicate_spans` from each document's token
+    stream, emitting the cleaned corpus — (doc_id, clean_text,
+    n_removed) with ``clean_text`` the surviving ``[a-z0-9]+`` tokens
+    joined by single spaces (the analyzer-normalized form both the
+    engine and the SQL oracle compute identically).
+
+    Shape: the spans Dataset folds to per-doc interval lists (one
+    bounded groupby), LEFT-joins the documents table on doc_id (most
+    docs carry no spans; Ray's hash join keeps both sides streaming),
+    and one map_batches re-tokenizes each doc and drops tokens covered
+    by its intervals — vectorized membership via searchsorted over the
+    doc's (sorted, disjoint) span starts."""
+    import ray.data
+
+    spans = duplicate_spans(sf_dir, window=window)
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        # spans ride the join as one compact "s:e,s:e" string per doc —
+        # Acero hash joins reject list-typed payload columns
+        did = group.column("doc_id")[0].as_py()
+        enc = ",".join(f"{s}:{e}" for s, e in zip(
+            group.column("start_tok").to_pylist(),
+            group.column("end_tok").to_pylist()))
+        return pa.table({
+            "doc_id": pa.array([did], pa.int64()),
+            "spans": pa.array([enc], pa.string()),
+        })
+
+    span_lists = spans.groupby("doc_id").map_groups(
+        per_doc, batch_format="pyarrow")
+
+    def clean(batch: pa.Table) -> pa.Table:
+        import re
+
+        out_t, out_n = [], []
+        spans_col = batch.column("spans")
+        for i, txt in enumerate(batch.column("text").to_pylist()):
+            toks = re.findall(r"[a-z0-9]+", txt.lower())
+            enc = spans_col[i].as_py()
+            if not enc:
+                out_t.append(" ".join(toks))
+                out_n.append(0)
+                continue
+            pairs = [p.split(":") for p in enc.split(",")]
+            starts = np.asarray([int(a) for a, _ in pairs], np.int64)
+            ends = np.asarray([int(b) for _, b in pairs], np.int64)
+            pos = np.arange(len(toks), dtype=np.int64)
+            # spans are sorted + disjoint (duplicate_spans merged
+            # islands): a position is covered iff the latest span
+            # starting at-or-before it also ends at-or-after it
+            j = np.searchsorted(starts, pos, side="right") - 1
+            covered = (j >= 0) & (pos <= ends[np.maximum(j, 0)])
+            out_t.append(" ".join(t for t, c in zip(toks, covered)
+                                  if not c))
+            out_n.append(int(covered.sum()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "clean_text": pa.array(out_t, pa.string()),
+            "n_removed": pa.array(out_n, pa.int64()),
+        })
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    return (docs.join(span_lists, "left_outer", 16, on=("doc_id",))
+            .map_batches(clean, batch_format="pyarrow")
+            .sort("doc_id"))

