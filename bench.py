@@ -298,11 +298,15 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     from noise_ray.ops import geo as _geo
     from noise_ray.ops import multimodal as _mm
 
+    from noise_ray.ops import dedup as _dedup
+
     for key, fn in (("payload_decode_sec", _mm.payload_decode),
                     ("audio_decode_sec", _mm.audio_decode),
                     ("video_frames_sec", _mm.video_frames),
                     ("geo_bbox_sec", _geo.geo_bbox),
-                    ("geo_distance_sec", _geo.geo_distance)):
+                    ("geo_distance_sec", _geo.geo_distance),
+                    ("duplicate_spans_sec", _dedup.duplicate_spans),
+                    ("span_removal_sec", _dedup.remove_duplicate_spans)):
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
