@@ -558,6 +558,34 @@ def _window_hashes(texts, w: int) -> tuple[np.ndarray, np.ndarray]:
     return (full[keep] if full.size else full), offs
 
 
+def _scaled_window_buckets(sf_dir: str) -> int:
+    """Shuffle-bucket count for window-hash groupbys, proportional to
+    the corpus so one group's rows stay task-sized at ANY scale
+    (64 buckets per ~1M docs, clamped to [64, 65536] — a 10B-doc corpus
+    gets 65536 buckets of ~150k docs' windows each).  Bucketing is a
+    granularity knob only: per-whash logic inside the fold is invariant
+    to which bucket a hash lands in."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/documents.parquet"
+    if _os.path.isdir(path):
+        n = sum(_pq.read_metadata(p).num_rows
+                for p in _glob.glob(f"{path}/*.parquet"))
+    else:
+        n = _pq.read_metadata(path).num_rows
+    return int(min(65536, max(64, 64 * -(-n // 1_000_000))))
+
+
+def _window_bucket_of(wh: np.ndarray, nb: int) -> np.ndarray:
+    from .hashing import splitmix64
+
+    return (splitmix64(wh.astype(np.uint64) ^ np.uint64(0xA5A5A5A5))
+            % np.uint64(nb)).astype(np.int32)
+
+
 def substring_dup_clusters(sf_dir: str, window: int = 12):
     """Exact-substring duplicate CLUSTERS: docs sharing ANY run of
     ``window`` consecutive tokens, closed transitively — the
@@ -573,7 +601,9 @@ def substring_dup_clusters(sf_dir: str, window: int = 12):
     STRINGS (collision-free by construction), so a 64-bit window-hash
     collision would surface as an oracle mismatch; none occur on the
     fixtures and the probability at 10^12 windows is ~1e-7."""
-    from .cluster import _bucket_of, connected_components
+    from .cluster import connected_components
+
+    nb = _scaled_window_buckets(sf_dir)
 
     def emit(batch: pa.Table) -> pa.Table:
         wh, offs = _window_hashes(batch.column("text"), window)
@@ -582,7 +612,7 @@ def substring_dup_clusters(sf_dir: str, window: int = 12):
         # per-doc unique windows: one (window, doc) row each
         u = np.unique(np.stack([wh, docs.astype(np.uint64)], axis=1), axis=0)
         return pa.table({
-            "bucket": pa.array(_bucket_of(u[:, 0])),
+            "bucket": pa.array(_window_bucket_of(u[:, 0], nb)),
             "whash": pa.array(u[:, 0], pa.uint64()),
             "doc_id": pa.array(u[:, 1].astype(np.int64), pa.int64()),
         })
@@ -632,7 +662,7 @@ def duplicate_spans(sf_dir: str, window: int = 12) -> "ray.data.Dataset":
     The oracle replicates with literal window STRINGS (collision-free
     by construction) and a gaps-and-islands window-function merge, so
     a 64-bit hash collision would surface as a mismatch."""
-    from .cluster import _bucket_of
+    nb = _scaled_window_buckets(sf_dir)
 
     def emit(batch: pa.Table) -> pa.Table:
         wh, offs = _window_hashes(batch.column("text"), window)
@@ -641,7 +671,7 @@ def duplicate_spans(sf_dir: str, window: int = 12) -> "ray.data.Dataset":
         pos = (np.arange(wh.size, dtype=np.int64)
                - np.repeat(offs[:-1], counts))
         return pa.table({
-            "bucket": pa.array(_bucket_of(wh)),
+            "bucket": pa.array(_window_bucket_of(wh, nb)),
             "whash": pa.array(wh, pa.uint64()),
             "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
             "start": pa.array(pos, pa.int64()),
