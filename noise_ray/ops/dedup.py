@@ -792,6 +792,10 @@ def remove_duplicate_spans(sf_dir: str,
         })
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    return (docs.join(span_lists, "left_outer", 16, on=("doc_id",))
+    # join partitions scale with the corpus (same knob as the window
+    # shuffle): a fixed small count would make each partition
+    # corpus-sized at 100 TB
+    n_part = max(16, _scaled_window_buckets(sf_dir) // 4)
+    return (docs.join(span_lists, "left_outer", n_part, on=("doc_id",))
             .map_batches(clean, batch_format="pyarrow")
             .sort("doc_id"))
