@@ -761,8 +761,9 @@ def _mmr_rerank(sf_dir: str):
 def _rerank_topk(sf_dir: str):
     """Retrieve-then-rerank (ops/rerank.py): BM25 top-100 candidates off
     the index, then a deterministic lexical-feature second stage (the
-    cross-encoder pipeline shape, honestly stubbed like the multimodal
-    decode); exact oracle (ops/score_oracle.rerank_topk_sql)."""
+    cross-encoder pipeline shape with a deterministic stand-in scorer —
+    no model weights ship here); exact oracle
+    (ops/score_oracle.rerank_topk_sql)."""
     from noise_ray.ops.rerank import rerank_topk
 
     return rerank_topk(sf_dir)

@@ -7,8 +7,8 @@ ops/bm25.py) to cut the corpus to ``k_retrieve`` candidates; stage 2
 touches only those candidates' stored fields.  Here the second stage is
 a deterministic lexical feature scorer — coverage (distinct query terms
 present) weighted above density (query-term tf / doc length) — standing
-in for a cross-encoder exactly like the multimodal decode stub stands in
-for a real decoder: the plumbing (candidate fetch from the doc store,
+in for a neural cross-encoder (no model weights ship in this
+environment): the plumbing (candidate fetch from the doc store,
 bounded second-stage cost, rerank-then-cut) is real and oracle-checked,
 and a model scorer drops in as an actor-pool ``map_batches`` stage when
 candidate sets are large enough to warrant one.
