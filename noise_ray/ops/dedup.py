@@ -662,6 +662,13 @@ def duplicate_spans(sf_dir: str, window: int = 12) -> "ray.data.Dataset":
     The oracle replicates with literal window STRINGS (collision-free
     by construction) and a gaps-and-islands window-function merge, so
     a 64-bit hash collision would surface as a mismatch."""
+    return _span_dataset(sf_dir, window).sort(["doc_id", "start_tok"])
+
+
+def _span_dataset(sf_dir: str, window: int) -> "ray.data.Dataset":
+    """duplicate_spans' core without the final presentation sort —
+    remove_duplicate_spans consumes this through its own doc groupby,
+    which re-shuffles anyway."""
     nb = _scaled_window_buckets(sf_dir)
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -723,7 +730,6 @@ def duplicate_spans(sf_dir: str, window: int = 12) -> "ray.data.Dataset":
         .map_groups(keep_dup, batch_format="pyarrow")
         .groupby("doc_id")
         .map_groups(merge_spans, batch_format="pyarrow")
-        .sort(["doc_id", "start_tok"])
     )
 
 
@@ -744,7 +750,7 @@ def remove_duplicate_spans(sf_dir: str,
     doc's (sorted, disjoint) span starts."""
     import ray.data
 
-    spans = duplicate_spans(sf_dir, window=window)
+    spans = _span_dataset(sf_dir, window)
 
     def per_doc(group: pa.Table) -> pa.Table:
         # spans ride the join as one compact "s:e,s:e" string per doc —
