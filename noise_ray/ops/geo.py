@@ -50,8 +50,6 @@ def geo_corpus(sf_dir: str) -> str:
     shredder emits the ``r`` row + spatial sidecar."""
     import json
 
-    import pyarrow.parquet as pq
-
     from ..build.json_pipeline import build_json_index, docs_to_parquet
 
     import glob
