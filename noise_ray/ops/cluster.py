@@ -22,21 +22,30 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-_NB = 64  # node-hash buckets per star round; each group is a bucket of
-          # many nodes so the reduce runs segmented numpy, not per-node
-          # Python.  At cluster scale raise to ~4x total cores.
+_NB = 64  # default node-hash buckets; each group is a bucket of many
+          # nodes so the reduce runs segmented numpy, not per-node
+          # Python.  The distributed star rounds SCALE this with the
+          # edge count (_edge_buckets) so one group's rows stay
+          # task-sized at any corpus scale.
 
 _EDGE_SCHEMA = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
 _OUT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
 
 
-def _bucket_of(x: np.ndarray) -> np.ndarray:
+def _bucket_of(x: np.ndarray, nb: int = _NB) -> np.ndarray:
     from .hashing import splitmix64
 
-    return (splitmix64(x.astype(np.uint64)) % np.uint64(_NB)).astype(np.int32)
+    return (splitmix64(x.astype(np.uint64)) % np.uint64(nb)).astype(np.int32)
 
 
-def _emit(batch: pa.Table, large: bool) -> pa.Table:
+def _edge_buckets(n_edges: int) -> int:
+    """Bucket count targeting ~1M edge rows per star-round group,
+    clamped to [64, 65536].  Granularity only: per-src fold logic is
+    invariant to which bucket a node hashes into."""
+    return int(min(65536, max(64, 64 * -(-n_edges // 1_000_000))))
+
+
+def _emit(batch: pa.Table, large: bool, nb: int = _NB) -> pa.Table:
     """Map side of a star round: direct the edges and attach the shuffle
     bucket.  Large-star groups on BOTH endpoints (each node sees its full
     neighborhood); small-star groups on the larger endpoint only."""
@@ -50,7 +59,7 @@ def _emit(batch: pa.Table, large: bool) -> pa.Table:
     else:
         src = np.maximum(a, b)
         dst = np.minimum(a, b)
-    return pa.table({"bucket": pa.array(_bucket_of(src)),
+    return pa.table({"bucket": pa.array(_bucket_of(src, nb)),
                      "src": pa.array(src), "dst": pa.array(dst)})
 
 
@@ -169,11 +178,12 @@ def connected_components(pairs, max_rounds: int = 64,
         t = pa.concat_tables(
             ray.get(edges.to_arrow_refs())).combine_chunks()
         return ray.data.from_arrow(_local_cc(t, max_rounds))
+    nb = _edge_buckets(n_edges)
     prev = None
     for _ in range(max_rounds):
         for large in (True, False):
             edges = (
-                edges.map_batches(lambda t, lg=large: _emit(t, lg),
+                edges.map_batches(lambda t, lg=large: _emit(t, lg, nb),
                                   batch_format="pyarrow")
                 .groupby("bucket")
                 .map_groups(lambda g, lg=large: _star_reduce(g, lg),
