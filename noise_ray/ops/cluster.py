@@ -217,17 +217,18 @@ def connected_components(pairs, max_rounds: int = 64,
     return members.union(hubs).sort("doc_id")
 
 
-def anti_join_ids(ids, drop, key: str = "doc_id"):
+def anti_join_ids(ids, drop, key: str = "doc_id", nb: int = _NB):
     """Distributed anti-join on a single int64 key: keep the rows of
     ``ids`` whose ``key`` does not appear in ``drop``.  One bucketed
     shuffle (tagged union + per-bucket ``np.isin``) — the drop set is
-    never collected or broadcast, so it may be corpus-sized."""
+    never collected or broadcast, so it may be corpus-sized; size
+    ``nb`` to the id-set scale so one bucket stays task-sized."""
 
     def tag(is_drop: int):
         def f(t: pa.Table) -> pa.Table:
             v = t.column(key).to_numpy().astype(np.int64, copy=False)
             return pa.table({
-                "bucket": pa.array(_bucket_of(v)),
+                "bucket": pa.array(_bucket_of(v, nb)),
                 "id": pa.array(v),
                 "d": pa.array(np.full(v.size, is_drop, np.int8)),
             })
@@ -279,6 +280,9 @@ def dedup_keep_first(sf_dir: str, num_hashes: int = 64, bands: int = 16):
         lambda t: pa.table({"doc_id": t.column("doc_id").filter(
             pc.not_equal(t.column("doc_id"), t.column("cluster_id")))}),
         batch_format="pyarrow")
+    from .dedup import _scaled_window_buckets
+
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
-    return anti_join_ids(docs, drop).sort("doc_id")
+    return anti_join_ids(docs, drop,
+                         nb=_scaled_window_buckets(sf_dir)).sort("doc_id")
