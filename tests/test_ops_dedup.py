@@ -272,3 +272,51 @@ def test_remove_duplicate_spans_consistency(ray_session):
         assert got[d] == n, d
     assert (got.drop(want.index).to_numpy() == 0).all()
     assert (cleaned.n_removed > 0).any()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps",
+                          "zeta", "eta", "theta"])
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(_words, min_size=0, max_size=40),
+                min_size=2, max_size=8),
+       st.integers(min_value=2, max_value=5))
+def test_duplicate_spans_property(ray_session, tmp_path_factory, docs,
+                                  window):
+    """Random small corpora: engine spans == brute-force recomputation
+    (shared windows across >=2 docs, covered intervals unioned)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops.dedup import duplicate_spans
+
+    sf = str(tmp_path_factory.mktemp("spans"))
+    texts = [" ".join(d) for d in docs]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), f"{sf}/documents.parquet")
+
+    L = window
+    owners = {}
+    for d, tk in enumerate(docs):
+        for i in range(len(tk) - L + 1):
+            owners.setdefault(tuple(tk[i:i + L]), set()).add(d)
+    want = []
+    for d, tk in enumerate(docs):
+        starts = [i for i in range(len(tk) - L + 1)
+                  if len(owners[tuple(tk[i:i + L])]) >= 2]
+        run = []
+        for s in starts:
+            if run and s <= run[-1][-1] + L:
+                run[-1].append(s)
+            else:
+                run.append([s])
+        for r in run:
+            want.append((d, r[0], r[-1] + L - 1, len(r)))
+    got = duplicate_spans(sf, window=L).to_pandas()
+    assert list(map(tuple, got.itertuples(index=False))) == want
