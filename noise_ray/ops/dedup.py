@@ -116,10 +116,14 @@ def _shingle_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     counts = doc_offs[1:] - doc_offs[:-1]
     with np.errstate(over="ignore"):
         # rolling n-gram combine of token hashes (position-weighted so
-        # "a b c" != "c b a"), then avalanche
-        full = np.zeros(max(h.size - n + 1, 0), np.uint64)
+        # "a b c" != "c b a"), then avalanche.  Clamped stop: a raw
+        # ``h.size - n + 1 + k`` goes negative when the whole batch
+        # holds fewer than n tokens, and a negative stop wraps to a
+        # non-empty slice (same fix as _window_hashes)
+        n_full = max(h.size - n + 1, 0)
+        full = np.zeros(n_full, np.uint64)
         for k in range(n):
-            full += h[k : h.size - n + 1 + k] * np.uint64(2 * k + 3)
+            full += h[k : n_full + k] * np.uint64(2 * k + 3)
         full = splitmix64(full)
     # valid 3-gram start positions: doc_start <= i <= doc_end - n
     sh_counts = np.maximum(counts - n + 1, 0)

@@ -320,3 +320,20 @@ def test_duplicate_spans_property(ray_session, tmp_path_factory, docs,
             want.append((d, r[0], r[-1] + L - 1, len(r)))
     got = duplicate_spans(sf, window=L).to_pandas()
     assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_window_and_shingle_hashes_tiny_batches():
+    """Regression (hypothesis-found): a batch whose TOTAL token count is
+    below the window/shingle width must yield zero hashes, not a
+    wrapped negative slice."""
+    import pyarrow as pa
+
+    from noise_ray.ops.dedup import _shingle_hashes, _window_hashes
+
+    for texts in (["theta gamma delta"], ["a"], [""], ["x y", ""]):
+        wh, offs = _window_hashes(pa.array(texts), 5)
+        assert wh.size == 0 and offs[-1] == 0
+    sh, offs = _shingle_hashes(pa.array(["ab"]), 3)
+    assert sh.size == 1  # short-doc fallback: one shingle over all toks
+    sh, offs = _shingle_hashes(pa.array([""]), 3)
+    assert sh.size == 0
