@@ -786,9 +786,15 @@ def remove_duplicate_spans(sf_dir: str, window: int = 12,
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     if span_lists.count() <= broadcast_limit:
-        table = pa.concat_tables(ray.get(span_lists.to_arrow_refs()))
-        lookup = dict(zip(table.column("doc_id").to_pylist(),
-                          table.column("spans").to_pylist()))
+        # all-empty upstreams can surface as schema-less zero-column
+        # blocks — drop those before concat
+        tables = [t for t in ray.get(span_lists.to_arrow_refs())
+                  if t.num_columns]
+        lookup = {}
+        if tables:
+            table = pa.concat_tables(tables)
+            lookup = dict(zip(table.column("doc_id").to_pylist(),
+                              table.column("spans").to_pylist()))
         ref = ray.put(lookup)
         return (docs.map_batches(
                     _SpanCleaner, fn_constructor_kwargs={"spans_ref": ref,

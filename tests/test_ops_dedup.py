@@ -337,3 +337,42 @@ def test_window_and_shingle_hashes_tiny_batches():
     assert sh.size == 1  # short-doc fallback: one shingle over all toks
     sh, offs = _shingle_hashes(pa.array([""]), 3)
     assert sh.size == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(_words, min_size=0, max_size=30),
+                min_size=2, max_size=6),
+       st.integers(min_value=2, max_value=4))
+def test_remove_duplicate_spans_property(ray_session, tmp_path_factory,
+                                         docs, window):
+    """Random corpora: cleaned text == tokens outside the brute-force
+    span union, joined by single spaces."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from noise_ray.ops.dedup import remove_duplicate_spans
+
+    sf = str(tmp_path_factory.mktemp("rm"))
+    texts = [" ".join(d) for d in docs]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), f"{sf}/documents.parquet")
+
+    L = window
+    owners = {}
+    for d, tk in enumerate(docs):
+        for i in range(len(tk) - L + 1):
+            owners.setdefault(tuple(tk[i:i + L]), set()).add(d)
+    want = []
+    for d, tk in enumerate(docs):
+        covered = [False] * len(tk)
+        for i in range(len(tk) - L + 1):
+            if len(owners[tuple(tk[i:i + L])]) >= 2:
+                for j in range(i, i + L):
+                    covered[j] = True
+        want.append((" ".join(t for t, c in zip(tk, covered) if not c),
+                     sum(covered)))
+    got = remove_duplicate_spans(sf, window=L).to_pandas()
+    assert [(r.clean_text, r.n_removed)
+            for r in got.itertuples(index=False)] == want
