@@ -23,7 +23,15 @@ def to_pandas(x):
     import ray.data
 
     if isinstance(x, ray.data.Dataset):
-        return x.to_pandas()
+        df = x.to_pandas()
+        if not len(df.columns):
+            # Ray quirk: an empty Dataset's to_pandas drops columns even
+            # when .schema() knows them — restore for the compare
+            sch = x.schema()
+            if sch is not None:
+                df = pd.DataFrame({n: pd.Series(dtype="object")
+                                   for n in sch.names})
+        return df
     if isinstance(x, pa.Table):
         return x.to_pandas()
     return x
