@@ -110,6 +110,18 @@ def _walk(arr: pa.Array, kp: str, docs: np.ndarray, ap: np.ndarray,
             if len(docs):
                 out.values.append((kp, docs, ap, "o", None, None))
             return
+        # rows where the struct is PRESENT but every (non-_id) field is
+        # absent are literal ``{}`` — explicit nulls were routed to the
+        # per-doc walk, so all-null ⇔ empty object — and must emit the
+        # reference's empty-object marker.  The root is exempt: a bare
+        # ``{}`` document shreds to its _id entry alone.
+        if not is_root_id and len(docs):
+            absent = np.ones(len(arr), bool)
+            for i in range(t.num_fields):
+                absent &= np.asarray(arr.field(i).is_null())
+            if absent.any():
+                out.values.append((kp, docs[absent], ap[absent],
+                                   "o", None, None))
         for i in range(t.num_fields):
             name = t.field(i).name
             if is_root_id and name == "_id":

@@ -100,6 +100,18 @@ def test_parity_escaped_keys_and_ints(tmp_path):
     _assert_parity(tmp_path, docs, "escaped")
 
 
+def test_parity_empty_object_among_list_elements(tmp_path):
+    # hypothesis-found (round 4): with null tolerance, a {} element of a
+    # list of structs is an all-fields-absent VALID struct row — it must
+    # still emit the reference's 'o' empty-object marker
+    docs = [
+        {"_id": "a", "xs": [{}, {"b": 1.0}]},
+        {"_id": "b", "xs": [{"b": 2.0}, {}]},
+        {"_id": "c", "y": {}},
+    ]
+    _assert_parity(tmp_path, docs, "empty_obj_mixed")
+
+
 def test_parity_generated_ids(tmp_path):
     # docs without _id get injected deterministic ids — both paths must
     # index the injected value under ._id
