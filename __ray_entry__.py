@@ -994,6 +994,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "nested_kp_bm25 through the per-range nested pool dispatch "
             "(instances >= threshold) forced at small scale.",
             needs_index_dir=False),
+        "dist_geo_distance": _forced_dist(
+            "geo", "geo_distance",
+            "geo_distance through the per-range top-k pool dispatch "
+            "(ops/geo.geo_distance_range) forced at small scale.",
+            needs_index_dir=False),
+        "dist_geo_centroid": _forced_dist(
+            "geo", "geo_centroid",
+            "geo_centroid through the per-range (n, sums) pool fold "
+            "(ops/geo.geo_centroid_range) forced at small scale.",
+            needs_index_dir=False),
         "rerank_topk": _rerank_topk,
         "mmr_rerank": _mmr_rerank,
         "explain_score": _explain_score,
@@ -1787,7 +1797,7 @@ def oracle_sql() -> dict[str, str]:
     # worker_pool dispatch — they share the plain entries' oracles
     for plain in ("bm25_topk", "bm25_synonyms", "significant_terms",
                   "rare_terms", "terms_facet", "rank_eval",
-                  "nested_kp_bm25"):
+                  "nested_kp_bm25", "geo_distance", "geo_centroid"):
         sqls[f"dist_{plain}"] = sqls[plain]
     sqls["dedup_clusters"] = _sqlgen().closure_sql(sqls["ngram_jaccard_pairs"])
     sqls["dedup_clusters_lsh"] = _sqlgen().closure_sql(

@@ -56,7 +56,12 @@ def geo_corpus(sf_dir: str) -> str:
 
     import ray.data
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    import hashlib
+
+    # key by abspath hash (not basename): two corpora a/sf0.01 and
+    # b/sf0.01 must not silently share an index (cf. nested_docs)
+    tag = hashlib.md5(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     root = f"/tmp/noise_ray_cache/geo-{tag}-v1"
     idx = os.path.join(root, "idx")
     if os.path.exists(os.path.join(idx, "manifest.json")):
@@ -108,21 +113,33 @@ def geo_bbox(sf_dir: str, west: float = -60.0, east: float = 40.0,
     return pa.table({"_id": pa.array([r for r in rows], pa.string())})
 
 
-def geo_distance(sf_dir: str, lon0: float = 10.0, lat0: float = 5.0,
-                 radius: float = 40.0, k: int = 50) -> pa.Table:
-    """Top-``k`` points within ``radius`` degrees (euclidean) of
-    (lon0, lat0): sidecar candidates pruned to the circle's bounding
-    box, exact squared-distance verify, (distance asc, _id asc)."""
+def _geo_ranges(num_docs: int) -> list:
+    """Doc ranges for the geo per-range folds — same shape as
+    query/distributed.run_query_distributed's partitioning."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    parts = max(1, min(cpus, num_docs // 10_000 + 1))
+    span = max(1, -(-num_docs // parts))
+    return [(lo, min(lo + span, num_docs))
+            for lo in range(0, num_docs, span)]
+
+
+def geo_distance_range(idx: str, lon0: float, lat0: float,
+                       radius: float, k: int, lo: int, hi: int):
+    """One doc range's top-``k`` partial for geo_distance: grid-pruned
+    sidecar read bounded to ``[lo, hi)``, exact verify, local
+    (dist asc, _id asc) top-k — at most ``k`` rows leave the range.
+    Runs on a range worker (cached reader) under the pool dispatch."""
+    from ..query.distributed import _cached_reader
     from ..query.json_reader import JsonIndexReader
 
-    idx = geo_corpus(sf_dir)
-    reader = JsonIndexReader(idx)
+    reader = _cached_reader(idx, JsonIndexReader)
     docs, _aps, bboxes = reader.bbox_rows(
         ".geometry", (lon0 - radius, lon0 + radius,
-                      lat0 - radius, lat0 + radius), None)
+                      lat0 - radius, lat0 + radius), (lo, hi))
     if not docs.size:
-        return pa.table({"_id": pa.array([], pa.string()),
-                         "dist": pa.array([], pa.float64())})
+        return [], np.zeros(0, np.float64)
     lon = bboxes[:, 0]  # degenerate point boxes: west == east
     lat = bboxes[:, 2]
     d2 = (lon - lon0) ** 2 + (lat - lat0) ** 2
@@ -130,6 +147,63 @@ def geo_distance(sf_dir: str, lon0: float = 10.0, lat0: float = 5.0,
     docs, d2 = docs[keep], d2[keep]
     dist = np.round(np.sqrt(d2), 6)
     ids = np.asarray(reader.doc_id_strs(docs), dtype=object)
+    top = np.lexsort((ids, dist))[:k]
+    return ids[top].tolist(), dist[top]
+
+
+def geo_centroid_range(idx: str, west: float, east: float, south: float,
+                       north: float, lo: int, hi: int):
+    """One doc range's (n, Σklon, Σklat) integer partial for
+    geo_centroid — three scalars leave the range regardless of how many
+    candidates the bbox pruned to."""
+    from ..query.distributed import _cached_reader
+    from ..query.json_reader import JsonIndexReader
+
+    reader = _cached_reader(idx, JsonIndexReader)
+    _docs, _aps, bboxes = reader.bbox_rows(
+        ".geometry", (west, east, south, north), (lo, hi))
+    lon = bboxes[:, 0]
+    lat = bboxes[:, 2]
+    keep = (lon >= west) & (lon <= east) & (lat >= south) & (lat <= north)
+    lon, lat = lon[keep], lat[keep]
+    klon = np.rint((lon + 180.0) * 100.0).astype(np.int64)
+    klat = np.rint((lat + 90.0) * 100.0).astype(np.int64)
+    return int(lon.size), int(klon.sum()), int(klat.sum())
+
+
+def geo_distance(sf_dir: str, lon0: float = 10.0, lat0: float = 5.0,
+                 radius: float = 40.0, k: int = 50) -> pa.Table:
+    """Top-``k`` points within ``radius`` degrees (euclidean) of
+    (lon0, lat0), folded per doc range: each range reads only its
+    grid-pruned sidecar slice and returns a local top-k, the driver
+    merges ≤ k·ranges bounded partials — no corpus-scale candidate
+    array ever materializes in one process (a continent-sized box at
+    100 TB stays sharded).  Fan-out through the range-actor pool above
+    ``dist_min_docs`` documents, in-process per-range folds below."""
+    import ray
+
+    from ..query.distributed import dist_min_docs, worker_pool
+    from ..query.json_reader import JsonIndexReader
+
+    idx = geo_corpus(sf_dir)
+    num_docs = JsonIndexReader(idx).num_docs
+    ranges = _geo_ranges(num_docs)
+    if num_docs >= dist_min_docs():
+        pool = worker_pool()
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "geo", "geo_distance_range",
+                (idx, lon0, lat0, radius, k, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+    else:
+        parts = [geo_distance_range(idx, lon0, lat0, radius, k, lo, hi)
+                 for lo, hi in ranges]
+    ids = np.asarray([i for p in parts for i in p[0]], dtype=object)
+    dist = (np.concatenate([p[1] for p in parts])
+            if parts else np.zeros(0, np.float64))
+    if not ids.size:
+        return pa.table({"_id": pa.array([], pa.string()),
+                         "dist": pa.array([], pa.float64())})
     top = np.lexsort((ids, dist))[:k]
     return pa.table({"_id": pa.array(ids[top].tolist(), pa.string()),
                      "dist": pa.array(dist[top], pa.float64())})
@@ -193,29 +267,39 @@ def geo_centroid(sf_dir: str, west: float = -60.0, east: float = 40.0,
     """Centroid of the points inside a bbox (cf. ES ``geo_centroid``
     sub-aggregation): integer-exact via the 0.01°-grid coordinates —
     lon/lat recover their integer grid index with one rint, sums fold
-    as int64, and the mean divides once at the end (both sides of the
-    oracle compute the identical f64 division)."""
+    as int64 per doc range (three scalars per range reach the driver),
+    and the mean divides once at the end (both sides of the oracle
+    compute the identical f64 division).  Same per-range pool dispatch
+    as geo_distance above ``dist_min_docs``."""
+    import ray
+
+    from ..query.distributed import dist_min_docs, worker_pool
     from ..query.json_reader import JsonIndexReader
 
     idx = geo_corpus(sf_dir)
-    reader = JsonIndexReader(idx)
-    _docs, _aps, bboxes = reader.bbox_rows(
-        ".geometry", (west, east, south, north), None)
-    lon = bboxes[:, 0]
-    lat = bboxes[:, 2]
-    keep = (lon >= west) & (lon <= east) & (lat >= south) & (lat <= north)
-    lon, lat = lon[keep], lat[keep]
-    n = int(lon.size)
+    num_docs = JsonIndexReader(idx).num_docs
+    ranges = _geo_ranges(num_docs)
+    if num_docs >= dist_min_docs():
+        pool = worker_pool()
+        parts = ray.get([
+            pool[i % len(pool)].ops_call.remote(
+                "geo", "geo_centroid_range",
+                (idx, west, east, south, north, lo, hi))
+            for i, (lo, hi) in enumerate(ranges)])
+    else:
+        parts = [geo_centroid_range(idx, west, east, south, north, lo, hi)
+                 for lo, hi in ranges]
+    n = sum(p[0] for p in parts)
     if not n:
         return pa.table({"n": pa.array([0], pa.int64()),
                          "lon": pa.array([None], pa.float64()),
                          "lat": pa.array([None], pa.float64())})
-    klon = np.rint((lon + 180.0) * 100.0).astype(np.int64)
-    klat = np.rint((lat + 90.0) * 100.0).astype(np.int64)
+    klon = sum(p[1] for p in parts)
+    klat = sum(p[2] for p in parts)
     return pa.table({
         "n": pa.array([n], pa.int64()),
-        "lon": pa.array([round(float(klon.sum()) / (100.0 * n) - 180.0,
+        "lon": pa.array([round(float(klon) / (100.0 * n) - 180.0,
                                6)], pa.float64()),
-        "lat": pa.array([round(float(klat.sum()) / (100.0 * n) - 90.0,
+        "lat": pa.array([round(float(klat) / (100.0 * n) - 90.0,
                                6)], pa.float64()),
     })

@@ -86,10 +86,18 @@ class PayloadDecoder:
                 hs.append(h)
                 cs.append(c)
                 # integer channel sums: exact, so the SQL oracle's
-                # closed-form recomputation matches bit-for-bit
-                sums.append(img.reshape(-1, c).sum(axis=0,
-                                                   dtype=np.int64))
-            sums = np.asarray(sums, np.int64).reshape(len(ws), -1)
+                # closed-form recomputation matches bit-for-bit.
+                # Normalized to RGB semantics so mixed channel counts
+                # in one batch stay rectangular: gray / gray+alpha
+                # replicate the luma sum across r=g=b, RGBA drops alpha
+                s = img.reshape(-1, c).sum(axis=0, dtype=np.int64)
+                if c < 3:
+                    s = np.repeat(s[:1], 3)
+                else:
+                    s = s[:3]
+                sums.append(s)
+            sums = (np.asarray(sums, np.int64)
+                    if ws else np.zeros((0, 3), np.int64))
             return pa.table({
                 "doc_id": batch.column("doc_id"),
                 "width": pa.array(ws, pa.int64()),

@@ -68,3 +68,49 @@ def test_geo_grid_and_centroid_match_bruteforce(ray_session):
     assert c["n"] == n
     assert c["lon"] == round(float(klon.sum()) / (100.0 * n) - 180.0, 6)
     assert c["lat"] == round(float(klat.sum()) / (100.0 * n) - 90.0, 6)
+
+
+def test_geo_partials_are_bounded(ray_session, monkeypatch):
+    """The per-range fold never gives the driver more than k rows per
+    range (distance) / three scalars per range (centroid) — the scale
+    property the round-4 driver-side candidate collection lacked."""
+    import noise_ray.ops.geo as geo
+
+    sizes = []
+    real = geo.geo_distance_range
+
+    def spy(idx, lon0, lat0, radius, k, lo, hi):
+        out = real(idx, lon0, lat0, radius, k, lo, hi)
+        sizes.append(len(out[0]))
+        return out
+
+    monkeypatch.setattr(geo, "geo_distance_range", spy)
+    k = 7
+    got = geo.geo_distance(SF, radius=200.0, k=k)  # corpus-sized box
+    assert sizes and all(s <= k for s in sizes)
+    assert got.num_rows == k
+
+    csizes = []
+    creal = geo.geo_centroid_range
+
+    def cspy(idx, w, e, s, n, lo, hi):
+        out = creal(idx, w, e, s, n, lo, hi)
+        csizes.append(out)
+        return out
+
+    monkeypatch.setattr(geo, "geo_centroid_range", cspy)
+    c = geo.geo_centroid(SF, west=-180, east=180, south=-90, north=90)
+    assert csizes and all(len(t) == 3 for t in csizes)
+    assert c.column("n").to_pylist()[0] == sum(t[0] for t in csizes)
+
+
+def test_geo_dist_dispatch_matches_inprocess(ray_session, monkeypatch):
+    """Forcing the pool dispatch (dist_min_docs=1) returns bit-identical
+    tables to the in-process per-range fold."""
+    from noise_ray.ops.geo import geo_centroid, geo_distance
+
+    plain_d = geo_distance(SF)
+    plain_c = geo_centroid(SF)
+    monkeypatch.setenv("NOISE_RAY_DIST_MIN_DOCS", "1")
+    assert geo_distance(SF).equals(plain_d)
+    assert geo_centroid(SF).equals(plain_c)

@@ -211,3 +211,45 @@ def test_frame_extractor_rejects_bad_container():
                                             _pa.binary())})
     with _pytest.raises(ValueError, match="magic"):
         fx(batch)
+
+
+def test_payload_decoder_empty_and_nonrgb_batches():
+    """Ray Data can hand a stage 0-row batches, and a general decode
+    stage must survive gray / gray+alpha / RGBA payloads (channel sums
+    normalize to RGB semantics: luma replicated for c<3, alpha dropped
+    for c=4) — mixed counts in one batch stay rectangular."""
+    import numpy as np
+    import pyarrow as pa
+
+    from noise_ray.ops.multimodal import PayloadDecoder
+    from noise_ray.ops.png import encode_png
+
+    dec = PayloadDecoder(decode=True)
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "payload": pa.array([], pa.binary()),
+                      "mime": pa.array([], pa.string())})
+    out = dec(empty)
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "width", "height", "channels",
+                                "sum_r", "sum_g", "sum_b"]
+
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (5, 4, c), dtype=np.uint8).reshape(5, 4, c)
+            for c in (1, 2, 3, 4)]
+    batch = pa.table({
+        "doc_id": pa.array(list(range(4)), pa.int64()),
+        "payload": pa.array([encode_png(i) for i in imgs], pa.binary()),
+        "mime": pa.array(["image/png"] * 4),
+    })
+    out = dec(batch).to_pylist()
+    for row, img in zip(out, imgs):
+        c = img.shape[2]
+        assert row["channels"] == c
+        flat = img.reshape(-1, c).sum(axis=0, dtype=np.int64)
+        if c < 3:
+            assert (row["sum_r"] == row["sum_g"] == row["sum_b"]
+                    == int(flat[0]))
+        else:
+            assert [row["sum_r"], row["sum_g"], row["sum_b"]] == \
+                [int(flat[0]), int(flat[1]), int(flat[2])]
