@@ -1062,6 +1062,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_clusters": dedup.substring_dup_clusters,
         "duplicate_spans": dedup.duplicate_spans,
         "remove_duplicate_spans": dedup.remove_duplicate_spans,
+        # forces the above-broadcast-limit doc_id-range-partitioned span
+        # sidecar path end-to-end at small scale; shares the plain oracle
+        "part_remove_duplicate_spans": (
+            lambda sf_dir: dedup.remove_duplicate_spans(
+                sf_dir, broadcast_limit=0)),
         "dedup_clusters_lsh": cluster.dedup_clusters_lsh,
         "dedup_keep_first": cluster.dedup_keep_first,
         # --- similarity search
@@ -1799,6 +1804,7 @@ def oracle_sql() -> dict[str, str]:
                   "rare_terms", "terms_facet", "rank_eval",
                   "nested_kp_bm25", "geo_distance", "geo_centroid"):
         sqls[f"dist_{plain}"] = sqls[plain]
+    sqls["part_remove_duplicate_spans"] = sqls["remove_duplicate_spans"]
     sqls["dedup_clusters"] = _sqlgen().closure_sql(sqls["ngram_jaccard_pairs"])
     sqls["dedup_clusters_lsh"] = _sqlgen().closure_sql(
         sqls["minhash_lsh_pairs"])

@@ -546,6 +546,72 @@ def run_query_bench(num_cpus: int) -> dict:
     }
 
 
+def run_qps_bench(num_cpus: int) -> dict:
+    """Concurrent-query throughput (the --scaling qps mode): 16 caller
+    threads (GRAFT_QPS_THREADS) issue BM25 searches through the
+    SearchBatcher against a shared index — the workload a cluster
+    actually serves, where the per-range dispatch floor amortizes over
+    batched rounds.  Reported "turns_per_sec" is queries/sec so the
+    generic scaling fold applies unchanged."""
+    import threading
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    os.environ["NOISE_RAY_DIST_MIN_DOCS"] = "1"
+    import pyarrow.parquet as pq
+
+    from noise_ray.build.pipeline import build_index
+    from noise_ray.ops.search_server import SearchBatcher
+    from noise_ray.pipelines import corpus_at, transcripts_corpus
+
+    convs = int(os.environ.get("GRAFT_BENCH_CONVS", "0"))
+    paths = corpus_at(convs) if convs else transcripts_corpus(SF_DIR)
+    num_docs = sum(pq.read_metadata(p).num_rows for p in paths)
+    idx = os.path.join(os.path.dirname(paths[0]), "scaling-query-idx")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(paths, idx, fields=("text", "role", "tool"),
+                    key_columns=("conv_id", "turn_idx"), num_buckets=32)
+    mix = [("merge",), ("scan", "row"), ("server", "error"),
+           ("pipeline",), ("quick", "brown"), ("time", "work"),
+           ("index", "build"), ("query", "plan")]
+    n_threads = int(os.environ.get("GRAFT_QPS_THREADS", "16"))
+    n_queries = int(os.environ.get("GRAFT_QPS_QUERIES", "480"))
+    batcher = SearchBatcher(idx, k=10)
+    for t in mix:  # warm the pool + per-actor reader caches
+        batcher.search(t)
+    ctr = {"i": 0}
+    lock = threading.Lock()
+
+    def caller():
+        while True:
+            with lock:
+                i = ctr["i"]
+                if i >= n_queries:
+                    return
+                ctr["i"] = i + 1
+            batcher.search(mix[i % len(mix)])
+
+    threads = [threading.Thread(target=caller) for _ in range(n_threads)]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    dt = time.perf_counter() - t0
+    batcher.close()
+    return {
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": num_cpus,
+        "num_turns": num_docs,
+        "build_sec": round(dt, 3),
+        "turns_per_sec": round(n_queries / dt, 2),  # = queries/sec
+        "qps_threads": n_threads,
+    }
+
+
 def _scaling() -> dict:
     """Same job, same input, fresh processes at two parallelism levels
     (default 8 and 32 CPUs; override with GRAFT_SCALING_LEVELS="8,32").
@@ -556,17 +622,19 @@ def _scaling() -> dict:
     takes its best: the sandbox VM shares its host with other guests and
     contention drifts minute to minute, so back-to-back same-level trials
     would compare different machines."""
-    mode = os.environ.get("GRAFT_SCALING_MODE", "flat")  # flat|nested|query
+    mode = os.environ.get("GRAFT_SCALING_MODE", "flat")  # flat|nested|query|qps
     # query mode defaults to the 22M-turn corpus: per-query useful work
     # must dwarf the per-range dispatch floor for the ratio to measure
     # the engine rather than fixed costs
     convs = os.environ.get("GRAFT_SCALING_CONVS",
-                           "2000000" if mode == "query" else "200000")
+                           "2000000" if mode in ("query", "qps")
+                           else "200000")
     lo, hi = (int(x) for x in
               os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(","))
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
     flag = {"nested": "--nested-build-only",
-            "query": "--query-only"}.get(mode, "--build-only")
+            "query": "--query-only",
+            "qps": "--qps-only"}.get(mode, "--build-only")
     env0 = dict(os.environ, GRAFT_BENCH_CONVS=convs)
     # Warm the shared corpus cache once so generation isn't timed.
     subprocess.run([sys.executable, __file__, "--gen-corpus"], env=env0,
@@ -584,7 +652,12 @@ def _scaling() -> dict:
     t_lo, t_hi = best[lo]["turns_per_sec"], best[hi]["turns_per_sec"]
     eff = (t_hi / t_lo) / (hi / lo)
     return {
-        "metric": ((f"distributed-query scaling efficiency (QPS, "
+        "metric": ((f"concurrent-query throughput scaling efficiency "
+                    f"(QPS, {lo} -> {hi} CPUs, "
+                    f"{os.environ.get('GRAFT_QPS_THREADS', '16')} caller "
+                    "threads, SearchBatcher, same index)")
+                   if mode == "qps" else
+                   (f"distributed-query scaling efficiency (QPS, "
                     f"{lo} -> {hi} CPUs, fresh processes, interleaved "
                     "trials, same index)") if mode == "query" else
                    (f"{mode} index-build scaling efficiency "
@@ -626,6 +699,11 @@ def main() -> None:
         return
     if "--query-only" in sys.argv:
         print(json.dumps(run_query_bench(NUM_CPUS)))
+        import ray
+        ray.shutdown()
+        return
+    if "--qps-only" in sys.argv:
+        print(json.dumps(run_qps_bench(NUM_CPUS)))
         import ray
         ray.shutdown()
         return

@@ -412,18 +412,16 @@ def delete_by_query(index_dir: str, query: str,
     if reader.num_docs >= _dist_min_docs():
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
         n = max(1, min(cpus, reader.num_docs // 10_000 + 1))
         span = max(1, -(-reader.num_docs // n))
         pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].flat_eval.remote(
-                index_dir, query, params, lo,
-                min(lo + span, reader.num_docs), None)
-            for i, lo in enumerate(range(0, reader.num_docs, span))
-        ])
+        parts = pool_batched(pool, [
+            ("flat_eval", (index_dir, query, params, lo,
+                           min(lo + span, reader.num_docs), None))
+            for lo in range(0, reader.num_docs, span)])
         import numpy as np
 
         docs = (np.concatenate([d for d, _ in parts]) if parts

@@ -169,23 +169,22 @@ def _collapse_distributed(index_dir, reader, stemmed, field,
                           collapse_field, k, k1, b, n_docs, avgdl):
     import ray
 
-    from ..query.distributed import worker_pool
+    from ..query.distributed import pool_batched, worker_pool
 
     from .bm25_ext import _doc_ranges
 
     ranges = _doc_ranges(reader)
     pool = worker_pool()
-    df_parts = ray.get([
-        pool[i % len(pool)].bm25_df.remote(index_dir, field, stemmed,
-                                           lo, hi)
-        for i, (lo, hi) in enumerate(ranges)])
+    df_parts = pool_batched(pool, [
+                   ("bm25_df", (index_dir, field, stemmed,
+                                           lo, hi))
+                   for (lo, hi) in ranges])
     dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
-    parts = ray.get([
-        pool[i % len(pool)].ops_call.remote(
-            "aggs", "collapse_range",
+    parts = pool_batched(pool, [
+                ("ops_call", ("aggs", "collapse_range",
             (index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b,
-             collapse_field, lo, hi))
-        for i, (lo, hi) in enumerate(ranges)])
+             collapse_field, lo, hi)))
+                for (lo, hi) in ranges])
     return _collapse_merge(parts, k)
 
 
@@ -219,18 +218,17 @@ def histogram_facet(sf_dir: str, terms=("merge",),
     if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         from .bm25_ext import _doc_ranges
 
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "aggs", "hist_range",
+        parts = pool_batched(pool, [
+                    ("ops_call", ("aggs", "hist_range",
                 (index_dir, field, stemmed, value_column, interval,
-                 lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+                 lo, hi)))
+                    for (lo, hi) in ranges])
     else:
         parts = [_hist_fold(reader, fid, stemmed, value_column, interval,
                             None)]
@@ -343,24 +341,23 @@ def top_hits(sf_dir: str, terms=("merge", "scan"),
     if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         from .bm25_ext import _doc_ranges
 
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        df_parts = ray.get([
-            pool[i % len(pool)].bm25_df.remote(index_dir, field, stemmed,
-                                               lo, hi)
-            for i, (lo, hi) in enumerate(ranges)])
+        df_parts = pool_batched(pool, [
+                       ("bm25_df", (index_dir, field, stemmed,
+                                               lo, hi))
+                       for (lo, hi) in ranges])
         dfs = [float(sum(p[j] for p in df_parts))
                for j in range(len(stemmed))]
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "aggs", "tophits_range",
+        parts = pool_batched(pool, [
+                    ("ops_call", ("aggs", "tophits_range",
                 (index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b,
-                 group_field, per, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+                 group_field, per, lo, hi)))
+                    for (lo, hi) in ranges])
         keys = np.asarray(sum((p[0] for p in parts), []), dtype=object)
         docs = np.concatenate([p[1] for p in parts])
         r4 = np.concatenate([p[2] for p in parts])
@@ -426,17 +423,16 @@ def percentiles_agg(sf_dir: str, terms=("merge",),
     if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         from .bm25_ext import _doc_ranges
 
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "aggs", "hist_range",
-                (index_dir, field, stemmed, value_column, 1, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+        parts = pool_batched(pool, [
+                    ("ops_call", ("aggs", "hist_range",
+                (index_dir, field, stemmed, value_column, 1, lo, hi)))
+                    for (lo, hi) in ranges])
     else:
         parts = [_hist_fold(reader, fid, stemmed, value_column, 1, None)]
     vals = np.concatenate([p[0] for p in parts])
@@ -564,16 +560,15 @@ def _bg_df_for_terms(reader, fid: int, terms: list[str],
     if distributed and len(paths) > 1:
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         pool = worker_pool()
         terms_ref = ray.put(want)
         n = min(len(pool), len(paths))
         slices = [paths[i::n] for i in range(n)]
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "aggs", "bg_df_paths", (sl, fid, terms_ref))
-            for i, sl in enumerate(slices)])
+        parts = pool_batched(pool, [
+            ("ops_call", ("aggs", "bg_df_paths", (sl, fid, terms_ref)))
+            for sl in slices])
         for part in parts:
             for t, k in part.items():
                 acc[t] += k
@@ -650,17 +645,16 @@ def significant_terms(sf_dir: str, terms=("merge",), top_n: int = 10,
     if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         from .bm25_ext import _doc_ranges
 
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "aggs", "sig_fg_range",
-                (index_dir, field, stemmed, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+        parts = pool_batched(pool, [
+            ("ops_call", ("aggs", "sig_fg_range",
+                          (index_dir, field, stemmed, lo, hi)))
+            for (lo, hi) in ranges])
     else:
         parts = [sig_fg_range_local(reader, fid, stemmed)]
     fg_n, vocab, fg_df = _merge_fg_parts(parts)
@@ -737,17 +731,16 @@ def terms_facet(sf_dir: str, terms=("merge",),
     if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         from .bm25_ext import _doc_ranges
 
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "aggs", "terms_facet_range",
-                (index_dir, field, stemmed, group_field, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+        parts = pool_batched(pool, [
+                    ("ops_call", ("aggs", "terms_facet_range",
+                (index_dir, field, stemmed, group_field, lo, hi)))
+                    for (lo, hi) in ranges])
     else:
         parts = [_terms_facet_fold(reader, fid, stemmed, group_field,
                                    None)]
@@ -790,17 +783,16 @@ def cardinality_agg(sf_dir: str, terms=("merge",),
     if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         from .bm25_ext import _doc_ranges
 
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "aggs", "card_range",
-                (index_dir, field, stemmed, value_field, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+        parts = pool_batched(pool, [
+                    ("ops_call", ("aggs", "card_range",
+                (index_dir, field, stemmed, value_field, lo, hi)))
+                    for (lo, hi) in ranges])
     else:
         keys, _ = _terms_facet_fold(reader, fid, stemmed, value_field,
                                     None)
@@ -842,17 +834,16 @@ def filters_agg(sf_dir: str,
     if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         from .bm25_ext import _doc_ranges
 
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "aggs", "filters_agg_range",
-                (index_dir, field, named, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+        parts = pool_batched(pool, [
+                    ("ops_call", ("aggs", "filters_agg_range",
+                (index_dir, field, named, lo, hi)))
+                    for (lo, hi) in ranges])
         counts = [sum(p[j] for p in parts) for j in range(len(named))]
     else:
         counts = [int(_matched_union(reader, fid, list(st), None).size)
@@ -912,17 +903,16 @@ def adjacency_matrix(sf_dir: str,
     if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         from .bm25_ext import _doc_ranges
 
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "aggs", "adjacency_matrix_range",
-                (index_dir, field, named, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+        parts = pool_batched(pool, [
+                    ("ops_call", ("aggs", "adjacency_matrix_range",
+                (index_dir, field, named, lo, hi)))
+                    for (lo, hi) in ranges])
         counts = [sum(p[j] for p in parts) for j in range(len(keys))]
     else:
         sets = [set(_matched_union(reader, fid, list(st), None).tolist())
@@ -1000,18 +990,17 @@ def composite_agg(sf_dir: str, terms=("merge",),
     if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         from .bm25_ext import _doc_ranges
 
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "aggs", "composite_range",
+        parts = pool_batched(pool, [
+                    ("ops_call", ("aggs", "composite_range",
                 (index_dir, field, stemmed, group_field, value_column,
-                 interval, after, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+                 interval, after, lo, hi)))
+                    for (lo, hi) in ranges])
     else:
         parts = [_composite_fold(reader, fid, stemmed, group_field,
                                  value_column, interval, after, None)]
@@ -1071,17 +1060,16 @@ def extended_stats(sf_dir: str, terms=("merge",),
     if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         from .bm25_ext import _doc_ranges
 
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "aggs", "extended_stats_range",
-                (index_dir, field, stemmed, value_column, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+        parts = pool_batched(pool, [
+                    ("ops_call", ("aggs", "extended_stats_range",
+                (index_dir, field, stemmed, value_column, lo, hi)))
+                    for (lo, hi) in ranges])
     else:
         parts = [_extended_stats_fold(reader, fid, stemmed, value_column,
                                       None)]
@@ -1144,17 +1132,16 @@ def rare_terms(sf_dir: str, terms=("merge",), max_doc_count: int = 100,
     if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         from .bm25_ext import _doc_ranges
 
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "aggs", "sig_fg_range",
-                (index_dir, field, stemmed, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+        parts = pool_batched(pool, [
+                    ("ops_call", ("aggs", "sig_fg_range",
+                (index_dir, field, stemmed, lo, hi)))
+                    for (lo, hi) in ranges])
     else:
         parts = [sig_fg_range_local(reader, fid, stemmed)]
     _, vocab, fg_f64 = _merge_fg_parts(parts)

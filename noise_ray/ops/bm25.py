@@ -568,7 +568,7 @@ def _bm25_fields_distributed(index_dir: str, reader, stemmed: list[str],
     top-k.  avgdls come off the stats sidecar (one read, not a pass)."""
     import ray
 
-    from ..query.distributed import worker_pool
+    from ..query.distributed import pool_batched, worker_pool
 
     fields = [f for f, _ in weights if f in reader.field_id]
     avgdls = {f: _field_total_tokens(reader, reader.field_id[f]) / n_docs
@@ -579,20 +579,18 @@ def _bm25_fields_distributed(index_dir: str, reader, stemmed: list[str],
     ranges = [(lo, min(lo + span, reader.num_docs))
               for lo in range(0, reader.num_docs, span)]
     pool = worker_pool()
-    refs = [(f, [pool[i % len(pool)].bm25_df.remote(index_dir, f,
-                                                    stemmed, lo, hi)
-                 for i, (lo, hi) in enumerate(ranges)])
-            for f in fields]
+    fr = [(f, lo, hi) for f in fields for (lo, hi) in ranges]
+    flat_parts = pool_batched(pool, [
+        ("bm25_df", (index_dir, f, stemmed, lo, hi)) for f, lo, hi in fr])
     dfs = {}
-    for f, frefs in refs:
-        parts = ray.get(frefs)
+    for f in fields:
+        parts = [p for (pf, _l, _h), p in zip(fr, flat_parts) if pf == f]
         for j, t in enumerate(stemmed):
             dfs[(f, t)] = float(sum(p[j] for p in parts))
-    parts = ray.get([
-        pool[i % len(pool)].bm25_fields_score.remote(
-            index_dir, tuple(weights), stemmed, dfs, avgdls, n_docs,
-            k1, b, k, lo, hi)
-        for i, (lo, hi) in enumerate(ranges)])
+    parts = pool_batched(pool, [
+                ("bm25_fields_score", (index_dir, tuple(weights), stemmed, dfs, avgdls, n_docs,
+            k1, b, k, lo, hi))
+                for (lo, hi) in ranges])
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])
     top = np.lexsort((docs, -r4))[:k]
@@ -847,7 +845,7 @@ def _msearch_distributed(index_dir: str, reader, qlists, field: str,
     on the driver (k rows per query per range)."""
     import ray
 
-    from ..query.distributed import worker_pool
+    from ..query.distributed import pool_batched, worker_pool
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     n = max(1, min(cpus, reader.num_docs // 10_000 + 1))
@@ -855,19 +853,17 @@ def _msearch_distributed(index_dir: str, reader, qlists, field: str,
     ranges = [(lo, min(lo + span, reader.num_docs))
               for lo in range(0, reader.num_docs, span)]
     pool = worker_pool()
-    df_parts = ray.get([
-        pool[i % len(pool)].ops_call.remote(
-            "bm25", "msearch_df_range", (index_dir, field, qlists, lo, hi))
-        for i, (lo, hi) in enumerate(ranges)])
+    df_parts = pool_batched(pool, [
+                   ("ops_call", ("bm25", "msearch_df_range", (index_dir, field, qlists, lo, hi)))
+                   for (lo, hi) in ranges])
     dfs_list = [[float(sum(p[qi][j] for p in df_parts))
                  for j in range(len(q))]
                 for qi, q in enumerate(qlists)]
-    parts = ray.get([
-        pool[i % len(pool)].ops_call.remote(
-            "bm25", "msearch_score_range",
+    parts = pool_batched(pool, [
+                ("ops_call", ("bm25", "msearch_score_range",
             (index_dir, field, qlists, dfs_list, n_docs, avgdl, k1, b,
-             k, lo, hi))
-        for i, (lo, hi) in enumerate(ranges)])
+             k, lo, hi)))
+                for (lo, hi) in ranges])
     out = []
     for qi in range(len(qlists)):
         docs = np.concatenate([p[qi][0] for p in parts])
@@ -1016,7 +1012,7 @@ def _bm25_spannear_distributed(index_dir: str, reader, stemmed: list[str],
     ``_RangeWorker.ops_call`` so the pool class stays untouched."""
     import ray
 
-    from ..query.distributed import worker_pool
+    from ..query.distributed import pool_batched, worker_pool
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     n = max(1, min(cpus, reader.num_docs // 10_000 + 1))
@@ -1024,20 +1020,18 @@ def _bm25_spannear_distributed(index_dir: str, reader, stemmed: list[str],
     ranges = [(lo, min(lo + span, reader.num_docs))
               for lo in range(0, reader.num_docs, span)]
     pool = worker_pool()
-    df_parts = ray.get([
-        pool[i % len(pool)].ops_call.remote(
-            "bm25", "spannear_df_range",
-            (index_dir, field, stemmed, slop, lo, hi))
-        for i, (lo, hi) in enumerate(ranges)])
+    df_parts = pool_batched(pool, [
+                   ("ops_call", ("bm25", "spannear_df_range",
+            (index_dir, field, stemmed, slop, lo, hi)))
+                   for (lo, hi) in ranges])
     df = float(sum(df_parts))
     if not df:
         return _empty_topk()
-    parts = ray.get([
-        pool[i % len(pool)].ops_call.remote(
-            "bm25", "spannear_score_range",
+    parts = pool_batched(pool, [
+                ("ops_call", ("bm25", "spannear_score_range",
             (index_dir, field, stemmed, slop, df, n_docs, avgdl, k1, b,
-             k, lo, hi))
-        for i, (lo, hi) in enumerate(ranges)])
+             k, lo, hi)))
+                for (lo, hi) in ranges])
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])
     top = np.lexsort((docs, -r4))[:k]
@@ -1188,7 +1182,7 @@ def _bm25_phrase_distributed(index_dir: str, reader, stemmed: list[str],
     driver."""
     import ray
 
-    from ..query.distributed import worker_pool
+    from ..query.distributed import pool_batched, worker_pool
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     n = max(1, min(cpus, reader.num_docs // 10_000 + 1))
@@ -1196,18 +1190,17 @@ def _bm25_phrase_distributed(index_dir: str, reader, stemmed: list[str],
     ranges = [(lo, min(lo + span, reader.num_docs))
               for lo in range(0, reader.num_docs, span)]
     pool = worker_pool()
-    df_parts = ray.get([
-        pool[i % len(pool)].bm25_phrase_df.remote(index_dir, field,
-                                                  stemmed, lo, hi)
-        for i, (lo, hi) in enumerate(ranges)])
+    df_parts = pool_batched(pool, [
+                   ("bm25_phrase_df", (index_dir, field,
+                                                  stemmed, lo, hi))
+                   for (lo, hi) in ranges])
     df = float(sum(df_parts))
     if not df:
         return _empty_topk()
-    parts = ray.get([
-        pool[i % len(pool)].bm25_phrase_score.remote(
-            index_dir, field, stemmed, df, n_docs, avgdl, k1, b, k,
-            lo, hi)
-        for i, (lo, hi) in enumerate(ranges)])
+    parts = pool_batched(pool, [
+                ("bm25_phrase_score", (index_dir, field, stemmed, df, n_docs, avgdl, k1, b, k,
+            lo, hi))
+                for (lo, hi) in ranges])
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])
     top = np.lexsort((docs, -r4))[:k]
@@ -1224,7 +1217,7 @@ def _bm25_distributed(index_dir: str, reader, stemmed: list[str],
                       ) -> pa.Table:
     import ray
 
-    from ..query.distributed import worker_pool
+    from ..query.distributed import pool_batched, worker_pool
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     n = max(1, min(cpus, reader.num_docs // 10_000 + 1))
@@ -1241,20 +1234,19 @@ def _bm25_distributed(index_dir: str, reader, stemmed: list[str],
     missing = [t for t in stemmed if (field, t) not in cache]
     fresh: dict = {}
     if missing:
-        df_parts = ray.get([
-            pool[i % len(pool)].bm25_df.remote(index_dir, field, missing,
-                                               lo, hi)
-            for i, (lo, hi) in enumerate(ranges)])
+        df_parts = pool_batched(pool, [
+                       ("bm25_df", (index_dir, field, missing,
+                                               lo, hi))
+                       for (lo, hi) in ranges])
         for j, t in enumerate(missing):
             fresh[t] = float(sum(p[j] for p in df_parts))
             if len(cache) < 65536:
                 cache[(field, t)] = fresh[t]
     dfs = [cache.get((field, t), fresh.get(t, 0.0)) for t in stemmed]
-    parts = ray.get([
-        pool[i % len(pool)].bm25_score.remote(
-            index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b, k,
-            lo, hi, filter_query, min_match, search_after)
-        for i, (lo, hi) in enumerate(ranges)])
+    parts = pool_batched(pool, [
+                ("bm25_score", (index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b, k,
+            lo, hi, filter_query, min_match, search_after))
+                for (lo, hi) in ranges])
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])
     top = np.lexsort((docs, -r4))[:k]
@@ -1358,23 +1350,21 @@ def _span_first_distributed(index_dir, reader, stem, end, field, k, k1,
                             b, n_docs, avgdl) -> pa.Table:
     import ray
 
-    from ..query.distributed import worker_pool
+    from ..query.distributed import pool_batched, worker_pool
 
     from .bm25_ext import _doc_ranges
 
     ranges = _doc_ranges(reader)
     pool = worker_pool()
-    df = float(sum(ray.get([
-        pool[i % len(pool)].ops_call.remote(
-            "bm25", "span_first_df_range",
-            (index_dir, field, stem, end, lo, hi))
-        for i, (lo, hi) in enumerate(ranges)])))
-    parts = ray.get([
-        pool[i % len(pool)].ops_call.remote(
-            "bm25", "span_first_score_range",
+    df = float(sum(pool_batched(pool, [
+                       ("ops_call", ("bm25", "span_first_df_range",
+            (index_dir, field, stem, end, lo, hi)))
+                       for (lo, hi) in ranges])))
+    parts = pool_batched(pool, [
+                ("ops_call", ("bm25", "span_first_score_range",
             (index_dir, field, stem, end, df, n_docs, avgdl, k1, b, k,
-             lo, hi))
-        for i, (lo, hi) in enumerate(ranges)])
+             lo, hi)))
+                for (lo, hi) in ranges])
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])
     top = np.lexsort((docs, -r4))[:k]

@@ -197,22 +197,20 @@ def _synonyms_distributed(index_dir: str, reader, sgroups, field: str,
                           avgdl: float) -> pa.Table:
     import ray
 
-    from ..query.distributed import worker_pool
+    from ..query.distributed import pool_batched, worker_pool
 
     ranges = _doc_ranges(reader)
     pool = worker_pool()
-    df_parts = ray.get([
-        pool[i % len(pool)].ops_call.remote(
-            "bm25_ext", "syn_df_range",
-            (index_dir, field, sgroups, lo, hi))
-        for i, (lo, hi) in enumerate(ranges)])
+    df_parts = pool_batched(pool, [
+                   ("ops_call", ("bm25_ext", "syn_df_range",
+            (index_dir, field, sgroups, lo, hi)))
+                   for (lo, hi) in ranges])
     dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(sgroups))]
-    parts = ray.get([
-        pool[i % len(pool)].ops_call.remote(
-            "bm25_ext", "syn_score_range",
+    parts = pool_batched(pool, [
+                ("ops_call", ("bm25_ext", "syn_score_range",
             (index_dir, field, sgroups, dfs, n_docs, avgdl, k1, b, k,
-             lo, hi))
-        for i, (lo, hi) in enumerate(ranges)])
+             lo, hi)))
+                for (lo, hi) in ranges])
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])
     top = np.lexsort((docs, -r4))[:k]
@@ -322,21 +320,20 @@ def _boosting_distributed(index_dir, reader, stemmed, neg, nb, field,
                           k, k1, b, n_docs, avgdl) -> pa.Table:
     import ray
 
-    from ..query.distributed import worker_pool
+    from ..query.distributed import pool_batched, worker_pool
 
     ranges = _doc_ranges(reader)
     pool = worker_pool()
-    df_parts = ray.get([
-        pool[i % len(pool)].bm25_df.remote(index_dir, field, stemmed,
-                                           lo, hi)
-        for i, (lo, hi) in enumerate(ranges)])
+    df_parts = pool_batched(pool, [
+                   ("bm25_df", (index_dir, field, stemmed,
+                                           lo, hi))
+                   for (lo, hi) in ranges])
     dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
-    parts = ray.get([
-        pool[i % len(pool)].ops_call.remote(
-            "bm25_ext", "boosting_score_range",
+    parts = pool_batched(pool, [
+                ("ops_call", ("bm25_ext", "boosting_score_range",
             (index_dir, field, stemmed, neg, nb, dfs, n_docs, avgdl,
-             k1, b, k, lo, hi))
-        for i, (lo, hi) in enumerate(ranges)])
+             k1, b, k, lo, hi)))
+                for (lo, hi) in ranges])
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])
     top = np.lexsort((docs, -r4))[:k]
@@ -507,21 +504,20 @@ def _boost_distributed(index_dir: str, reader, stemmed, field: str,
     then per-range boosted scoring with local top-k."""
     import ray
 
-    from ..query.distributed import worker_pool
+    from ..query.distributed import pool_batched, worker_pool
 
     ranges = _doc_ranges(reader)
     pool = worker_pool()
-    df_parts = ray.get([
-        pool[i % len(pool)].bm25_df.remote(index_dir, field, stemmed,
-                                           lo, hi)
-        for i, (lo, hi) in enumerate(ranges)])
+    df_parts = pool_batched(pool, [
+                   ("bm25_df", (index_dir, field, stemmed,
+                                           lo, hi))
+                   for (lo, hi) in ranges])
     dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
-    parts = ray.get([
-        pool[i % len(pool)].ops_call.remote(
-            "bm25_ext", "boost_score_range",
+    parts = pool_batched(pool, [
+                ("ops_call", ("bm25_ext", "boost_score_range",
             (index_dir, field, stemmed, dfs, n_docs, avgdl, k1, b,
-             value_column, spec, k, lo, hi))
-        for i, (lo, hi) in enumerate(ranges)])
+             value_column, spec, k, lo, hi)))
+                for (lo, hi) in ranges])
     docs = np.concatenate([p[0] for p in parts])
     r4 = np.concatenate([p[1] for p in parts])
     top = np.lexsort((docs, -r4))[:k]
@@ -654,29 +650,27 @@ def bm25_dismax_topk(sf_dir: str,
     if index_dir is not None and reader.num_docs >= _dist_min_docs():
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         avgdls = {f: _field_total_tokens(reader, reader.field_id[f])
                   / n_docs
                   for f, _ in fields if f in reader.field_id}
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        df_parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "bm25_ext", "dismax_df_range",
-                (index_dir, fields, stemmed, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+        df_parts = pool_batched(pool, [
+                       ("ops_call", ("bm25_ext", "dismax_df_range",
+                (index_dir, fields, stemmed, lo, hi)))
+                       for (lo, hi) in ranges])
         dfs_flat: dict = {}
         for p in df_parts:
             for key, v in p.items():
                 dfs_flat[key] = dfs_flat.get(key, 0) + v
         dfs_flat = {key: float(v) for key, v in dfs_flat.items()}
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "bm25_ext", "dismax_score_range",
+        parts = pool_batched(pool, [
+                    ("ops_call", ("bm25_ext", "dismax_score_range",
                 (index_dir, fields, stemmed, dfs_flat, avgdls, n_docs,
-                 k1, b, tie_breaker, k, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+                 k1, b, tie_breaker, k, lo, hi)))
+                    for (lo, hi) in ranges])
         uniq = np.concatenate([p[0] for p in parts])
         r4 = np.concatenate([p[1] for p in parts])
     else:

@@ -760,10 +760,13 @@ def remove_duplicate_spans(sf_dir: str, window: int = 12,
     per-actor lookup — NO corpus-wide shuffle; measured at 20M docs the
     former documents×spans hash join shuffled the entire text corpus
     (35 GB spilled) where the broadcast path is one read-side pass.
-    Above ``broadcast_limit`` span-docs it falls back to the
-    data-proportional LEFT join.  Cleaning itself re-tokenizes each doc
-    and drops covered tokens — vectorized membership via searchsorted
-    over the doc's (sorted, disjoint) span starts."""
+    Above ``broadcast_limit`` span-docs the span table is written
+    doc_id-RANGE-PARTITIONED to disk instead (it exits a doc_id groupby
+    already) and each cleaning actor reads only the partition slices
+    covering its batches (LRU-cached per actor) — a partitioned
+    broadcast that also never shuffles the corpus, at any span count.
+    Cleaning itself re-tokenizes and drops covered tokens in one
+    batch-wide vectorized pass (_clean_batch)."""
     import ray
     import ray.data
 
@@ -802,47 +805,174 @@ def remove_duplicate_spans(sf_dir: str, window: int = 12,
                     batch_format="pyarrow", concurrency=(1, 8))
                 .sort("doc_id"))
 
-    def clean(batch: pa.Table) -> pa.Table:
-        spans_col = batch.column("spans").to_pylist()
-        return _clean_batch(batch, lambda i, _d: spans_col[i])
+    # partitioned-broadcast fallback: doc_id-range span partitions on
+    # disk, cleaned by actors that load only their slices
+    import pyarrow.parquet as pqt
 
-    # join partitions scale with the corpus (same knob as the window
-    # shuffle): a fixed small count would make each partition
-    # corpus-sized at 100 TB
-    n_part = max(16, _scaled_window_buckets(sf_dir) // 4)
-    return (docs.join(span_lists, "left_outer", n_part, on=("doc_id",))
-            .map_batches(clean, batch_format="pyarrow")
+    n_span_docs = span_lists.count()
+    num_docs = pqt.read_metadata(
+        f"{sf_dir}/documents.parquet").num_rows
+    n_parts = max(1, min(4096, -(-n_span_docs // 262_144)))
+    doc_span = max(1, -(-num_docs // n_parts))
+    root = _write_span_partitions(span_lists, doc_span)
+    return (docs.map_batches(
+                _PartitionedSpanCleaner,
+                fn_constructor_kwargs={"root": root, "doc_span": doc_span,
+                                       "window": window},
+                batch_format="pyarrow", concurrency=(1, 8))
             .sort("doc_id"))
 
 
-def _clean_batch(batch: pa.Table, spans_of) -> pa.Table:
-    """Shared cleaning kernel: drop tokens covered by each doc's
-    (sorted, disjoint) "s:e,s:e"-encoded spans; vectorized membership
-    via searchsorted over span starts."""
-    import re
+def _write_span_partitions(span_lists, doc_span: int) -> str:
+    """Write the per-doc span table doc_id-range partitioned under /tmp:
+    each map task slices its batch by ``doc_id // doc_span`` and appends
+    one parquet file per touched partition dir — only ack paths reach
+    the driver.  Multiple files per partition are fine; readers glob."""
+    import os
+    import tempfile
+    import uuid
 
-    out_t, out_n = [], []
+    import pyarrow.parquet as pqt
+
+    os.makedirs("/tmp/noise_ray_cache", exist_ok=True)
+    root = tempfile.mkdtemp(prefix="spans-", dir="/tmp/noise_ray_cache")
+
+    def write_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        part = b.column("doc_id").to_numpy() // doc_span
+        order = np.argsort(part, kind="stable")
+        b = b.take(pa.array(order))
+        part = part[order]
+        brk = np.flatnonzero(np.r_[True, part[1:] != part[:-1]])
+        bounds = np.r_[brk, part.size]
+        paths = []
+        for i, s in enumerate(brk):
+            pdir = os.path.join(root, f"part={int(part[s]):08d}")
+            os.makedirs(pdir, exist_ok=True)
+            fp = os.path.join(pdir, f"{uuid.uuid4().hex}.parquet")
+            pqt.write_table(b.slice(s, bounds[i + 1] - s), fp)
+            paths.append(fp)
+        return pa.table({"path": pa.array(paths, pa.string())})
+
+    span_lists.map_batches(write_part, batch_format="pyarrow").take_all()
+    return root
+
+
+class _PartitionedSpanCleaner:
+    """Actor-pool cleaning stage for the above-broadcast-limit case:
+    per batch it loads (LRU-cached) just the doc_id-range span
+    partitions its documents fall in — memory is bounded by
+    ``max_cached`` partition slices, not the span-table size."""
+
+    def __init__(self, root: str, doc_span: int, window: int,
+                 max_cached: int = 8):
+        from collections import OrderedDict
+
+        self.root = root
+        self.doc_span = doc_span
+        self.window = window
+        self._cache: "OrderedDict[int, dict]" = OrderedDict()
+        self._max = max_cached
+
+    def _part(self, p: int) -> dict:
+        import glob
+        import os
+
+        import pyarrow.parquet as pqt
+
+        c = self._cache
+        if p in c:
+            c.move_to_end(p)
+            return c[p]
+        lut: dict = {}
+        for f in glob.glob(os.path.join(self.root, f"part={p:08d}",
+                                        "*.parquet")):
+            t = pqt.read_table(f)
+            lut.update(zip(t.column("doc_id").to_pylist(),
+                           t.column("spans").to_pylist()))
+        c[p] = lut
+        if len(c) > self._max:
+            c.popitem(last=False)
+        return lut
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        luts = {int(p): self._part(int(p))
+                for p in np.unique(ids // self.doc_span)}
+        dspan = self.doc_span
+        return _clean_batch(batch,
+                            lambda _i, did: luts[did // dspan].get(did))
+
+
+def _clean_batch(batch: pa.Table, spans_of) -> pa.Table:
+    """Shared cleaning kernel, vectorized over the WHOLE batch: one
+    Arrow lower+regex-collapse+split tokenization pass, one global
+    searchsorted for span membership (per-doc coordinates lifted onto
+    disjoint int64 ranges via a doc stride, with a sentinel span per
+    doc so docs without spans need no branch), and one Arrow
+    ``binary_join`` to re-assemble the surviving tokens — no per-doc
+    Python tokenize/join in the hot path."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
     ids = batch.column("doc_id").to_pylist()
-    for i, txt in enumerate(batch.column("text").to_pylist()):
-        toks = re.findall(r"[a-z0-9]+", txt.lower())
+    if n == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "clean_text": pa.array([], pa.string()),
+            "n_removed": pa.array([], pa.int64()),
+        })
+
+    norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        pc.utf8_lower(batch.column("text")), "[^a-z0-9]+", " "))
+    toks = pc.split_pattern(norm, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = np.asarray(toks.value_lengths(), np.int64)
+    flat = toks.flatten()
+    # an all-separator doc trims to "" and splits to one empty token —
+    # drop those so positions match the oracle's [a-z0-9]+ stream
+    valid = np.asarray(pc.utf8_length(flat), np.int64) > 0
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    counts_v = np.bincount(doc_idx[valid], minlength=n).astype(np.int64)
+    flat_v = flat.filter(pa.array(valid))
+    cum = np.r_[0, np.cumsum(counts_v)]
+    pos = np.arange(cum[-1], dtype=np.int64) - np.repeat(cum[:-1], counts_v)
+    doc_idx_v = np.repeat(np.arange(n, dtype=np.int64), counts_v)
+
+    # per-doc spans with a leading (-1, -1) sentinel, lifted by a doc
+    # stride so one sorted global searchsorted covers every doc
+    st_parts, en_parts, sp_counts = [], [], np.empty(n, np.int64)
+    for i in range(n):
         enc = spans_of(i, ids[i])
-        if not enc:
-            out_t.append(" ".join(toks))
-            out_n.append(0)
-            continue
-        pairs = [p.split(":") for p in enc.split(",")]
-        starts = np.asarray([int(a) for a, _ in pairs], np.int64)
-        ends = np.asarray([int(b) for _, b in pairs], np.int64)
-        pos = np.arange(len(toks), dtype=np.int64)
-        j = np.searchsorted(starts, pos, side="right") - 1
-        covered = (j >= 0) & (pos <= ends[np.maximum(j, 0)])
-        out_t.append(" ".join(t for t, c in zip(toks, covered)
-                              if not c))
-        out_n.append(int(covered.sum()))
+        if enc:
+            arr = np.fromiter(
+                (int(x) for p in enc.split(",") for x in p.split(":")),
+                np.int64)
+            s, e = arr[0::2], arr[1::2]
+        else:
+            s = e = np.empty(0, np.int64)
+        st_parts.append(np.r_[-1, s])
+        en_parts.append(np.r_[-1, e])
+        sp_counts[i] = s.size + 1
+    stride = int(counts_v.max(initial=0)) + 2
+    doc_of_span = np.repeat(np.arange(n, dtype=np.int64), sp_counts)
+    starts_g = np.concatenate(st_parts) + doc_of_span * stride
+    ends_g = np.concatenate(en_parts) + doc_of_span * stride
+    pos_g = pos + doc_idx_v * stride
+    j = np.searchsorted(starts_g, pos_g, side="right") - 1
+    covered = pos_g <= ends_g[j]
+
+    n_removed = np.bincount(doc_idx_v[covered], minlength=n)
+    kept = counts_v - n_removed
+    surv = flat_v.filter(pa.array(~covered))
+    out = pa.ListArray.from_arrays(
+        pa.array(np.r_[0, np.cumsum(kept)], pa.int32()), surv)
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "clean_text": pa.array(out_t, pa.string()),
-        "n_removed": pa.array(out_n, pa.int64()),
+        "clean_text": pc.binary_join(out, " "),
+        "n_removed": pa.array(n_removed.astype(np.int64), pa.int64()),
     })
 
 

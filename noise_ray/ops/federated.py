@@ -113,7 +113,8 @@ def federated_bm25(index_dirs: list[str], terms=("merge", "scan"),
     driver-side readers' manifest/stats metadata (no payload read)."""
     import ray
 
-    from ..query.distributed import _cached_reader, worker_pool
+    from ..query.distributed import (_cached_reader, pool_batched,
+                                     worker_pool)
     from ..query.engine import _stem_one
 
     from .bm25_ext import _doc_ranges
@@ -131,39 +132,36 @@ def federated_bm25(index_dirs: list[str], terms=("merge", "scan"),
     shard_ranges = [_doc_ranges(r) if bg else [(0, r.num_docs)]
                     for r, bg in zip(readers, big)]
 
-    # ---- phase 1: per-shard df partials, all shards in flight at once
-    ai = 0
-    df_futs = []
-    for d, ranges in zip(index_dirs, shard_ranges):
-        futs = []
-        for lo, hi in ranges:
-            futs.append(pool[ai % len(pool)].bm25_df.remote(
-                d, field, stemmed, lo, hi))
-            ai += 1
-        df_futs.append(futs)
-    df_parts = [p for futs in df_futs for p in ray.get(futs)]
+    # ---- phase 1: per-shard df partials, all (shard, range) pairs in
+    # ONE coalesced round (one remote call per worker)
+    dr = [(d, lo, hi) for d, ranges in zip(index_dirs, shard_ranges)
+          for lo, hi in ranges]
+    df_parts = pool_batched(pool, [
+        ("bm25_df", (d, field, stemmed, lo, hi)) for d, lo, hi in dr])
     dfs = [float(sum(p[j] for p in df_parts)) for j in range(len(stemmed))]
 
-    # ---- phase 2: per-shard local top-k with the GLOBAL stats
-    ai = 0
-    topk_futs = []
-    for d, ranges, bg in zip(index_dirs, shard_ranges, big):
+    # ---- phase 2: per-shard local top-k with the GLOBAL stats, again
+    # one coalesced round across every (shard, range)
+    calls, owners = [], []
+    for si, (d, ranges, bg) in enumerate(zip(index_dirs, shard_ranges,
+                                             big)):
         if bg:
-            futs = [pool[(ai + i) % len(pool)].bm25_score.remote(
-                        d, field, stemmed, dfs, n_docs, avgdl, k1, b, k,
-                        lo, hi)
-                    for i, (lo, hi) in enumerate(ranges)]
-            ai += len(ranges)
+            for lo, hi in ranges:
+                calls.append(("bm25_score",
+                              (d, field, stemmed, dfs, n_docs, avgdl,
+                               k1, b, k, lo, hi)))
+                owners.append(si)
         else:
-            futs = [pool[ai % len(pool)].ops_call.remote(
-                "federated", "fed_topk_shard",
-                (d, field, stemmed, dfs, n_docs, avgdl, k1, b, k))]
-            ai += 1
-        topk_futs.append((d, bg, futs))
+            calls.append(("ops_call",
+                          ("federated", "fed_topk_shard",
+                           (d, field, stemmed, dfs, n_docs, avgdl, k1,
+                            b, k))))
+            owners.append(si)
+    all_parts = pool_batched(pool, calls)
 
     keys_parts, score_parts = [], []
-    for (d, bg, futs), r in zip(topk_futs, readers):
-        parts = ray.get(futs)
+    for si, r in enumerate(readers):
+        parts = [p for o, p in zip(owners, all_parts) if o == si]
         docs = np.concatenate([p[0] for p in parts])
         r4 = np.concatenate([p[1] for p in parts])
         if not docs.size:

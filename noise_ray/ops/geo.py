@@ -182,7 +182,8 @@ def geo_distance(sf_dir: str, lon0: float = 10.0, lat0: float = 5.0,
     ``dist_min_docs`` documents, in-process per-range folds below."""
     import ray
 
-    from ..query.distributed import dist_min_docs, worker_pool
+    from ..query.distributed import (dist_min_docs, pool_batched,
+                                     worker_pool)
     from ..query.json_reader import JsonIndexReader
 
     idx = geo_corpus(sf_dir)
@@ -190,11 +191,10 @@ def geo_distance(sf_dir: str, lon0: float = 10.0, lat0: float = 5.0,
     ranges = _geo_ranges(num_docs)
     if num_docs >= dist_min_docs():
         pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "geo", "geo_distance_range",
-                (idx, lon0, lat0, radius, k, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+        parts = pool_batched(pool, [
+                    ("ops_call", ("geo", "geo_distance_range",
+                (idx, lon0, lat0, radius, k, lo, hi)))
+                    for (lo, hi) in ranges])
     else:
         parts = [geo_distance_range(idx, lon0, lat0, radius, k, lo, hi)
                  for lo, hi in ranges]
@@ -273,7 +273,8 @@ def geo_centroid(sf_dir: str, west: float = -60.0, east: float = 40.0,
     as geo_distance above ``dist_min_docs``."""
     import ray
 
-    from ..query.distributed import dist_min_docs, worker_pool
+    from ..query.distributed import (dist_min_docs, pool_batched,
+                                     worker_pool)
     from ..query.json_reader import JsonIndexReader
 
     idx = geo_corpus(sf_dir)
@@ -281,11 +282,10 @@ def geo_centroid(sf_dir: str, west: float = -60.0, east: float = 40.0,
     ranges = _geo_ranges(num_docs)
     if num_docs >= dist_min_docs():
         pool = worker_pool()
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "geo", "geo_centroid_range",
-                (idx, west, east, south, north, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+        parts = pool_batched(pool, [
+                    ("ops_call", ("geo", "geo_centroid_range",
+                (idx, west, east, south, north, lo, hi)))
+                    for (lo, hi) in ranges])
     else:
         parts = [geo_centroid_range(idx, west, east, south, north, lo, hi)
                  for lo, hi in ranges]

@@ -413,26 +413,24 @@ def nested_kp_bm25(sf_dir: str, terms=("quick", "brown"), k: int = 20,
     if n_inst >= _dist_min_docs():  # instances (turns) are the scoring unit
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         from .bm25_ext import _doc_ranges
 
         index_dir = reader.index_dir
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        df_parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "nested_docs", "kp_bm25_df_range",
-                (index_dir, kp, stemmed, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+        df_parts = pool_batched(pool, [
+                       ("ops_call", ("nested_docs", "kp_bm25_df_range",
+                (index_dir, kp, stemmed, lo, hi)))
+                       for (lo, hi) in ranges])
         dfs = [float(sum(p[j] for p in df_parts))
                for j in range(len(stemmed))]
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "nested_docs", "kp_bm25_score_range",
+        parts = pool_batched(pool, [
+                    ("ops_call", ("nested_docs", "kp_bm25_score_range",
                 (index_dir, kp, stemmed, dfs, n_inst, avgdl, k1, b, k,
-                 lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+                 lo, hi)))
+                    for (lo, hi) in ranges])
         docs = np.concatenate([p[0] for p in parts])
         aps = np.vstack([p[1] for p in parts])
         r4 = np.concatenate([p[2] for p in parts])
@@ -558,26 +556,24 @@ def nested_kp_bm25_filtered(sf_dir: str, terms=("quick", "brown"),
     if n_inst >= _dist_min_docs():  # instances (turns) are the scoring unit
         import ray
 
-        from ..query.distributed import worker_pool
+        from ..query.distributed import pool_batched, worker_pool
 
         from .bm25_ext import _doc_ranges
 
         index_dir = reader.index_dir
         ranges = _doc_ranges(reader)
         pool = worker_pool()
-        df_parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "nested_docs", "kp_bm25_df_range",
-                (index_dir, kp, stemmed, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+        df_parts = pool_batched(pool, [
+                       ("ops_call", ("nested_docs", "kp_bm25_df_range",
+                (index_dir, kp, stemmed, lo, hi)))
+                       for (lo, hi) in ranges])
         dfs = [float(sum(p[j] for p in df_parts))
                for j in range(len(stemmed))]
-        parts = ray.get([
-            pool[i % len(pool)].ops_call.remote(
-                "nested_docs", "kp_bm25_filtered_range",
+        parts = pool_batched(pool, [
+                    ("ops_call", ("nested_docs", "kp_bm25_filtered_range",
                 (index_dir, kp, stemmed, dfs, n_inst, avgdl, k1, b, k,
-                 filter_kp, value, lo, hi))
-            for i, (lo, hi) in enumerate(ranges)])
+                 filter_kp, value, lo, hi)))
+                    for (lo, hi) in ranges])
         docs = np.concatenate([p[0] for p in parts])
         aps = np.vstack([p[1] for p in parts])
         r4 = np.concatenate([p[2] for p in parts])

@@ -110,17 +110,16 @@ def rank_eval(sf_dir: str,
         if index_dir is not None and reader.num_docs >= _dist_min_docs():
             import ray
 
-            from ..query.distributed import worker_pool
+            from ..query.distributed import pool_batched, worker_pool
 
             from .bm25_ext import _doc_ranges
 
             ranges = _doc_ranges(reader)
             pool = worker_pool()
-            parts = ray.get([
-                pool[i % len(pool)].ops_call.remote(
-                    "rank_eval", "rank_eval_range",
-                    (index_dir, field, stemmed, docs, lo, hi))
-                for i, (lo, hi) in enumerate(ranges)])
+            parts = pool_batched(pool, [
+                        ("ops_call", ("rank_eval", "rank_eval_range",
+                    (index_dir, field, stemmed, docs, lo, hi)))
+                        for (lo, hi) in ranges])
             n_rel = int(sum(p[0] for p in parts))
             hit = np.zeros(docs.size, bool)
             for p in parts:

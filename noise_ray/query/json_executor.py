@@ -214,14 +214,12 @@ def run_json_query(reader: JsonIndexReader, q, params: dict | None = None,
             # string-seq row order isn't range-reconstructible, and
             # limited aggregates keep the reference's order-sensitive
             # buffered early-cut on the driver)
-            from .distributed import merge_agg_rows
+            from .distributed import merge_agg_rows, pool_batched
 
             pool = _worker_pool()
-            parts = ray.get([
-                pool[i % len(pool)].json_agg.remote(
-                    reader.index_dir, q, lo, hi)
-                for i, (lo, hi) in
-                enumerate(_task_ranges(reader.num_docs))])
+            parts = pool_batched(pool, [
+                        ("json_agg", (reader.index_dir, q, lo, hi))
+                        for (lo, hi) in _task_ranges(reader.num_docs)])
             out_rows = merge_agg_rows(q, leaves, parts)
             return [_render_tree(q.returns, iter(r)) for r in out_rows]
         keep = None
@@ -386,7 +384,7 @@ def _json_agg_range_impl(index_dir: str, q, lo: int, hi: int):
 def _worker_pool() -> list:
     """The shared flat/nested range-worker actor pool — see
     ``distributed._RangeWorker`` for the stable-assignment rationale."""
-    from .distributed import worker_pool
+    from .distributed import pool_batched, worker_pool
 
     return worker_pool()
 
@@ -403,10 +401,11 @@ def _evaluate_distributed(reader: JsonIndexReader, filter_node, keep=None):
     The proximity filter keeps the reference's sequential iterator inside
     each range (same caveat as the flat distributed path)."""
     pool = _worker_pool()
-    refs = [pool[i % len(pool)].json_eval.remote(
-                reader.index_dir, filter_node, lo, hi, keep)
-            for i, (lo, hi) in enumerate(_task_ranges(reader.num_docs))]
-    parts = ray.get(refs)
+    from .distributed import pool_batched
+
+    parts = pool_batched(pool, [
+        ("json_eval", (reader.index_dir, filter_node, lo, hi, keep))
+        for (lo, hi) in _task_ranges(reader.num_docs)])
     docs = np.concatenate([p[0] for p in parts])
     scores = np.concatenate([p[1] for p in parts])
     binds = None

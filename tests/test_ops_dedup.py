@@ -376,3 +376,47 @@ def test_remove_duplicate_spans_property(ray_session, tmp_path_factory,
     got = remove_duplicate_spans(sf, window=L).to_pandas()
     assert [(r.clean_text, r.n_removed)
             for r in got.itertuples(index=False)] == want
+
+
+def test_remove_duplicate_spans_partitioned_path(ray_session):
+    """broadcast_limit=0 forces the doc_id-range-partitioned span
+    sidecar (the above-limit scale path): results must be bit-identical
+    to the broadcast path, and no left-outer corpus join appears in the
+    plan (the round-4 fallback this replaced)."""
+    import pandas as pd
+
+    from noise_ray.ops.dedup import remove_duplicate_spans
+
+    sf = "/root/testdata/sf0.001"
+    a = remove_duplicate_spans(sf).to_pandas().reset_index(drop=True)
+    ds = remove_duplicate_spans(sf, broadcast_limit=0)
+    assert "Join" not in str(ds._logical_plan.dag)
+    b = ds.to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_clean_batch_vectorized_edge_cases():
+    """The batch-wide cleaning kernel on the shapes the per-doc loop
+    handled implicitly: empty batch, empty/whitespace-only docs, docs
+    with no spans mixed with fully-covered docs, uppercase+punctuation
+    normalization."""
+    import pyarrow as pa
+
+    from noise_ray.ops.dedup import _clean_batch
+
+    out = _clean_batch(pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "text": pa.array([], pa.string())}),
+                       lambda i, d: None)
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "clean_text", "n_removed"]
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["", "  ...  ", "Alpha, BETA gamma!",
+                          "one two three four", "keep me safe"],
+                         pa.string()),
+    })
+    spans = {2: "0:1", 3: "0:3"}
+    out = _clean_batch(batch, lambda i, did: spans.get(did)).to_pylist()
+    assert [(r["clean_text"], r["n_removed"]) for r in out] == [
+        ("", 0), ("", 0), ("gamma", 2), ("", 4), ("keep me safe", 0)]
