@@ -1114,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": mixing.corpus_prep,
         # --- multimodal plumbing
         "payload_decode": multimodal.payload_decode,
+        "jpeg_decode": multimodal.jpeg_decode,
         "audio_decode": multimodal.audio_decode,
         "video_frames": multimodal.video_frames,
         # --- geospatial (grid-bucketed sidecar under the oracle gate)
@@ -1601,6 +1602,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(g) AS BIGINT) AS sum_g,
                    CAST(sum(b) AS BIGINT) AS sum_b
             FROM px GROUP BY doc_id, width, height""",
+        # real-JPEG decode: baseline-DCT Huffman/IDCT/color-convert in
+        # the engine (ops/jpeg.py); block-constant synth images give
+        # exact DC-only round-trips, so the oracle recomputes the full
+        # integer chain (RGB -> rounded JFIF YCbCr -> rounded inverse)
+        # per 8x8 block in closed form — a decode bug cannot cancel out
+        "jpeg_decode": """
+            WITH dims AS (
+                SELECT doc_id,
+                       8 * (1 + doc_id % 3) AS width,
+                       8 * (1 + (doc_id * 7) % 3) AS height
+                FROM documents),
+            blk AS (
+                SELECT d.doc_id, d.width, d.height,
+                       ((d.doc_id * 31 + by.by * 17 + bx.bx * 5) % 256)
+                           AS r,
+                       ((d.doc_id * 31 + by.by * 17 + bx.bx * 5 + 11)
+                           % 256) AS g,
+                       ((d.doc_id * 31 + by.by * 17 + bx.bx * 5 + 22)
+                           % 256) AS b
+                FROM dims d,
+                     UNNEST(range(0, d.height // 8)) AS by(by),
+                     UNNEST(range(0, d.width // 8)) AS bx(bx)),
+            ycc AS (
+                SELECT doc_id, width, height,
+                       LEAST(255, GREATEST(0, floor(
+                           0.299 * r + 0.587 * g + 0.114 * b + 0.5)))
+                           AS y,
+                       LEAST(255, GREATEST(0, floor(
+                           128.0 - 0.168736 * r - 0.331264 * g
+                           + 0.5 * b + 0.5))) AS cb,
+                       LEAST(255, GREATEST(0, floor(
+                           128.0 + 0.5 * r - 0.418688 * g
+                           - 0.081312 * b + 0.5))) AS cr
+                FROM blk),
+            rgb AS (
+                SELECT doc_id, width, height,
+                       LEAST(255, GREATEST(0, floor(
+                           y + 1.402 * (cr - 128.0) + 0.5))) AS r2,
+                       LEAST(255, GREATEST(0, floor(
+                           y - 0.344136 * (cb - 128.0)
+                           - 0.714136 * (cr - 128.0) + 0.5))) AS g2,
+                       LEAST(255, GREATEST(0, floor(
+                           y + 1.772 * (cb - 128.0) + 0.5))) AS b2
+                FROM ycc)
+            SELECT doc_id, CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS channels,
+                   CAST(64 * sum(r2) AS BIGINT) AS sum_r,
+                   CAST(64 * sum(g2) AS BIGINT) AS sum_g,
+                   CAST(64 * sum(b2) AS BIGINT) AS sum_b
+            FROM rgb GROUP BY doc_id, width, height""",
         # real-WAV decode: RIFF chunk walk + PCM16 validation in the
         # engine; the oracle recomputes the closed-form sample stats
         "audio_decode": """

@@ -130,6 +130,76 @@ def payload_decode(sf_dir: str):
     )
 
 
+def synthesize_jpeg_payloads(sf_dir: str):
+    """Deterministic REAL JPEG payloads per document
+    (ops/jpeg.synth_image → encode_jpeg, unit quant tables): schema
+    (doc_id, payload:binary, mime:string).  Block-constant pixel
+    content makes the decode statistics SQL-recomputable in closed
+    form (see ops/jpeg.py exactness contract)."""
+    from .jpeg import encode_jpeg, synth_image
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [encode_jpeg(synth_image(int(d))) for d in ids]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/jpeg"] * len(payloads)),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(make, batch_format="pyarrow", batch_size=256)
+
+
+class JpegDecoder:
+    """Actor-pool JPEG decode stage: the real baseline-DCT decode
+    (ops/jpeg.decode_jpeg — marker walk, Huffman LUT, dequant, batched
+    IDCT, JFIF color convert) imported once per actor, emitting
+    per-image dims + integer channel sums for the SQL oracle.  Channel
+    handling mirrors PayloadDecoder: grayscale replicates the luma sum
+    across r=g=b so mixed batches stay rectangular."""
+
+    def __init__(self):
+        from .jpeg import decode_jpeg  # once per actor
+
+        self._decode = decode_jpeg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, cs, sums = [], [], [], []
+        for buf in batch.column("payload"):
+            img = self._decode(buf.as_py())
+            if img.ndim == 2:
+                img = img[:, :, None]
+            h, w, c = img.shape
+            ws.append(w)
+            hs.append(h)
+            cs.append(c)
+            s = img.reshape(-1, c).sum(axis=0, dtype=np.int64)
+            s = np.repeat(s[:1], 3) if c < 3 else s[:3]
+            sums.append(s)
+        sums = (np.asarray(sums, np.int64)
+                if ws else np.zeros((0, 3), np.int64))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "channels": pa.array(cs, pa.int64()),
+            "sum_r": pa.array(sums[:, 0], pa.int64()),
+            "sum_g": pa.array(sums[:, 1], pa.int64()),
+            "sum_b": pa.array(sums[:, 2], pa.int64()),
+        })
+
+
+def jpeg_decode(sf_dir: str):
+    """doc_id → decoded JPEG dims + channel sums via the real
+    baseline-DCT decode in the actor pool."""
+    return synthesize_jpeg_payloads(sf_dir).map_batches(
+        JpegDecoder, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
 def synthesize_audio_payloads(sf_dir: str):
     """Deterministic REAL WAV payloads per document (ops/wav.synth_audio
     → encode_wav): schema (doc_id, payload:binary, mime:string), sample
