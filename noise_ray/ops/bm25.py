@@ -776,7 +776,8 @@ DEFAULT_MSEARCH = (("merge", "scan"), ("row", "column"), ("fast", "batch"))
 
 def bm25_msearch(sf_dir: str, queries=DEFAULT_MSEARCH, k: int = 10,
                  k1: float = 1.2, b: float = 0.75, field: str = "text", *,
-                 index_dir: str | None = None) -> pa.Table:
+                 index_dir: str | None = None,
+                 replica_group: int | None = None) -> pa.Table:
     """Multi-search (cf. Elasticsearch ``_msearch``): N term-bag BM25
     queries answered in ONE request.  Per query the semantics are
     exactly :func:`bm25_topk`; the batching is the scale win — above
@@ -803,7 +804,8 @@ def bm25_msearch(sf_dir: str, queries=DEFAULT_MSEARCH, k: int = 10,
         fid = reader.field_id[field]
         avgdl = _field_total_tokens(reader, fid) / n_docs
         per_query = _msearch_distributed(index_dir, reader, qlists,
-                                         field, k, k1, b, n_docs, avgdl)
+                                         field, k, k1, b, n_docs, avgdl,
+                                         replica_group)
     else:
         per_query = []
         for q in queries:
@@ -840,19 +842,30 @@ def msearch_score_range(index_dir: str, field: str, qlists, dfs_list,
 
 def _msearch_distributed(index_dir: str, reader, qlists, field: str,
                          k: int, k1: float, b: float, n_docs: float,
-                         avgdl: float):
+                         avgdl: float, replica_group: int | None = None):
     """One two-phase fan-out for the whole query batch; per-query merge
-    on the driver (k rows per query per range)."""
+    on the driver (k rows per query per range).  With ``replica_group``
+    set (the serving path), the fan-out width is pinned to
+    ``serve_partitions()`` and the round runs on that replica group's
+    slice of the pool — per-query cost stays constant as the cluster
+    grows, and disjoint groups serve rounds concurrently (see
+    query/distributed.replica_slice)."""
     import ray
 
-    from ..query.distributed import pool_batched, worker_pool
+    from ..query.distributed import (pool_batched, replica_slice,
+                                     serve_partitions, worker_pool)
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    n = max(1, min(cpus, reader.num_docs // 10_000 + 1))
+    pool = worker_pool()
+    if replica_group is not None:
+        n = max(1, min(serve_partitions(), len(pool),
+                       reader.num_docs // 10_000 + 1))
+        pool = replica_slice(pool, n, replica_group)
+    else:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n = max(1, min(cpus, reader.num_docs // 10_000 + 1))
     span = max(1, -(-reader.num_docs // n))
     ranges = [(lo, min(lo + span, reader.num_docs))
               for lo in range(0, reader.num_docs, span)]
-    pool = worker_pool()
     df_parts = pool_batched(pool, [
                    ("ops_call", ("bm25", "msearch_df_range", (index_dir, field, qlists, lo, hi)))
                    for (lo, hi) in ranges])

@@ -311,11 +311,53 @@ def pool_batched(pool: list, calls: list) -> list:
     return out
 
 
+def serve_partitions() -> int:
+    """Per-query fan-out width on the SERVING path (concurrent-query
+    workloads).  A single query's useful work (k posting lookups + WAND
+    over its ranges) is milliseconds; fanning it over every core of a
+    growing cluster multiplies its FIXED costs (dispatch, per-range
+    setup) by the cluster size — measured on the 22M index, 8->32 CPUs
+    only cut 16-query round latency 0.12s -> 0.053s (2.2x for 4x
+    cores).  Serving therefore pins each query to a fixed number of
+    partitions and scales concurrency with REPLICA GROUPS instead
+    (``replica_slice``), the partition x replication grid every search
+    cluster uses: latency governed by P, throughput by R = pool/P."""
+    import os
+
+    return max(1, int(os.environ.get("NOISE_RAY_SERVE_PARTITIONS", "8")))
+
+
+def replica_slice(pool: list, partitions: int, group: int) -> list:
+    """Carve the worker pool into R = len(pool) // partitions disjoint
+    replica groups of ``partitions`` actors; round ``group`` is served
+    by group ``group % R``.  Range i keeps a deterministic home WITHIN
+    each group (``pool_batched``'s i % n over the slice), so every
+    group independently warms reader caches for all ranges and
+    concurrent rounds on different groups never queue on each other's
+    actors.  Falls back to the whole pool when it cannot hold two full
+    groups.  Routing only relocates which actor evaluates a range —
+    the per-range bodies and the merge are untouched, so results are
+    bit-identical for every group value
+    (tests/test_search_server.py)."""
+    r = len(pool) // partitions
+    if r < 2:
+        return pool
+    g = group % r
+    return pool[g * partitions:(g + 1) * partitions]
+
+
 def worker_pool() -> list:
     """Lazily created, driver-lifetime actor pool sized to the cluster
-    (<= 32); actors die with the driver."""
+    (<= 32); actors die with the driver.  ``NOISE_RAY_POOL_SIZE`` caps
+    the size per driver — a serving frontend sharing the cluster with
+    other frontends takes only its slice of actors (one frontend per
+    ~8 cores, each an independent partition-complete serving unit; see
+    bench.py qps mode)."""
+    import os
+
     global _pool
-    n = max(1, min(32, int(ray.cluster_resources().get("CPU", 1))))
+    cap = int(os.environ.get("NOISE_RAY_POOL_SIZE", "32"))
+    n = max(1, min(cap, int(ray.cluster_resources().get("CPU", 1))))
     if len(_pool) != n:
         _pool = [_RangeWorker.options(num_cpus=0).remote()
                  for _ in range(n)]

@@ -917,3 +917,32 @@ def test_search_batcher_propagates_errors(ray_session):
     with pytest.raises(Exception):
         b.search(("merge",))
     b.close()
+
+
+def test_msearch_replica_groups_bit_identical(ray_session, monkeypatch):
+    """Serving-path replica routing (fixed fan-out width + replica
+    group slices of the pool) only relocates which actor evaluates a
+    range — every group returns exactly the default dispatch's rows."""
+    from noise_ray.ops.bm25 import bm25_msearch
+    from noise_ray.pipelines import documents_index
+    from noise_ray.query.distributed import replica_slice, worker_pool
+
+    monkeypatch.setenv("NOISE_RAY_DIST_MIN_DOCS", "1")
+    monkeypatch.setenv("NOISE_RAY_SERVE_PARTITIONS", "2")
+    reader = documents_index(SF)
+    queries = (("merge", "scan"), ("row",), ("sort", "filter"))
+    base = bm25_msearch("", queries=queries, k=10,
+                        index_dir=reader.index_dir).to_pandas()
+    for g in range(5):  # wraps past R, exercising group % R
+        got = bm25_msearch("", queries=queries, k=10,
+                           index_dir=reader.index_dir,
+                           replica_group=g).to_pandas()
+        assert got.equals(base)
+    # the slice helper itself: disjoint groups, stable fallback
+    pool = worker_pool()
+    if len(pool) >= 4:
+        a = replica_slice(pool, 2, 0)
+        b = replica_slice(pool, 2, 1)
+        assert len(a) == len(b) == 2 and not set(map(id, a)) & \
+            set(map(id, b))
+    assert replica_slice(pool, len(pool), 3) == pool  # r < 2 fallback
