@@ -103,6 +103,7 @@ def decode_png(buf: bytes) -> np.ndarray:
     pos = 8
     ihdr = None
     idat = bytearray()
+    saw_iend = False
     while pos + 8 <= len(buf):
         (length,) = struct.unpack(">I", buf[pos:pos + 4])
         tag = buf[pos + 4:pos + 8]
@@ -118,10 +119,13 @@ def decode_png(buf: bytes) -> np.ndarray:
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length
     if ihdr is None:
         raise ValueError("missing IHDR")
+    if not saw_iend:
+        raise ValueError("missing IEND (truncated file)")
     w, h, depth, color, comp, filt, interlace = ihdr
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError(
@@ -129,7 +133,10 @@ def decode_png(buf: bytes) -> np.ndarray:
     c = _CHANNELS.get(color)
     if c is None:
         raise ValueError(f"unsupported color type {color}")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # surface as the decode stage's domain error
+        raise ValueError(f"corrupt IDAT zlib stream: {e}") from e
     stride = w * c
     if len(raw) != h * (1 + stride):
         raise ValueError("IDAT size mismatch")

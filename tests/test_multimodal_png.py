@@ -253,3 +253,62 @@ def test_payload_decoder_empty_and_nonrgb_batches():
         else:
             assert [row["sum_r"], row["sum_g"], row["sum_b"]] == \
                 [int(flat[0]), int(flat[1]), int(flat[2])]
+
+
+# ------------------------- adversarial property suites (round 5)
+
+
+def test_png_truncation_at_every_offset_raises_never_hangs():
+    """Every strict prefix must raise ValueError — including the
+    zlib-stream region (domain error, not zlib.error) and the
+    IEND-less tail (a truncated file must not silently decode)."""
+    buf = encode_png(synth_image(3))
+    for cut in range(len(buf)):
+        with pytest.raises(ValueError):
+            decode_png(buf[:cut])
+
+
+def test_wav_truncation_at_every_offset_raises():
+    from noise_ray.ops.wav import decode_wav, encode_wav, synth_audio
+
+    s, rate = synth_audio(9)
+    buf = encode_wav(s, rate)
+    for cut in range(len(buf)):
+        with pytest.raises(ValueError):
+            decode_wav(buf[:cut])
+
+
+def test_property_png_round_trip_random_dims_channels():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(h=st.integers(1, 24), w=st.integers(1, 24),
+           c=st.sampled_from([1, 2, 3, 4]), seed=st.integers(0, 2**31))
+    def inner(h, w, c, seed):
+        img = _rand_img(np.random.default_rng(seed), h, w, c)
+        out = decode_png(encode_png(img))
+        assert out.shape == (h, w, c)
+        assert np.array_equal(out, img)
+
+    inner()
+
+
+def test_property_wav_round_trip_random_lengths():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from noise_ray.ops.wav import decode_wav, encode_wav
+
+    @settings(max_examples=30, deadline=None)
+    @given(n=st.integers(1, 700), ch=st.sampled_from([1, 2]),
+           rate=st.sampled_from([8000, 16000, 44100]),
+           seed=st.integers(0, 2**31))
+    def inner(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+        out, got_rate = decode_wav(encode_wav(s, rate))
+        assert got_rate == rate
+        assert np.array_equal(out, s)
+
+    inner()
