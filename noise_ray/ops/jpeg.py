@@ -110,14 +110,27 @@ def _canonical_codes(bits, vals):
     return dict(zip(vals, out))
 
 
+_LUT_CACHE: dict = {}
+
+
 def _decode_lut(bits, vals):
-    """16-bit-prefix lookup: sym[peek16], len[peek16] (0 = invalid)."""
+    """16-bit-prefix lookup: sym[peek16], len[peek16] (0 = invalid).
+    Cached by table content — the Annex K tables recur in virtually
+    every file, and building two 64Ki arrays dominated small-image
+    decode time (measured ~0.5 ms of a 0.83 ms/img decode)."""
+    key = (bytes(bits), bytes(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
     sym = np.zeros(1 << 16, np.uint8)
     ln = np.zeros(1 << 16, np.uint8)
     for v, (code, length) in _canonical_codes(bits, vals).items():
         start = code << (16 - length)
         ln[start:start + (1 << (16 - length))] = length
         sym[start:start + (1 << (16 - length))] = v
+    if len(_LUT_CACHE) > 64:  # adversarial many-table streams stay bounded
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = (sym, ln)
     return sym, ln
 
 
