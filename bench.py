@@ -235,7 +235,9 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
                     ("rerank_query_sec", lambda: _rerank(SF_DIR)),
                     ("hybrid_query_sec", lambda: _hybrid(SF_DIR))):
         best = None
-        for _ in range(2):
+        # best-of-3: these are sub-second rows sitting on the dispatch
+        # floor, where the shared-host VM documented ±0.6 s drift
+        for _ in range(3):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0

@@ -193,10 +193,14 @@ class JpegDecoder:
 
 def jpeg_decode(sf_dir: str):
     """doc_id → decoded JPEG dims + channel sums via the real
-    baseline-DCT decode in the actor pool."""
+    baseline-DCT decode in the actor pool.  The pool cap is wider than
+    the PNG stage's: entropy decode is per-block Huffman (~0.56 ms/img
+    of pure Python) where PNG rides C zlib (~0.12 ms/img), so four
+    actors cap JPEG at ~7k imgs/s while the cluster idles — measured
+    4.8k imgs/s at 2M docs with (1, 4), 21.2k with (1, 24)."""
     return synthesize_jpeg_payloads(sf_dir).map_batches(
         JpegDecoder, batch_format="pyarrow", batch_size=256,
-        concurrency=(1, 4),
+        concurrency=(1, 24),
     )
 
 
