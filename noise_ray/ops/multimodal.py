@@ -126,7 +126,7 @@ def payload_decode(sf_dir: str):
     memory-heavy at scale)."""
     return synthesize_image_payloads(sf_dir).map_batches(
         PayloadDecoder, fn_constructor_kwargs={"decode": True},
-        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 16),
     )
 
 
@@ -263,7 +263,7 @@ def audio_decode(sf_dir: str):
     actor pool."""
     return synthesize_audio_payloads(sf_dir).map_batches(
         AudioDecoder, batch_format="pyarrow", batch_size=256,
-        concurrency=(1, 4),
+        concurrency=(1, 16),
     )
 
 
@@ -462,7 +462,7 @@ def video_frames(sf_dir: str, stride: int = 2):
     the heaviest rows in the suite)."""
     return synthesize_video_payloads(sf_dir).map_batches(
         FrameExtractor, fn_constructor_kwargs={"stride": stride},
-        batch_format="pyarrow", batch_size=128, concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 16),
     )
 
 

@@ -7,6 +7,7 @@ Usage: python tools/check_oracle.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -64,9 +65,25 @@ def main():
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    # These oracles run over the SYNTHETIC transcripts corpus (not the
+    # testdata tables) and inline the sf0.01 corpus path / its token
+    # statistics into the SQL (score_oracle.py *_sql defaults) — the
+    # driver's gate always runs at sf0.01, where they are green.  At
+    # any other sf the engine side would read a different corpus than
+    # the SQL, so comparing is apples-to-oranges by construction.
+    sf001_pinned = {
+        "flagship_or_topk", "nested_conv_search", "nested_kp_bm25",
+        "nested_kp_bm25_filtered", "split_index_bm25",
+        "dist_nested_kp_bm25",
+    }
+    at_sf001 = os.path.abspath(sf_dir).rstrip("/").endswith("sf0.01")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in sf001_pinned and not at_sf001:
+            print(f"SKIP {name}: oracle pinned to the sf0.01 synthetic "
+                  "transcript corpus")
             continue
         try:
             mine = canon(to_pandas(fn(sf_dir)))
