@@ -295,9 +295,12 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     baseline JFIF JPEG.  ``quant`` is a natural-order 64-entry table
     applied to all components (default all-ones: near-lossless, the
-    exactness mode the oracle relies on).  ``subsample=True`` encodes
-    chroma 4:2:0 (box-mean downsample); ``restart_interval`` emits DRI
-    + RSTn markers every that many MCUs."""
+    exactness mode the oracle relies on).  ``subsample`` selects the
+    chroma sampling: False/"444" = none, True/"420" = 2x2 box-mean,
+    "422" = horizontal-only 2x1 (the decoder handles general (hi, vi),
+    so the encoder emits all three to keep every decode path
+    exercisable); ``restart_interval`` emits DRI + RSTn markers every
+    that many MCUs."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ncomp = img.shape
@@ -307,18 +310,21 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
           else np.asarray(quant, np.float64).reshape(64))
     if np.any(qt < 1) or np.any(qt > 255):
         raise JpegError("quant entries must be in 1..255")
+    mode = {False: "444", True: "420"}.get(subsample, subsample)
+    if mode not in ("444", "420", "422"):
+        raise JpegError(f"unsupported subsample mode {subsample!r}")
 
     if ncomp == 3:
         ycc = _rgb_to_ycbcr(img)
         planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
-        samp = [(2, 2), (1, 1), (1, 1)] if subsample else \
-               [(1, 1), (1, 1), (1, 1)]
-        if subsample:
+        sy, sx = {"444": (1, 1), "420": (2, 2), "422": (1, 2)}[mode]
+        samp = [(sx, sy), (1, 1), (1, 1)]
+        if mode != "444":
             for ci in (1, 2):
                 p = planes[ci].astype(np.float64)
-                p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
-                p = (p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
-                     .mean(axis=(1, 3)))
+                p = np.pad(p, ((0, h % sy), (0, w % sx)), mode="edge")
+                p = (p.reshape(p.shape[0] // sy, sy,
+                               p.shape[1] // sx, sx).mean(axis=(1, 3)))
                 planes[ci] = np.floor(p + 0.5).astype(np.uint8)
     else:
         planes = [img[:, :, 0]]

@@ -267,3 +267,25 @@ def test_jpeg_decoder_grayscale_payload():
     assert (out.column("sum_r")[0].as_py()
             == out.column("sum_g")[0].as_py()
             == out.column("sum_b")[0].as_py() == 64 * 50)
+
+
+def test_422_subsampling_decodes():
+    """4:2:2 (horizontal-only chroma subsampling) exercises the
+    decoder's general (hi, vi) path that 4:4:4 and 4:2:0 do not."""
+    y, x = np.mgrid[0:33, 0:37]
+    img = np.stack([(x * 4) % 256, (y * 4) % 256,
+                    ((x + y) * 2) % 256], -1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, subsample="422"))
+    assert out.shape == (33, 37, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+    flat = np.full((16, 16, 3), 93, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, subsample="422")),
+                          decode_jpeg(encode_jpeg(flat)))
+    rng = np.random.default_rng(3)
+    img2 = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img2, subsample="422",
+                                restart_interval=2)),
+        decode_jpeg(encode_jpeg(img2, subsample="422")))
+    with pytest.raises(JpegError):
+        encode_jpeg(img, subsample="411")
