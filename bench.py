@@ -64,7 +64,8 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
 
     from noise_ray.build import build_index
     from noise_ray.pipelines import corpus_at, transcripts_corpus
@@ -462,6 +463,44 @@ def run_headline(num_cpus: int, *, build_only: bool = False) -> dict:
     # sanity: the compacted index still answers the array-context query
     run_json_query(JsonIndexReader(epoch_idx), nq)
     shutil.rmtree(epoch_root, ignore_errors=True)
+
+    # concurrent-query QPS through the replica-group SearchBatcher,
+    # forced onto the distributed dispatch so the serving path (not the
+    # in-process fallback) is what's measured per round.  Sub-second
+    # dispatch noise dominates at this corpus size — read alongside the
+    # 22M-index scaling row in BASELINE.md (0.812 efficiency).
+    import threading
+
+    from noise_ray.ops.search_server import SearchBatcher
+
+    os.environ["NOISE_RAY_DIST_MIN_DOCS"] = "1"
+    try:
+        batcher = SearchBatcher(idx_dir, k=10)
+        for t in _QPS_MIX:
+            batcher.search(t)
+        n_q = 240
+        ctr = {"i": 0}
+        lock = threading.Lock()
+
+        def _caller():
+            while True:
+                with lock:
+                    i = ctr["i"]
+                    if i >= n_q:
+                        return
+                    ctr["i"] = i + 1
+                batcher.search(_QPS_MIX[i % len(_QPS_MIX)])
+
+        ths = [threading.Thread(target=_caller) for _ in range(16)]
+        t0 = time.perf_counter()
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join()
+        out["concurrent_qps"] = round(n_q / (time.perf_counter() - t0), 1)
+        batcher.close()
+    finally:
+        del os.environ["NOISE_RAY_DIST_MIN_DOCS"]
     shutil.rmtree(idx_dir, ignore_errors=True)
     return out
 
@@ -473,7 +512,8 @@ def run_nested_build(num_cpus: int) -> dict:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
     from noise_ray.ops.nested_docs import nested_transcripts_index
     from noise_ray.pipelines import corpus_at, transcripts_corpus
 
@@ -518,7 +558,8 @@ def run_query_bench(num_cpus: int) -> dict:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
     os.environ["NOISE_RAY_DIST_MIN_DOCS"] = "1"
     import pyarrow.parquet as pq
 
@@ -622,7 +663,8 @@ def run_qps_bench(num_cpus: int) -> dict:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
     os.environ["NOISE_RAY_DIST_MIN_DOCS"] = "1"
     import pyarrow.parquet as pq
 
@@ -742,41 +784,61 @@ def _scaling() -> dict:
     }
 
 
+_REAL_STDOUT = None
+
+
+def _emit(obj) -> None:
+    """Write the result JSON line to the ORIGINAL stdout.  main() points
+    fd 1 at stderr for the whole process because raylet warnings (e.g.
+    "128 PYTHON worker processes have been started") write to the
+    inherited fd 1 and would corrupt the one-JSON-line contract the
+    driver parses."""
+    line = (json.dumps(obj) + "\n").encode()
+    if _REAL_STDOUT is not None:
+        os.write(_REAL_STDOUT, line)
+    else:
+        sys.stdout.write(line.decode())
+
+
 def main() -> None:
+    global _REAL_STDOUT
+    _REAL_STDOUT = os.dup(1)
+    os.dup2(2, 1)  # raylet/worker chatter -> stderr; JSON via _emit
     if "--gen-corpus" in sys.argv:
         import ray
 
         if not ray.is_initialized():
             ray.init(address="local", num_cpus=NUM_CPUS,
-                     include_dashboard=False, logging_level="ERROR")
+                     include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
         from noise_ray.pipelines import corpus_at, transcripts_corpus
 
         convs = int(os.environ.get("GRAFT_BENCH_CONVS", "0"))
         corpus_at(convs) if convs else transcripts_corpus(SF_DIR)
-        print(json.dumps({"ok": True}))
+        _emit({"ok": True})
         import ray as _r
         _r.shutdown()
         return
     if "--scaling" in sys.argv:
-        print(json.dumps(_scaling()))
+        _emit(_scaling())
         return
     if "--nested-build-only" in sys.argv:
-        print(json.dumps(run_nested_build(NUM_CPUS)))
+        _emit(run_nested_build(NUM_CPUS))
         import ray
         ray.shutdown()
         return
     if "--query-only" in sys.argv:
-        print(json.dumps(run_query_bench(NUM_CPUS)))
+        _emit(run_query_bench(NUM_CPUS))
         import ray
         ray.shutdown()
         return
     if "--qps-frontend" in sys.argv:
-        print(json.dumps(run_qps_frontend()))
+        _emit(run_qps_frontend())
         import ray
         ray.shutdown()
         return
     if "--qps-only" in sys.argv:
-        print(json.dumps(run_qps_bench(NUM_CPUS)))
+        _emit(run_qps_bench(NUM_CPUS))
         import ray
         ray.shutdown()
         return
@@ -791,7 +853,7 @@ def main() -> None:
             "unit": "sec",
             **res,
         }
-    print(json.dumps(res))
+    _emit(res)
     import ray
     ray.shutdown()
 
