@@ -685,11 +685,23 @@ def run_qps_bench(num_cpus: int) -> dict:
                QPS_IDX=idx, QPS_DUR=str(dur),
                QPS_TSTART=str(time.time() + 25.0),
                NOISE_RAY_POOL_SIZE="8")
-    procs = [subprocess.Popen([sys.executable, __file__,
-                               "--qps-frontend"],
+    import shutil as _sh
+
+    def _front_cmd(i: int) -> list:
+        cmd = [sys.executable, __file__, "--qps-frontend"]
+        # pin frontend i to its own 8-core slice — the per-node layout
+        # a real cluster has; unpinned, four frontends' caller threads
+        # interleave across all cores and degrade each other (~127 vs
+        # ~147 QPS per frontend measured).  Only when the process tree
+        # isn't already confined to fewer cores by the scaling runner.
+        if _sh.which("taskset") and num_cpus >= 8 * (i + 1):
+            cmd = ["taskset", "-c", f"{8 * i}-{8 * (i + 1) - 1}"] + cmd
+        return cmd
+
+    procs = [subprocess.Popen(_front_cmd(i),
                               env=env, stdout=subprocess.PIPE,
                               text=True)
-             for _ in range(n_front)]
+             for i in range(n_front)]
     total = 0
     for p in procs:
         out, _ = p.communicate()
