@@ -743,8 +743,10 @@ def _scaling() -> dict:
             "qps": "--qps-only"}.get(mode, "--build-only")
     env0 = dict(os.environ, GRAFT_BENCH_CONVS=convs)
     # Warm the shared corpus cache once so generation isn't timed.
+    # capture_output: the child prints its own {"ok": true} line, which
+    # must not precede this process's single result line on stdout.
     subprocess.run([sys.executable, __file__, "--gen-corpus"], env=env0,
-                   check=True)
+                   check=True, capture_output=True)
     best: dict[int, dict] = {}
     import shutil as _sh
     for _ in range(trials):
