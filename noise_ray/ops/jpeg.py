@@ -610,6 +610,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 
     if len(comps) == 1:
         return planes[comps[0][0]]
+    if len(comps) != 3:  # 2- or 4-component (e.g. CMYK) frames
+        raise JpegError(f"unsupported component count {len(comps)}")
     y, cb, cr = (planes[comps[i][0]] for i in range(3))
     return _ycbcr_to_rgb(y, cb, cr)
 
